@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import graft.operators.Relational.{davg, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.B4). Spark's hash aggregate is always
+  * two-phase (partial map-side + final after the Exchange) — the MapReduce
+  * combiner generalized — so every groupBy here ships only one row per
+  * (partition, group) across the wire. Exact-decimal sums (see
+  * Relational.dsum) keep float aggregates engine-portable.
+  */
+object Aggregates {
+
+  /** TPC-H Q1-style: big filter + 2-key group + 8 aggregates in one pass. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Global (grand-total) aggregate — no grouping keys, one row out. */
+  def globalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Exact COUNT(DISTINCT) per group (planner: Expand + two-phase agg). */
+  def countDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Approximate distinct via HyperLogLog++ — no oracle (DuckDB's HLL
+    * differs); driver records a rows-only check. The at-scale substitute for
+    * exact distinct when 2-phase Expand is too expensive.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
+  /** ROLLUP: revenue by (nation, order-year) with subtotals and grand total.
+    * Null group keys from the rollup are coalesced to sentinels so the sort
+    * order is engine-independent.
+    */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val base = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("oyear"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+    // The rollup itself goes through SQL: the Expand under a DataFrame-API
+    // rollup duplicates grouping attributes and trips the dataset-id based
+    // ambiguous-self-join check when the super-rows are coalesced afterwards.
+    // The SQL analysis path resolves by name and yields the same
+    // Expand+Aggregate physical plan.
+    base.createOrReplaceTempView("rollup_base")
+    spark.sql(
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(oyear, -1L) AS oyear,
+        |       CAST(sum(CAST(net AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM rollup_base
+        |GROUP BY ROLLUP(n_name, oyear)
+        |ORDER BY nation, oyear""".stripMargin)
+  }
+
+  /** CUBE over (status, priority) with sentinel-coalesced super rows. */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy("status", "priority")
+
+  /** collect_set → sorted → joined to a string (deterministic array agg). */
+  def collectEventTypes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** Exact percentiles (interpolated) + spread stats per event type.
+    * stddev/corr are iterative float aggs that cannot be made bit-exact
+    * across engines — rounded to 4 decimals (error ≪ grid).
+    */
+  def percentileStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      .orderBy("event_type")
+
+  /** Pearson correlation across lineitem measures (global). */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** max_by / min_by semantics with deterministic struct tie-breaks: the
+    * highest-value event and the first event per user in one pass.
+    */
+  def minMaxBy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max(struct(col("value"), col("event_id"))).as("top"),
+        min(struct(col("ts"), col("event_id"))).as("first"))
+      .select(col("user_id"),
+        col("top.value").as("top_value"),
+        col("top.event_id").as("top_event_id"),
+        col("first.event_id").as("first_event_id"))
+      .orderBy("user_id")
+}

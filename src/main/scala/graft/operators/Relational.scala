@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator surface (SURVEY.md §2.B2–B3): projections, filters,
+  * predicates, and the full join family over the TPC-H-ish star schema.
+  *
+  * Scale notes baked into every query:
+  *   - filters are written directly over the scan so Catalyst pushes them
+  *     into the parquet reader (PushedFilters) and prunes columns;
+  *   - dimension sides of joins (region/nation/supplier) are explicitly
+  *     `broadcast()` — at 100 TB the fact side never shuffles for them;
+  *   - fact⋈fact joins (lineitem⋈orders) shuffle on the join key once and
+  *     rely on AQE for skew handling — no driver-side materialization.
+  */
+object Relational {
+
+  /** Exact-sum helper: double → DECIMAL(18,6) before summing, final cast back
+    * to double. Decimal addition is exact and order-independent, so the
+    * result is bitwise identical no matter how partitions merge — the only
+    * way a float aggregate can hash-match a different engine (DuckDB oracle)
+    * at any scale. (Rounding a raw double sum to 6 decimals would flake: at
+    * sum≈1e9 the cross-engine summation-order error is the same magnitude as
+    * the rounding grid.)
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Exact mean: exact decimal sum / count, both deterministic doubles. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  // ---------------------------------------------------------------- B2
+
+  /** Projection + derived column + pushed-down conjunctive predicate. */
+  def filterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** IN / LIKE / BETWEEN predicate mix (explicit parens mirror the oracle). */
+  def inLikeBetween(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(col("p_type").like("PROMO%")
+        || (col("p_brand").isin("Brand#1", "Brand#2") && col("p_size").between(5, 15)))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size").cast("long").as("p_size"))
+      .orderBy("p_partkey")
+
+  /** NULL-handling scalars: nullif / coalesce / nvl2-style branching.
+    * Testdata has no nulls, so nullif manufactures them.
+    */
+  def nullHandling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(masked)")).as("seg"),
+        when(nullif(col("c_mktsegment"), lit("BUILDING")).isNull, lit(1L))
+          .otherwise(lit(0L)).as("was_building"))
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- B3
+
+  /** Fact⋈fact equi-join (sort-merge / shuffled-hash territory): revenue per
+    * order priority. Shuffles both sides on the order key once.
+    */
+  def joinFactFact(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5-style 5-table star join: revenue by nation within one region
+    * and one order-date year. Dim tables are broadcast — the lineitem scan
+    * is the only large input and it shuffles exactly once (for the l⋈o join).
+    */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Explicit broadcast-hash join: lineitem⋈supplier⋈nation, revenue per
+    * supplier nation. Both dims fit in a broadcast at any scale factor.
+    */
+  def broadcastJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("gross"))
+      .orderBy("n_name")
+  }
+
+  /** Left outer join with an empty-side group: orders ⟕ heavy lineitems
+    * (l_quantity > 45); orders with none keep n_heavy = 0.
+    */
+  def leftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 45)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_heavy"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Full outer join over two aggregated sides keyed by nation. */
+  def fullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 9000)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich_cust"))
+    val s = Tables.supplier(spark, sfDir).filter(col("s_acctbal") > 5000)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_rich_supp"))
+    c.join(s, c("c_nationkey") === s("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).cast("long").as("nationkey"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Left-semi join (EXISTS): customers having ≥1 urgent order. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent order. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Non-equi theta join (BroadcastNestedLoopJoin with the small side
+    * broadcast): parts cheaper than a supplier-specific bound. At scale the
+    * broadcast side must stay small — here supplier is the broadcast side.
+    */
+  def thetaJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    p.join(broadcast(s), p("p_retailprice") < s("s_acctbal") / 10.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_cheaper_parts"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Range (interval) join: per-user count of event pairs within one hour.
+    * Equi-key on user_id keeps it a hash/SMJ join with a residual range
+    * filter — the at-scale-safe shape (never a pure cross product). ns
+    * arithmetic stays in exact int64.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // µs, not ns: DuckDB truncates parquet TIMESTAMP(NANOS) to µs on read, so
+    // the oracle can only see µs — border pairs must be decided identically.
+    val a = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("a_us"))
+    val b = Tables.events(spark, sfDir)
+      .select(col("user_id").as("b_user"), expr("ts div 1000").as("b_us"))
+    a.join(b, a("user_id") === b("b_user")
+        && b("b_us") > a("a_us")
+        && b("b_us") <= a("a_us") + lit(3600000000L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs_1h"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join composed from built-ins (Spark has no native as-of): for
+    * each purchase event, the latest click at-or-before it per user —
+    * expressed as a running `max(click_ts)` window over the interleaved
+    * event stream, which is shuffle-equivalent to a sort-merge as-of and
+    * never materializes candidate pairs (the at-scale-safe formulation).
+    */
+  def asOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // µs output: the DuckDB oracle reads parquet ns-timestamps truncated to µs
+    e.withColumn("prev_click_us",
+        max(when(col("event_type") === "click", expr("ts div 1000"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("prev_click_us"), lit(-1L)).as("prev_click_us"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.B5). Every window is partitioned
+  * (by user/customer/priority) so state stays bounded per key at any scale —
+  * no global unpartitioned windows except the explicitly-bounded ntile demo.
+  * All orderings carry a unique tie-break column (event_id / orderkey): the
+  * testdata has duplicate `value`s per user, and an un-tie-broken window is
+  * nondeterministic across engines.
+  */
+object Windows {
+
+  /** Ranking: top-3 events by value per user via row_number. */
+  def topKPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** Analytic lag: delta to the previous event's value per user. */
+  def lagDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(spark, sfDir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_id"), (col("value") - col("prev")).as("delta"))
+      .orderBy("event_id")
+  }
+
+  /** Running (cumulative) order total per customer — ROWS frame, so the
+    * accumulation order is pinned and the double sum is engine-identical.
+    */
+  def runningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("cum_total", round(sum(col("o_totalprice")).over(w), 6))
+      .select(col("o_orderkey"), col("o_custkey"), col("cum_total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** RANGE frame: trailing-1h sum of event value per user, keyed on epoch
+    * seconds. Engines may use sliding-subtract vs recompute — round(4).
+    */
+  def trailing1h(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("sum_1h", round(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Distribution functions over order totals within each priority class. */
+  def percentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** ntile quartiles over customer balance (total order incl. unique key —
+    * ntile is only deterministic under a total order).
+    */
+  def ntileBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("c_acctbal", "c_custkey")
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("c_custkey")
+  }
+}
+
+/** Sort / limit / set-operation surface (SURVEY.md §2.B6). */
+object SetOps {
+
+  /** Global top-k: planner collapses orderBy+limit into
+    * TakeOrderedAndProject — each partition keeps k rows, no global sort.
+    */
+  def topOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(20)
+
+  /** UNION ALL (bag semantics) of two heterogeneous-source projections. */
+  def unionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+      .select(lit("cust").as("kind"), col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val s = Tables.supplier(spark, sfDir).filter(col("s_acctbal") > 0)
+      .select(lit("supp").as("kind"), col("s_name").as("name"), col("s_acctbal").as("bal"))
+    c.unionByName(s).orderBy("kind", "name")
+  }
+
+  /** INTERSECT (set semantics): nations present on both customer and
+    * supplier side.
+    */
+  def intersectNations(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").cast("long").as("nationkey"))
+      .intersect(
+        Tables.supplier(spark, sfDir).select(col("s_nationkey").cast("long").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT (set semantics): nations with customers but no suppliers. */
+  def exceptNations(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").cast("long").as("nationkey"))
+      .except(
+        Tables.supplier(spark, sfDir).select(col("s_nationkey").cast("long").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** DISTINCT projection (dropDuplicates over a 2-column key). */
+  def distinctPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+}
