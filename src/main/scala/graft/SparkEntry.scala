@@ -74,6 +74,33 @@ object SparkEntry {
     "q_array_funcs"       -> ((s, d) => Scalars.arrayFuncs(s, d)),
     "q_json_funcs"        -> ((s, d) => Scalars.jsonFuncs(s, d)),
     "q_conditional"       -> ((s, d) => Scalars.conditionalFuncs(s, d)),
+    // ---- B9 dedup ----
+    "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q_dedup_hash"        -> ((s, d) => Dedup.hashDedup(s, d)),
+    "q_neardup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "q_neardup_ppjoin"    -> ((s, d) => Dedup.ppjoinPairs(s, d)),
+    "q_neardup_minhash"   -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "q_simhash"           -> ((s, d) => Dedup.simhashFingerprints(s, d)),
+    "q_neardup_simhash"   -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_dedup_embedding"   -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    // ---- B9 text analysis ----
+    "q_tfidf"             -> ((s, d) => TextAnalysis.tfidfTop3(s, d)),
+    "q_bigrams"           -> ((s, d) => TextAnalysis.bigramCounts(s, d)),
+    "q_langid"            -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    // ---- B9 similarity search ----
+    "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
+    // ---- B9 multimodal ----
+    "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
+    "q_binary_meta"       -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "q_media_features"    -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    // ---- B8 streaming batch twins ----
+    "q_tumbling_1h"       -> ((s, d) => StreamingTwins.tumbling1h(s, d)),
+    "q_sliding_1h15m"     -> ((s, d) => StreamingTwins.sliding1h15m(s, d)),
+    "q_sessions_10m"      -> ((s, d) => StreamingTwins.sessions10m(s, d)),
   )
 
   /** DuckDB SQL twins. Table names resolve to the same parquet files.
@@ -361,5 +388,173 @@ object SparkEntry {
         |       ELSE 'high' END AS tier,
         |  (c_acctbal > 5000 AND c_mktsegment <> 'BUILDING') AS rich_nonbuild
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_hash" ->
+      """SELECT sha256(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_neardup_jaccard"  -> NearDupOracle,
+    "q_neardup_ppjoin"   -> NearDupOracle,
+    "q_neardup_minhash"  -> NearDupOracle,
+    "q_simhash" -> SimhashOracle,
+    "q_neardup_simhash" ->
+      s"""WITH f AS ($SimhashOracle)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM f x JOIN f y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 9
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |        / (sqrt(a.nn)*sqrt(b.nn)), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |      / (sqrt(a.nn)*sqrt(b.nn)) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),
+        |tf AS (SELECT doc_id, w AS word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (SELECT doc_id, word, tf * (ln((nd+1.0)/(df+1.0))+1.0) AS tfidf
+        |       FROM tf JOIN df USING (word) CROSS JOIN nn)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, round(tfidf, 6) AS tfidf FROM (
+        |  SELECT doc_id, word, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        |  FROM sc)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_bigrams" ->
+      """SELECT b AS bigram, count(*) AS cnt FROM (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN [w[i]||' '||w[i+1] for i in range(1, len(w))]
+        |    ELSE []::VARCHAR[] END) AS b
+        |  FROM (SELECT string_split(text,' ') AS w FROM documents))
+        |GROUP BY 1 ORDER BY cnt DESC, bigram""".stripMargin,
+    "q_langid" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x -> list_contains(['customer','hash','join','row'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['hash','order','table','window'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['slow','agg','hash','merge'], x))) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['scan','data','query','batch'], x))) AS s_fr,
+        |  len(list_filter(w, x -> list_contains(['join','small','row','customer'], x))) AS s_zh
+        |  FROM (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents))
+        |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_correct FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
+        |         WHEN s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+        |         WHEN s_es>=s_fr AND s_es>=s_zh THEN 'es'
+        |         WHEN s_fr>=s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+        |  FROM s)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH m AS (SELECT doc_id, n_chars, len(w)::BIGINT AS n_tokens,
+        |  len(list_distinct(w))::BIGINT AS n_distinct,
+        |  len(list_filter(w, x -> list_contains(['a','the','of','and','to','in'], x)))::BIGINT AS n_stop
+        |  FROM (SELECT doc_id, n_chars, string_split(text,' ') AS w FROM documents))
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(n_distinct::DOUBLE/n_tokens, 6) AS ttr,
+        |  round((n_chars - n_tokens + 1)::DOUBLE/n_tokens, 6) AS avg_wlen,
+        |  round(n_stop::DOUBLE/n_tokens, 6) AS stop_ratio,
+        |  round(0.4*(n_distinct::DOUBLE/n_tokens) + 0.3*(1.0 - n_stop::DOUBLE/n_tokens)
+        |        + 0.3*(least(n_tokens, 200)::DOUBLE/200.0), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5_fp,
+        |  list_reduce(list_transform(string_split(text,' '),
+        |    w -> ('0x'||substr(md5(w),1,8))::BIGINT), (a,b) -> (a*131+b)%1000000007) AS roll_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' '))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_re_tokens,
+        |  len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq_tokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS vq, nn AS nq FROM n WHERE vec_id % 25 = 0),
+        |sc AS (SELECT q.q_id, c.vec_id,
+        |         list_reduce(list_transform(range(1, len(q.vq)+1), i -> q.vq[i]*c.v[i]), (a,b) -> a+b)
+        |         / (sqrt(q.nq)*sqrt(c.nn)) AS cos
+        |       FROM q JOIN n c ON c.vec_id <> q.q_id)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, round(cos, 6) AS cos FROM (
+        |  SELECT q_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM sc)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
+        |  round(sqrt(list_reduce(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)),
+        |        (a,b) -> a+b)), 6) AS vnorm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |  md5(text) AS checksum, ascii(substr(text,1,1))::BIGINT AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tumbling_1h" ->
+      """SELECT (epoch_ns(ts)//3600000000000)*3600 AS bucket_sec, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding_1h15m" ->
+      """SELECT bucket_sec, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT ((epoch_ns(ts)//900000000000) - k)*900 AS bucket_sec, event_type, value
+        |      FROM events, (SELECT unnest(range(0, 4)) AS k))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessions_10m" ->
+      """WITH m AS (SELECT user_id, epoch_ns(ts) AS tns, value,
+        |  CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) IS NULL
+        |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) >= 600000000000
+        |       THEN 1 ELSE 0 END AS newsess
+        |  FROM events),
+        |s AS (SELECT user_id, tns, value,
+        |  sum(newsess) OVER (PARTITION BY user_id ORDER BY tns ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(tns)//1000000000 AS sess_start_sec, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_sec""".stripMargin,
   )
+
+  /** Shared oracle for the three near-dup strategies (identical semantics:
+    * 3-gram-shingle Jaccard >= 0.8, exact all-pairs ground truth).
+    */
+  private val NearDupOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+      |         ELSE w END) AS ts FROM toks)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.ts,b.ts))::DOUBLE
+      |        / (len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))), 6) AS jac
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.ts,b.ts))::DOUBLE
+      |      / (len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared oracle CTE for the SimHash fingerprint (md5-60-bit hash per
+    * 3-gram shingle, sign-summed per bit — mirrors Dedup.simhashFingerprints
+    * op for op).
+    */
+  private val SimhashOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+      |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+      |         ELSE w END)) AS s FROM toks),
+      |h AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS hv FROM sh),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv>>b)&1=1 THEN 1 ELSE -1 END) AS sc
+      |         FROM h, (SELECT unnest(range(0,60)) AS b) GROUP BY 1, 2)
+      |SELECT doc_id, sum(CASE WHEN sc>0 THEN 1::BIGINT<<b ELSE 0::BIGINT END)::BIGINT AS simhash
+      |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,299 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface (SURVEY.md §2.B9): exact, hash, and three
+  * near-duplicate detectors with *identical output semantics* but different
+  * scaling strategies — inverted-index join (exact), PPJoin-style prefix
+  * filtering (exact, pruned), and MinHash LSH (probabilistic candidates with
+  * exact verification). All near-dup queries share one DuckDB oracle: pairs
+  * with 3-gram-shingle Jaccard >= 0.8.
+  *
+  * Scale design: the corpus is never all-pairs'd. Candidates come from a
+  * shuffle on a shingle/band/bucket key — data movement is O(index entries),
+  * not O(n^2). The exact verify joins only the candidate pair list back to
+  * the per-doc shingle sets. Skew (a shingle shared by every doc) is bounded
+  * by the prefix filter / band width; at 100 TB the same plans hold with the
+  * shingle index bucketed by key.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md §0);
+  * near-dup semantics follow Broder's shingling (SEQUENCES'97) and the
+  * MinHash-LSH construction in Mining of Massive Datasets ch.3; prefix
+  * filtering follows Xiao et al., PPJoin (WWW'08).
+  */
+object Dedup {
+
+  /** Jaccard threshold for near-dup pairs (3-gram shingles). The corpus is
+    * bimodal — probe: 25 pairs >= 0.9, everything else < 0.4 at sf0.01 — so
+    * 0.8 is deep inside the gap and all three strategies agree exactly.
+    */
+  val ShingleTau = 0.8
+
+  /** Hamming threshold for SimHash pairs; near-dups measure <= 7 bits apart,
+    * unrelated docs >= 15 (probed at sf0.01), so 9 sits in the gap AND stays
+    * under the 10-band pigeonhole completeness bound (ham <= bands-1).
+    */
+  val HammingTau = 9
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: one survivor (min doc_id) per distinct text. A hash-
+    * partitioned groupBy on the full text — at scale group on sha2(text)
+    * instead so the shuffle key is 32 bytes, not the document (hashDedup).
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** Content-hash dedup: shuffle on the 256-bit fingerprint, never the text.
+    * This is the 100 TB shape — shuffle volume = 32 B/doc + key.
+    */
+  def hashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(sha2(col("text"), 256).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  // ------------------------------------------------------------- shingles
+
+  /** Per-doc distinct 3-gram word shingles (docs shorter than 3 tokens fall
+    * back to their token set). Built fresh per call site so self-joins have
+    * independent plan lineage (no ambiguous-attribute hazard).
+    *
+    * Shape matters here: higher-order functions are CodegenFallback
+    * (interpreted), so (a) the inner repartition spreads the interpreted
+    * shingle construction across all cores instead of the scan's single
+    * input split, and (b) the closing fence materializes `ts` — and because
+    * every call site builds the identical plan, Spark's ReuseExchange
+    * computes it ONCE per query no matter how many times a self-join
+    * references it.
+    */
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    fence(Tables.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(1, size(w)-2),
+          |         i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))
+          |  ELSE w END)""".stripMargin).as("ts")),
+      "doc_id")
+
+  /** Optimizer fence: hash-repartition (parallelism for the interpreted HOF
+    * chain — higher-order functions are CodegenFallback) + cache.
+    *
+    * The cache is the load-bearing part: it is a hard plan boundary, so
+    * (a) CollapseProject cannot inline the expensive signature expressions
+    * into every downstream band-explode / pair-join row, and (b)
+    * InferFiltersFromConstraints cannot rewrite a join-key isnotnull into
+    * the FULL signature expression pushed down onto the scan (measured: that
+    * pushed filter re-evaluated the whole md5/HOF chain per input row,
+    * single-threaded — 10-50x the query's real work). Plan-identical call
+    * sites share one cache entry, so self-joins compute signatures once.
+    * Fenced frames are document/vector-count sized (KBs per million docs),
+    * legitimately cacheable at any scale.
+    */
+  private[operators] def fence(df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key)).cache()
+
+  /** Exact Jaccard over two shingle-set columns; integer sizes → one double
+    * division, bit-identical across engines.
+    */
+  private def jac(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** Verify candidate (doc_a, doc_b) pairs against the exact Jaccard
+    * threshold. Joins the candidate list back to two independently-built
+    * shingle-set frames (broadcast-friendly: candidates << corpus).
+    */
+  private def verifyPairs(spark: SparkSession, sfDir: String, cand: DataFrame): DataFrame = {
+    val sa = shingleSets(spark, sfDir).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ts", "tsa")
+    val sb = shingleSets(spark, sfDir).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ts", "tsb")
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac(col("tsa"), col("tsb")).as("j"))
+      .filter(col("j") >= ShingleTau)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact near-dup via inverted index: explode shingles, self-join on the
+    * shingle, then — because shingle sets are distinct — the per-pair match
+    * COUNT from that join IS the intersection size. Joining back only the
+    * two set sizes (broadcast, int-only) yields exact Jaccard with zero
+    * array_intersect calls (measured ~115µs/call — the naive verify was 20x
+    * the cost of the whole join). Complete because jaccard >= tau > 0
+    * implies at least one shared shingle.
+    */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ia = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), explode(col("ts")).as("s"))
+    val ib = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), explode(col("ts")).as("s"))
+    val overlap = ia.join(ib, "s").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    val za = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), size(col("ts")).as("na"))
+    val zb = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), size(col("ts")).as("nb"))
+    overlap.join(broadcast(za), "doc_a").join(broadcast(zb), "doc_b")
+      .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= ShingleTau)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact near-dup with PPJoin-style prefix filtering: each doc indexes only
+    * its ceil((1-tau)*|S|)+1 globally-rarest shingles; any pair with
+    * jaccard >= tau must collide inside both prefixes (Xiao et al. WWW'08).
+    * Probed at sf0.1: 130k candidate pairs vs 1.13M for the plain inverted
+    * index and 12.5M all-pairs — this is the at-scale exact path.
+    */
+  def ppjoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleSets(spark, sfDir)
+      .select(col("doc_id"), size(col("ts")).as("sz"), explode(col("ts")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
+    val ranked = ex.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
+    val pref = ranked.filter(col("rn") <= ceil(lit(1.0 - ShingleTau) * col("sz")) + 1)
+      .select("doc_id", "s")
+    val pa = pref.select(col("doc_id").as("doc_a"), col("s"))
+    val pb = pref.select(col("doc_id").as("doc_b"), col("s"))
+    val cand = pa.join(pb, "s").filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyPairs(spark, sfDir, cand)
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for the hash family
+  private val NumHashes = 64
+  private val BandRows = 4 // 16 bands x 4 rows: P(catch | j=0.9) ~ 1-3e-8
+
+  /** Deterministic LCG-derived hash-family coefficients (fixed seeds — run-
+    * to-run and engine-to-oracle stability is required, SURVEY.md §7).
+    */
+  private def lcg(seed: Long, i: Int): Long =
+    (((seed + i) * 6364136223846793005L + 1442695040888963407L) >>> 11) % (P - 1) + 1
+  private val A: Seq[Long] = (0 until NumHashes).map(lcg(0x5DEECE66DL, _))
+  private val B: Seq[Long] = (0 until NumHashes).map(lcg(0x2545F4914F6CDD1DL, _))
+
+  /** MinHash LSH near-dup: 64-permutation signature over md5-derived shingle
+    * hashes, 16 bands of 4 rows, band-bucket join for candidates, exact
+    * Jaccard verify. Probabilistic recall ~1 at tau=0.8 given the bimodal
+    * corpus; output is identical to the exact strategies. Shuffle key =
+    * (band, 4-row signature) — constant width regardless of doc size.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Relational signature computation — every step is codegen'd (no
+    // interpreted HOF in the hot path): explode shingles → hash → broadcast
+    // the 64-permutation affine family → per-(doc, perm) min → 4-row band
+    // keys. This is also the shape that scales: pure shuffle-aggregation,
+    // no per-row lookup tables.
+    val family = A.zip(B).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+    val bandsDf = fence(
+      shingleSets(spark, sfDir)
+        .select(col("doc_id"), explode(col("ts")).as("s"))
+        // 60-bit md5 prefix → mod P once, then the affine family stays in Long
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(s),1,15),16,10) as bigint) % 2147483647L").as("h"))
+        .crossJoin(broadcast(family))
+        .select(col("doc_id"), col("i"), ((col("a") * col("h") + col("b")) % P).as("v"))
+        .groupBy("doc_id", "i").agg(min("v").as("sig"))
+        .withColumn("band", (col("i") / BandRows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, sig))), x -> cast(x.sig as string)), ',')").as("key")),
+      "doc_id")
+    val ba = bandsDf.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val bb = bandsDf.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    val cand = ba.join(bb, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyPairs(spark, sfDir, cand)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** Per-doc 60-bit SimHash fingerprint over 3-gram shingles: bit b of the
+    * fingerprint is the sign of sum_{s in shingles} (+1 if bit b of
+    * md5-60(s) else -1). Charikar STOC'02. Pure HOF pipeline — no explode,
+    * no extra shuffle; one pass per doc.
+    */
+  private def simhashRaw(spark: SparkSession, sfDir: String): DataFrame =
+    fence(fence(shingleSets(spark, sfDir)
+      .select(col("doc_id"),
+        expr("transform(ts, s -> cast(conv(substring(md5(s),1,15),16,10) as bigint))").as("hs")),
+      "doc_id") // fence: hash the shingles once, not once per simhash bit
+      .select(col("doc_id"), expr(
+        """aggregate(transform(sequence(0, 59), b ->
+          |  CASE WHEN aggregate(hs, 0, (acc, x) ->
+          |         acc + CASE WHEN (shiftright(x, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+          |       THEN shiftleft(1L, b) ELSE 0L END),
+          |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash")),
+      "doc_id") // fence: materialize the fingerprint before banding / pair joins
+
+  def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    simhashRaw(spark, sfDir).orderBy("doc_id")
+
+  /** SimHash near-dup pairs (hamming <= 9) via 10-band pigeonhole: two
+    * fingerprints <= 9 bits apart must agree on at least one of 10 disjoint
+    * 6-bit bands, so the band-bucket join is a complete candidate generator.
+    * Final filter recomputes exact hamming with xor+bit_count.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    def sides(pairCol: String, hashCol: String): DataFrame =
+      simhashRaw(spark, sfDir)
+        .select(col("doc_id").as(pairCol), col("simhash").as(hashCol),
+          posexplode(expr("transform(sequence(0, 9), j -> shiftright(simhash, j*6) & 63)"))
+            .as(Seq("band", "key")))
+    sides("doc_a", "ha").join(sides("doc_b", "hb"), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(ha ^ hb) as bigint)").as("hamming"))
+      // filter BEFORE distinct: chance band collisions die map-side instead
+      // of shuffling into the dedup exchange
+      .filter(col("hamming") <= HammingTau)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------- embedding near-dup
+
+  /** Cosine threshold for embedding near-dup; probed max pair cosine is 0.51
+    * and p99.9 is 0.38 at sf0.01, so 0.45 selects a meaningful tail.
+    */
+  val CosineTau = 0.45
+
+  /** Embedding-cosine near-dup pairs: normalized dot product >= tau over the
+    * 64-d float vectors, computed with codegen'd array HOFs in strict array
+    * order (bit-compatible with the oracle's list_reduce). Small-sf plan is
+    * a nested-loop pair join; the at-scale candidate generator is the LSH
+    * bucketing in Similarity.annTopK.
+    */
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    def side(idCol: String, vCol: String, nCol: String): DataFrame = {
+      val v = expr("transform(embedding, x -> cast(x as double))")
+      fence(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as(idCol), v.as(vCol), dot(v, v).as(nCol)),
+        idCol) // fence: cast + norm once per vector, not once per pair
+    }
+    val a = side("vec_a", "va", "na")
+    val b = side("vec_b", "vb", "nb")
+    a.join(b, col("vec_a") < col("vec_b"))
+      // codegen'd DotProduct: the pair loop stays boxing-free (graft.functions)
+      // sqrt(na)*sqrt(nb), NOT sqrt(na*nb): must stay bit-identical to the
+      // oracle's normalization order
+      .withColumn("cos", dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= CosineTau)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column surface (SURVEY.md §2.B9): media payloads travel as
+  * opaque `binary` columns with typed metadata; decode / feature-extraction
+  * runs batched per partition. The actual image/audio codecs are STUBBED
+  * (this container has no media libraries — `decodeStub` is a deterministic
+  * fake); the Spark-side plumbing — schema, encoders, partition-batched
+  * execution, metadata joins — is real and tested (MultimodalSpec).
+  *
+  * Scale design: payload bytes never shuffle — features are extracted
+  * map-side and only the (id, features) projection moves. Joins against
+  * per-doc metadata go through doc_id, with the metadata side broadcast.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md §0).
+  */
+object Multimodal {
+
+  /** One multimodal record: payload + typed metadata. In production `payload`
+    * holds encoded image/audio bytes; here it is the UTF-8 text payload so
+    * the pipeline shape is exercised end-to-end on real data.
+    */
+  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte],
+                         width: Int, height: Int)
+
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           checksum: String, feat_mean: Double)
+
+  /** documents ⋈ embeddings on doc_id = vec_id (row-aligned, TESTDATA):
+    * one multimodal row = text metadata + 64-d embedding, plus the vector
+    * norm computed in-line. The embedding side is the narrow one and
+    * broadcasts under AQE at small sf; at scale both sides hash-join on the
+    * shared id with no extra exchange if co-bucketed.
+    */
+  def multimodalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (acc, x) -> acc + x*x)").as("nn"))
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+        round(sqrt(col("nn")), 6).as("vnorm"))
+      .orderBy("doc_id")
+  }
+
+  /** Binary-column metadata: encode text → bytes, measure and checksum the
+    * payload without ever decoding it — the cheap pre-filter pass a media
+    * pipeline runs before expensive decode.
+    */
+  def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"), col("text"))
+      .select(col("doc_id"),
+        octet_length(col("bin")).cast("long").as("n_bytes"),
+        md5(col("text")).as("checksum"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
+      .orderBy("doc_id")
+
+  /** STUB decode: stands in for an image/audio codec. Deterministic fake —
+    * "decodes" the payload into a byte histogram mean. The real system swaps
+    * this single function for e.g. a JPEG decoder; everything around it
+    * (batching, schema, encoders) is unchanged.
+    */
+  def decodeStub(payload: Array[Byte]): Double =
+    if (payload.isEmpty) 0.0 else payload.map(_.toDouble).sum / payload.length
+
+  /** Partition-batched feature extraction over a typed Dataset: the decode
+    * runs once per record inside mapPartitions (amortizing per-batch codec
+    * setup in the real system), and only the narrow feature row survives.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition "codec" setup would happen here (once per batch)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        digest.reset()
+        val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, sum,
+          decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** End-to-end media pipeline over the documents table: text → binary
+    * payload → typed MediaRecord → partition-batched feature extraction.
+    * Rows-only check (the feature math is stub-deterministic but the typed
+    * Dataset round-trip is not SQL); exact values asserted in MultimodalSpec.
+    */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRecord]
+    extractFeatures(media)
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
+        round(col("feat_mean"), 6).as("feat_mean"))
+      .orderBy("doc_id")
+  }
+}

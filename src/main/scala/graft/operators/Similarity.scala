@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2.B9):
+  * exact brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH variant as the at-scale candidate generator.
+  *
+  * Scale design: the query side is always the small side and is broadcast —
+  * the corpus is scanned exactly once, never shuffled. The LSH variant
+  * replaces the corpus-wide scan-per-query with a bucket join on the sign
+  * signature (Charikar STOC'02 hyperplane rounding), the standard ANN
+  * decomposition when the corpus stops fitting a single scan per query.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md §0).
+  */
+object Similarity {
+
+  /** Every 25th vector is a query point (deterministic, sf-independent). */
+  private val QueryFilter = "vec_id % 25 = 0"
+
+  private def vectors(spark: SparkSession, sfDir: String, idCol: String,
+                      vCol: String, nCol: String): DataFrame = {
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    Dedup.fence(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as(idCol), v.as(vCol),
+        graft.functions.VectorFunctions.dot(v, v).as(nCol)),
+      idCol) // fence: cast + norm once per vector, not once per joined pair
+  }
+
+  /** Exact top-10 cosine neighbors per query vector. Queries are broadcast
+    * (corpus/25 rows); candidates stream through one whole-stage-codegen'd
+    * map computing the dot product in array order, then a per-query top-k
+    * window. One scan, one shuffle (on q_id for the window).
+    */
+  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val q = vectors(spark, sfDir, "q_id", "vq", "nq").filter(expr(s"q_id % 25 = 0"))
+    val c = vectors(spark, sfDir, "vec_id", "vc", "nc")
+    c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      // codegen'd DotProduct (graft.functions): boxing-free scan per pair
+      .withColumn("cos", graft.functions.VectorFunctions.dot(col("vq"), col("vc"))
+        / (sqrt(col("nq")) * sqrt(col("nc"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val NumPlanes = 12
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim): md5 of
+    * the coordinate string, mapped to [-1, 1). No RNG — engine-reproducible.
+    */
+  private val planeExpr: String =
+    "(cast(conv(substring(md5(concat(p, '_', d)), 1, 8), 16, 10) as bigint) % 2001 - 1000) / 1000.0"
+
+  /** ANN top-k via random-hyperplane LSH: 12 sign bits bucket the corpus;
+    * each query searches only its bucket. Probabilistic (no oracle — the
+    * driver records a rows-only check); recall vs cosineTopK is asserted in
+    * SimilaritySpec. At scale the bucket join replaces the broadcast scan;
+    * multi-probe (flipping low-margin bits) would raise recall — documented,
+    * not needed at this corpus size.
+    */
+  def annTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    def bucketed(idCol: String, vCol: String, nCol: String): DataFrame =
+      Dedup.fence(vectors(spark, sfDir, idCol, vCol, nCol)
+        .withColumn("bucket", expr(
+          s"""aggregate(transform(sequence(0, ${NumPlanes - 1}), p ->
+             |  CASE WHEN aggregate(zip_with($vCol, sequence(0, size($vCol)-1),
+             |        (x, d) -> x * ($planeExpr)), 0D, (acc, x) -> acc + x) > 0
+             |       THEN shiftleft(1L, p) ELSE 0L END),
+             |  0L, (acc, x) -> acc + x)""".stripMargin)),
+        idCol) // fence: 12-plane projection hashed once per vector
+    val q = bucketed("q_id", "vq", "nq").filter(expr(s"q_id % 25 = 0"))
+    val c = bucketed("vec_id", "vc", "nc")
+    c.join(q.hint("broadcast"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.dot(col("vq"), col("vc"))
+        / (sqrt(col("nq")) * sqrt(col("nc"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface (SURVEY.md §2.B9): TF-IDF, n-grams, language ID,
+  * quality scoring, fingerprinting, token statistics — the operators a
+  * training-data pipeline runs over a raw document corpus.
+  *
+  * Scale design: everything is tokenize → hash-agg → (optional) join on a
+  * small broadcast side (corpus-level stats like N and DF are
+  * vocabulary-sized, not corpus-sized). No driver materialization, no
+  * all-pairs anywhere.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md §0);
+  * TF-IDF follows Salton & Buckley (1988) with the smoothed idf
+  * ln((N+1)/(df+1))+1 as popularized by scikit-learn's TfidfTransformer.
+  */
+object TextAnalysis {
+
+  private def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+
+  /** Top-3 TF-IDF terms per document. DF and N are tiny aggregates joined
+    * back broadcast-style; the only corpus-sized shuffle is the (doc, word)
+    * TF group.
+    */
+  def tfidfTop3(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = tokens(spark, sfDir).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("nd"))
+    val scored = tf.join(broadcast(df), "word").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast("long").as("rn"), col("word"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Corpus bigram counts (generator → hash-agg; same dataflow as word count
+    * with a positional 2-gram generator instead of explode-per-token).
+    */
+  def bigramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w)-1),
+          |         i -> concat(element_at(w,i), ' ', element_at(w,i+1)))
+          |  ELSE array() END""".stripMargin)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+
+  /** Per-language marker vocabularies for the n-gram-free language-ID
+    * heuristic (top corpus terms per language, probed at sf0.01). The
+    * classifier is deterministic: score = marker-token occurrences, argmax
+    * with fixed de<en<es<fr<zh tie order.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join", "row"),
+    "en" -> Seq("hash", "order", "table", "window"),
+    "es" -> Seq("slow", "agg", "hash", "merge"),
+    "fr" -> Seq("scan", "data", "query", "batch"),
+    "zh" -> Seq("join", "small", "row", "customer"))
+
+  /** Heuristic language ID: count marker-token hits per language over the
+    * full token multiset (single map-side pass, no shuffle beyond the final
+    * sort), pick the argmax.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+    val scored = markers.foldLeft(base) { case (d, (l, ms)) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      d.withColumn(s"s_$l", expr(s"size(filter(w, x -> x IN ($lst)))"))
+    }
+    // Ordered CASE chain: each branch compares only against the languages
+    // AFTER it (the ones before already lost) — written identically in the
+    // oracle so ties resolve the same way in both engines.
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+      case ((l, i), rest) =>
+        val geRemaining = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(geRemaining, lit(l)).otherwise(rest)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .withColumn("is_correct", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document quality score: type-token ratio, stopword ratio, and a
+    * length prior, combined 0.4/0.3/0.3. All integer-derived doubles — the
+    * formula is written identically in the oracle so rounding is safe.
+    * avg word length uses n_chars = sum(len)+n_tokens-1 (single-space text).
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("n_stop", expr(
+        s"cast(size(filter(w, x -> x IN (${WordCount.stopwords.map(s => s"'$s'").mkString(",")}))) as long)"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 6).as("avg_wlen"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        round(lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens"))
+          + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+          + lit(0.3) * (least(col("n_tokens"), lit(200L)).cast("double") / lit(200.0)), 6).as("quality"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: cryptographic (md5) plus a polynomial rolling
+    * hash over 32-bit md5-derived token hashes, folded left in token order
+    * mod 1e9+7 — the streaming-friendly shape (each partition can fold its
+    * slice; here one doc = one fold).
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("md5_fp"),
+        expr("transform(split(text, ' '), w -> cast(conv(substring(md5(w),1,8),16,10) as bigint))").as("hs"))
+      .withColumn("roll_fp", expr(
+        "aggregate(slice(hs, 2, size(hs)-1), element_at(hs, 1), (acc, x) -> (acc*131 + x) % 1000000007L)"))
+      .select("doc_id", "md5_fp", "roll_fp")
+      .orderBy("doc_id")
+
+  /** Token statistics: whitespace tokens vs regex tokens vs distinct — the
+    * tokenizer-comparison a BPE-style pipeline runs to sanity-check corpus
+    * segmentation (on this pre-normalized corpus ws == regex by design).
+    */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_re_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+}

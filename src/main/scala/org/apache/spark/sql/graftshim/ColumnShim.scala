@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters. Spark 4
+  * hides the classic Column constructor behind `org.apache.spark.sql.classic
+  * .ExpressionUtils`; a library adding a custom Catalyst Expression (see
+  * graft.functions.DotProduct) needs exactly these two calls and nothing
+  * else from the internal surface.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
