@@ -51,7 +51,13 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  private val NumPlanes = 12
+  /** Few planes + multi-probe beats many planes here: the corpus has no
+    * cluster structure (max pair cosine 0.51), so fine buckets would leave
+    * every vector alone. 4 planes = 16 buckets; probing the query's bucket
+    * plus its four 1-bit neighbours gives ~0.6 expected rank-1 recall while
+    * still scanning ~5/16 of the corpus per query.
+    */
+  private val NumPlanes = 4
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim): md5 of
     * the coordinate string, mapped to [-1, 1). No RNG — engine-reproducible.
@@ -77,6 +83,9 @@ object Similarity {
              |  0L, (acc, x) -> acc + x)""".stripMargin)),
         idCol) // fence: 12-plane projection hashed once per vector
     val q = bucketed("q_id", "vq", "nq").filter(expr(s"q_id % 25 = 0"))
+      // multi-probe: the query searches its own bucket and each 1-bit flip
+      .withColumn("bucket", explode(expr(
+        s"array_union(array(bucket), transform(sequence(0, ${NumPlanes - 1}), p -> bucket ^ shiftleft(1L, p)))")))
     val c = bucketed("vec_id", "vc", "nc")
     c.join(q.hint("broadcast"), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Genuinely-streaming operators (SURVEY.md §2.B8): the same window
+  * aggregations as the oracle-checked batch twins in
+  * graft.operators.StreamingTwins, expressed over an *unbounded* input plus
+  * the streaming-only surface — watermark, streaming dedup, and arbitrary
+  * per-key state via flatMapGroupsWithState.
+  *
+  * Every transform takes the input frame as an argument (batch or streaming
+  * — the logical plan is identical; Structured Streaming incrementalizes it
+  * per micro-batch). StreamingSpec asserts each streaming run
+  * (Trigger.AvailableNow → memory sink) equals its batch twin.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md §0);
+  * semantics follow the Structured Streaming model (Armbrust et al.,
+  * SIGMOD'18).
+  */
+object StreamingOps {
+
+  /** 1-hour tumbling counts per event_type; input needs (ts_us, event_type,
+    * value). Works unchanged on readStream input in complete/update mode.
+    */
+  def tumbling1h(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("bucket_sec"), col("event_type"),
+        col("n_events"))
+
+  /** Watermarked tumbling agg: rows later than 2h behind the max event time
+    * are dropped; append mode emits a window once the watermark passes its
+    * end. State size is bounded by (watermark horizon / window) keys.
+    */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_us", "2 hours")
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("bucket_sec"), col("event_type"),
+        col("n_events"))
+
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark horizon are dropped; state for ids older
+    * than the watermark is reclaimed.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_us", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** One event for the typed stateful API. */
+  case class Ev(user_id: Long, ts_us: java.sql.Timestamp, value: Double)
+
+  /** One closed session: matches the q_sessions_10m batch-twin row shape. */
+  case class Session(user_id: Long, sess_start_sec: Long, n_events: Long,
+                     sum_value: Double)
+
+  /** Arbitrary stateful sessionization via flatMapGroupsWithState: per user,
+    * split the (event-time-sorted) events on gaps >= gapSec and emit
+    * sessions. Sessions that could still grow are held in [[GroupState]]
+    * across micro-batches and flushed on event-time timeout; a final batch
+    * (or AvailableNow end-of-stream) flushes the remainder, so the union of
+    * emissions equals the batch sessionization.
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          val pending = if (state.exists) state.get else Nil
+          val evs = (pending ++ it.toList).sortBy(_.ts_us.getTime)
+          if (evs.isEmpty) { // pure timeout fire with nothing pending
+            state.remove(); Iterator.empty
+          } else {
+            val sessions = splitOnGaps(evs, gapSec * 1000L)
+            // the trailing session could still grow — unless this fire is a
+            // timeout (watermark already passed its gap horizon)
+            val (closed, open) =
+              if (state.hasTimedOut) (sessions, Nil)
+              else (sessions.init, List(sessions.last))
+            if (open.nonEmpty) {
+              state.update(open.head)
+              state.setTimeoutTimestamp(open.head.last.ts_us.getTime + gapSec * 1000)
+            } else state.remove()
+            closed.iterator.map(toSession(user, _))
+          }
+      }
+  }
+
+  /** Single-batch sessionization used by the AvailableNow tests: every
+    * group sees all its events at once, so all sessions are closed and
+    * emitted immediately — output equals the batch twin by construction.
+    */
+  def sessionizeOneShot(events: Dataset[Ev], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (user: Long, it: Iterator[Ev]) =>
+        splitOnGaps(it.toList.sortBy(_.ts_us.getTime), gapSec * 1000L)
+          .iterator.map(toSession(user, _))
+      }
+  }
+
+  /** Split event-time-sorted events into sessions: a gap >= gapMs (ms
+    * precision — the 10-minute session gap dwarfs sub-ms effects) starts a
+    * new session. Returned oldest-first.
+    */
+  private def splitOnGaps(evs: List[Ev], gapMs: Long): List[List[Ev]] =
+    evs.foldLeft(List.empty[List[Ev]]) { (acc, e) =>
+      acc match {
+        case cur :: rest if e.ts_us.getTime - cur.last.ts_us.getTime < gapMs =>
+          (cur :+ e) :: rest
+        case _ => List(e) :: acc
+      }
+    }.reverse
+
+  private def toSession(user: Long, s: List[Ev]): Session =
+    Session(user, s.head.ts_us.getTime / 1000, s.length, s.map(_.value).sum)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup survivors cover all copies") {
+    val d = Dedup.exactDedup(spark, sf)
+    assert(d.agg(sum("n_copies")).head.getLong(0) == Tables.documents(spark, sf).count())
+    assert(d.count() == Tables.documents(spark, sf).select("text").distinct().count())
+  }
+
+  test("hash dedup agrees with exact dedup on survivor count") {
+    assert(Dedup.hashDedup(spark, sf).count() == Dedup.exactDedup(spark, sf).count())
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exactDedup(spark, sf)
+    assert(once.select("doc_id").distinct().count() == once.count())
+  }
+
+  test("all three near-dup strategies produce identical pair sets") {
+    val a = Dedup.jaccardPairs(spark, sf).collect().toSeq
+    val b = Dedup.ppjoinPairs(spark, sf).collect().toSeq
+    val c = Dedup.minhashPairs(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a == c)
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val p = Dedup.jaccardPairs(spark, sf)
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(p.filter(col("jac") < Dedup.ShingleTau).count() == 0)
+  }
+
+  test("simhash fingerprints are deterministic across runs") {
+    val f1 = Dedup.simhashFingerprints(spark, sf).collect().toSeq
+    val f2 = Dedup.simhashFingerprints(spark, sf).collect().toSeq
+    assert(f1 == f2)
+  }
+
+  test("simhash pairs stay within the hamming threshold") {
+    val p = Dedup.simhashPairs(spark, sf)
+    assert(p.filter(col("hamming") > Dedup.HammingTau).count() == 0)
+  }
+
+  test("embedding near-dup pairs respect the cosine threshold and ordering") {
+    val p = Dedup.embeddingPairs(spark, sf)
+    assert(p.filter(col("cos") < Dedup.CosineTau - 1e-6).count() == 0)
+    assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Windows
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkSpec {
+
+  test("per-user top-k emits at most k rows per user with unique ranks") {
+    val df = Windows.topKPerUser(spark, sf)
+    val perUser = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct("rn").as("nd"))
+    assert(perUser.filter(col("n") > 3 || col("n") =!= col("nd")).count() == 0)
+  }
+
+  test("running total tops out at each customer's full order total") {
+    val df = Windows.runningTotal(spark, sf)
+    val perCust = df.groupBy("o_custkey").agg(max("cum_total").as("got"))
+    val want = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("want"))
+    val bad = perCust.join(want, "o_custkey")
+      .filter(abs(col("got") - col("want")) > 1e-4)
+    assert(bad.count() == 0)
+  }
+
+  test("ntile quartiles are balanced within 1") {
+    val df = Windows.ntileBalance(spark, sf)
+    val sizes = df.groupBy("quartile").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+  }
+}
