@@ -14,8 +14,10 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop per-query caches so timings don't leak state
+      // isolate queries: drop per-query caches and collect garbage so one
+      // allocation-heavy query doesn't tax its successors' timings
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

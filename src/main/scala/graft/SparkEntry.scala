@@ -28,6 +28,8 @@ object SparkEntry {
     "stopword_wordcount"  -> ((s, d) => WordCount.stopwordFiltered(s, d)),
     "top_term_per_doc"    -> ((s, d) => WordCount.topTermPerDoc(s, d)),
     "doc_token_counts"    -> ((s, d) => WordCount.docTokenCounts(s, d)),
+    "q_topk_udaf"         -> ((s, d) => WordCount.topKUdaf(s, d, 10)),
+    "q_sort_within"       -> ((s, d) => WordCount.sortWithinPartitions(s, d)),
     // ---- B2 projections / filters / predicates ----
     "q_filter_project"    -> ((s, d) => Relational.filterProject(s, d)),
     "q_in_like"           -> ((s, d) => Relational.inLikeBetween(s, d)),
@@ -136,6 +138,13 @@ object SparkEntry {
     "doc_token_counts" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_topk_udaf computes the same result as top10_words through the custom
+    // bounded-state Aggregator; q_sort_within is rows-only (partition order
+    // is not oracle-observable)
+    "q_topk_udaf" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
 
     "q_filter_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

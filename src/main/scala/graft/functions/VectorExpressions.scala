@@ -59,4 +59,9 @@ object VectorFunctions {
   /** Column API for [[DotProduct]]; `dot(v, v)` is the squared L2 norm. */
   def dot(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Make `graft_dot(a, b)` callable from SQL strings on this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnShim.registerFunction(spark, "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)))
 }

@@ -70,6 +70,33 @@ object WordCount {
       .select(col("doc_id"), col("m.word").as("word"), col("m.tf").as("tf"))
       .orderBy("doc_id")
 
+  /** Top-k words via the custom typed Aggregator (graft.functions.TopKWords,
+    * SURVEY.md §2.B10): bounded O(k) aggregation state with map-side partial
+    * top-k and k-way merge. Same result (and oracle) as topKWords — the
+    * Aggregator is the surface for nesting a top-k inside another
+    * aggregation, where sort+limit can't go.
+    */
+  def topKUdaf(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val counts = tokens(spark, sfDir)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+    counts.select(graft.functions.TopKWords(k).toColumn.name("arr"))
+      .select(explode(col("arr")).as("kv"))
+      .select(col("kv._1").as("word"), col("kv._2").as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+  }
+
+  /** Partial (per-partition) sort: the map-side ordering pass a distributed
+    * sort is built from — rows-only check (partition layout is not an
+    * observable of the oracle).
+    */
+  def sortWithinPartitions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .select("doc_id", "lang", "n_chars")
+
   /** Tokens per document (doc-length histogram input). */
   def docTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

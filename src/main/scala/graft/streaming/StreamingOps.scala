@@ -52,6 +52,16 @@ object StreamingOps {
       .withWatermark("ts_us", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (customer keyed by user_id). The static side re-plans per micro-batch;
+    * Spark broadcasts it under the usual thresholds, so the stream never
+    * shuffles for the join.
+    */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(customer, events("user_id") === customer("c_custkey"), "left")
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        customer("c_mktsegment"))
+
   /** One event for the typed stateful API. */
   case class Ev(user_id: Long, ts_us: java.sql.Timestamp, value: Double)
 

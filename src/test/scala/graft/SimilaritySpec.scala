@@ -32,6 +32,13 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.2, s"rank-1 recall $hits/$total")
   }
 
+  test("graft_dot is callable from SQL after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
+      .head.getDouble(0)
+    assert(r == 32.0)
+  }
+
   test("codegen DotProduct matches the HOF formulation bit-for-bit") {
     import graft.functions.VectorFunctions.dot
     val e = Tables.embeddings(spark, sf)

@@ -60,6 +60,13 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == Tables.events(spark, sf).select("event_id").distinct().count())
   }
 
+  test("stream-static join enriches every event exactly once") {
+    val got = runToTable(
+      StreamingOps.enrichWithCustomer(eventsStream, Tables.customer(spark, sf)),
+      "t_enrich", "append")
+    assert(got.count() == Tables.events(spark, sf).count())
+  }
+
   test("stateful sessionization (one-shot) equals the session_window twin") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)

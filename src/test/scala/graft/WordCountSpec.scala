@@ -38,4 +38,26 @@ class WordCountSpec extends SparkSpec {
     val df = WordCount.topTermPerDoc(spark, sf)
     assert(df.count() == df.select("doc_id").distinct().count())
   }
+
+  test("TopKWords Aggregator equals sort-and-limit") {
+    val viaUdaf = WordCount.topKUdaf(spark, sf, 10).collect().toSeq
+    val viaSort = WordCount.topKWords(spark, sf, 10).collect().toSeq
+    assert(viaUdaf == viaSort)
+  }
+
+  test("sortWithinPartitions keeps all rows and orders within partitions") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val df = WordCount.sortWithinPartitions(spark, sf)
+    assert(df.count() == Tables.documents(spark, sf).count())
+    // within each output partition, doc_id must be non-decreasing per lang
+    val parts = df.withColumn("pid", spark_partition_id())
+    import spark.implicits._
+    val bad = parts.select("pid", "lang", "doc_id").as[(Int, String, Long)]
+      .mapPartitions { it =>
+        val rows = it.toSeq
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        Iterator.single(rows == sorted)
+      }.filter(ok => !ok)
+    assert(bad.count() == 0)
+  }
 }
