@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.A reference core: word-count MapReduce family ----
     "wordcount"           -> ((s, d) => WordCount.wordCount(s, d)),
+    "wordcount_rdd"       -> ((s, d) => WordCount.wordCountRdd(s, d)),
     "top10_words"         -> ((s, d) => WordCount.topKWords(s, d, 10)),
     "perlang_wordcount"   -> ((s, d) => WordCount.perLangWordCount(s, d)),
     "stopword_wordcount"  -> ((s, d) => WordCount.stopwordFiltered(s, d)),
@@ -111,6 +112,10 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, word""".stripMargin,
+    "wordcount_rdd" ->
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY cnt DESC, word""".stripMargin,

@@ -190,30 +190,29 @@ object Dedup {
     * (band, 4-row signature) — constant width regardless of doc size.
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // Relational signature computation — every step is codegen'd (no
-    // interpreted HOF in the hot path): explode shingles → hash → broadcast
-    // the 64-permutation affine family → per-(doc, perm) min → 4-row band
-    // keys. This is also the shape that scales: pure shuffle-aggregation,
-    // no per-row lookup tables.
-    val family = A.zip(B).zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+    // Per-permutation min computed as 64 separate HOF sub-expressions with
+    // the affine constants BAKED IN as literals (an element_at over a
+    // 64-literal array re-builds the array on every interpreted evaluation;
+    // a relational explode-64x formulation shuffles |shingles|*64 rows —
+    // both measured 3-10x slower than this zero-shuffle per-doc form).
+    def sigExpr(i: Int): String =
+      s"array_min(transform(hs, x -> (${A(i)}L * x + ${B(i)}L) % ${P}L))"
+    val bandExprs = (0 until NumHashes / BandRows).map { j =>
+      val sigs = (0 until BandRows).map(r => s"cast(${sigExpr(j * BandRows + r)} as string)")
+      s"concat_ws(',', ${sigs.mkString(", ")})"
+    }
     val bandsDf = fence(
-      shingleSets(spark, sfDir)
-        .select(col("doc_id"), explode(col("ts")).as("s"))
+      fence(shingleSets(spark, sfDir)
         // 60-bit md5 prefix → mod P once, then the affine family stays in Long
-        .select(col("doc_id"),
-          expr("cast(conv(substring(md5(s),1,15),16,10) as bigint) % 2147483647L").as("h"))
-        .crossJoin(broadcast(family))
-        .select(col("doc_id"), col("i"), ((col("a") * col("h") + col("b")) % P).as("v"))
-        .groupBy("doc_id", "i").agg(min("v").as("sig"))
-        .withColumn("band", (col("i") / BandRows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, sig))), x -> cast(x.sig as string)), ',')").as("key")),
-      "doc_id")
-    val ba = bandsDf.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val bb = bandsDf.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    val cand = ba.join(bb, Seq("band", "key"))
+        .select(col("doc_id"), expr(
+          "transform(ts, s -> cast(conv(substring(md5(s),1,15),16,10) as bigint) % 2147483647L)").as("hs")),
+        "doc_id") // fence: hash shingles once, not once per permutation
+        .select(col("doc_id"), expr(s"array(${bandExprs.mkString(", ")})").as("bands")),
+      "doc_id") // fence: materialize the 16 band keys before the self-join
+    def side(pairCol: String): DataFrame =
+      bandsDf.select(col("doc_id").as(pairCol),
+        posexplode(col("bands")).as(Seq("band", "key")))
+    val cand = side("doc_a").join(side("doc_b"), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyPairs(spark, sfDir, cand)

@@ -33,6 +33,23 @@ object WordCount {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word"))
 
+  /** The reference's literal shape — `flatMap(split) → map(w → (w,1)) →
+    * reduceByKey(_+_)` on the RDD API (BASELINE.json's named approach).
+    * reduceByKey's map-side combine IS the MR combiner; the DataFrame
+    * variant above is what production code should use (codegen + pushdown),
+    * this one exists to cover the reference core API surface 1:1.
+    */
+  def wordCountRdd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select("text").as[String].rdd
+      .flatMap(_.split(" "))
+      .map(w => (w, 1L))
+      .reduceByKey(_ + _)
+      .toDF("word", "cnt")
+      .orderBy(desc("cnt"), asc("word"))
+  }
+
   /** A9: top-k most frequent words (planner: TakeOrderedAndProject — no
     * global sort materialization, each partition keeps k rows).
     */
