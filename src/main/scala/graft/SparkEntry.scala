@@ -76,7 +76,9 @@ object SparkEntry {
     "q_math_funcs"        -> ((s, d) => Scalars.mathFuncs(s, d)),
     "q_array_funcs"       -> ((s, d) => Scalars.arrayFuncs(s, d)),
     "q_json_funcs"        -> ((s, d) => Scalars.jsonFuncs(s, d)),
+    "q_map_funcs"         -> ((s, d) => Scalars.mapFuncs(s, d)),
     "q_conditional"       -> ((s, d) => Scalars.conditionalFuncs(s, d)),
+    "q_window_topk_custom" -> ((s, d) => Windows.topKPerUserCustom(s, d)),
     // ---- B9 dedup ----
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_dedup_hash"        -> ((s, d) => Dedup.hashDedup(s, d)),
@@ -396,6 +398,21 @@ object SparkEntry {
         |  CAST(props->>'$.k' AS BIGINT) AS k_map,
         |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod10
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id, 'k' AS keys_csv,
+        |  CAST(props->>'$.k' AS BIGINT) AS first_val,
+        |  CAST(1 AS BIGINT) AS n_entries,
+        |  event_type AS et_val,
+        |  CAST(user_id AS VARCHAR) AS u_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    // same semantics (and oracle) as q_window_topk, computed by the custom
+    // GroupTopK plan node instead of a window
+    "q_window_topk_custom" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
     "q_conditional" ->
       """SELECT c_custkey,
         |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low'

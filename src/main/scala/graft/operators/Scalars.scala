@@ -91,6 +91,22 @@ object Scalars {
         (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod10"))
       .orderBy("event_id")
 
+  /** Map family: from_json map, map_keys/map_values/size, str_to_map built
+    * from row values and read back with element_at.
+    */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("m", from_json(col("props"), lit("MAP<STRING, BIGINT>")))
+      .withColumn("sm", expr("str_to_map(concat('et=', event_type, '&u=', cast(user_id as string)), '&', '=')"))
+      .select(
+        col("event_id"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        element_at(map_values(col("m")), 1).as("first_val"),
+        size(col("m")).cast("long").as("n_entries"),
+        element_at(col("sm"), "et").as("et_val"),
+        element_at(col("sm"), "u").as("u_val"))
+      .orderBy("event_id")
+
   /** Conditionals: CASE WHEN tiers + boolean algebra. */
   def conditionalFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

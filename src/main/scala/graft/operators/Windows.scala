@@ -24,6 +24,27 @@ object Windows {
       .orderBy("user_id", "rn")
   }
 
+  /** Per-user top-k through the custom GroupTopK plan node (graft.plans):
+    * logical node + strategy + bounded-heap physical operator instead of the
+    * full-sort window. Same output and oracle as topKPerUser; state is
+    * O(groups*k) rather than a whole-partition sort.
+    */
+  def topKPerUserCustom(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, SortOrder}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.plans.{GroupTopK, GroupTopKStrategy}
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GroupTopKStrategy
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("event_id"), col("value"))
+    val analyzed = ev.queryExecution.analyzed
+    val Seq(u, e, v) = analyzed.output
+    val rank = AttributeReference("rn", org.apache.spark.sql.types.LongType, nullable = false)()
+    val plan = GroupTopK(Seq(u), Seq(SortOrder(v, Descending), SortOrder(e, Ascending)), k, rank, analyzed)
+    ColumnShim.ofRows(spark, plan)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy("user_id", "rn")
+  }
+
   /** Analytic lag: delta to the previous event's value per user. */
   def lagDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts")

@@ -14,6 +14,14 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw LogicalPlan (custom plan nodes — see
+    * graft.plans.GroupTopK).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register an Expression builder under a SQL-callable name in the
     * session's FunctionRegistry (the runtime equivalent of a
     * SparkSessionExtensions.injectFunction, usable on a session the harness

@@ -22,6 +22,13 @@ class WindowsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("custom GroupTopK operator equals the window formulation") {
+    val custom = Windows.topKPerUserCustom(spark, sf).collect().toSeq
+    val window = Windows.topKPerUser(spark, sf)
+      .select("user_id", "rn", "event_id", "value").collect().toSeq
+    assert(custom == window)
+  }
+
   test("ntile quartiles are balanced within 1") {
     val df = Windows.ntileBalance(spark, sf)
     val sizes = df.groupBy("quartile").count().collect().map(_.getLong(1))
