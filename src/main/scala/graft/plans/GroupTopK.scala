@@ -79,10 +79,13 @@ case class GroupTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
       val outProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
+      val rankIsLong = rankAttr.dataType == org.apache.spark.sql.types.LongType
       heaps.iterator.flatMap { case (_, heap) =>
         val best = heap.dequeueAll.reverse // priority order is worst-first
         best.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, (i + 1).toLong)
+          // match the declared rank type (LongType when built directly,
+          // IntegerType when substituted for a row_number by TopKRewriteRule)
+          rankRow.update(0, if (rankIsLong) (i + 1).toLong else i + 1)
           outProj(joined(row, rankRow))
         }
       }
