@@ -67,9 +67,30 @@ object Multimodal {
   def decodeStub(payload: Array[Byte]): Double =
     if (payload.isEmpty) 0.0 else payload.map(_.toDouble).sum / payload.length
 
-  /** Partition-batched feature extraction over a typed Dataset: the decode
-    * runs once per record inside mapPartitions (amortizing per-batch codec
-    * setup in the real system), and only the narrow feature row survives.
+  /** STUB resize: stands in for an image resize. Deterministically
+    * downsamples the payload to `target` bytes by striding — the real system
+    * swaps in a pixel-space scaler; the batch shape (bytes → smaller bytes,
+    * metadata updated) is what the pipeline depends on.
+    */
+  def resizeStub(payload: Array[Byte], target: Int): Array[Byte] =
+    if (payload.length <= target || target <= 0) payload
+    else {
+      val stride = payload.length.toDouble / target
+      Array.tabulate(target)(i => payload((i * stride).toInt))
+    }
+
+  /** STUB frame sampling: stands in for video frame extraction. Splits the
+    * payload into fixed-size "frames" and keeps every k-th one.
+    */
+  def frameSampleStub(payload: Array[Byte], frameSize: Int, everyK: Int): Seq[Array[Byte]] =
+    payload.grouped(math.max(frameSize, 1)).zipWithIndex
+      .collect { case (frame, i) if i % math.max(everyK, 1) == 0 => frame }
+      .toSeq
+
+  /** Partition-batched feature extraction over a typed Dataset: resize →
+    * frame-sample → decode per record inside mapPartitions (amortizing
+    * per-batch codec setup in the real system), and only the narrow feature
+    * row survives — payload bytes never shuffle.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -79,8 +100,12 @@ object Multimodal {
       it.map { r =>
         digest.reset()
         val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, sum,
-          decodeStub(r.payload))
+        val resized = resizeStub(r.payload, 256)
+        val frames = frameSampleStub(resized, 32, 2)
+        val mean =
+          if (frames.isEmpty) 0.0
+          else frames.map(decodeStub).sum / frames.length
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, sum, mean)
       }
     }
   }

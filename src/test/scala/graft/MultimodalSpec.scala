@@ -25,6 +25,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(Array.emptyByteArray) == 0.0)
   }
 
+  test("resize stub hits the target size and preserves small payloads") {
+    val big = Array.tabulate(1000)(_.toByte)
+    assert(Multimodal.resizeStub(big, 256).length == 256)
+    val small = Array.tabulate(10)(_.toByte)
+    assert(Multimodal.resizeStub(small, 256).toSeq == small.toSeq)
+  }
+
+  test("frame sampling keeps every k-th frame") {
+    val payload = Array.tabulate(100)(_.toByte)
+    val frames = Multimodal.frameSampleStub(payload, 10, 2)
+    assert(frames.length == 5) // 10 frames, every 2nd
+    assert(frames.head.toSeq == payload.take(10).toSeq)
+  }
+
   test("multimodal join is 1:1 doc to embedding") {
     val j = Multimodal.multimodalJoin(spark, sf)
     assert(j.count() == j.select("doc_id").distinct().count())
