@@ -160,8 +160,10 @@ object Dedup {
     val ranked = ex.join(freq, "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
-    val pref = ranked.filter(col("rn") <= ceil(lit(1.0 - ShingleTau) * col("sz")) + 1)
-      .select("doc_id", "s")
+    // fence: the prefix index feeds BOTH sides of the self-join — without
+    // materialization the explode+freq-join+window subtree runs twice
+    val pref = fence(ranked.filter(col("rn") <= ceil(lit(1.0 - ShingleTau) * col("sz")) + 1)
+      .select("doc_id", "s"), "doc_id")
     val pa = pref.select(col("doc_id").as("doc_a"), col("s"))
     val pb = pref.select(col("doc_id").as("doc_b"), col("s"))
     val cand = pa.join(pb, "s").filter(col("doc_a") < col("doc_b"))
