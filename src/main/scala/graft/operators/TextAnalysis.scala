@@ -29,7 +29,10 @@ object TextAnalysis {
     * TF group.
     */
   def tfidfTop3(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = tokens(spark, sfDir).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // fence: TF feeds both the DF aggregation and the scoring join
+    val tf = Dedup.fence(
+      tokens(spark, sfDir).groupBy("doc_id", "word").agg(count(lit(1)).as("tf")),
+      "doc_id")
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("nd"))
     val scored = tf.join(broadcast(df), "word").crossJoin(broadcast(n))
