@@ -98,6 +98,7 @@ object SparkEntry {
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
+    "q_ivf_topk"          -> ((s, d) => Similarity.ivfTopK(s, d)),
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
     "q_binary_meta"       -> ((s, d) => Multimodal.binaryMeta(s, d)),

@@ -51,6 +51,49 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF-style ANN: a coarse quantizer built from C deterministic seed
+    * vectors (every n/C-th vector — no iterative k-means needed for a
+    * correctness-checkable scale-path demo; swap in trained centroids for
+    * production). Every vector joins its nearest centroid's inverted list;
+    * queries probe the nProbe nearest lists. Candidate volume per query is
+    * ~corpus*nProbe/C regardless of dimensionality — the at-scale
+    * alternative to the hyperplane buckets below when data has cluster
+    * structure. Rows-only (probabilistic recall, asserted in
+    * SimilaritySpec).
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+              numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val all = vectors(spark, sfDir, "vec_id", "v", "nn")
+    val n = Tables.embeddings(spark, sfDir).count()
+    val step = math.max(n / numCentroids, 1)
+    val cents = Dedup.fence(all.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nn").as("cn")),
+      "c_id")
+    // assign: nearest centroid per vector (broadcast C rows, argmax cosine)
+    def assign(df: DataFrame, idCol: String, vCol: String, nCol: String, rankCols: Int): DataFrame =
+      Dedup.fence(df.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col(vCol), col("cv")) / (sqrt(col(nCol)) * sqrt(col("cn"))))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(idCol).orderBy(desc("csim"), asc("c_id"))))
+        .filter(col("crn") <= rankCols)
+        .select(col(idCol), col(vCol), col(nCol), col("c_id").as("list_id")),
+        idCol)
+    val corpusLists = assign(all, "vec_id", "v", "nn", 1)
+    val queryProbes = assign(
+      vectors(spark, sfDir, "q_id", "vq", "nq").filter(expr("q_id % 25 = 0")),
+      "q_id", "vq", "nq", nProbe)
+    corpusLists.join(queryProbes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("vq"), col("v")) / (sqrt(col("nq")) * sqrt(col("nn"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Few planes + multi-probe beats many planes here: the corpus has no
     * cluster structure (max pair cosine 0.51), so fine buckets would leave
     * every vector alone. 4 planes = 16 buckets; probing the query's bucket

@@ -32,6 +32,18 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.2, s"rank-1 recall $hits/$total")
   }
 
+  test("ivf probes return valid, ranked, deduplicated neighbors") {
+    val ivf = Similarity.ivfTopK(spark, sf)
+    assert(ivf.filter(col("cos") < -1.000001 || col("cos") > 1.000001).count() == 0)
+    assert(ivf.groupBy("q_id", "vec_id").count().filter(col("count") > 1).count() == 0)
+    // probing 4 of 16 lists must find the true nearest for a fair share
+    val exact1 = Similarity.cosineTopK(spark, sf).filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("nn"))
+    val hits = exact1.join(ivf,
+      exact1("q_id") === ivf("q_id") && exact1("nn") === ivf("vec_id")).count()
+    assert(hits.toDouble / exact1.count() >= 0.2, s"ivf rank-1 recall $hits")
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
