@@ -1,0 +1,272 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text-hashing kernels for the near-duplicate family
+  * (SURVEY.md §2.B9). The relational formulation of shingling + MinHash +
+  * SimHash — `transform(... md5 ... conv ...)` HOF chains — is
+  * CodegenFallback: every shingle round-trips through boxed values, a hex
+  * string, and a base-conversion Decimal, and the 64-permutation MinHash
+  * re-walks the shingle array 64 times interpreted (measured: the three
+  * near-dup queries spent 370+ s of a 490 s bench in exactly these
+  * expressions). These expressions do the same math in one tight compiled
+  * pass per document and stay inside whole-stage codegen, the same remedy
+  * already proven by [[DotProduct]].
+  *
+  * Hash semantics are pinned to the engine-portable definition the DuckDB
+  * oracle uses: a shingle's hash is the top 60 bits of the MD5 of its UTF-8
+  * bytes — exactly `conv(substring(md5(s),1,15),16,10)` — so
+  * [[SimHash60]] fingerprints stay bit-identical to the SQL oracle.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md
+  * §0); the algorithms follow Broder (SEQUENCES'97), Charikar (STOC'02) and
+  * the band construction of Mining of Massive Datasets ch. 3.
+  */
+object TextHash {
+
+  /** MinHash modulus: 2^31-1, Mersenne prime. Affine coefficients a,x < P
+    * keep a*x + b < 2^62 — the whole family stays in exact Long arithmetic.
+    */
+  val P = 2147483647L
+  val NumHashes = 64
+  val BandRows = 4 // 16 bands x 4 rows: P(catch | j=0.9) ~ 1-3e-8
+  val NumBands: Int = NumHashes / BandRows
+
+  /** Deterministic LCG-derived hash-family coefficients (fixed seeds — run-
+    * to-run and engine-to-oracle stability is required, SURVEY.md §7).
+    */
+  private def lcg(seed: Long, i: Int): Long =
+    (((seed + i) * 6364136223846793005L + 1442695040888963407L) >>> 11) % (P - 1) + 1
+  private val A: Array[Long] = Array.tabulate(NumHashes)(lcg(0x5DEECE66DL, _))
+  private val B: Array[Long] = Array.tabulate(NumHashes)(lcg(0x2545F4914F6CDD1DL, _))
+
+  /** Test access to the permutation coefficients (TextHashSpec). */
+  private[graft] def coefA(i: Int): Long = A(i)
+  private[graft] def coefB(i: Int): Long = B(i)
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Top 60 bits of MD5(bytes) == `conv(substring(md5(s),1,15),16,10)`:
+    * 15 hex chars = bytes 0..6 plus the high nibble of byte 7.
+    */
+  def md5Top60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xffL) >>> 4)
+  }
+
+  /** Distinct 3-gram word shingles of `text` (documents shorter than 3
+    * tokens fall back to their token set — same CASE as the SQL oracle),
+    * each hashed with [[md5Top60]]; returned sorted ascending so set
+    * intersection downstream is a two-pointer merge. Tokenization matches
+    * `split(text, ' ')` / DuckDB `string_split`: single-space separator,
+    * empty tokens preserved.
+    */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[String]()
+    if (words.length >= 3) {
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i + 2 < words.length) {
+        sb.setLength(0)
+        sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
+        val s = sb.toString
+        if (seen.add(s)) out.add(s)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < words.length) { if (seen.add(words(i))) out.add(words(i)); i += 1 }
+    }
+    val n = out.size()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = md5Top60(out.get(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    UnsafeArrayData.fromPrimitiveArray(hs)
+  }
+
+  /** 16 MinHash band keys over the shingle-hash array: per permutation i the
+    * signature is min over shingles of (A(i)*(h%P) + B(i)) % P — identical
+    * values to the relational `array_min(transform(hs, ...))` form — and
+    * each band's 4 signature values are mixed into one Long key. Key
+    * equality is implied by signature equality, so the band-bucket join
+    * loses no true candidate; mixing collisions only add false candidates,
+    * which the exact verify removes.
+    */
+  def minHashBands(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val mins = new Array[Long](NumHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = hs.getLong(i) % P
+      var j = 0
+      while (j < NumHashes) {
+        val v = (A(j) * x + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Long](NumBands)
+    var b = 0
+    while (b < NumBands) {
+      var k = 1125899906842597L
+      var r = 0
+      while (r < BandRows) { k = k * 1000003L + mins(b * BandRows + r); r += 1 }
+      bands(b) = k
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bands)
+  }
+
+  /** 60-bit SimHash (Charikar STOC'02) over the shingle-hash array: bit b is
+    * set iff sum over shingles of (+1 if bit b of hash else -1) > 0.
+    * Bit-identical to the SQL-oracle formulation over the same hashes.
+    */
+  def simHash60(hs: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val x = hs.getLong(i)
+      var b = 0
+      while (b < 60) {
+        if (((x >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var f = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) f |= (1L << b); b += 1 }
+    f
+  }
+
+  /** Exact Jaccard of two sorted distinct Long arrays (two-pointer merge):
+    * |A∩B| / (|A|+|B|-|A∩B|), one double division at the end — bit-identical
+    * to the oracle's list_intersect/len formulation.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** `shingle_hashes(text)` → sorted distinct array<bigint> of md5-60 3-gram
+  * shingle hashes. One compiled pass per document, inside codegen.
+  */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashes(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(hs)` → array<bigint> of 16 LSH band keys (64 permutations
+  * x 4 rows/band) computed in one compiled pass over the shingle hashes.
+  */
+case class MinHashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minHashBands(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minHashBands($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash60(hs)` → 60-bit SimHash fingerprint as bigint. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simHash60(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `jaccard_sorted(a, b)` → exact Jaccard similarity of two sorted distinct
+  * bigint arrays (two-pointer, no per-call hash-set allocation — the
+  * interpreted `array_intersect` this replaces measured ~115µs/call).
+  */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextHashFunctions {
+  def shingleHashes(text: Column): Column =
+    ColumnShim.column(ShingleHashes(ColumnShim.expression(text)))
+  def minHashBands(hs: Column): Column =
+    ColumnShim.column(MinHashBands(ColumnShim.expression(hs)))
+  def simHash60(hs: Column): Column =
+    ColumnShim.column(SimHash60(ColumnShim.expression(hs)))
+  def jaccardSorted(a: Column, b: Column): Column =
+    ColumnShim.column(JaccardSorted(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Make the kernels callable from SQL strings on this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ColumnShim.registerFunction(spark, "graft_shingle_hashes", e => ShingleHashes(e.head))
+    ColumnShim.registerFunction(spark, "graft_minhash_bands", e => MinHashBands(e.head))
+    ColumnShim.registerFunction(spark, "graft_simhash60", e => SimHash60(e.head))
+    ColumnShim.registerFunction(spark, "graft_jaccard_sorted", e => JaccardSorted(e(0), e(1)))
+  }
+}

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.TextHashFunctions.{jaccardSorted, minHashBands, shingleHashes, simHash60}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface (SURVEY.md §2.B9): exact, hash, and three
@@ -17,6 +18,13 @@ import org.apache.spark.sql.functions._
   * the per-doc shingle sets. Skew (a shingle shared by every doc) is bounded
   * by the prefix filter / band width; at 100 TB the same plans hold with the
   * shingle index bucketed by key.
+  *
+  * Shingling, MinHash and SimHash math runs in the codegen'd kernels of
+  * graft.functions.TextHash (one compiled pass per document) — the
+  * interpreted `transform(... md5 ...)` HOF chains they replace owned 79%
+  * of the round-1 bench. Documents travel the pipeline as sorted distinct
+  * 60-bit shingle-hash arrays; all joins key on 8-byte longs, never shingle
+  * strings.
   *
   * Reference provenance: /root/reference is an empty checkout (SURVEY.md §0);
   * near-dup semantics follow Broder's shingling (SEQUENCES'97) and the
@@ -62,83 +70,65 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Per-doc distinct 3-gram word shingles (docs shorter than 3 tokens fall
-    * back to their token set). Built fresh per call site so self-joins have
-    * independent plan lineage (no ambiguous-attribute hazard).
-    *
-    * Shape matters here: higher-order functions are CodegenFallback
-    * (interpreted), so (a) the inner repartition spreads the interpreted
-    * shingle construction across all cores instead of the scan's single
-    * input split, and (b) the closing fence materializes `ts` — and because
-    * every call site builds the identical plan, Spark's ReuseExchange
-    * computes it ONCE per query no matter how many times a self-join
-    * references it.
+  /** Per-doc sorted distinct 3-gram shingle-hash array (docs shorter than 3
+    * tokens fall back to their token set), computed by the codegen'd
+    * ShingleHashes kernel — one compiled pass per document. The inner
+    * repartition spreads hashing across all cores instead of the scan's
+    * input splits; the closing fence materializes `hs`, and because every
+    * call site builds the identical plan, self-joins share ONE cache entry
+    * and compute the hashes once per query.
     */
   private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
     fence(Tables.documents(spark, sfDir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), expr(
-        """array_distinct(CASE WHEN size(w) >= 3
-          |  THEN transform(sequence(1, size(w)-2),
-          |         i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))
-          |  ELSE w END)""".stripMargin).as("ts")),
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs")),
       "doc_id")
 
-  /** Optimizer fence: hash-repartition (parallelism for the interpreted HOF
-    * chain — higher-order functions are CodegenFallback) + cache.
+  /** Optimizer fence: hash-repartition + cache.
     *
     * The cache is the load-bearing part: it is a hard plan boundary, so
-    * (a) CollapseProject cannot inline the expensive signature expressions
-    * into every downstream band-explode / pair-join row, and (b)
+    * (a) CollapseProject cannot inline the signature expressions into every
+    * downstream band-explode / pair-join row, and (b)
     * InferFiltersFromConstraints cannot rewrite a join-key isnotnull into
-    * the FULL signature expression pushed down onto the scan (measured: that
-    * pushed filter re-evaluated the whole md5/HOF chain per input row,
-    * single-threaded — 10-50x the query's real work). Plan-identical call
-    * sites share one cache entry, so self-joins compute signatures once.
-    * Fenced frames are document/vector-count sized (KBs per million docs),
-    * legitimately cacheable at any scale.
+    * the FULL signature expression pushed down onto the scan (measured in
+    * round 1: that pushed filter re-evaluated the whole hash chain per input
+    * row, single-threaded — 10-50x the query's real work). Plan-identical
+    * call sites share one cache entry, so self-joins compute signatures
+    * once. Fenced frames are document/vector-count sized (KBs per million
+    * docs), legitimately cacheable at any scale.
     */
   private[operators] def fence(df: DataFrame, key: String): DataFrame =
     df.repartition(col(key)).cache()
 
-  /** Exact Jaccard over two shingle-set columns; integer sizes → one double
-    * division, bit-identical across engines.
-    */
-  private def jac(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter)
-  }
-
   /** Verify candidate (doc_a, doc_b) pairs against the exact Jaccard
     * threshold. Joins the candidate list back to two independently-built
-    * shingle-set frames (broadcast-friendly: candidates << corpus).
+    * shingle-hash frames; the Jaccard itself is a codegen'd two-pointer
+    * merge over the sorted hash arrays (no per-pair set allocation).
     */
   private def verifyPairs(spark: SparkSession, sfDir: String, cand: DataFrame): DataFrame = {
-    val sa = shingleSets(spark, sfDir).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ts", "tsa")
-    val sb = shingleSets(spark, sfDir).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ts", "tsb")
+    val sa = shingleSets(spark, sfDir).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hsa")
+    val sb = shingleSets(spark, sfDir).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hsb")
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"), jac(col("tsa"), col("tsb")).as("j"))
+      .select(col("doc_a"), col("doc_b"), jaccardSorted(col("hsa"), col("hsb")).as("j"))
       .filter(col("j") >= ShingleTau)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jac"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact near-dup via inverted index: explode shingles, self-join on the
-    * shingle, then — because shingle sets are distinct — the per-pair match
-    * COUNT from that join IS the intersection size. Joining back only the
-    * two set sizes (broadcast, int-only) yields exact Jaccard with zero
-    * array_intersect calls (measured ~115µs/call — the naive verify was 20x
-    * the cost of the whole join). Complete because jaccard >= tau > 0
+  /** Exact near-dup via inverted index: explode shingle hashes, self-join on
+    * the 8-byte hash, then — because shingle-hash sets are distinct — the
+    * per-pair match COUNT from that join IS the intersection size. Joining
+    * back only the two set sizes (broadcast, int-only) yields exact Jaccard
+    * with zero per-pair set operations. Complete because jaccard >= tau > 0
     * implies at least one shared shingle.
     */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val ia = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), explode(col("ts")).as("s"))
-    val ib = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), explode(col("ts")).as("s"))
+    val ia = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), explode(col("hs")).as("s"))
+    val ib = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), explode(col("hs")).as("s"))
     val overlap = ia.join(ib, "s").filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    val za = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), size(col("ts")).as("na"))
-    val zb = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), size(col("ts")).as("nb"))
+    val za = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), size(col("hs")).as("na"))
+    val zb = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), size(col("hs")).as("nb"))
     overlap.join(broadcast(za), "doc_a").join(broadcast(zb), "doc_b")
       .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
       .filter(col("j") >= ShingleTau)
@@ -149,21 +139,32 @@ object Dedup {
   /** Exact near-dup with PPJoin-style prefix filtering: each doc indexes only
     * its ceil((1-tau)*|S|)+1 globally-rarest shingles; any pair with
     * jaccard >= tau must collide inside both prefixes (Xiao et al. WWW'08).
-    * Probed at sf0.1: 130k candidate pairs vs 1.13M for the plain inverted
+    * Probed at sf0.1: ~130k candidate pairs vs 1.13M for the plain inverted
     * index and 12.5M all-pairs — this is the at-scale exact path.
+    *
+    * Prefix selection is per-doc: shingle document-frequency is
+    * vocabulary-sized, so it broadcast-joins back onto the (still
+    * doc_id-partitioned) exploded index, and each doc picks its rarest
+    * shingles with an in-doc array_sort + slice — no corpus-wide window
+    * sort (round 1's formulation row_number'd the ENTIRE exploded index to
+    * keep ~20% of it, and was slower than the un-pruned inverted index it
+    * exists to beat).
     */
   def ppjoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = shingleSets(spark, sfDir)
-      .select(col("doc_id"), size(col("ts")).as("sz"), explode(col("ts")).as("s"))
+      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("s"))
     val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
-    val ranked = ex.join(freq, "s")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("f"), col("s"))))
-    // fence: the prefix index feeds BOTH sides of the self-join — without
-    // materialization the explode+freq-join+window subtree runs twice
-    val pref = fence(ranked.filter(col("rn") <= ceil(lit(1.0 - ShingleTau) * col("sz")) + 1)
-      .select("doc_id", "s"), "doc_id")
+    // ex is doc_id-partitioned (fence) and explode/broadcast-join preserve
+    // that, so the re-group needs no exchange; (f, s) structs sort by
+    // frequency with hash tie-break, giving one global rarest-first order
+    val prefLen = ceil(lit(1.0 - ShingleTau) * col("sz")).cast("int") + lit(1)
+    val pref = fence(
+      ex.join(broadcast(freq), "s")
+        .groupBy("doc_id")
+        .agg(first(col("sz")).as("sz"), collect_list(struct(col("f"), col("s"))).as("fs"))
+        .select(col("doc_id"), slice(array_sort(col("fs")), lit(1), prefLen).as("pfs"))
+        .select(col("doc_id"), explode(expr("transform(pfs, p -> p.s)")).as("s")),
+      "doc_id")
     val pa = pref.select(col("doc_id").as("doc_a"), col("s"))
     val pb = pref.select(col("doc_id").as("doc_b"), col("s"))
     val cand = pa.join(pb, "s").filter(col("doc_a") < col("doc_b"))
@@ -173,43 +174,16 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  private val P = 2147483647L // 2^31-1, Mersenne prime for the hash family
-  private val NumHashes = 64
-  private val BandRows = 4 // 16 bands x 4 rows: P(catch | j=0.9) ~ 1-3e-8
-
-  /** Deterministic LCG-derived hash-family coefficients (fixed seeds — run-
-    * to-run and engine-to-oracle stability is required, SURVEY.md §7).
-    */
-  private def lcg(seed: Long, i: Int): Long =
-    (((seed + i) * 6364136223846793005L + 1442695040888963407L) >>> 11) % (P - 1) + 1
-  private val A: Seq[Long] = (0 until NumHashes).map(lcg(0x5DEECE66DL, _))
-  private val B: Seq[Long] = (0 until NumHashes).map(lcg(0x2545F4914F6CDD1DL, _))
-
-  /** MinHash LSH near-dup: 64-permutation signature over md5-derived shingle
-    * hashes, 16 bands of 4 rows, band-bucket join for candidates, exact
+  /** MinHash LSH near-dup: 64-permutation signature over the shingle-hash
+    * array, 16 bands of 4 rows — all computed by the codegen'd MinHashBands
+    * kernel in one pass per doc — band-bucket join for candidates, exact
     * Jaccard verify. Probabilistic recall ~1 at tau=0.8 given the bimodal
     * corpus; output is identical to the exact strategies. Shuffle key =
-    * (band, 4-row signature) — constant width regardless of doc size.
+    * (band, mixed 4-row signature) — constant width regardless of doc size.
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // Per-permutation min computed as 64 separate HOF sub-expressions with
-    // the affine constants BAKED IN as literals (an element_at over a
-    // 64-literal array re-builds the array on every interpreted evaluation;
-    // a relational explode-64x formulation shuffles |shingles|*64 rows —
-    // both measured 3-10x slower than this zero-shuffle per-doc form).
-    def sigExpr(i: Int): String =
-      s"array_min(transform(hs, x -> (${A(i)}L * x + ${B(i)}L) % ${P}L))"
-    val bandExprs = (0 until NumHashes / BandRows).map { j =>
-      val sigs = (0 until BandRows).map(r => s"cast(${sigExpr(j * BandRows + r)} as string)")
-      s"concat_ws(',', ${sigs.mkString(", ")})"
-    }
-    val bandsDf = fence(
-      fence(shingleSets(spark, sfDir)
-        // 60-bit md5 prefix → mod P once, then the affine family stays in Long
-        .select(col("doc_id"), expr(
-          "transform(ts, s -> cast(conv(substring(md5(s),1,15),16,10) as bigint) % 2147483647L)").as("hs")),
-        "doc_id") // fence: hash shingles once, not once per permutation
-        .select(col("doc_id"), expr(s"array(${bandExprs.mkString(", ")})").as("bands")),
+    val bandsDf = fence(shingleSets(spark, sfDir)
+      .select(col("doc_id"), minHashBands(col("hs")).as("bands")),
       "doc_id") // fence: materialize the 16 band keys before the self-join
     def side(pairCol: String): DataFrame =
       bandsDf.select(col("doc_id").as(pairCol),
@@ -224,20 +198,12 @@ object Dedup {
 
   /** Per-doc 60-bit SimHash fingerprint over 3-gram shingles: bit b of the
     * fingerprint is the sign of sum_{s in shingles} (+1 if bit b of
-    * md5-60(s) else -1). Charikar STOC'02. Pure HOF pipeline — no explode,
-    * no extra shuffle; one pass per doc.
+    * md5-60(s) else -1). Charikar STOC'02. One codegen'd pass per doc; no
+    * explode, no extra shuffle.
     */
   private def simhashRaw(spark: SparkSession, sfDir: String): DataFrame =
-    fence(fence(shingleSets(spark, sfDir)
-      .select(col("doc_id"),
-        expr("transform(ts, s -> cast(conv(substring(md5(s),1,15),16,10) as bigint))").as("hs")),
-      "doc_id") // fence: hash the shingles once, not once per simhash bit
-      .select(col("doc_id"), expr(
-        """aggregate(transform(sequence(0, 59), b ->
-          |  CASE WHEN aggregate(hs, 0, (acc, x) ->
-          |         acc + CASE WHEN (shiftright(x, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |       THEN shiftleft(1L, b) ELSE 0L END),
-          |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash")),
+    fence(shingleSets(spark, sfDir)
+      .select(col("doc_id"), simHash60(col("hs")).as("simhash")),
       "doc_id") // fence: materialize the fingerprint before banding / pair joins
 
   def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame =

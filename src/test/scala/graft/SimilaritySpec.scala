@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
 
+  /** Recall is measured at sf0.01 (80 queries x 10 neighbors) — sf0.001 has
+    * only 8 queries and its IVF quantizer degenerates to 2 lists, so a
+    * floor there would be vacuous.
+    */
+  private val sfRecall = "/root/testdata/sf0.01"
+
+  private def topKRecall(approx: org.apache.spark.sql.DataFrame, sfDir: String): Double = {
+    val exact = Similarity.cosineTopK(spark, sfDir).select(col("q_id"), col("vec_id"))
+    val total = exact.count()
+    val hits = approx.select(col("q_id"), col("vec_id")).join(exact, Seq("q_id", "vec_id")).count()
+    hits.toDouble / total
+  }
+
   test("brute-force top-k: k rows per query, cosine within [-1, 1], ranked") {
     val t = Similarity.cosineTopK(spark, sf)
     assert(t.filter(col("cos") < -1.000001 || col("cos") > 1.000001).count() == 0)
@@ -12,36 +25,48 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ.filter(col("n") =!= 10 || col("mx") =!= 10).count() == 0)
   }
 
-  test("ann results are a subset of each query's bucket with valid cosines") {
+  test("ann results are a subset of each query's probed buckets with valid cosines") {
     val a = Similarity.annTopK(spark, sf)
     assert(a.filter(col("cos") < -1.000001 || col("cos") > 1.000001).count() == 0)
     assert(a.filter(col("rn") > 10).count() == 0)
   }
 
-  test("ann rank-1 recall against brute force is meaningful") {
-    // LSH with 12 planes on random 64-d vectors: expect the true nearest
-    // neighbor to land in the query's bucket for a reasonable fraction of
-    // queries (sanity bound, not a tight one — buckets are coarse).
-    val exact1 = Similarity.cosineTopK(spark, sf).filter(col("rn") === 1)
-      .select(col("q_id"), col("vec_id").as("nn"))
-    val ann = Similarity.annTopK(spark, sf).select(col("q_id"), col("vec_id"))
-    val hits = exact1.join(ann,
-      exact1("q_id") === ann("q_id") && exact1("nn") === ann("vec_id")).count()
-    val total = exact1.count()
-    assert(total > 0)
-    assert(hits.toDouble / total >= 0.2, s"rank-1 recall $hits/$total")
+  test("ann top-10 recall vs brute force holds the 0.9 floor") {
+    val r = topKRecall(Similarity.annTopK(spark, sfRecall), sfRecall)
+    assert(r >= 0.9, s"ann top-10 recall $r < 0.9")
+    spark.catalog.clearCache()
+  }
+
+  test("ivf top-10 recall vs brute force holds the 0.9 floor") {
+    val r = topKRecall(Similarity.ivfTopK(spark, sfRecall), sfRecall)
+    assert(r >= 0.9, s"ivf top-10 recall $r < 0.9")
+    spark.catalog.clearCache()
   }
 
   test("ivf probes return valid, ranked, deduplicated neighbors") {
     val ivf = Similarity.ivfTopK(spark, sf)
     assert(ivf.filter(col("cos") < -1.000001 || col("cos") > 1.000001).count() == 0)
     assert(ivf.groupBy("q_id", "vec_id").count().filter(col("count") > 1).count() == 0)
-    // probing 4 of 16 lists must find the true nearest for a fair share
-    val exact1 = Similarity.cosineTopK(spark, sf).filter(col("rn") === 1)
-      .select(col("q_id"), col("vec_id").as("nn"))
-    val hits = exact1.join(ivf,
-      exact1("q_id") === ivf("q_id") && exact1("nn") === ivf("vec_id")).count()
-    assert(hits.toDouble / exact1.count() >= 0.2, s"ivf rank-1 recall $hits")
+  }
+
+  test("ivfTopK plan build runs no compute job (fully lazy)") {
+    // spark.read.parquet launches small metadata jobs (footer/schema
+    // inference, stage name "parquet at Tables.scala") for EVERY query
+    // builder in this repo; what must never happen at plan-build time is a
+    // COMPUTE job over table rows (round 1 ran a full count() here).
+    val jobs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        js.stageInfos.foreach(si => jobs.add(si.name))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.ivfTopK(spark, sf)
+      assert(df.columns.sameElements(Array("q_id", "rn", "vec_id", "cos")))
+      Thread.sleep(1000) // listener bus is async; drain before reading
+      val compute = jobs.toArray.map(_.toString).filterNot(_.startsWith("parquet at"))
+      assert(compute.isEmpty, s"plan build launched compute job(s): ${compute.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("graft_dot is callable from SQL after registration") {

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.TextHashFunctions._
+import org.apache.spark.sql.functions._
+
+/** The codegen'd TextHash kernels must be bit-identical to the interpreted
+  * HOF formulations they replaced (round 1's pipeline, which hash-matched
+  * the DuckDB oracle) — these tests are the regression anchor for that
+  * equivalence.
+  */
+class TextHashSpec extends SparkSpec {
+
+  /** Round-1 interpreted pipeline: 3-gram shingles (token-set fallback),
+    * string-distinct, md5-60 per shingle — sorted for comparability.
+    */
+  private val hofShingleHashes =
+    expr("""array_sort(transform(array_distinct(CASE WHEN size(w) >= 3
+           |  THEN transform(sequence(1, size(w)-2),
+           |         i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))
+           |  ELSE w END), s -> cast(conv(substring(md5(s),1,15),16,10) as bigint)))""".stripMargin)
+
+  private def docs = Tables.documents(spark, sf)
+    .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+
+  test("ShingleHashes matches the interpreted md5/HOF formulation bit-for-bit") {
+    val cmp = docs.select(
+      shingleHashes(col("text")).as("a"), hofShingleHashes.as("b"))
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("ShingleHashes token-set fallback for short docs matches") {
+    import spark.implicits._
+    val shorts = Seq("one", "one two", "a  b", "", "x x x").toDF("text")
+      .select(col("text"), split(col("text"), " ").as("w"))
+    val cmp = shorts.select(shingleHashes(col("text")).as("a"), hofShingleHashes.as("b"))
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("SimHash60 matches the interpreted sign-sum formulation") {
+    val hs = docs.select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+    val cmp = hs.select(
+      simHash60(col("hs")).as("a"),
+      expr("""aggregate(transform(sequence(0, 59), b ->
+             |  CASE WHEN aggregate(hs, 0, (acc, x) ->
+             |         acc + CASE WHEN (shiftright(x, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+             |       THEN shiftleft(1L, b) ELSE 0L END),
+             |  0L, (acc, x) -> acc + x)""".stripMargin).as("b"))
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("MinHashBands preserves the interpreted signature equality classes") {
+    // band keys are a mix of the 4 row minima, so two docs share a band key
+    // iff they share the interpreted 4-row signature (mixing collisions
+    // would only ADD candidates; equality must never be lost)
+    val P = graft.functions.TextHash.P
+    def sigExpr(a: Long, b: Long) = s"array_min(transform(hsm, x -> (${a}L * x + ${b}L) % ${P}L))"
+    val hs = docs.select(col("doc_id"),
+      shingleHashes(col("text")).as("hs"))
+      .withColumn("hsm", expr(s"transform(hs, x -> x % ${P}L)"))
+    // spot-check band 0 (permutations 0..3) against the interpreted form
+    val coefA = (0 until 4).map(graft.functions.TextHash.coefA)
+    val coefB = (0 until 4).map(graft.functions.TextHash.coefB)
+    val interp = hs.select(col("doc_id"),
+      array((0 until 4).map(i => expr(sigExpr(coefA(i), coefB(i)))): _*).as("sig0"))
+    val kernel = hs.select(col("doc_id"), minHashBands(col("hs")).getItem(0).as("band0"))
+    val joined = interp.join(kernel, "doc_id")
+    // same sig0 <=> same band0 across all doc pairs
+    val pairs = joined.as("x").crossJoin(joined.as("y"))
+      .select(
+        (col("x.sig0") === col("y.sig0")).as("sigEq"),
+        (col("x.band0") === col("y.band0")).as("bandEq"))
+    assert(pairs.filter(col("sigEq") =!= col("bandEq")).count() == 0)
+  }
+
+  test("jaccardSorted matches the array_intersect formulation") {
+    val a = docs.select(col("doc_id").as("da"), shingleHashes(col("text")).as("ha"))
+    val b = docs.select(col("doc_id").as("db"), shingleHashes(col("text")).as("hb"))
+    val cmp = a.crossJoin(b).filter(col("da") < col("db")).limit(500)
+      .select(
+        jaccardSorted(col("ha"), col("hb")).as("x"),
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          (size(col("ha")) + size(col("hb")) - size(array_intersect(col("ha"), col("hb"))))).as("y"))
+    assert(cmp.filter(col("x") =!= col("y")).count() == 0)
+  }
+
+  test("kernels are SQL-callable after registration") {
+    register(spark)
+    val n = spark.sql(
+      "SELECT graft_simhash60(graft_shingle_hashes('a b c d')) AS f").head.getLong(0)
+    assert(n != 0L)
+  }
+}
