@@ -44,6 +44,7 @@ object SparkEntry {
     "q_semi_join"         -> ((s, d) => Relational.semiJoin(s, d)),
     "q_anti_join"         -> ((s, d) => Relational.antiJoin(s, d)),
     "q_theta_join"        -> ((s, d) => Relational.thetaJoin(s, d)),
+    "q_theta_join_banded" -> ((s, d) => Relational.thetaJoinBanded(s, d)),
     "q_range_join"        -> ((s, d) => Relational.rangeJoin(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
     // ---- B4 aggregations ----
@@ -225,6 +226,12 @@ object SparkEntry {
       """SELECT s_suppkey, count(*) AS n_cheaper_parts
         |FROM part JOIN supplier ON p_retailprice < s_acctbal / 10.0
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    // identical semantics to q_theta_join, computed by the banded equi-join
+    // plan (no growing broadcast) — same oracle by design
+    "q_theta_join_banded" ->
+      """SELECT s_suppkey, count(*) AS n_cheaper_parts
+        |FROM part JOIN supplier ON p_retailprice < s_acctbal / 10.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs_1h
         |FROM events a JOIN events b ON a.user_id = b.user_id
@@ -399,10 +406,14 @@ object SparkEntry {
         |  CAST(props->>'$.k' AS BIGINT) AS k_map,
         |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod10
         |FROM events ORDER BY event_id""".stripMargin,
+    // keys_csv / first_val / n_entries are DERIVED from the JSON on the
+    // DuckDB side too (json_keys), so a map_keys/size regression on the
+    // Spark side cannot hide behind a constant oracle
     "q_map_funcs" ->
-      """SELECT event_id, 'k' AS keys_csv,
-        |  CAST(props->>'$.k' AS BIGINT) AS first_val,
-        |  CAST(1 AS BIGINT) AS n_entries,
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS keys_csv,
+        |  CAST(props->>('$.' || json_keys(props)[1]) AS BIGINT) AS first_val,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
         |  event_type AS et_val,
         |  CAST(user_id AS VARCHAR) AS u_val
         |FROM events ORDER BY event_id""".stripMargin,

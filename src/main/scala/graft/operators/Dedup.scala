@@ -238,23 +238,44 @@ object Dedup {
     */
   val CosineTau = 0.45
 
+  /** Block count for the exact pair join: the n^2 comparison work is tiled
+    * into B^2 block pairs so it spreads across the cluster as ordinary
+    * equi-join partitions. Replication is x B on ONE side only (the other
+    * side moves once), so B ~ sqrt(target parallelism) is the right order.
+    */
+  private val EmbeddingBlocks = 16
+
   /** Embedding-cosine near-dup pairs: normalized dot product >= tau over the
-    * 64-d float vectors, computed with codegen'd array HOFs in strict array
-    * order (bit-compatible with the oracle's list_reduce). Small-sf plan is
-    * a nested-loop pair join; the at-scale candidate generator is the LSH
-    * bucketing in Similarity.annTopK.
+    * 64-d float vectors, exact over ALL pairs. At tau = 0.45 the matching
+    * pairs sit ~63 degrees apart, where no LSH/IVF candidate generator is
+    * both complete and selective (a radius that catches every 63-degree pair
+    * probes ~15/16 of all buckets) — exact loose-threshold similarity is
+    * inherently quadratic in COMPARISONS. What must NOT be quadratic-on-one-
+    * machine is the plan: instead of a BroadcastNestedLoopJoin (whose build
+    * side is the whole corpus — dies at scale), the pair space is tiled into
+    * B^2 blocks via a tiny generated block-pair relation, and the join is a
+    * plain shuffled equi join on the block id: every executor gets an even
+    * n^2/B^2 tile and no vector is broadcast. For the tight-tau regime
+    * (cos >= 0.9, the dedup case) the banded generators of the text family
+    * (MinHash/SimHash over quantized vectors) apply and ARE sub-quadratic.
     */
   def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
+    val B = EmbeddingBlocks
     def side(idCol: String, vCol: String, nCol: String): DataFrame = {
       val v = expr("transform(embedding, x -> cast(x as double))")
       fence(Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as(idCol), v.as(vCol), dot(v, v).as(nCol)),
         idCol) // fence: cast + norm once per vector, not once per pair
     }
-    val a = side("vec_a", "va", "na")
-    val b = side("vec_b", "vb", "nb")
-    a.join(b, col("vec_a") < col("vec_b"))
+    // all B^2 ordered block pairs from one range — no join builds this
+    val blockPairs = spark.range(B.toLong * B)
+      .select((col("id") / B).cast("int").as("ba"), (col("id") % B).cast("int").as("bb"))
+    val a = side("vec_a", "va", "na").withColumn("ba", (col("vec_a") % B).cast("int"))
+    val b = side("vec_b", "vb", "nb").withColumn("bb", (col("vec_b") % B).cast("int"))
+    a.join(broadcast(blockPairs), "ba") // x B replication of the left side
+      .join(b, "bb")                    // equi hash join: the n^2/B^2 tiles
+      .filter(col("vec_a") < col("vec_b"))
       // codegen'd DotProduct: the pair loop stays boxing-free (graft.functions)
       // sqrt(na)*sqrt(nb), NOT sqrt(na*nb): must stay bit-identical to the
       // oracle's normalization order

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column surface (SURVEY.md §2.B9): media payloads travel as
   * opaque `binary` columns with typed metadata; decode / feature-extraction
-  * runs batched per partition. The actual image/audio codecs are STUBBED
-  * (this container has no media libraries — `decodeStub` is a deterministic
-  * fake); the Spark-side plumbing — schema, encoders, partition-batched
-  * execution, metadata joins — is real and tested (MultimodalSpec).
+  * runs batched per partition. IMAGE decode is REAL — the JDK's built-in
+  * javax.imageio readers (PNG/BMP/GIF/JPEG) decode actual pixels, asserted
+  * against handcrafted images in MultimodalSpec. Audio/video framing
+  * (`resizeStub`/`frameSampleStub`) remains a deterministic stand-in (no
+  * audio/video codec ships with the JDK); the Spark-side plumbing — schema,
+  * encoders, partition-batched execution, metadata joins — is real and
+  * tested.
   *
   * Scale design: payload bytes never shuffle — features are extracted
   * map-side and only the (id, features) projection moves. Joins against
@@ -59,12 +62,40 @@ object Multimodal {
         ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
       .orderBy("doc_id")
 
-  /** STUB decode: stands in for an image/audio codec. Deterministic fake —
-    * "decodes" the payload into a byte histogram mean. The real system swaps
-    * this single function for e.g. a JPEG decoder; everything around it
-    * (batching, schema, encoders) is unchanged.
+  /** REAL image decode via the JDK's built-in ImageIO readers (PNG, BMP,
+    * GIF, JPEG — no external library). Returns (width, height, mean
+    * luminance) where luminance is (r+g+b)/3 per pixel, or None when the
+    * payload is not a decodable image. Deterministic: pixel order is
+    * row-major and the sum is integer until the final division.
     */
-  def decodeStub(payload: Array[Byte]): Double =
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, sum.toDouble / (3.0 * w * h)))
+    }
+  }
+
+  /** Fallback feature for non-image payloads (e.g. this testdata's UTF-8
+    * text): deterministic byte-histogram mean — keeps the pipeline total so
+    * a mixed-modality table never throws.
+    */
+  def byteMean(payload: Array[Byte]): Double =
     if (payload.isEmpty) 0.0 else payload.map(_.toDouble).sum / payload.length
 
   /** STUB resize: stands in for an image resize. Deterministically
@@ -87,33 +118,39 @@ object Multimodal {
       .collect { case (frame, i) if i % math.max(everyK, 1) == 0 => frame }
       .toSeq
 
-  /** Partition-batched feature extraction over a typed Dataset: resize →
-    * frame-sample → decode per record inside mapPartitions (amortizing
-    * per-batch codec setup in the real system), and only the narrow feature
-    * row survives — payload bytes never shuffle.
+  /** Partition-batched feature extraction over a typed Dataset: checksum →
+    * decode (REAL ImageIO for image payloads; byte-histogram fallback over
+    * resize + frame-sample for everything else) per record inside
+    * mapPartitions (amortizing per-batch codec setup), and only the narrow
+    * feature row survives — payload bytes never shuffle.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition "codec" setup would happen here (once per batch)
+      // per-partition codec setup (once per batch): ImageIO's reader
+      // registry is touched here, and the digest instance is reused
+      javax.imageio.ImageIO.setUseCache(false) // no temp files on executors
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         digest.reset()
         val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
-        val resized = resizeStub(r.payload, 256)
-        val frames = frameSampleStub(resized, 32, 2)
-        val mean =
-          if (frames.isEmpty) 0.0
-          else frames.map(decodeStub).sum / frames.length
+        val mean = decodeImage(r.payload) match {
+          case Some((_, _, lum)) => lum
+          case None =>
+            val resized = resizeStub(r.payload, 256)
+            val frames = frameSampleStub(resized, 32, 2)
+            if (frames.isEmpty) 0.0 else frames.map(byteMean).sum / frames.length
+        }
         MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, sum, mean)
       }
     }
   }
 
   /** End-to-end media pipeline over the documents table: text → binary
-    * payload → typed MediaRecord → partition-batched feature extraction.
-    * Rows-only check (the feature math is stub-deterministic but the typed
-    * Dataset round-trip is not SQL); exact values asserted in MultimodalSpec.
+    * payload → typed MediaRecord → partition-batched feature extraction
+    * (text payloads take the fallback path; real PNG/BMP decode is asserted
+    * in MultimodalSpec). Rows-only check (the typed Dataset round-trip is
+    * not SQL); exact values asserted in MultimodalSpec.
     */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

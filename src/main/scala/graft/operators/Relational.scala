@@ -159,13 +159,47 @@ object Relational {
   }
 
   /** Non-equi theta join (BroadcastNestedLoopJoin with the small side
-    * broadcast): parts cheaper than a supplier-specific bound. At scale the
-    * broadcast side must stay small — here supplier is the broadcast side.
+    * broadcast): parts cheaper than a supplier-specific bound. The broadcast
+    * side grows O(sf), so this form is the small-sf oracle twin; the
+    * scale-safe plan is [[thetaJoinBanded]], which never broadcasts a
+    * growing table.
     */
   def thetaJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.supplier(spark, sfDir)
     val p = Tables.part(spark, sfDir)
     p.join(broadcast(s), p("p_retailprice") < s("s_acctbal") / 10.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_cheaper_parts"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Band width for [[thetaJoinBanded]]: the price/threshold domain is
+    * value-bounded by the generator (prices ~[900, 2100], thresholds
+    * s_acctbal/10 ~[-100, 1100]), NOT sf-bounded, so the bucket count is a
+    * constant ~22 at any scale.
+    */
+  private val ThetaBandWidth = 100.0
+
+  /** Scale-safe theta join: the `p_retailprice < s_acctbal/10` predicate is
+    * banded on coarse price buckets. Each supplier row is replicated onto
+    * every bucket at or below its threshold bucket (a constant ≤ domain/W
+    * replication, independent of sf), the join is a plain equi hash join on
+    * the bucket, and only the boundary bucket re-checks the residual
+    * predicate — pairs in strictly lower buckets match unconditionally.
+    * Same oracle as [[thetaJoin]]; neither side is ever broadcast or
+    * nested-loop'd, so the plan survives 100x growth of BOTH sides.
+    */
+  def thetaJoinBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxBucket = 25L // prices < 2600 by generator bound; clamp replication
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_retailprice"), floor(col("p_retailprice") / ThetaBandWidth).as("pb"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), (col("s_acctbal") / 10.0).as("thr"))
+      .withColumn("tb", least(floor(col("thr") / ThetaBandWidth), lit(maxBucket)))
+      .filter(col("tb") >= 0) // negative-threshold suppliers match no parts
+      .withColumn("pb", explode(sequence(lit(0L), col("tb"))))
+    p.join(s, "pb")
+      .filter(col("pb") < col("tb") || col("p_retailprice") < col("thr"))
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_cheaper_parts"))
       .orderBy("s_suppkey")

@@ -50,4 +50,10 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("cos") < Dedup.CosineTau - 1e-6).count() == 0)
     assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
   }
+
+  test("embedding pair plan is a block equi-join, never a nested loop") {
+    val plan = Dedup.embeddingPairs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -35,6 +35,17 @@ class RelationalSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("banded theta join matches the broadcast nested-loop form row-for-row") {
+    val nl = Relational.thetaJoin(spark, sf).collect().toSeq
+    val banded = Relational.thetaJoinBanded(spark, sf).collect().toSeq
+    assert(nl == banded)
+  }
+
+  test("banded theta join plan has no nested-loop and no growing broadcast") {
+    val plan = Relational.thetaJoinBanded(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("dsum is exact: matches decimal sum on a known frame") {
     import spark.implicits._
     val df = Seq(0.1, 0.2, 0.3, 1e9, -1e9).toDF("x")

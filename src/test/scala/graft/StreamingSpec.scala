@@ -7,9 +7,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
+/** One handcrafted fixture event (top-level so the Product encoder derives
+  * cleanly): id + type + event time.
+  */
+case class FxEv(event_id: Long, event_type: String, ts_us: java.sql.Timestamp)
+
 /** Streaming operators vs their oracle-checked batch twins: replay the
   * events table through a file stream (Trigger.AvailableNow → memory sink)
-  * and assert result equality (SURVEY.md §5.2.4).
+  * and assert result equality (SURVEY.md §5.2.4) — plus HANDCRAFTED
+  * out-of-order fixtures whose expected outputs are computed by hand, so
+  * watermark drop / state-eviction semantics are asserted against an
+  * independent answer, not just twin-equality.
   */
 class StreamingSpec extends SparkSpec {
 
@@ -30,6 +38,93 @@ class StreamingSpec extends SparkSpec {
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  // ------------------------------------------------- late-data fixtures
+
+  /** 2024-01-01 00:00 UTC, the fixture day. */
+  private val FxBase = 1704067200L
+  private def at(h: Int, m: Int) =
+    new java.sql.Timestamp((FxBase + h * 3600L + m * 60L) * 1000L)
+
+  /** Write each batch as ONE parquet file with increasing mtimes so the
+    * file stream (maxFilesPerTrigger=1) replays them as separate
+    * micro-batches in order — the only way the watermark can advance
+    * between arrivals and late rows can actually be dropped.
+    */
+  private def writeFixture(batches: Seq[Seq[FxEv]]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-latefix").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory("graft-latefix-tmp")
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(dir, f"b$i%02d.parquet")
+      Files.move(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    dir
+  }
+
+  private def fixtureStream(dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema(Seq.empty[FxEv].toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
+  test("watermark drops late rows: handcrafted fixture, hand-computed answer") {
+    // 2h watermark, 1h tumbling windows. NOTE: Spark filters late records
+    // with the watermark of the batch BEFORE the one that evicts state (the
+    // filter watermark lags eviction by one micro-batch — verified
+    // empirically), so the watermark-raising event sits two batches before
+    // the late arrival.
+    // b0 events 00:10, 00:20, 05:30  -> wm after b0 = 05:30-2h = 03:30
+    // b1 event  06:30 (spacer: filter-wm for later batches is now 03:30)
+    // b2 event  00:40 -> LATE (00:40 < 03:30): DROPPED
+    // b3 event  08:00 (advances wm to 06:00; flushes closed windows)
+    // Hand-computed append output: window [00:00,01:00) = 2 events (00:10,
+    // 00:20 — NOT the late 00:40) and [05:00,06:00) = 1; the 06:30 and
+    // 08:00 windows never pass the final watermark and stay withheld.
+    val dir = writeFixture(Seq(
+      Seq(FxEv(1, "click", at(0, 10)), FxEv(2, "click", at(0, 20)), FxEv(3, "click", at(5, 30))),
+      Seq(FxEv(5, "click", at(6, 30))),
+      Seq(FxEv(4, "click", at(0, 40))),
+      Seq(FxEv(6, "click", at(8, 0)))))
+    val got = runToTable(StreamingOps.tumblingWithWatermark(fixtureStream(dir)),
+      "t_late_fix", "append")
+      .select("bucket_sec", "event_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (FxBase, "click", 2L),
+      (FxBase + 5 * 3600L, "click", 1L)), s"got $got")
+  }
+
+  test("dropDuplicatesWithinWatermark: handcrafted dup/eviction fixture") {
+    // 2h dedup horizon; same one-batch filter lag as above.
+    // b0: id1@00:00, id2@00:30, id9@05:30   -> eviction wm after b0 = 03:30
+    //     (id2's state expires at 00:30+2h = 02:30 < 03:30 -> evicted in b1)
+    // b1: id7@06:30 spacer                  -> emitted; filter wm now 03:30
+    // b2: id1@00:40  late (< 03:30)                   -> dropped
+    //     id9@05:45  dup, state alive (exp 07:30)     -> dropped
+    //     id2@04:00  key re-seen AFTER state expiry   -> RE-emitted (the
+    //                documented within-watermark guarantee bound)
+    //     id4@06:00  new                              -> emitted
+    // Hand-computed: id1 once, id2 TWICE, id9 once, id7 once, id4 once.
+    val dir = writeFixture(Seq(
+      Seq(FxEv(1, "a", at(0, 0)), FxEv(2, "a", at(0, 30)), FxEv(9, "a", at(5, 30))),
+      Seq(FxEv(7, "a", at(6, 30))),
+      Seq(FxEv(1, "a", at(0, 40)), FxEv(9, "a", at(5, 45)),
+        FxEv(2, "a", at(4, 0)), FxEv(4, "a", at(6, 0)))))
+    val got = runToTable(
+      fixtureStream(dir).withWatermark("ts_us", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id"),
+      "t_dedup_fix", "append")
+      .groupBy("event_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 9L -> 1L, 7L -> 1L, 4L -> 1L), s"got $got")
   }
 
   test("streaming tumbling window equals the batch twin") {
