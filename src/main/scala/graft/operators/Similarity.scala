@@ -69,23 +69,27 @@ object Similarity {
     */
   private val CentroidStride = 128
 
-  /** IVF-style ANN: every vector joins its nearest centroid's inverted
-    * list; queries probe the nProbe nearest lists. Candidate volume per
-    * query is ~corpus*nProbe/C regardless of dimensionality — the at-scale
-    * alternative to the hyperplane buckets below when data has cluster
-    * structure. Rows-only (probabilistic recall, floor asserted in
-    * SimilaritySpec). Entirely lazy: no Spark job runs until the returned
-    * DataFrame is acted on (asserted by listener in SimilaritySpec).
+  /** IVF-style ANN: a coarse quantizer seeded from every CentroidStride-th
+    * vector and refined with one in-plan Lloyd (k-means) iteration — each
+    * centroid becomes the element-wise mean of the vectors assigned to it,
+    * computed relationally (posexplode to (list, dim, x), partial-agg mean
+    * per (list, dim), re-collect via sort_array) so training shuffles only
+    * C*64 aggregated cells, never raw vectors. Every vector then joins its
+    * nearest trained centroid's inverted list; queries probe the nProbe
+    * nearest lists. Candidate volume per query is ~corpus*nProbe/C
+    * regardless of dimensionality — the at-scale alternative to the
+    * hyperplane buckets below when data has cluster structure. Rows-only
+    * (probabilistic recall, floor asserted in SimilaritySpec). Entirely
+    * lazy: no Spark job runs until the returned DataFrame is acted on
+    * (asserted by listener in SimilaritySpec).
     */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, trainIters: Int = 1): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val all = vectors(spark, sfDir, "vec_id", "v", "nn")
-    val cents = Dedup.fence(all.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nn").as("cn")),
-      "c_id")
     // assign: nearest centroid per vector (broadcast C rows, argmax cosine)
-    def assign(df: DataFrame, idCol: String, vCol: String, nCol: String, rankCols: Int): DataFrame =
+    def assign(cents: DataFrame, df: DataFrame, idCol: String, vCol: String,
+               nCol: String, rankCols: Int): DataFrame =
       Dedup.fence(df.crossJoin(broadcast(cents))
         .withColumn("csim", dot(col(vCol), col("cv")) / (sqrt(col(nCol)) * sqrt(col("cn"))))
         .withColumn("crn", row_number().over(
@@ -93,8 +97,25 @@ object Similarity {
         .filter(col("crn") <= rankCols)
         .select(col(idCol), col(vCol), col(nCol), col("c_id").as("list_id")),
         idCol)
-    val corpusLists = assign(all, "vec_id", "v", "nn", 1)
-    val queryProbes = assign(
+    // one Lloyd step: centroid <- mean of its assigned vectors
+    def lloyd(cents: DataFrame): DataFrame = {
+      val assigned = assign(cents, all, "vec_id", "v", "nn", 1)
+      val cellMeans = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("list_id", "d").agg(avg("x").as("m")) // map-side partials: C*64 cells
+      Dedup.fence(cellMeans
+        .groupBy("list_id")
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("list_id").as("c_id"), expr("transform(dm, p -> p.m)").as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv"))),
+        "c_id")
+    }
+    val seeds = Dedup.fence(all.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nn").as("cn")),
+      "c_id")
+    val cents = (1 to trainIters).foldLeft(seeds)((c, _) => lloyd(c))
+    val corpusLists = assign(cents, all, "vec_id", "v", "nn", 1)
+    val queryProbes = assign(cents,
       vectors(spark, sfDir, "q_id", "vq", "nq").filter(expr("q_id % 25 = 0")),
       "q_id", "vq", "nq", nProbe)
     corpusLists.join(queryProbes, Seq("list_id"))
