@@ -96,6 +96,9 @@ object SparkEntry {
     "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    // ---- B9 deterministic sampling / data mixing ----
+    "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q_sample_k_per_lang" -> ((s, d) => Sampling.sampleKPerStratum(s, d)),
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
@@ -519,6 +522,24 @@ object SparkEntry {
         |  len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq_tokens,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // deterministic hash sampling: both engines compute the identical
+    // md5-top-32-bit bucket, so the sampled row SET is oracle-checkable
+    "q_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000000000 AS sample_key
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_key FROM h
+        |WHERE sample_key < CASE WHEN lang = 'en' THEN 300000000 ELSE 100000000 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_k_per_lang" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000000000 AS hk
+        |  FROM documents)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines (data
+  * mixing / stratified sampling / fixed-size per-stratum draws). Everything
+  * is HASH-based, never RNG-based: `rand()` samples are irreproducible
+  * across retries, partitionings and engines, which breaks both exactly-
+  * once pipeline semantics and oracle checking. A row is sampled iff an
+  * md5-derived uniform hash of its key falls under the stratum's rate — the
+  * same row set on every run, every engine, any partitioning.
+  *
+  * Scale design: sampling is a map-side filter on a per-row hash — no
+  * shuffle, no state, trivially parallel. The fixed-k per-stratum draw
+  * shuffles only (stratum, hash) pairs and keeps a bounded top-k per
+  * stratum.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md
+  * §0); hash-based deterministic sampling is the standard reproducible-
+  * pipeline technique (e.g. mod-hash holdout splits).
+  */
+object Sampling {
+
+  /** Uniform [0, 1e9) hash of a string key: top 32 bits of md5, engine-
+    * portable (DuckDB computes the identical value from the same SQL).
+    */
+  private def hashBucket(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 1000000000L
+
+  /** Stratified (per-language) deterministic sample of the documents table:
+    * keep a doc iff hash(doc_id) < rate(lang). The rate map is a data-mixing
+    * recipe — oversample English 3x, downsample the rest. Map-side only;
+    * the sampled fraction per stratum converges to rate/1e9.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(300000000L)).otherwise(lit(100000000L))
+    Tables.documents(spark, sfDir)
+      .withColumn("h", hashBucket(col("doc_id").cast("string")))
+      .filter(col("h") < rate)
+      .select(col("doc_id"), col("lang"), col("h").as("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-size per-stratum draw: the k docs with the smallest key hash in
+    * each language — a deterministic "uniform without replacement" sample
+    * whose members are stable under corpus growth only insofar as hashes
+    * are (standard mod-hash holdout behavior). One shuffle on (lang),
+    * bounded k per stratum via the ranking window.
+    */
+  def sampleKPerStratum(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, sfDir)
+      .withColumn("h", hashBucket(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+}

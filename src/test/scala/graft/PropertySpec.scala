@@ -70,6 +70,62 @@ class PropertySpec extends SparkSpec {
     assert(j.filter(col("jab") < 0 || col("jab") > 1).count() == 0)
   }
 
+  test("ShingleHashes equals a reference Scala implementation on any input") {
+    import spark.implicits._
+    import graft.functions.TextHashFunctions.shingleHashes
+    // reference implementation, written independently of the kernel: split
+    // on single spaces keeping empties, 3-gram shingles (token fallback),
+    // string-distinct, md5-top-60 per shingle, sorted
+    def ref(text: String): Seq[Long] = {
+      val w = text.split(" ", -1).toSeq
+      val sh = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else w
+      sh.distinct.map { s =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        val hex = d.take(8).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }.sorted
+    }
+    val freeText = Gen.listOf(Gen.oneOf(word, Gen.const(""), Gen.const("é"),
+      Gen.alphaNumStr.map(_.take(6)))).map(_.mkString(" "))
+    val texts = samples(freeText, 40).distinct
+    val got = texts.toDF("text").select(col("text"), shingleHashes(col("text")).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    texts.foreach { t => assert(got(t) == ref(t), s"mismatch for '$t'") }
+  }
+
+  test("jaccardSorted equals set-based Jaccard on generated hash arrays") {
+    import spark.implicits._
+    import graft.functions.TextHashFunctions.jaccardSorted
+    val arr = Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(arr, arr), 40)
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), jaccardSorted(col("a"), col("b")).as("j"))
+    val got = df.collect().map(r => (r.getSeq[Long](0).toSeq, r.getSeq[Long](1).toSeq, r.getDouble(2)))
+    got.foreach { case (a, b, j) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val want = inter.toDouble / (a.size + b.size - inter)
+      assert(j == want, s"jaccard($a, $b) = $j, want $want")
+    }
+  }
+
+  test("SimHash60 fingerprints of similar docs are close, dissimilar far") {
+    import spark.implicits._
+    import graft.functions.TextHashFunctions.{shingleHashes, simHash60}
+    // a doc and a 1-word-edited copy share most shingles -> small hamming;
+    // two unrelated random docs -> hamming near 30 (half of 60 bits)
+    val longDoc = Gen.listOfN(30, word).map(_.mkString(" "))
+    val docs = samples(longDoc, 10).distinct
+    val edited = docs.map(d => d.split(" ").toSeq.updated(15, "EDIT").mkString(" "))
+    val df = (docs ++ edited).toDF("text")
+      .select(col("text"), simHash60(shingleHashes(col("text"))).as("f"))
+    val fp = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    docs.zip(edited).filter { case (d, e) => d != e }.foreach { case (d, e) =>
+      val ham = java.lang.Long.bitCount(fp(d) ^ fp(e))
+      assert(ham <= 20, s"edited copy hamming $ham too far")
+    }
+  }
+
   test("GroupTopK custom operator equals sorted-take on generated data") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, SortOrder}

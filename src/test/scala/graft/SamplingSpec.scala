@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("stratified sample is deterministic across runs and partitionings") {
+    val a = Sampling.stratifiedSample(spark, sf).collect().toSeq
+    val b = Sampling.stratifiedSample(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("stratified sample oversamples English ~3x by rate") {
+    val docs = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val samp = Sampling.stratifiedSample(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n_samp"))
+    val rates = docs.join(samp, "lang")
+      .select(col("lang"), (col("n_samp").cast("double") / col("n_total")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // md5 buckets are uniform: en targets 0.30, others 0.10 — allow wide
+    // tolerance at the tiny test sf
+    assert(rates("en") > 0.15 && rates("en") < 0.45, rates.toString)
+    rates.filterNot(_._1 == "en").foreach { case (l, r) =>
+      assert(r < rates("en"), s"$l rate $r not below en ${rates("en")}")
+    }
+  }
+
+  test("sample keys stay within the hash bucket domain") {
+    val bad = Sampling.stratifiedSample(spark, sf)
+      .filter(col("sample_key") < 0 || col("sample_key") >= 1000000000L)
+    assert(bad.count() == 0)
+  }
+
+  test("k-per-stratum draw returns at most k rows per language, ranked") {
+    val k = 20
+    val d = Sampling.sampleKPerStratum(spark, sf, k)
+    val perLang = d.groupBy("lang").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+    assert(perLang.filter(col("n") > k || col("mx") > k).count() == 0)
+    assert(d.filter(col("rn") < 1).count() == 0)
+  }
+
+  test("k-per-stratum members are the globally smallest hashes per stratum") {
+    // re-derive the expected winners independently and compare sets
+    val k = 20
+    val hashed = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000000L).as("h"))
+    import spark.implicits._
+    val want = hashed.as[(String, Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(k).map(r => (lang, r._2))
+      }.toSet
+    val got = Sampling.sampleKPerStratum(spark, sf, k)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(got == want)
+  }
+}
