@@ -37,6 +37,7 @@ object SparkEntry {
     "q_null_handling"     -> ((s, d) => Relational.nullHandling(s, d)),
     // ---- B3 joins ----
     "q_join_factfact"     -> ((s, d) => Relational.joinFactFact(s, d)),
+    "q_join_salted"       -> ((s, d) => Relational.joinFactFactSalted(s, d)),
     "q_star_join"         -> ((s, d) => Relational.starJoin(s, d)),
     "q_broadcast_join"    -> ((s, d) => Relational.broadcastJoin(s, d)),
     "q_left_outer"        -> ((s, d) => Relational.leftOuterJoin(s, d)),
@@ -178,6 +179,14 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_join_factfact" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // identical semantics to q_join_factfact, computed through the salted
+    // (skew-spreading) join — same oracle by design
+    "q_join_salted" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items

@@ -78,6 +78,26 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Salted fact⋈fact join: the explicit skew-mitigation form of
+    * [[joinFactFact]] for when one join key dominates (AQE's skew split
+    * handles sort-merge skew automatically; salting is the portable
+    * technique when a single key exceeds what one task can hold). The fact
+    * side gets a deterministic row-level salt, the other side is replicated
+    * across all S salts, and the join key becomes (key, salt) — the hot
+    * key's rows spread over S tasks. Same oracle as q_join_factfact.
+    */
+  def joinFactFactSalted(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q5-style 5-table star join: revenue by nation within one region
     * and one order-date year. Dim tables are broadcast — the lineitem scan
     * is the only large input and it shuffles exactly once (for the l⋈o join).

@@ -33,6 +33,20 @@ object WordCount {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word"))
 
+  /** Word count over raw TEXT FILES — the reference engine's actual input
+    * modality (a MapReduce word counter reads line-oriented text, not
+    * parquet). One line = one record; identical downstream plan to
+    * [[wordCount]]. At 100 TB the text scan splits by line ranges per file
+    * exactly like any other FileScan.
+    */
+  def wordCountTextFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(explode(split(col("value"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+
   /** The reference's literal shape — `flatMap(split) → map(w → (w,1)) →
     * reduceByKey(_+_)` on the RDD API (BASELINE.json's named approach).
     * reduceByKey's map-side combine IS the MR combiner; the DataFrame
