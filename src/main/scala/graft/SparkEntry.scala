@@ -97,6 +97,9 @@ object SparkEntry {
     "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    // ---- B9 pipeline composition: decontamination + keep set ----
+    "q_decontaminate"     -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "q_pipeline_keep"     -> ((s, d) => Pipeline.keepSet(s, d)),
     // ---- B9 deterministic sampling / data mixing ----
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_sample_k_per_lang" -> ((s, d) => Sampling.sampleKPerStratum(s, d)),
@@ -531,6 +534,38 @@ object SparkEntry {
         |  len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq_tokens,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+        |         ELSE w END)) AS s FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s) WHERE sh.doc_id % 97 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_keep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+        |         ELSE w END)) AS s FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s) WHERE sh.doc_id % 97 <> 0),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |m AS (SELECT doc_id, n_chars, len(w)::BIGINT AS n_tokens,
+        |  len(list_distinct(w))::BIGINT AS n_distinct,
+        |  len(list_filter(w, x -> list_contains(['a','the','of','and','to','in'], x)))::BIGINT AS n_stop
+        |  FROM toks JOIN documents USING (doc_id)),
+        |q AS (SELECT doc_id,
+        |  round(0.4*(n_distinct::DOUBLE/n_tokens) + 0.3*(1.0 - n_stop::DOUBLE/n_tokens)
+        |        + 0.3*(least(n_tokens, 200)::DOUBLE/200.0), 6) AS quality FROM m)
+        |SELECT doc_id, quality FROM q
+        |WHERE doc_id % 97 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |  AND doc_id IN (SELECT doc_id FROM surv)
+        |  AND quality >= 0.55
+        |ORDER BY doc_id""".stripMargin,
 
     // deterministic hash sampling: both engines compute the identical
     // md5-top-32-bit bucket, so the sampled row SET is oracle-checkable

@@ -78,7 +78,7 @@ object Dedup {
     * call site builds the identical plan, self-joins share ONE cache entry
     * and compute the hashes once per query.
     */
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
     fence(Tables.documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), shingleHashes(col("text")).as("hs")),

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed training-data pipeline operators (SURVEY.md §2.B9): benchmark
+  * decontamination and the end-to-end "keep set" a pretraining pipeline
+  * computes — the documents that survive dedup AND quality filtering AND
+  * decontamination in one declarative plan.
+  *
+  * Scale design: the benchmark shingle set is benchmark-sized (a few
+  * thousand docs even at 100 TB) and broadcasts; contamination detection is
+  * then a map-side semi join on 8-byte shingle hashes. The keep-set plan
+  * composes three doc_id-keyed semi/anti joins — Catalyst plans each as a
+  * broadcast or shuffle join on the narrow id column, never moving text.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md
+  * §0); n-gram-overlap decontamination follows the methodology popularized
+  * by GPT-3's appendix (Brown et al. 2020) and the quality/dedup filter
+  * composition mirrors C4 (Raffel et al. 2020).
+  */
+object Pipeline {
+
+  /** Every 97th doc plays the held-out benchmark set. */
+  private def isBench = col("doc_id") % 97 === 0
+
+  /** Quality floor for the keep set (q_quality's score is ~0.45–0.75 on
+    * this corpus; 0.55 keeps a meaningful majority and drops a real tail).
+    */
+  val QualityFloor = 0.55
+
+  /** Benchmark decontamination: drop every non-benchmark doc sharing at
+    * least one 3-gram shingle with any benchmark doc. The benchmark
+    * shingle set broadcasts; candidate detection is a semi join on the
+    * shingle hash, then an anti join back to doc ids — no text moves.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleSets(spark, sfDir)
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("s"))
+    val benchShingles = ex.filter(isBench).select("s").distinct()
+    val contaminated = ex.filter(!isBench)
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .select("doc_id").distinct()
+    sh.filter(!isBench).select("doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** The end-to-end keep set: non-benchmark docs that are (a) their text's
+    * dedup survivor (min doc_id per distinct text), (b) at or above the
+    * quality floor, and (c) decontaminated — returned with their quality
+    * score. One declarative plan over three reused operators.
+    */
+  def keepSet(spark: SparkSession, sfDir: String): DataFrame = {
+    val survivors = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+      .filter(col("quality") >= QualityFloor)
+      .select("doc_id", "quality")
+    decontaminate(spark, sfDir)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(quality, "doc_id")
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("decontaminate excludes benchmark docs and every shingle-sharer") {
+    val clean = Pipeline.decontaminate(spark, sf)
+    assert(clean.filter(col("doc_id") % 97 === 0).count() == 0)
+    // no kept doc may share a 3-gram with a benchmark doc: re-derive
+    // shingle overlap independently via the near-dup inverted index shape
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(1, size(w)-2),
+          |         i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2)))
+          |  ELSE w END)""".stripMargin)).as("s"))
+    val benchS = docs.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val sharers = docs.filter(col("doc_id") % 97 =!= 0)
+      .join(benchS, "s").select("doc_id").distinct()
+    assert(clean.join(sharers, "doc_id").count() == 0)
+  }
+
+  test("keep set is the intersection of its three filters") {
+    val keep = Pipeline.keepSet(spark, sf)
+    val clean = Pipeline.decontaminate(spark, sf)
+    val survivors = Dedup.exactDedup(spark, sf).select("doc_id")
+    val hq = TextAnalysis.qualityScore(spark, sf)
+      .filter(col("quality") >= Pipeline.QualityFloor).select("doc_id")
+    val expected = clean.join(survivors, "doc_id").join(hq, "doc_id")
+    assert(keep.count() == expected.count())
+    assert(keep.join(expected, "doc_id", "left_anti").count() == 0)
+    // the composition must actually filter something relative to the corpus
+    assert(keep.count() < Tables.documents(spark, sf).count())
+    assert(keep.count() > 0)
+  }
+}
