@@ -59,6 +59,7 @@ object SparkEntry {
     "q_percentile_stats"  -> ((s, d) => Aggregates.percentileStats(s, d)),
     "q_corr_stats"        -> ((s, d) => Aggregates.corrStats(s, d)),
     "q_minmax_by"         -> ((s, d) => Aggregates.minMaxBy(s, d)),
+    "q_pivot"             -> ((s, d) => Aggregates.pivotEventCounts(s, d)),
     // ---- B5 windows ----
     "q_window_topk"       -> ((s, d) => Windows.topKPerUser(s, d)),
     "q_window_lag"        -> ((s, d) => Windows.lagDelta(s, d)),
@@ -323,6 +324,15 @@ object SparkEntry {
         |  (max(struct_pack(value := value, event_id := event_id))).value AS top_value,
         |  (max(struct_pack(value := value, event_id := event_id))).event_id AS top_event_id,
         |  (min(struct_pack(ts := epoch_ns(ts), event_id := event_id))).event_id AS first_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'view') AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_window_topk" ->

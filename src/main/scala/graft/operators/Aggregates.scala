@@ -29,6 +29,23 @@ object Aggregates {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Pivot: one row per user, one column per event type (explicit value
+    * list — required for a deterministic schema and a plan with NO extra
+    * distinct-values job; an implicit pivot runs a driver-blocking distinct
+    * first). Compiles to a single two-phase hash aggregate with CASE
+    * projections — same shuffle as any groupBy.
+    */
+  def pivotEventCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"), col("error").as("n_error"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("view").as("n_view"))
+      .orderBy("user_id")
+
   /** Global (grand-total) aggregate — no grouping keys, one row out. */
   def globalAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

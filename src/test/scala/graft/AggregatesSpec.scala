@@ -38,4 +38,14 @@ class AggregatesSpec extends SparkSpec {
     val picked = m.select("top_event_id").collect().map(_.getLong(0)).toSet
     assert(picked.subsetOf(evIds))
   }
+
+  test("pivot counts sum to the per-user event totals") {
+    import graft.operators.Aggregates
+    import org.apache.spark.sql.functions._
+    val p = Aggregates.pivotEventCounts(spark, sf)
+    val total = p.select((col("n_click") + col("n_error") + col("n_purchase")
+      + col("n_signup") + col("n_view")).as("n"), col("user_id"))
+    val want = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("w"))
+    assert(total.join(want, "user_id").filter(col("n") =!= col("w")).count() == 0)
+  }
 }
