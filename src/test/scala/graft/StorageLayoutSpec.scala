@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executable evidence for SCALE.md's storage-layout claims: bucketing
+  * both sides of a fact⋈fact join on the join key deletes the per-query
+  * shuffle, and partitioning by a filter column prunes whole partitions at
+  * plan time. These are writer-side configurations — the query code is the
+  * unchanged join/filter.
+  */
+class StorageLayoutSpec extends SparkSpec {
+
+  private def withConf[A](k: String, v: String)(f: => A): A = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("co-bucketed fact-fact join plans with no shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice").write
+      .format("parquet").option("path", s"$wh/lb")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("l_bucketed")
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority").write
+      .format("parquet").option("path", s"$wh/ob")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+    try withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val j = spark.table("l_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and the join still returns every lineitem row
+      assert(j.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS l_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("partitioned layout prunes non-matching partitions at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // the scan must read only the click partition's files
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("event_type=click") || plan.contains("isnotnull(event_type"), plan)
+    val want = Tables.events(spark, sf).filter(col("event_type") === "click").count()
+    assert(one.count() == want)
+  }
+}
