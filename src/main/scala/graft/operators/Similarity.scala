@@ -87,16 +87,28 @@ object Similarity {
               nProbe: Int = 4, trainIters: Int = 1): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val all = vectors(spark, sfDir, "vec_id", "v", "nn")
-    // assign: nearest centroid per vector (broadcast C rows, argmax cosine)
+    // assign: nearest centroid(s) per vector (broadcast C rows, argmax
+    // cosine). The corpus-sized rankCols=1 case is a hash aggregate
+    // (max_by with (csim, -c_id) tie-break) — partial-aggregated map-side,
+    // no corpus-wide window sort; the window form only runs on the tiny
+    // query side (nProbe > 1).
     def assign(cents: DataFrame, df: DataFrame, idCol: String, vCol: String,
-               nCol: String, rankCols: Int): DataFrame =
-      Dedup.fence(df.crossJoin(broadcast(cents))
+               nCol: String, rankCols: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
         .withColumn("csim", dot(col(vCol), col("cv")) / (sqrt(col(nCol)) * sqrt(col("cn"))))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(idCol).orderBy(desc("csim"), asc("c_id"))))
-        .filter(col("crn") <= rankCols)
-        .select(col(idCol), col(vCol), col(nCol), col("c_id").as("list_id")),
-        idCol)
+      val assigned =
+        if (rankCols == 1)
+          scored.groupBy(idCol)
+            .agg(first(col(vCol)).as(vCol), first(col(nCol)).as(nCol),
+              max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("list_id"))
+            .select(col(idCol), col(vCol), col(nCol), col("list_id"))
+        else
+          scored.withColumn("crn", row_number().over(
+              Window.partitionBy(idCol).orderBy(desc("csim"), asc("c_id"))))
+            .filter(col("crn") <= rankCols)
+            .select(col(idCol), col(vCol), col(nCol), col("c_id").as("list_id"))
+      Dedup.fence(assigned, idCol)
+    }
     // one Lloyd step: centroid <- mean of its assigned vectors
     def lloyd(cents: DataFrame): DataFrame = {
       val assigned = assign(cents, all, "vec_id", "v", "nn", 1)
