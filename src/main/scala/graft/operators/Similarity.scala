@@ -158,11 +158,21 @@ object Similarity {
     */
   private val ProbeRadius = 3
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim): md5 of
-    * the coordinate string, mapped to [-1, 1). No RNG — engine-reproducible.
+  /** Deterministic pseudo-random hyperplane weights for (plane, dim): md5
+    * of the coordinate string, mapped to [-1, 1). No RNG —
+    * engine-reproducible, and computed ONCE at plan-build time into literal
+    * arrays (the round-1 formulation recomputed the data-independent md5
+    * inside an interpreted HOF for every vector × plane × dimension —
+    * 5M md5 calls per corpus pass at sf0.1).
     */
-  private val planeExpr: String =
-    "(cast(conv(substring(md5(concat(p, '_', d)), 1, 8), 16, 10) as bigint) % 2001 - 1000) / 1000.0"
+  private def planeWeights(dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(p: Int, d: Int): Double = {
+      val hex = md.digest(s"${p}_$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
+    }
+    Seq.tabulate(NumPlanes)(p => Seq.tabulate(dims)(d => w(p, d)))
+  }
 
   /** ANN top-k via random-hyperplane LSH: NumPlanes sign bits bucket the
     * corpus; each query searches its own bucket plus every bucket within
@@ -173,15 +183,19 @@ object Similarity {
     */
   def annTopK(spark: SparkSession, sfDir: String, k: Int = 10,
               probeRadius: Int = ProbeRadius): DataFrame = {
-    def bucketed(idCol: String, vCol: String, nCol: String): DataFrame =
+    // 64-d literal plane vectors: the sign projection is NumPlanes
+    // codegen'd DotProducts against constants — same ascending-index sum
+    // order as the HOF form, so buckets are bit-identical
+    val planes = planeWeights(64)
+    def bucketed(idCol: String, vCol: String, nCol: String): DataFrame = {
+      import graft.functions.VectorFunctions.dot
+      val bucket = planes.zipWithIndex.map { case (w, p) =>
+        when(dot(col(vCol), typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
       Dedup.fence(vectors(spark, sfDir, idCol, vCol, nCol)
-        .withColumn("bucket", expr(
-          s"""aggregate(transform(sequence(0, ${NumPlanes - 1}), p ->
-             |  CASE WHEN aggregate(zip_with($vCol, sequence(0, size($vCol)-1),
-             |        (x, d) -> x * ($planeExpr)), 0D, (acc, x) -> acc + x) > 0
-             |       THEN shiftleft(1L, p) ELSE 0L END),
-             |  0L, (acc, x) -> acc + x)""".stripMargin)),
+        .withColumn("bucket", bucket),
         idCol) // fence: the NumPlanes-plane projection hashed once per vector
+    }
     // multi-probe: replicate each query row onto every bucket within
     // probeRadius bit flips of its own bucket
     val q = bucketed("q_id", "vq", "nq").filter(expr(s"q_id % 25 = 0"))
