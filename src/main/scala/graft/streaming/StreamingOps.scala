@@ -62,6 +62,29 @@ object StreamingOps {
       .select(events("event_id"), events("user_id"), events("event_type"),
         customer("c_mktsegment"))
 
+  /** Stream-stream join: clicks joined to the same user's purchases within
+    * the following hour. Both sides carry watermarks and the join condition
+    * bounds purchase time relative to click time, so each side's state is
+    * reclaimable — the unbounded-state hazard of stream-stream joins is
+    * fenced exactly as the Structured Streaming model requires (equi-key +
+    * event-time range + watermarks on both inputs).
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_us").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("c_user") === col("p_user")
+        && col("purchase_ts") > col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
   /** One event for the typed stateful API. */
   case class Ev(user_id: Long, ts_us: java.sql.Timestamp, value: Double)
 

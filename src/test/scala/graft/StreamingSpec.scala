@@ -162,6 +162,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == Tables.events(spark, sf).count())
   }
 
+  test("stream-stream join (click to purchase within 1h) equals the batch join") {
+    val got = runToTable(
+      StreamingOps.clickToPurchase(eventsStream, eventsStream), "t_ss_join", "append")
+      .select("click_id", "purchase_id")
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts_us").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts_us").as("purchase_ts"))
+    val want = c.join(p,
+      col("c_user") === col("p_user")
+        && col("purchase_ts") > col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("stateful sessionization (one-shot) equals the session_window twin") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)

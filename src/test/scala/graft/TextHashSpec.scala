@@ -83,6 +83,25 @@ class TextHashSpec extends SparkSpec {
     assert(cmp.filter(col("x") =!= col("y")).count() == 0)
   }
 
+  test("kernels run under CODEGEN_ONLY factory mode (never CodegenFallback)") {
+    // forcing the codegen factory makes any CodegenFallback expression in
+    // the projection throw — the kernels must survive the whole near-dup
+    // signature pipeline under it
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val n = docs.select(
+        simHash60(shingleHashes(col("text"))).as("f"),
+        minHashBands(shingleHashes(col("text"))).as("b"))
+        .filter(col("f") =!= 0 || size(col("b")) === 16)
+        .count()
+      assert(n > 0)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("kernels are SQL-callable after registration") {
     register(spark)
     val n = spark.sql(
