@@ -92,26 +92,32 @@ object Similarity {
     // (max_by with (csim, -c_id) tie-break) — partial-aggregated map-side,
     // no corpus-wide window sort; the window form only runs on the tiny
     // query side (nProbe > 1).
+    // fence only frames that feed MORE than one downstream consumer — the
+    // training intermediates are single-use and exchanges/caches would be
+    // pure overhead
     def assign(cents: DataFrame, df: DataFrame, idCol: String, vCol: String,
-               nCol: String, rankCols: Int): DataFrame = {
+               nCol: String, rankCols: Int, shared: Boolean): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("csim", dot(col(vCol), col("cv")) / (sqrt(col(nCol)) * sqrt(col("cn"))))
       val assigned =
-        if (rankCols == 1)
-          scored.groupBy(idCol)
-            .agg(first(col(vCol)).as(vCol), first(col(nCol)).as(nCol),
-              max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("list_id"))
-            .select(col(idCol), col(vCol), col(nCol), col("list_id"))
-        else
+        if (rankCols == 1) {
+          // argmax over SLIM columns only (24 B/row) — carrying the vector
+          // arrays through aggregate buffers forces SortAggregate; the
+          // arrays rejoin afterwards from the already-partitioned frame
+          val best = scored.select(col(idCol), col("c_id"), col("csim"))
+            .groupBy(idCol)
+            .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("list_id"))
+          df.join(best, idCol).select(col(idCol), col(vCol), col(nCol), col("list_id"))
+        } else
           scored.withColumn("crn", row_number().over(
               Window.partitionBy(idCol).orderBy(desc("csim"), asc("c_id"))))
             .filter(col("crn") <= rankCols)
             .select(col(idCol), col(vCol), col(nCol), col("c_id").as("list_id"))
-      Dedup.fence(assigned, idCol)
+      if (shared) Dedup.fence(assigned, idCol) else assigned
     }
     // one Lloyd step: centroid <- mean of its assigned vectors
     def lloyd(cents: DataFrame): DataFrame = {
-      val assigned = assign(cents, all, "vec_id", "v", "nn", 1)
+      val assigned = assign(cents, all, "vec_id", "v", "nn", 1, shared = false)
       val cellMeans = assigned
         .select(col("list_id"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("list_id", "d").agg(avg("x").as("m")) // map-side partials: C*64 cells
@@ -120,16 +126,15 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
         .select(col("list_id").as("c_id"), expr("transform(dm, p -> p.m)").as("cv"))
         .withColumn("cn", dot(col("cv"), col("cv"))),
-        "c_id")
+        "c_id") // fence: trained centroids feed corpus AND query assignment
     }
-    val seeds = Dedup.fence(all.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nn").as("cn")),
-      "c_id")
+    val seeds = all.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nn").as("cn"))
     val cents = (1 to trainIters).foldLeft(seeds)((c, _) => lloyd(c))
-    val corpusLists = assign(cents, all, "vec_id", "v", "nn", 1)
+    val corpusLists = assign(cents, all, "vec_id", "v", "nn", 1, shared = true)
     val queryProbes = assign(cents,
       vectors(spark, sfDir, "q_id", "vq", "nq").filter(expr("q_id % 25 = 0")),
-      "q_id", "vq", "nq", nProbe)
+      "q_id", "vq", "nq", nProbe, shared = true)
     corpusLists.join(queryProbes, Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("vq"), col("v")) / (sqrt(col("nq")) * sqrt(col("nn"))))
