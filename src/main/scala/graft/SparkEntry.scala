@@ -60,6 +60,7 @@ object SparkEntry {
     "q_corr_stats"        -> ((s, d) => Aggregates.corrStats(s, d)),
     "q_minmax_by"         -> ((s, d) => Aggregates.minMaxBy(s, d)),
     "q_pivot"             -> ((s, d) => Aggregates.pivotEventCounts(s, d)),
+    "q_grouping_sets"     -> ((s, d) => Aggregates.groupingSetsOrders(s, d)),
     // ---- B5 windows ----
     "q_window_topk"       -> ((s, d) => Windows.topKPerUser(s, d)),
     "q_window_lag"        -> ((s, d) => Windows.lagDelta(s, d)),
@@ -326,6 +327,14 @@ object SparkEntry {
         |  (min(struct_pack(ts := epoch_ns(ts), event_id := event_id))).event_id AS first_event_id
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS n_click,

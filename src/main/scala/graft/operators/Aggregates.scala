@@ -29,6 +29,24 @@ object Aggregates {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Arbitrary GROUPING SETS (neither rollup nor cube): per-status totals,
+    * per-priority totals, and the grand total in ONE pass — Spark expands
+    * the sets into a single Expand + hash aggregate, so the input is read
+    * once however many sets there are. SQL-expressed (the DataFrame API
+    * exposes only the rollup/cube specializations).
+    */
+  def groupingSetsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   /** Pivot: one row per user, one column per event type (explicit value
     * list — required for a deterministic schema and a plan with NO extra
     * distinct-values job; an implicit pivot runs a driver-blocking distinct
