@@ -262,17 +262,18 @@ object Dedup {
   def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val B = EmbeddingBlocks
-    def side(idCol: String, vCol: String, nCol: String): DataFrame = {
-      val v = expr("transform(embedding, x -> cast(x as double))")
-      fence(Tables.embeddings(spark, sfDir)
-        .select(col("vec_id").as(idCol), v.as(vCol), dot(v, v).as(nCol)),
-        idCol) // fence: cast + norm once per vector, not once per pair
-    }
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    val a = fence(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("vec_a"), v.as("va"), dot(v, v).as("na")),
+      "vec_a") // fence: cast + norm once per vector, not once per pair
+      .withColumn("ba", (col("vec_a") % B).cast("int"))
+    // the b side derives from the SAME cached frame by renaming — one
+    // corpus scan, one cache entry for both self-join sides
+    val b = a.select(col("vec_a").as("vec_b"), col("va").as("vb"), col("na").as("nb"))
+      .withColumn("bb", (col("vec_b") % B).cast("int"))
     // all B^2 ordered block pairs from one range — no join builds this
     val blockPairs = spark.range(B.toLong * B)
       .select((col("id") / B).cast("int").as("ba"), (col("id") % B).cast("int").as("bb"))
-    val a = side("vec_a", "va", "na").withColumn("ba", (col("vec_a") % B).cast("int"))
-    val b = side("vec_b", "vb", "nb").withColumn("bb", (col("vec_b") % B).cast("int"))
     a.join(broadcast(blockPairs), "ba") // x B replication of the left side
       .join(b, "bb")                    // equi hash join: the n^2/B^2 tiles
       .filter(col("vec_a") < col("vec_b"))

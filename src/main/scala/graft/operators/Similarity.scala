@@ -41,14 +41,24 @@ object Similarity {
       idCol) // fence: cast + norm once per vector, not once per joined pair
   }
 
+  /** Query side DERIVED from an already-fenced corpus frame by renaming —
+    * both self-join sides then share ONE cache entry (a query-side
+    * `vectors(...)` call with different column names would be a different
+    * plan and a second corpus scan + cache).
+    */
+  private def queriesFrom(corpus: DataFrame, idCol: String, vCol: String, nCol: String,
+                          qId: String, qV: String, qN: String): DataFrame =
+    corpus.filter(col(idCol) % 25 === 0)
+      .select(col(idCol).as(qId), col(vCol).as(qV), col(nCol).as(qN))
+
   /** Exact top-10 cosine neighbors per query vector. Queries are broadcast
     * (corpus/25 rows); candidates stream through one whole-stage-codegen'd
     * map computing the dot product in array order, then a per-query top-k
     * window. One scan, one shuffle (on q_id for the window).
     */
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    val q = vectors(spark, sfDir, "q_id", "vq", "nq").filter(expr(s"q_id % 25 = 0"))
     val c = vectors(spark, sfDir, "vec_id", "vc", "nc")
+    val q = queriesFrom(c, "vec_id", "vc", "nc", "q_id", "vq", "nq")
     c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       // codegen'd DotProduct (graft.functions): boxing-free scan per pair
       .withColumn("cos", graft.functions.VectorFunctions.dot(col("vq"), col("vc"))
@@ -133,7 +143,7 @@ object Similarity {
     val cents = (1 to trainIters).foldLeft(seeds)((c, _) => lloyd(c))
     val corpusLists = assign(cents, all, "vec_id", "v", "nn", 1, shared = true)
     val queryProbes = assign(cents,
-      vectors(spark, sfDir, "q_id", "vq", "nq").filter(expr("q_id % 25 = 0")),
+      queriesFrom(all, "vec_id", "v", "nn", "q_id", "vq", "nq"),
       "q_id", "vq", "nq", nProbe, shared = true)
     corpusLists.join(queryProbes, Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -192,22 +202,23 @@ object Similarity {
     // codegen'd DotProducts against constants — same ascending-index sum
     // order as the HOF form, so buckets are bit-identical
     val planes = planeWeights(64)
-    def bucketed(idCol: String, vCol: String, nCol: String): DataFrame = {
+    val bucket = {
       import graft.functions.VectorFunctions.dot
-      val bucket = planes.zipWithIndex.map { case (w, p) =>
-        when(dot(col(vCol), typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+      planes.zipWithIndex.map { case (w, p) =>
+        when(dot(col("vc"), typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      Dedup.fence(vectors(spark, sfDir, idCol, vCol, nCol)
-        .withColumn("bucket", bucket),
-        idCol) // fence: the NumPlanes-plane projection hashed once per vector
     }
+    val c = Dedup.fence(vectors(spark, sfDir, "vec_id", "vc", "nc")
+      .withColumn("bucket", bucket),
+      "vec_id") // fence: the NumPlanes-plane projection hashed once per vector
+    // query side derived from the SAME cached frame (one corpus scan);
     // multi-probe: replicate each query row onto every bucket within
     // probeRadius bit flips of its own bucket
-    val q = bucketed("q_id", "vq", "nq").filter(expr(s"q_id % 25 = 0"))
+    val q = c.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("vc").as("vq"), col("nc").as("nq"), col("bucket"))
       .withColumn("probe", explode(sequence(lit(0L), lit(((1 << NumPlanes) - 1).toLong))))
       .filter(expr(s"bit_count(bucket ^ probe) <= $probeRadius"))
       .drop("bucket").withColumnRenamed("probe", "bucket")
-    val c = bucketed("vec_id", "vc", "nc")
     c.join(q.hint("broadcast"), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", graft.functions.VectorFunctions.dot(col("vq"), col("vc"))
