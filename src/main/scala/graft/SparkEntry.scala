@@ -90,6 +90,7 @@ object SparkEntry {
     "q_neardup_ppjoin"    -> ((s, d) => Dedup.ppjoinPairs(s, d)),
     "q_neardup_minhash"   -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_simhash"           -> ((s, d) => Dedup.simhashFingerprints(s, d)),
+    "q_minhash_sig"       -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_neardup_simhash"   -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_dedup_embedding"   -> ((s, d) => Dedup.embeddingPairs(s, d)),
     // ---- B9 text analysis ----
@@ -476,6 +477,21 @@ object SparkEntry {
     "q_neardup_ppjoin"   -> NearDupOracle,
     "q_neardup_minhash"  -> NearDupOracle,
     "q_simhash" -> SimhashOracle,
+    // the DuckDB oracle recomputes the same 8 affine-family minima over the
+    // md5-60 shingle hashes (constants interpolated from TextHash — the
+    // engine and the oracle share one deterministic hash-family definition)
+    "q_minhash_sig" -> {
+      val terms = (0 until 8).map(i =>
+        s"min((${graft.functions.TextHash.coefA(i)} * hm + ${graft.functions.TextHash.coefB(i)}) % 2147483647) AS s$i")
+        .mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+         |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+         |         ELSE w END)) AS s FROM toks),
+         |h AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647 AS hm FROM sh)
+         |SELECT doc_id, $terms
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_neardup_simhash" ->
       s"""WITH f AS ($SimhashOracle)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -106,15 +106,12 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(hs)
   }
 
-  /** 16 MinHash band keys over the shingle-hash array: per permutation i the
-    * signature is min over shingles of (A(i)*(h%P) + B(i)) % P — identical
-    * values to the relational `array_min(transform(hs, ...))` form — and
-    * each band's 4 signature values are mixed into one Long key. Key
-    * equality is implied by signature equality, so the band-bucket join
-    * loses no true candidate; mixing collisions only add false candidates,
-    * which the exact verify removes.
+  /** The 64 MinHash signature values: per permutation i, min over shingles
+    * of (A(i)*(h%P) + B(i)) % P — identical values to the relational
+    * `array_min(transform(hs, ...))` form (and to the DuckDB oracle's
+    * list_min over the same affine family).
     */
-  def minHashBands(hs: ArrayData): ArrayData = {
+  def minHashSigArray(hs: ArrayData): Array[Long] = {
     val n = hs.numElements()
     val mins = new Array[Long](NumHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
@@ -129,6 +126,20 @@ object TextHash {
       }
       i += 1
     }
+    mins
+  }
+
+  def minHashSig(hs: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minHashSigArray(hs))
+
+  /** 16 MinHash band keys over the shingle-hash array: each band's 4
+    * signature values are mixed into one Long key. Key equality is implied
+    * by signature equality, so the band-bucket join loses no true
+    * candidate; mixing collisions only add false candidates, which the
+    * exact verify removes.
+    */
+  def minHashBands(hs: ArrayData): ArrayData = {
+    val mins = minHashSigArray(hs)
     val bands = new Array[Long](NumBands)
     var b = 0
     while (b < NumBands) {
@@ -202,6 +213,23 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `minhash_sig(hs)` → array<bigint> of the 64 raw MinHash signature
+  * values (oracle-checkable — see q_minhash_sig).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minHashSig(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minHashSig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_bands(hs)` → array<bigint> of 16 LSH band keys (64 permutations
   * x 4 rows/band) computed in one compiled pass over the shingle hashes.
   */
@@ -257,6 +285,8 @@ object TextHashFunctions {
     ColumnShim.column(ShingleHashes(ColumnShim.expression(text)))
   def minHashBands(hs: Column): Column =
     ColumnShim.column(MinHashBands(ColumnShim.expression(hs)))
+  def minHashSig(hs: Column): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(hs)))
   def simHash60(hs: Column): Column =
     ColumnShim.column(SimHash60(ColumnShim.expression(hs)))
   def jaccardSorted(a: Column, b: Column): Column =

@@ -194,6 +194,20 @@ object Dedup {
     verifyPairs(spark, sfDir, cand)
   }
 
+  /** First 8 MinHash signature values per doc as columns — the direct
+    * oracle-checked validation of the MinHashSig kernel (the DuckDB oracle
+    * recomputes the identical affine-family mins from md5-60 shingle
+    * hashes, constants interpolated from TextHash).
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.{minHashSig => sigFn}
+    val sig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sigFn(shingleHashes(col("text"))).as("sig"))
+    sig.select(col("doc_id") +: (0 until 8).map(i =>
+        element_at(col("sig"), i + 1).as(s"s$i")): _*)
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** Per-doc 60-bit SimHash fingerprint over 3-gram shingles: bit b of the
