@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions._
-import graft.plans.{GroupTopKStrategy, TopKRewriteRule}
+import graft.plans.{AsOfJoinStrategy, GroupTopKStrategy, TopKRewriteRule}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
   * (spark-submit / SparkSession.builder config): injects every graft
@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)))
     e.injectOptimizerRule(_ => TopKRewriteRule)
     e.injectPlannerStrategy(_ => GroupTopKStrategy)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_theta_join_banded" -> ((s, d) => Relational.thetaJoinBanded(s, d)),
     "q_range_join"        -> ((s, d) => Relational.rangeJoin(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
+    "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
     // ---- B4 aggregations ----
     "q1_agg"              -> ((s, d) => Aggregates.q1PricingSummary(s, d)),
     "q_global_agg"        -> ((s, d) => Aggregates.globalAgg(s, d)),
@@ -257,6 +258,16 @@ object SparkEntry {
         |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q_asof_join" ->
+      """SELECT event_id, user_id, coalesce(prev_click_us, -1) AS prev_click_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // same semantics (and oracle) as q_asof_join, computed by the native
+    // sort-merge AsOfJoin operator instead of a window
+    "q_asof_join_custom" ->
       """SELECT event_id, user_id, coalesce(prev_click_us, -1) AS prev_click_us FROM (
         |  SELECT event_id, user_id, event_type,
         |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)

@@ -245,7 +245,33 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** As-of join composed from built-ins (Spark has no native as-of): for
+  /** As-of join through the NATIVE sort-merge operator
+    * (graft.plans.AsOfJoin): purchases as the left stream, clicks as the
+    * right, merged per user in one forward pass with O(1) state. Same
+    * semantics and oracle as [[asOfJoin]].
+    */
+  def asOfJoinCustom(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val p = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("p_us"))
+    val c = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+    val pa = p.queryExecution.analyzed
+    val ca = c.queryExecution.analyzed
+    val Seq(eid, uid, pus) = pa.output
+    val Seq(cuser, cus) = ca.output
+    val attr = AttributeReference("prev_click_us", org.apache.spark.sql.types.LongType,
+      nullable = false)()
+    ColumnShim.ofRows(spark, AsOfJoin(pa, ca, uid, cuser, pus, cus, attr))
+      .select(col("event_id"), col("user_id"), col("prev_click_us"))
+      .orderBy("event_id")
+  }
+
+  /** As-of join composed from built-ins: for
     * each purchase event, the latest click at-or-before it per user —
     * expressed as a running `max(click_ts)` window over the interleaved
     * event stream, which is shuffle-equivalent to a sort-merge as-of and

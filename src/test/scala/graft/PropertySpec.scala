@@ -126,6 +126,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native AsOfJoin equals a local reference on generated data") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val leftGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    val rightGen = Gen.listOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    samples(Gen.zip(leftGen, rightGen), 8).foreach { case (lrows, rrows) =>
+      val lids = lrows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val ldf = lids.toDF("id", "k", "t")
+      val rdf = (if (rrows.isEmpty) Seq((-99L, -99L)) else rrows).toDF("rk", "rt")
+      val la = ldf.queryExecution.analyzed
+      val ra = rdf.queryExecution.analyzed
+      val Seq(id, k, t) = la.output
+      val Seq(rk, rt) = ra.output
+      val attr = AttributeReference("asof", org.apache.spark.sql.types.LongType, nullable = false)()
+      val got = ColumnShim.ofRows(spark, AsOfJoin(la, ra, k, rk, t, rt, attr))
+        .select("id", "asof").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rSeq = if (rrows.isEmpty) Seq((-99L, -99L)) else rrows
+      lids.foreach { case (i, lk, lt) =>
+        val cand = rSeq.filter { case (a, b) => a == lk && b <= lt }.map(_._2)
+        val want = if (cand.isEmpty) -1L else cand.max
+        assert(got(i) == want, s"left ($lk,$lt): got ${got(i)}, want $want")
+      }
+    }
+  }
+
   test("GroupTopK custom operator equals sorted-take on generated data") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, SortOrder}

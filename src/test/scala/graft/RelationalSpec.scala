@@ -35,6 +35,19 @@ class RelationalSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("native as-of join equals the window composition row-for-row") {
+    val window = Relational.asOfJoin(spark, sf).collect().toSeq
+    val custom = Relational.asOfJoinCustom(spark, sf).collect().toSeq
+    assert(custom == window)
+  }
+
+  test("native as-of join plans one pass: no window, no nested loop") {
+    val plan = Relational.asOfJoinCustom(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("banded theta join matches the broadcast nested-loop form row-for-row") {
     val nl = Relational.thetaJoin(spark, sf).collect().toSeq
     val banded = Relational.thetaJoinBanded(spark, sf).collect().toSeq
