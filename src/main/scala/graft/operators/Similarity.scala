@@ -29,9 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Every 25th vector is a query point (deterministic, sf-independent). */
-  private val QueryFilter = "vec_id % 25 = 0"
-
   private def vectors(spark: SparkSession, sfDir: String, idCol: String,
                       vCol: String, nCol: String): DataFrame = {
     val v = expr("transform(embedding, x -> cast(x as double))")
@@ -41,8 +38,9 @@ object Similarity {
       idCol) // fence: cast + norm once per vector, not once per joined pair
   }
 
-  /** Query side DERIVED from an already-fenced corpus frame by renaming —
-    * both self-join sides then share ONE cache entry (a query-side
+  /** Query side — every 25th vector (deterministic, sf-independent) —
+    * DERIVED from an already-fenced corpus frame by renaming: both
+    * self-join sides then share ONE cache entry (a query-side
     * `vectors(...)` call with different column names would be a different
     * plan and a second corpus scan + cache).
     */
