@@ -175,6 +175,26 @@ object TextHash {
     f
   }
 
+  /** All positional word bigrams of `text` (duplicates kept — these feed a
+    * count aggregation), one compiled pass. Tokenization matches
+    * `split(text, ' ')`: single-space separator, empty tokens preserved.
+    */
+  def bigrams(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i + 1 < words.length) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Exact Jaccard of two sorted distinct Long arrays (two-pointer merge):
     * |A∩B| / (|A|+|B|-|A∩B|), one double division at the end — bit-identical
     * to the oracle's list_intersect/len formulation.
@@ -262,6 +282,21 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bigrams(text)` → array<string> of all positional word bigrams. */
+case class Bigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.bigrams(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `jaccard_sorted(a, b)` → exact Jaccard similarity of two sorted distinct
   * bigint arrays (two-pointer, no per-call hash-set allocation — the
   * interpreted `array_intersect` this replaces measured ~115µs/call).
@@ -291,6 +326,8 @@ object TextHashFunctions {
     ColumnShim.column(SimHash60(ColumnShim.expression(hs)))
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnShim.column(JaccardSorted(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def bigrams(text: Column): Column =
+    ColumnShim.column(Bigrams(ColumnShim.expression(text)))
 
   /** Make the kernels callable from SQL strings on this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

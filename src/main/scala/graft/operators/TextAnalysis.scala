@@ -47,16 +47,14 @@ object TextAnalysis {
   }
 
   /** Corpus bigram counts (generator → hash-agg; same dataflow as word count
-    * with a positional 2-gram generator instead of explode-per-token).
+    * with a positional 2-gram generator instead of explode-per-token). The
+    * generator is the codegen'd Bigrams kernel — one compiled pass per doc
+    * (the interpreted `transform(sequence...)` form it replaced was the
+    * text family's last CodegenFallback hot path).
     */
   def bigramCounts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(split(col("text"), " ").as("w"))
-      .select(explode(expr(
-        """CASE WHEN size(w) >= 2
-          |  THEN transform(sequence(1, size(w)-1),
-          |         i -> concat(element_at(w,i), ' ', element_at(w,i+1)))
-          |  ELSE array() END""".stripMargin)).as("bigram"))
+      .select(explode(graft.functions.TextHashFunctions.bigrams(col("text"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("bigram"))
 

@@ -83,6 +83,26 @@ class TextHashSpec extends SparkSpec {
     assert(cmp.filter(col("x") =!= col("y")).count() == 0)
   }
 
+  test("Bigrams matches the interpreted HOF formulation bit-for-bit") {
+    val cmp = docs.select(
+      graft.functions.TextHashFunctions.bigrams(col("text")).as("a"),
+      expr("""CASE WHEN size(w) >= 2
+             |  THEN transform(sequence(1, size(w)-1),
+             |         i -> concat(element_at(w,i), ' ', element_at(w,i+1)))
+             |  ELSE array() END""".stripMargin).as("b"))
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+    import spark.implicits._
+    val shorts = Seq("one", "", "a b", "a  b c").toDF("text")
+      .select(col("text"), split(col("text"), " ").as("w"))
+    val cmp2 = shorts.select(
+      graft.functions.TextHashFunctions.bigrams(col("text")).as("a"),
+      expr("""CASE WHEN size(w) >= 2
+             |  THEN transform(sequence(1, size(w)-1),
+             |         i -> concat(element_at(w,i), ' ', element_at(w,i+1)))
+             |  ELSE array() END""".stripMargin).as("b"))
+    assert(cmp2.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("kernels run under CODEGEN_ONLY factory mode (never CodegenFallback)") {
     // forcing the codegen factory makes any CodegenFallback expression in
     // the projection throw — the kernels must survive the whole near-dup
