@@ -47,6 +47,7 @@ object SparkEntry {
     "q_theta_join"        -> ((s, d) => Relational.thetaJoin(s, d)),
     "q_theta_join_banded" -> ((s, d) => Relational.thetaJoinBanded(s, d)),
     "q_range_join"        -> ((s, d) => Relational.rangeJoin(s, d)),
+    "q_scalar_subquery"   -> ((s, d) => Relational.scalarSubquery(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
     "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
     // ---- B4 aggregations ----
@@ -251,6 +252,13 @@ object SparkEntry {
       """SELECT s_suppkey, count(*) AS n_cheaper_parts
         |FROM part JOIN supplier ON p_retailprice < s_acctbal / 10.0
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice > (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+        |                              / count(*)
+        |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs_1h
         |FROM events a JOIN events b ON a.user_id = b.user_id

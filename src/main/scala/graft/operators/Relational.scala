@@ -225,6 +225,22 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Correlated scalar subquery: parts priced above their own brand's
+    * average. Catalyst decorrelates this (RewriteCorrelatedScalarSubquery)
+    * into an aggregate + join — the subquery never executes per row, so the
+    * plan is two scans and one broadcast-able join at any scale.
+    */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part_sq")
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part_sq p
+        |WHERE p_retailprice > (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+        |                              / count(*)
+        |                       FROM part_sq p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   /** Range (interval) join: per-user count of event pairs within one hour.
     * Equi-key on user_id keeps it a hash/SMJ join with a residual range
     * filter — the at-scale-safe shape (never a pure cross product). ns
