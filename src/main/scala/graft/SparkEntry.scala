@@ -61,6 +61,7 @@ object SparkEntry {
     "q_percentile_stats"  -> ((s, d) => Aggregates.percentileStats(s, d)),
     "q_corr_stats"        -> ((s, d) => Aggregates.corrStats(s, d)),
     "q_minmax_by"         -> ((s, d) => Aggregates.minMaxBy(s, d)),
+    "q_approx_percentile" -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_pivot"             -> ((s, d) => Aggregates.pivotEventCounts(s, d)),
     "q_grouping_sets"     -> ((s, d) => Aggregates.groupingSetsOrders(s, d)),
     // ---- B5 windows ----
@@ -73,6 +74,7 @@ object SparkEntry {
     // ---- B6 sorts / limits / set ops ----
     "q_top20_orders"      -> ((s, d) => SetOps.topOrders(s, d)),
     "q_union_all"         -> ((s, d) => SetOps.unionAll(s, d)),
+    "q_union_by_name"     -> ((s, d) => SetOps.unionByNameEvolved(s, d)),
     "q_intersect"         -> ((s, d) => SetOps.intersectNations(s, d)),
     "q_except"            -> ((s, d) => SetOps.exceptNations(s, d)),
     "q_distinct_pairs"    -> ((s, d) => SetOps.distinctPairs(s, d)),
@@ -405,6 +407,14 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'supp', s_name, s_acctbal FROM supplier WHERE s_acctbal > 0)
         |ORDER BY kind, name""".stripMargin,
+    // the null-filled missing column surfaces as the -1 sentinel, written
+    // literally on the side that lacks it in the oracle
+    "q_union_by_name" ->
+      """SELECT id, name, bal FROM (
+        |  SELECT c_custkey AS id, c_name AS name, -1.0 AS bal FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_acctbal FROM supplier)
+        |ORDER BY name, id""".stripMargin,
     "q_intersect" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
         |INTERSECT

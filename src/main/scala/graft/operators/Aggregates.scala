@@ -93,6 +93,19 @@ object Aggregates {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** Approximate percentile sketch (companion to the HLL approx-distinct):
+    * per-event-type p50/p95 via Spark's QuantileSummaries with a 100-row
+    * accuracy budget. Rows-only (sketch internals differ across engines);
+    * AggregatesSpec bounds it against the exact quantile.
+    */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(100)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.95), lit(100)).as("p95_approx"))
+      .orderBy("event_type")
+
   /** ROLLUP: revenue by (nation, order-year) with subtotals and grand total.
     * Null group keys from the rollup are coalesced to sentinels so the sort
     * order is engine-independent.

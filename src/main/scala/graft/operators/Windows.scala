@@ -120,6 +120,22 @@ object SetOps {
     c.unionByName(s).orderBy("kind", "name")
   }
 
+  /** Schema-evolution union: unionByName with allowMissingColumns — the
+    * shape a pipeline needs when a newer batch adds a column older data
+    * lacks. Missing columns null-fill; output coalesces them to sentinels
+    * so the oracle comparison stays deterministic.
+    */
+  def unionByNameEvolved(spark: SparkSession, sfDir: String): DataFrame = {
+    val old = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val neu = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_acctbal").as("bal"))
+    old.unionByName(neu, allowMissingColumns = true)
+      .select(col("id"), col("name"), coalesce(col("bal"), lit(-1.0)).as("bal"))
+      .orderBy("name", "id")
+  }
+
   /** INTERSECT (set semantics): nations present on both customer and
     * supplier side.
     */

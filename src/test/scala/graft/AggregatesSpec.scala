@@ -48,4 +48,18 @@ class AggregatesSpec extends SparkSpec {
     val want = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("w"))
     assert(total.join(want, "user_id").filter(col("n") =!= col("w")).count() == 0)
   }
+
+  test("approx percentiles bracket the exact quantiles") {
+    import graft.operators.Aggregates
+    import org.apache.spark.sql.functions._
+    val approx = Aggregates.approxPercentiles(spark, sf)
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"), expr("percentile(value, 0.95)").as("p95"),
+        min("value").as("lo"), max("value").as("hi"))
+    val j = approx.join(exact, "event_type")
+    // the sketch must stay within the value range and near the exact answer
+    assert(j.filter(col("p50_approx") < col("lo") || col("p50_approx") > col("hi")).count() == 0)
+    assert(j.filter(abs(col("p50_approx") - col("p50")) > (col("hi") - col("lo")) * 0.25).count() == 0)
+    assert(j.filter(col("p95_approx") < col("p50_approx")).count() == 0)
+  }
 }
