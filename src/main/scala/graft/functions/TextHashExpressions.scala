@@ -212,7 +212,12 @@ object TextHash {
       else if (x < y) i += 1
       else j += 1
     }
-    inter.toDouble / (na + nb - inter)
+    val union = na + nb - inter
+    // Empty-vs-empty is defined as 0.0 (not NaN): NaN >= tau evaluates TRUE
+    // in Spark's ordering, so an undefined quotient would leak empty pairs
+    // through threshold filters (reachable via the registered SQL function
+    // graft_jaccard_sorted even though shingleHashes never emits empties).
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 }
 

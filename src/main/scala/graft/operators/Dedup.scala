@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * interpreted `transform(... md5 ...)` HOF chains they replace owned 79%
   * of the round-1 bench. Documents travel the pipeline as sorted distinct
   * 60-bit shingle-hash arrays; all joins key on 8-byte longs, never shingle
-  * strings.
+  * strings. Collision assumption: the DuckDB oracle compares shingle
+  * STRINGS, so equality-on-hash diverges from it only on a 60-bit md5
+  * collision between distinct shingles (~2^-60 per pair; union-bound
+  * ~n_shingles^2 / 2^61 per corpus) — accepted as negligible, like the
+  * chance band collisions the verify step already screens out.
   *
   * Reference provenance: /root/reference is an empty checkout (SURVEY.md §0);
   * near-dup semantics follow Broder's shingling (SEQUENCES'97) and the
@@ -137,34 +141,27 @@ object Dedup {
   }
 
   /** Exact near-dup with PPJoin-style prefix filtering: each doc indexes only
-    * its ceil((1-tau)*|S|)+1 globally-rarest shingles; any pair with
-    * jaccard >= tau must collide inside both prefixes (Xiao et al. WWW'08).
-    * Probed at sf0.1: ~130k candidate pairs vs 1.13M for the plain inverted
-    * index and 12.5M all-pairs — this is the at-scale exact path.
+    * its first ceil((1-tau)*|S|)+1 shingles under a global total order; any
+    * pair with jaccard >= tau must collide inside both prefixes (prefix-
+    * filtering principle, Xiao et al. WWW'08 — complete for ANY fixed total
+    * order, since |A∩B| >= ceil(tau*|A|) forces a shared element into the
+    * first |A| - ceil(tau*|A|) + 1 of A).
     *
-    * Prefix selection is per-doc: shingle document-frequency is
-    * vocabulary-sized, so it broadcast-joins back onto the (still
-    * doc_id-partitioned) exploded index, and each doc picks its rarest
-    * shingles with an in-doc array_sort + slice — no corpus-wide window
-    * sort (round 1's formulation row_number'd the ENTIRE exploded index to
-    * keep ~20% of it, and was slower than the un-pruned inverted index it
-    * exists to beat).
+    * The order used is the shingle hash value itself: `hs` is already a
+    * sorted distinct hash array, so the prefix is a literal `slice` — no
+    * document-frequency shuffle, no broadcast, no per-doc collect_list
+    * aggregate, no second cache fence. md5-60 hash order is effectively a
+    * random permutation of the vocabulary; probed at sf0.1 it admits ~238k
+    * candidate pairs vs ~130k for rarest-first ordering, 1.13M for the
+    * plain inverted index, and 12.5M all-pairs. The ~2x candidate overhead
+    * vs rarest-first buys a plan with three fewer stages and no driver-side
+    * broadcast build — round 2's rarest-first formulation was the query most
+    * sensitive to machine contention precisely because of that machinery.
     */
   def ppjoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = shingleSets(spark, sfDir)
-      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("s"))
-    val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
-    // ex is doc_id-partitioned (fence) and explode/broadcast-join preserve
-    // that, so the re-group needs no exchange; (f, s) structs sort by
-    // frequency with hash tie-break, giving one global rarest-first order
-    val prefLen = ceil(lit(1.0 - ShingleTau) * col("sz")).cast("int") + lit(1)
-    val pref = fence(
-      ex.join(broadcast(freq), "s")
-        .groupBy("doc_id")
-        .agg(first(col("sz")).as("sz"), collect_list(struct(col("f"), col("s"))).as("fs"))
-        .select(col("doc_id"), slice(array_sort(col("fs")), lit(1), prefLen).as("pfs"))
-        .select(col("doc_id"), explode(expr("transform(pfs, p -> p.s)")).as("s")),
-      "doc_id")
+    val prefLen = ceil(lit(1.0 - ShingleTau) * size(col("hs"))).cast("int") + lit(1)
+    val pref = shingleSets(spark, sfDir)
+      .select(col("doc_id"), explode(slice(col("hs"), lit(1), prefLen)).as("s"))
     val pa = pref.select(col("doc_id").as("doc_a"), col("s"))
     val pb = pref.select(col("doc_id").as("doc_b"), col("s"))
     val cand = pa.join(pb, "s").filter(col("doc_a") < col("doc_b"))

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * §0); n-gram-overlap decontamination follows the methodology popularized
   * by GPT-3's appendix (Brown et al. 2020) and the quality/dedup filter
   * composition mirrors C4 (Raffel et al. 2020).
+  *
+  * Collision assumption (shared with the Dedup family): shingle equality is
+  * decided on 60-bit md5 hashes while the DuckDB oracle compares shingle
+  * strings, so a cross-shingle hash collision (~2^-60 per pair, union-bound
+  * ~n_shingles^2 / 2^61 per corpus) could diverge from the oracle. Accepted
+  * as negligible alongside the band-collision remark in Dedup.
   */
 object Pipeline {
 

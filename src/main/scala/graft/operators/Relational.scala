@@ -211,8 +211,13 @@ object Relational {
     */
   def thetaJoinBanded(spark: SparkSession, sfDir: String): DataFrame = {
     val maxBucket = 25L // prices < 2600 by generator bound; clamp replication
+    // Clamp the part bucket too: an out-of-bound price (>= 2600) must land
+    // in the boundary bucket where the residual predicate re-checks it —
+    // unclamped it would exceed every supplier's clamped threshold bucket
+    // and its pairs would be silently dropped.
     val p = Tables.part(spark, sfDir)
-      .select(col("p_retailprice"), floor(col("p_retailprice") / ThetaBandWidth).as("pb"))
+      .select(col("p_retailprice"),
+        least(floor(col("p_retailprice") / ThetaBandWidth), lit(maxBucket)).as("pb"))
     val s = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey"), (col("s_acctbal") / 10.0).as("thr"))
       .withColumn("tb", least(floor(col("thr") / ThetaBandWidth), lit(maxBucket)))

@@ -71,15 +71,25 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val attr = asOfAttr
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
       // key/time are extracted the moment a right row is read, so iterator
-      // row-object reuse is safe — no copies anywhere in the merge
+      // row-object reuse is safe — no copies anywhere in the merge.
+      // evalLong fails fast on null: a null key/time would otherwise unbox
+      // to 0L and silently merge null-key rows into key 0, corrupting the
+      // merge order (the sorted-input contract puts nulls first, not at 0).
+      def evalLong(e: Expression, row: InternalRow, role: String): Long =
+        e.eval(row) match {
+          case l: java.lang.Long => l.longValue()
+          case null => throw new IllegalStateException(
+            s"AsOfJoin: null $role value — as-of key/time columns must be non-null")
+          case other => other.asInstanceOf[Long]
+        }
       var rKeyCur = 0L
       var rTimeCur = 0L
       var rValid = false
       def advanceRight(): Unit =
         if (rit.hasNext) {
           val r = rit.next()
-          rKeyCur = rk.eval(r).asInstanceOf[Long]
-          rTimeCur = rt.eval(r).asInstanceOf[Long]
+          rKeyCur = evalLong(rk, r, "right key")
+          rTimeCur = evalLong(rt, r, "right time")
           rValid = true
         } else rValid = false
       advanceRight()
@@ -90,8 +100,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       val joined = new JoinedRow
       val extra = new GenericInternalRow(1)
       lit.map { l =>
-        val k = lk.eval(l).asInstanceOf[Long]
-        val t = lt.eval(l).asInstanceOf[Long]
+        val k = evalLong(lk, l, "left key")
+        val t = evalLong(lt, l, "left time")
         while (rValid && (rKeyCur < k || (rKeyCur == k && rTimeCur <= t))) {
           if (rKeyCur == k) { heldKey = k; heldTime = rTimeCur; held = true }
           advanceRight()
