@@ -19,8 +19,19 @@ class TopKWords(k: Int) extends Aggregator[(String, Long), Seq[(String, Long)], 
 
   override def zero: Seq[(String, Long)] = Seq.empty
 
-  override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
+  /** Bounded insertion: the buffer stays sorted (count desc, word asc), so a
+    * full buffer rejects a non-improving row by one comparison against the
+    * current worst — no sort, no allocation on the overwhelmingly common
+    * path. Ties with the worst are rejected too: the stable sort in `best`
+    * would place the incumbent first and drop the newcomer anyway.
+    */
+  override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] = {
+    if (buf.size >= k) {
+      val (ww, wc) = buf.last
+      if (in._2 < wc || (in._2 == wc && in._1 >= ww)) return buf
+    }
     best(buf :+ in)
+  }
 
   override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
     best(a ++ b)

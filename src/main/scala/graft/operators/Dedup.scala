@@ -88,9 +88,9 @@ object Dedup {
       .select(col("doc_id"), shingleHashes(col("text")).as("hs")),
       "doc_id")
 
-  /** Optimizer fence: hash-repartition + cache.
+  /** Optimizer fence: hash-repartition + persist(MEMORY_AND_DISK).
     *
-    * The cache is the load-bearing part: it is a hard plan boundary, so
+    * The persist is the load-bearing part: it is a hard plan boundary, so
     * (a) CollapseProject cannot inline the signature expressions into every
     * downstream band-explode / pair-join row, and (b)
     * InferFiltersFromConstraints cannot rewrite a join-key isnotnull into
@@ -98,11 +98,19 @@ object Dedup {
     * round 1: that pushed filter re-evaluated the whole hash chain per input
     * row, single-threaded — 10-50x the query's real work). Plan-identical
     * call sites share one cache entry, so self-joins compute signatures
-    * once. Fenced frames are document/vector-count sized (KBs per million
-    * docs), legitimately cacheable at any scale.
+    * once.
+    *
+    * Size honesty: fence sizes differ by an order of magnitude per family.
+    * The SHINGLE fence (`shingleSets`) holds ~8 B per shingle and shingle
+    * count ≈ token count, so it is corpus-order-sized — the same magnitude
+    * as the text itself, NOT small. The bands/simhash/embedding-norm fences
+    * hold 16/1/65 longs per doc and genuinely are tiny. MEMORY_AND_DISK is
+    * pinned explicitly so the corpus-sized fence degrades to a disk spill
+    * (one extra materialization, still one signature computation) instead
+    * of silent recomputation or OOM; SCALE.md quantifies the spill cost.
     */
   private[operators] def fence(df: DataFrame, key: String): DataFrame =
-    df.repartition(col(key)).cache()
+    df.repartition(col(key)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Verify candidate (doc_a, doc_b) pairs against the exact Jaccard
     * threshold. Joins the candidate list back to two independently-built
@@ -142,10 +150,17 @@ object Dedup {
 
   /** Exact near-dup with PPJoin-style prefix filtering: each doc indexes only
     * its first ceil((1-tau)*|S|)+1 shingles under a global total order; any
-    * pair with jaccard >= tau must collide inside both prefixes (prefix-
-    * filtering principle, Xiao et al. WWW'08 — complete for ANY fixed total
-    * order, since |A∩B| >= ceil(tau*|A|) forces a shared element into the
-    * first |A| - ceil(tau*|A|) + 1 of A).
+    * pair with jaccard >= tau must collide inside both prefixes. The join
+    * relies on the TWO-SIDED prefix lemma (Xiao et al. WWW'08, complete for
+    * ANY fixed total order): jaccard(A,B) >= tau implies
+    * |A∩B| >= ceil(tau * max(|A|,|B|)) >= ceil(tau*|S|) for each
+    * S in {A,B}; let x be the SMALLEST intersection element under the
+    * global order — at least |A∩B|-1 intersection elements sort after x, so
+    * x's rank within S is at most |S| - ceil(tau*|S|) + 1
+    * <= ceil((1-tau)*|S|) + 1. The same x therefore lies inside BOTH
+    * prefixes, and the prefix-prefix equi join below sees every qualifying
+    * pair. (The one-sided bound alone would not justify a join that
+    * truncates both sides.)
     *
     * The order used is the shingle hash value itself: `hs` is already a
     * sorted distinct hash array, so the prefix is a literal `slice` — no

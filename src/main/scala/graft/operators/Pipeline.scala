@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * computes — the documents that survive dedup AND quality filtering AND
   * decontamination in one declarative plan.
   *
-  * Scale design: the benchmark shingle set is benchmark-sized (a few
-  * thousand docs even at 100 TB) and broadcasts; contamination detection is
-  * then a map-side semi join on 8-byte shingle hashes. The keep-set plan
+  * Scale design: contamination detection is a semi join on 8-byte shingle
+  * hashes with NO static broadcast hint — in this formulation the "benchmark"
+  * is carved out of the corpus itself (every 97th doc), so its shingle set
+  * grows as corpus/97 and a forced broadcast would die at 100×. A shuffled
+  * semi join on the hash is scale-safe at any size, and AQE converts it to a
+  * broadcast at runtime whenever the benchmark side measures genuinely small
+  * (the common case with a real external benchmark). The keep-set plan
   * composes three doc_id-keyed semi/anti joins — Catalyst plans each as a
   * broadcast or shuffle join on the narrow id column, never moving text.
   *
@@ -37,16 +41,19 @@ object Pipeline {
   val QualityFloor = 0.55
 
   /** Benchmark decontamination: drop every non-benchmark doc sharing at
-    * least one 3-gram shingle with any benchmark doc. The benchmark
-    * shingle set broadcasts; candidate detection is a semi join on the
-    * shingle hash, then an anti join back to doc ids — no text moves.
+    * least one 3-gram shingle with any benchmark doc. Candidate detection
+    * is a semi join on the shingle hash, then an anti join back to doc
+    * ids — no text moves. Deliberately no broadcast hint on the benchmark
+    * side: it is corpus-derived here (see object scaladoc), so the join
+    * must stay shuffle-shaped statically and let AQE broadcast only when
+    * the runtime size warrants it.
     */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Dedup.shingleSets(spark, sfDir)
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("s"))
     val benchShingles = ex.filter(isBench).select("s").distinct()
     val contaminated = ex.filter(!isBench)
-      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .join(benchShingles, Seq("s"), "left_semi")
       .select("doc_id").distinct()
     sh.filter(!isBench).select("doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -23,6 +23,20 @@ class PipelineSpec extends SparkSpec {
     assert(clean.join(sharers, "doc_id").count() == 0)
   }
 
+  test("decontaminate plans no static broadcast of the corpus-derived side") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // the benchmark shingle set grows with the corpus (every 97th doc), so a
+    // forced broadcast would die at 100x — the plan must stay shuffle-shaped
+    // statically (AQE may still broadcast at runtime when genuinely small)
+    for (df <- Seq(Pipeline.decontaminate(spark, sf), Pipeline.keepSet(spark, sf))) {
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+          j.hint.rightHint.exists(_.strategy.nonEmpty) => j
+      }
+      assert(hinted.isEmpty, s"static join-strategy hints survive:\n${hinted.mkString("\n")}")
+    }
+  }
+
   test("keep set is the intersection of its three filters") {
     val keep = Pipeline.keepSet(spark, sf)
     val clean = Pipeline.decontaminate(spark, sf)
