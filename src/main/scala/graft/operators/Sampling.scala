@@ -23,27 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** [0, 1e9) hash of a string key: top 32 bits of md5, engine-portable
-    * (DuckDB computes the identical value from the same SQL).
+  /** [0, 1e9) hash of a string key: top 60 bits of md5 (15 hex chars —
+    * still inside a signed 64-bit long), engine-portable (DuckDB computes
+    * the identical value from the same SQL).
     *
-    * NOT exactly uniform: 2^32 % 1e9 = 2.95e8, so buckets below 2.95e8 occur
-    * ceil(2^32/1e9)=5 times vs 4 for the rest — a 5/4 density step. Rates
-    * quoted against this hash realize at ~(5/4)x their nominal value while
-    * under 2.95e8 (the 'en' 3e8 rate converges to ~0.35, not 0.30).
-    * Deterministic and oracle-consistent, so results are exact; only the
-    * nominal-rate reading is biased. Kept as-is because the oracle SQL
-    * interpolates the same expression — widening the hash (e.g. md5 top 60
-    * bits) would fix the bias but must change both sides in lockstep.
+    * Uniform to within 2^60 % 1e9 / 2^60 ≈ 5e-10 relative bucket-density
+    * error, so nominal rates ARE the realized rates (the earlier 32-bit
+    * variant had a 5/4 modulo-density step that inflated sub-2.95e8 rates
+    * by ~25%). The oracle SQL interpolates the same 15-hex-char expression —
+    * any future width change must move both sides in lockstep.
     */
   private def hashBucket(key: Column): Column =
-    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 1000000000L
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long") % 1000000000L
 
   /** Stratified (per-language) deterministic sample of the documents table:
     * keep a doc iff hash(doc_id) < rate(lang). The rate map is a data-mixing
     * recipe — oversample English 3x, downsample the rest. Map-side only;
-    * the sampled fraction per stratum converges to ~1.25x the nominal
-    * rate/1e9 (~0.35 for 'en', ~0.117 for the rest) per [[hashBucket]]'s
-    * modulo-bias note.
+    * the sampled fraction per stratum converges to the nominal rate/1e9
+    * (0.30 for 'en', 0.10 for the rest) under [[hashBucket]]'s uniform
+    * 60-bit hash.
     */
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
     val rate = when(col("lang") === "en", lit(300000000L)).otherwise(lit(100000000L))

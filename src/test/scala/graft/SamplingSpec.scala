@@ -47,7 +47,7 @@ class SamplingSpec extends SparkSpec {
     val k = 20
     val hashed = Tables.documents(spark, sf)
       .select(col("lang"), col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % 1000000000L).as("h"))
     import spark.implicits._
     val want = hashed.as[(String, Long, Long)].collect().toSeq
