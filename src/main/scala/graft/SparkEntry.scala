@@ -96,6 +96,7 @@ object SparkEntry {
     "q_simhash"           -> ((s, d) => Dedup.simhashFingerprints(s, d)),
     "q_minhash_sig"       -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_neardup_simhash"   -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_neardup_clusters"  -> ((s, d) => Dedup.neardupClusters(s, d)),
     "q_dedup_embedding"   -> ((s, d) => Dedup.embeddingPairs(s, d)),
     // ---- B9 text analysis ----
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidfTop3(s, d)),
@@ -107,6 +108,7 @@ object SparkEntry {
     // ---- B9 pipeline composition: decontamination + keep set ----
     "q_decontaminate"     -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_pipeline_keep"     -> ((s, d) => Pipeline.keepSet(s, d)),
+    "q_pipeline_keep_neardup" -> ((s, d) => Pipeline.keepSetNearDup(s, d)),
     // ---- B9 deterministic sampling / data mixing ----
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_sample_k_per_lang" -> ((s, d) => Sampling.sampleKPerStratum(s, d)),
@@ -505,6 +507,17 @@ object SparkEntry {
     "q_neardup_jaccard"  -> NearDupOracle,
     "q_neardup_ppjoin"   -> NearDupOracle,
     "q_neardup_minhash"  -> NearDupOracle,
+    // connected components over the same exact pair ground truth, via a
+    // recursive transitive-closure CTE; cluster label = component minimum
+    "q_neardup_clusters" ->
+      s"""WITH RECURSIVE $NearDupPairsCte,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+         |          UNION SELECT doc_b, doc_a FROM np),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster,
+         |       a = least(a, min(b)) AS is_survivor
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q_simhash" -> SimhashOracle,
     // the DuckDB oracle recomputes the same 8 affine-family minima over the
     // md5-60 shingle hashes (constants interpolated from TextHash — the
@@ -630,19 +643,45 @@ object SparkEntry {
         |  AND doc_id IN (SELECT doc_id FROM surv)
         |  AND quality >= 0.55
         |ORDER BY doc_id""".stripMargin,
+    // q_pipeline_keep plus the near-dup-survivor filter: drop docs that sit
+    // in a near-dup connected component without being its minimum
+    "q_pipeline_keep_neardup" ->
+      s"""WITH RECURSIVE $NearDupPairsCte,
+         |shx AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+         |bench AS (SELECT DISTINCT s FROM shx WHERE doc_id % 97 = 0),
+         |bad AS (SELECT DISTINCT shx.doc_id FROM shx JOIN bench USING (s) WHERE shx.doc_id % 97 <> 0),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |m AS (SELECT doc_id, n_chars, len(w)::BIGINT AS n_tokens,
+         |  len(list_distinct(w))::BIGINT AS n_distinct,
+         |  len(list_filter(w, x -> list_contains(['a','the','of','and','to','in'], x)))::BIGINT AS n_stop
+         |  FROM toks JOIN documents USING (doc_id)),
+         |q AS (SELECT doc_id,
+         |  round(0.4*(n_distinct::DOUBLE/n_tokens) + 0.3*(1.0 - n_stop::DOUBLE/n_tokens)
+         |        + 0.3*(least(n_tokens, 200)::DOUBLE/200.0), 6) AS quality FROM m),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> least(a, min(b)))
+         |SELECT doc_id, quality FROM q
+         |WHERE doc_id % 97 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |  AND doc_id IN (SELECT doc_id FROM surv)
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND quality >= 0.55
+         |ORDER BY doc_id""".stripMargin,
 
     // deterministic hash sampling: both engines compute the identical
-    // md5-top-32-bit bucket, so the sampled row SET is oracle-checkable
+    // md5-top-60-bit bucket, so the sampled row SET is oracle-checkable
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
-        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000000000 AS sample_key
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS sample_key
         |  FROM documents)
         |SELECT doc_id, lang, sample_key FROM h
         |WHERE sample_key < CASE WHEN lang = 'en' THEN 300000000 ELSE 100000000 END
         |ORDER BY doc_id""".stripMargin,
     "q_sample_k_per_lang" ->
       """WITH h AS (SELECT doc_id, lang,
-        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000000000 AS hk
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS hk
         |  FROM documents)
         |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
@@ -699,21 +738,28 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_sec""".stripMargin,
   )
 
+  /** Shared CTE block (no WITH keyword) producing `np` = the exact all-pairs
+    * near-dup ground truth (3-gram-shingle Jaccard >= 0.8) — composed into
+    * the pair oracle, the clusters oracle and the keep-set oracle.
+    */
+  private val NearDupPairsCte: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+      |         ELSE w END) AS ts FROM toks),
+      |np AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(len(list_intersect(a.ts,b.ts))::DOUBLE
+      |               / (len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))), 6) AS jac
+      |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |       WHERE len(list_intersect(a.ts,b.ts))::DOUBLE
+      |             / (len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) >= 0.8)""".stripMargin
+
   /** Shared oracle for the three near-dup strategies (identical semantics:
     * 3-gram-shingle Jaccard >= 0.8, exact all-pairs ground truth).
     */
   private val NearDupOracle: String =
-    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-      |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
-      |         ELSE w END) AS ts FROM toks)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(len(list_intersect(a.ts,b.ts))::DOUBLE
-      |        / (len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))), 6) AS jac
-      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.ts,b.ts))::DOUBLE
-      |      / (len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $NearDupPairsCte
+       |SELECT doc_a, doc_b, jac FROM np ORDER BY doc_a, doc_b""".stripMargin
 
   /** Shared oracle CTE for the SimHash fingerprint (md5-60-bit hash per
     * 3-gram shingle, sign-summed per bit — mirrors Dedup.simhashFingerprints

@@ -206,6 +206,61 @@ object Dedup {
     verifyPairs(spark, sfDir, cand)
   }
 
+  /** Near-dup clusters: connected components over the near-dup pair graph,
+    * labeled by the component's minimum doc_id, plus the survivor flag a
+    * deletion list needs (survivor = the component minimum — "keep one doc
+    * per cluster"). This is the step that turns a pair REPORT into an
+    * actionable dedup DECISION.
+    *
+    * Algorithm: iterative join-based min-label propagation ("hash-min",
+    * Rastogi et al., Finding Connected Components in MapReduce, ICDE'13):
+    * every node starts at min(self, neighbors) and each round takes the min
+    * of its own label and its neighbors' labels, converging in O(diameter)
+    * rounds — near-dup components are dense (candidate pairs come from
+    * shared bands, so components are clique-like with diameter 1-2), making
+    * the round count 2-3 in practice. Per round: one equi join pairs + one
+    * groupBy min, all keyed on 8-byte doc ids — never text. The convergence
+    * probe is an aggregated `isEmpty` (metadata-sized driver action, the
+    * same shape every iterative graph engine uses); each round's labels are
+    * persisted and the previous round's unpersisted, so lineage stays one
+    * round deep. At 100 TB scale the same loop holds (label frame = one
+    * (long, long) row per clustered doc); for adversarial high-diameter
+    * graphs the large-star/small-star variant (Kiveris et al., SoCC'14)
+    * drops rounds to O(log n) with the same join-shape per round.
+    */
+  def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashPairs(spark, sfDir).select("doc_a", "doc_b")
+    // symmetric edge list: propagate labels in both directions
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def step(lbl: DataFrame): DataFrame =
+      lbl.join(edges, col("doc_id") === col("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("cluster").as("lbl"))
+        .union(lbl.select(col("doc_id"), col("cluster").as("lbl")))
+        .groupBy("doc_id").agg(min("lbl").as("cluster"))
+    var labels = edges
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("lbl"))
+      .union(edges.select(col("doc_a").as("doc_id"), col("doc_a").as("lbl")))
+      .groupBy("doc_id").agg(min("lbl").as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) { // 32 = 2^32-diameter safety valve
+      val next = step(labels).persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** First 8 MinHash signature values per doc as columns — the direct
     * oracle-checked validation of the MinHashSig kernel (the DuckDB oracle
     * recomputes the identical affine-family mins from md5-60 shingle

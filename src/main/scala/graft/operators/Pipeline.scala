@@ -78,4 +78,20 @@ object Pipeline {
       .select(col("doc_id"), col("quality"))
       .orderBy("doc_id")
   }
+
+  /** [[keepSet]] strengthened from exact-dup to NEAR-dup survivorship: also
+    * drop every doc that sits in a near-dup cluster without being its
+    * survivor (the component-minimum doc_id from [[Dedup.neardupClusters]]).
+    * This is the full pretraining deletion semantics — detect pairs, group
+    * into components, keep one per cluster — composed as one more id-keyed
+    * anti join on the (tiny: clustered-docs-only) loser list.
+    */
+  def keepSetNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = Dedup.neardupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    keepSet(spark, sfDir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
 }

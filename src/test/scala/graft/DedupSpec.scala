@@ -34,6 +34,35 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("jac") < Dedup.ShingleTau).count() == 0)
   }
 
+  test("near-dup clusters match a driver-side union-find over the same pairs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // independent ground truth: textbook union-find with path compression
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    // canonical label = min member per component
+    val members = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val want = members.map { m =>
+      val root = find(m)
+      (m, root, m == root)
+    }.toSet
+    // union-find roots ARE component minima here because unions always point
+    // the larger root at the smaller one
+    val got = Dedup.neardupClusters(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == want)
+    // every cluster keeps exactly one survivor
+    val bad = Dedup.neardupClusters(spark, sf).groupBy("cluster")
+      .agg(sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_surv"))
+      .filter(col("n_surv") =!= 1L)
+    assert(bad.count() == 0)
+  }
+
   test("simhash fingerprints are deterministic across runs") {
     val f1 = Dedup.simhashFingerprints(spark, sf).collect().toSeq
     val f2 = Dedup.simhashFingerprints(spark, sf).collect().toSeq

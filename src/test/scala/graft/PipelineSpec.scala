@@ -37,6 +37,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("near-dup keep set = keep set minus cluster non-survivors") {
+    val keep = Pipeline.keepSet(spark, sf)
+    val losers = Dedup.neardupClusters(spark, sf)
+      .filter(!col("is_survivor")).select("doc_id")
+    val expected = keep.join(losers, Seq("doc_id"), "left_anti")
+    val got = Pipeline.keepSetNearDup(spark, sf)
+    assert(got.count() == expected.count())
+    assert(got.join(expected, "doc_id", "left_anti").count() == 0)
+    // it must be a strict subset whenever a keep-set doc lost its cluster
+    val keptLosers = keep.join(losers, "doc_id")
+    assert(got.count() == keep.count() - keptLosers.count())
+  }
+
   test("keep set is the intersection of its three filters") {
     val keep = Pipeline.keepSet(spark, sf)
     val clean = Pipeline.decontaminate(spark, sf)
