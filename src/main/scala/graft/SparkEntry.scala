@@ -50,6 +50,8 @@ object SparkEntry {
     "q_scalar_subquery"   -> ((s, d) => Relational.scalarSubquery(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
     "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
+    "q_asof_join_tolerance" -> ((s, d) => Relational.asOfJoinTolerance(s, d)),
+    "q_asof_join_forward" -> ((s, d) => Relational.asOfJoinForward(s, d)),
     // ---- B4 aggregations ----
     "q1_agg"              -> ((s, d) => Aggregates.q1PricingSummary(s, d)),
     "q_global_agg"        -> ((s, d) => Aggregates.globalAgg(s, d)),
@@ -285,6 +287,26 @@ object SparkEntry {
         |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
         |      OVER (PARTITION BY user_id ORDER BY ts
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // max-gap variant: the backward match only counts within 30 minutes
+    "q_asof_join_tolerance" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN prev_click_us IS NOT NULL AND epoch_us(ts) - prev_click_us <= 1800000000
+        |       THEN prev_click_us ELSE -1 END AS prev_click_us FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // forward direction: first click at or after each purchase
+    "q_asof_join_forward" ->
+      """SELECT event_id, user_id, coalesce(next_click_us, -1) AS next_click_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_us
         |  FROM events) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 

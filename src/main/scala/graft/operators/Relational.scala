@@ -292,6 +292,61 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** As-of join with a max-gap TOLERANCE through the native operator: the
+    * latest click at most 30 minutes before each purchase — the
+    * pandas-`merge_asof(tolerance=...)` surface. Same merge loop as
+    * [[asOfJoinCustom]] plus one gap comparison; stale matches outside the
+    * gap fall back to the -1 sentinel.
+    */
+  def asOfJoinTolerance(spark: SparkSession, sfDir: String,
+                        tolUs: Long = 1800000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val p = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("p_us"))
+    val c = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+    val pa = p.queryExecution.analyzed
+    val ca = c.queryExecution.analyzed
+    val Seq(eid, uid, pus) = pa.output
+    val Seq(cuser, cus) = ca.output
+    val attr = AttributeReference("prev_click_us", org.apache.spark.sql.types.LongType,
+      nullable = false)()
+    ColumnShim.ofRows(spark,
+        AsOfJoin(pa, ca, uid, cuser, pus, cus, attr, forward = false, tolerance = tolUs))
+      .select(col("event_id"), col("user_id"), col("prev_click_us"))
+      .orderBy("event_id")
+  }
+
+  /** FORWARD as-of join through the native operator: the first click at or
+    * after each purchase per user (`merge_asof(direction='forward')`) —
+    * the same one-pass merge with the frontier row peeked, never consumed.
+    */
+  def asOfJoinForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val p = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("p_us"))
+    val c = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+    val pa = p.queryExecution.analyzed
+    val ca = c.queryExecution.analyzed
+    val Seq(eid, uid, pus) = pa.output
+    val Seq(cuser, cus) = ca.output
+    val attr = AttributeReference("next_click_us", org.apache.spark.sql.types.LongType,
+      nullable = false)()
+    ColumnShim.ofRows(spark,
+        AsOfJoin(pa, ca, uid, cuser, pus, cus, attr, forward = true))
+      .select(col("event_id"), col("user_id"), col("next_click_us"))
+      .orderBy("event_id")
+  }
+
   /** As-of join composed from built-ins: for
     * each purchase event, the latest click at-or-before it per user —
     * expressed as a running `max(click_ts)` window over the interleaved

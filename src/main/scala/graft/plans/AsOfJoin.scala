@@ -8,19 +8,33 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Native as-of join (SURVEY.md §4's "only if we add a custom as-of-join
-  * physical operator" stretch): for every left row, the greatest right-side
-  * time at or before the left row's time within the same key — emitted as
-  * one extra Long column (-1 when no right row qualifies). Every left row
-  * survives (left-outer semantics).
+  * physical operator" stretch): for every left row, the nearest right-side
+  * time within the same key — emitted as one extra Long column (-1 when no
+  * right row qualifies). Every left row survives (left-outer semantics).
+  *
+  * Matching modes (the standard surface of pandas `merge_asof` / Flink
+  * temporal joins):
+  *  - `forward = false` (default): greatest right time AT OR BEFORE the
+  *    left time;
+  *  - `forward = true`: smallest right time AT OR AFTER the left time;
+  *  - `tolerance >= 0`: the match must additionally lie within
+  *    `tolerance` time units of the left time (max-gap); `-1` = unbounded.
   *
   * Physical shape: the textbook sort-merge as-of. Both children are
   * hash-clustered on the key and sorted by (key, time) — the same
   * requirements a SortMergeJoin declares, satisfied by EnsureRequirements
   * with one exchange + sort per side — and each co-partition is merged in
-  * ONE forward pass holding O(1) state (the last seen right time for the
-  * current key). No candidate pairs ever materialize, which is the whole
-  * advantage over the join-then-filter formulation: a key with n left and
-  * m right rows costs n + m, not n * m.
+  * ONE forward pass holding O(1) state (backward: the last seen right time
+  * for the current key; forward: the frontier right row, never consumed
+  * past the first candidate). No candidate pairs ever materialize, which is
+  * the whole advantage over the join-then-filter formulation: a key with n
+  * left and m right rows costs n + m, not n * m. Tolerance and direction
+  * are one extra comparison in the same loop — the cost model is unchanged.
+  *
+  * Null semantics: right rows with a null key or time are skipped (they
+  * sort first under the required ordering and can never match); left rows
+  * with a null key or time emit the -1 sentinel and survive, preserving
+  * left-outer semantics end to end.
   *
   * The window-composition form (Relational.asOfJoin) remains the
   * API-surface twin; both share one DuckDB oracle.
@@ -28,7 +42,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
                     leftTime: Expression, rightTime: Expression,
-                    asOfAttr: Attribute) extends BinaryNode {
+                    asOfAttr: Attribute,
+                    forward: Boolean = false,
+                    tolerance: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ asOfAttr
   override def producedAttributes: AttributeSet = AttributeSet(asOfAttr)
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -37,8 +53,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, attr) =>
-      AsOfJoinExec(lk, rk, lt, rt, attr, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, attr, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, attr, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -46,6 +62,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         asOfAttr: Attribute,
+                        forward: Boolean, tolerance: Long,
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asOfAttr
@@ -69,29 +86,31 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val rt = BindReferences.bindReference(rightTime, right.output)
     val leftOutput = left.output
     val attr = asOfAttr
+    val fwd = forward
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
       // key/time are extracted the moment a right row is read, so iterator
       // row-object reuse is safe — no copies anywhere in the merge.
-      // evalLong fails fast on null: a null key/time would otherwise unbox
-      // to 0L and silently merge null-key rows into key 0, corrupting the
-      // merge order (the sorted-input contract puts nulls first, not at 0).
-      def evalLong(e: Expression, row: InternalRow, role: String): Long =
-        e.eval(row) match {
-          case l: java.lang.Long => l.longValue()
-          case null => throw new IllegalStateException(
-            s"AsOfJoin: null $role value — as-of key/time columns must be non-null")
-          case other => other.asInstanceOf[Long]
-        }
+      // Null handling per the class contract: null-key/time right rows are
+      // skipped here (nulls sort FIRST under the required ascending order,
+      // so skipping them never breaks merge monotonicity); null-key/time
+      // left rows short-circuit to the -1 sentinel below.
       var rKeyCur = 0L
       var rTimeCur = 0L
       var rValid = false
-      def advanceRight(): Unit =
-        if (rit.hasNext) {
+      def advanceRight(): Unit = {
+        rValid = false
+        while (!rValid && rit.hasNext) {
           val r = rit.next()
-          rKeyCur = evalLong(rk, r, "right key")
-          rTimeCur = evalLong(rt, r, "right time")
-          rValid = true
-        } else rValid = false
+          val kAny = rk.eval(r)
+          val tAny = rt.eval(r)
+          if (kAny != null && tAny != null) {
+            rKeyCur = kAny.asInstanceOf[Long]
+            rTimeCur = tAny.asInstanceOf[Long]
+            rValid = true
+          }
+        }
+      }
       advanceRight()
       var heldKey = 0L
       var heldTime = 0L
@@ -100,13 +119,29 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       val joined = new JoinedRow
       val extra = new GenericInternalRow(1)
       lit.map { l =>
-        val k = evalLong(lk, l, "left key")
-        val t = evalLong(lt, l, "left time")
-        while (rValid && (rKeyCur < k || (rKeyCur == k && rTimeCur <= t))) {
-          if (rKeyCur == k) { heldKey = k; heldTime = rTimeCur; held = true }
-          advanceRight()
+        val kAny = lk.eval(l)
+        val tAny = lt.eval(l)
+        var result = -1L
+        if (kAny != null && tAny != null) {
+          val k = kAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          if (fwd) {
+            // stop at the first right row with time >= t for this key; do
+            // NOT consume it — it may also be the match for later left rows
+            while (rValid && (rKeyCur < k || (rKeyCur == k && rTimeCur < t)))
+              advanceRight()
+            if (rValid && rKeyCur == k && (tol < 0 || rTimeCur - t <= tol))
+              result = rTimeCur
+          } else {
+            while (rValid && (rKeyCur < k || (rKeyCur == k && rTimeCur <= t))) {
+              if (rKeyCur == k) { heldKey = k; heldTime = rTimeCur; held = true }
+              advanceRight()
+            }
+            if (held && heldKey == k && (tol < 0 || t - heldTime <= tol))
+              result = heldTime
+          }
         }
-        extra.update(0, if (held && heldKey == k) heldTime else -1L)
+        extra.update(0, result)
         proj(joined(l, extra))
       }
     }

@@ -48,6 +48,71 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  /** Drive the native operator directly over handcrafted frames — the modes
+    * and null paths the events table can't pin down deterministically.
+    */
+  private def asofFixture(leftRows: Seq[(java.lang.Long, java.lang.Long)],
+                          rightRows: Seq[(java.lang.Long, java.lang.Long)],
+                          forward: Boolean, tolerance: Long): Seq[(Long, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    import spark.implicits._
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val l = leftRows.toDF("k", "t").selectExpr("k", "t")
+    val r = rightRows.toDF("rk", "rt")
+    val la = l.queryExecution.analyzed
+    val ra = r.queryExecution.analyzed
+    val Seq(lk, lt) = la.output
+    val Seq(rk, rt) = ra.output
+    val attr = AttributeReference("m", org.apache.spark.sql.types.LongType, nullable = false)()
+    ColumnShim.ofRows(spark, AsOfJoin(la, ra, lk, rk, lt, rt, attr, forward, tolerance))
+      .orderBy("k", "t").collect().toSeq
+      .map { row =>
+        def nl(i: Int): Long = if (row.isNullAt(i)) Long.MinValue else row.getLong(i)
+        (nl(0), nl(1), row.getLong(2))
+      }
+  }
+
+  test("as-of tolerance: stale matches fall back to the sentinel") {
+    val got = asofFixture(
+      leftRows = Seq((1L: java.lang.Long, 100L: java.lang.Long), (1L, 250L), (1L, 300L)),
+      rightRows = Seq((1L: java.lang.Long, 90L: java.lang.Long), (1L, 210L)),
+      forward = false, tolerance = 50L)
+    // t=100 matches 90 (gap 10); t=250 matches 210 (gap 40); t=300's best
+    // is 210 but the 90-gap exceeds 50 → sentinel
+    assert(got == Seq((1L, 100L, 90L), (1L, 250L, 210L), (1L, 300L, -1L)))
+  }
+
+  test("as-of forward: first right time at or after, shared across left rows") {
+    val got = asofFixture(
+      leftRows = Seq((1L: java.lang.Long, 100L: java.lang.Long), (1L, 150L), (1L, 200L), (2L, 10L)),
+      rightRows = Seq((1L: java.lang.Long, 200L: java.lang.Long), (2L, 5L)),
+      forward = true, tolerance = -1L)
+    // both t=100 and t=150 see the SAME frontier row 200 (peeked, not
+    // consumed); t=200 matches at equality; key 2's only click is before
+    assert(got == Seq((1L, 100L, 200L), (1L, 150L, 200L), (1L, 200L, 200L), (2L, 10L, -1L)))
+  }
+
+  test("as-of forward tolerance bounds the look-ahead gap") {
+    val got = asofFixture(
+      leftRows = Seq((1L: java.lang.Long, 100L: java.lang.Long), (1L, 180L)),
+      rightRows = Seq((1L: java.lang.Long, 200L: java.lang.Long)),
+      forward = true, tolerance = 30L)
+    assert(got == Seq((1L, 100L, -1L), (1L, 180L, 200L)))
+  }
+
+  test("as-of null keys: right nulls are skipped, left nulls survive with sentinel") {
+    val got = asofFixture(
+      leftRows = Seq((null: java.lang.Long, 100L: java.lang.Long), (1L: java.lang.Long, 100L), (1L, null: java.lang.Long)),
+      rightRows = Seq((null: java.lang.Long, 50L: java.lang.Long), (1L: java.lang.Long, null: java.lang.Long), (1L, 80L)),
+      forward = false, tolerance = -1L)
+    // null-key/time right rows can never match; null left rows still emit
+    val m = got.map(r => r._3)
+    assert(got.size == 3 && m.count(_ == 80L) == 1 && m.count(_ == -1L) == 2, got.toString)
+  }
+
   test("banded theta join matches the broadcast nested-loop form row-for-row") {
     val nl = Relational.thetaJoin(spark, sf).collect().toSeq
     val banded = Relational.thetaJoinBanded(spark, sf).collect().toSeq
