@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
-  /** Extract k from `rn <= k` / `rn < k` (with an optional cast on rn). */
+  /** Extract k from `rn <= k` / `rn < k` / `rn = 1` (with an optional cast
+    * on rn). `rn = 1` — the most common top-1 idiom in the wild — is a
+    * top-k with k = 1 because row_number starts at 1; `rn = c` for c > 1
+    * selects a middle rank and is NOT a top-k, so it stays a window.
+    */
   private def limitFor(cond: Expression, rankAttr: Attribute): Option[Int] = {
     def isRank(e: Expression): Boolean = e match {
       case a: Attribute => a.exprId == rankAttr.exprId
@@ -37,6 +41,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case LessThanOrEqual(r, Literal(k: Long, LongType)) if isRank(r) => Some(k.toInt)
       case LessThan(r, Literal(k: Int, IntegerType)) if isRank(r) => Some(k - 1)
       case LessThan(r, Literal(k: Long, LongType)) if isRank(r) => Some(k.toInt - 1)
+      case EqualTo(r, Literal(1, IntegerType)) if isRank(r) => Some(1)
+      case EqualTo(r, Literal(1L, LongType)) if isRank(r) => Some(1)
+      case EqualTo(Literal(1, IntegerType), r) if isRank(r) => Some(1)
+      case EqualTo(Literal(1L, LongType), r) if isRank(r) => Some(1)
       case _ => None
     }
   }
