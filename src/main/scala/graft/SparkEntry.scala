@@ -73,6 +73,7 @@ object SparkEntry {
     "q_window_trailing1h" -> ((s, d) => Windows.trailing1h(s, d)),
     "q_percent_rank"      -> ((s, d) => Windows.percentRank(s, d)),
     "q_ntile"             -> ((s, d) => Windows.ntileBalance(s, d)),
+    "q_ntile_dist"        -> ((s, d) => Windows.ntileBalanceDist(s, d)),
     // ---- B6 sorts / limits / set ops ----
     "q_top20_orders"      -> ((s, d) => SetOps.topOrders(s, d)),
     "q_union_all"         -> ((s, d) => SetOps.unionAll(s, d)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_minhash_sig"       -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_neardup_simhash"   -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_neardup_clusters"  -> ((s, d) => Dedup.neardupClusters(s, d)),
+    "q_dedup_incremental" -> ((s, d) => Dedup.incrementalSurvivors(s, d)),
     "q_dedup_embedding"   -> ((s, d) => Dedup.embeddingPairs(s, d)),
     // ---- B9 text analysis ----
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidfTop3(s, d)),
@@ -420,6 +422,13 @@ object SparkEntry {
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // same semantics (and oracle) as q_ntile, computed by the partition-
+    // parallel range-exchange + global-rank formulation instead of the
+    // single-task global window
+    "q_ntile_dist" ->
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_top20_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -540,6 +549,15 @@ object SparkEntry {
          |SELECT a AS doc_id, least(a, min(b)) AS cluster,
          |       a = least(a, min(b)) AS is_survivor
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // incremental batch-vs-index: odd doc_ids are the new batch, even the
+    // index; survivors = new docs with no cross-side near-dup
+    "q_dedup_incremental" ->
+      s"""WITH $NearDupPairsCte,
+         |dup AS (SELECT doc_b AS doc_id FROM np WHERE doc_a % 2 = 0 AND doc_b % 2 = 1
+         |        UNION SELECT doc_a FROM np WHERE doc_a % 2 = 1 AND doc_b % 2 = 0)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin,
     "q_simhash" -> SimhashOracle,
     // the DuckDB oracle recomputes the same 8 affine-family minima over the
     // md5-60 shingle hashes (constants interpolated from TextHash — the

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextHashFunctions.{jaccardSorted, minHashBands, shingleHashes, simHash60}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface (SURVEY.md §2.B9): exact, hash, and three
@@ -272,6 +272,46 @@ object Dedup {
       .select(col("doc_id"), sigFn(shingleHashes(col("text"))).as("sig"))
     sig.select(col("doc_id") +: (0 until 8).map(i =>
         element_at(col("sig"), i + 1).as(s"s$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Incremental (batch-vs-index) dedup: the OPERATIONAL 100 TB shape. A
+    * corpus is deduped once; every day a new batch arrives and must be
+    * checked against the EXISTING band index, not the whole corpus
+    * recomputed. Here the "index" is the even-doc_id half of the documents
+    * table and the "new batch" is the odd half; the result is the new-batch
+    * docs that survive (no near-dup at Jaccard >= tau against any indexed
+    * doc), i.e. the rows safe to append.
+    *
+    * Shape: new-batch signatures are computed fresh (one codegen'd kernel
+    * pass over the batch only); the index side reuses the SAME fenced band
+    * frame every corpus-at-once query uses — in production that side is a
+    * stored table bucketed by (band, key), so the probe is a co-located
+    * join against batch-sized input and NOTHING over the old corpus is
+    * recomputed. Candidates band-join, verify exactly, and the survivor
+    * set is one anti join on the new ids. In-batch (new-vs-new) duplicates
+    * are the corpus-at-once operators' job composed over the batch alone —
+    * this operator isolates the batch-vs-index step.
+    */
+  def incrementalSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = shingleSets(spark, sfDir)
+    val bandsDf = fence(ss.select(col("doc_id"), minHashBands(col("hs")).as("bands")),
+      "doc_id") // identical plan to minhashPairs' band frame → shared cache entry
+    def side(pred: Column => Column, idCol: String): DataFrame =
+      bandsDf.filter(pred(col("doc_id"))).select(col("doc_id").as(idCol),
+        posexplode(col("bands")).as(Seq("band", "key")))
+    val oldIdx = side(_ % 2 === 0, "doc_old")
+    val newIdx = side(_ % 2 === 1, "doc_new")
+    val cand = newIdx.join(oldIdx, Seq("band", "key"))
+      .select("doc_new", "doc_old").distinct()
+    val sn = ss.select(col("doc_id").as("doc_new"), col("hs").as("hsn"))
+    val so = ss.select(col("doc_id").as("doc_old"), col("hs").as("hso"))
+    val dupNew = cand.join(sn, "doc_new").join(so, "doc_old")
+      .filter(jaccardSorted(col("hsn"), col("hso")) >= ShingleTau)
+      .select("doc_new").distinct()
+    Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1)
+      .select("doc_id")
+      .join(dupNew.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

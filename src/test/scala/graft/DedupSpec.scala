@@ -63,6 +63,24 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("incremental survivors = new batch minus cross-batch near-dups") {
+    import spark.implicits._
+    // independent expected set from the exact all-pairs ground truth:
+    // odd (new-batch) ids having a near-dup pair with an even (indexed) id
+    val pairs = Dedup.jaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val droppedNew = pairs.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => b
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => a
+    }.toSet
+    val allNew = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val got = Dedup.incrementalSurvivors(spark, sf).as[Long].collect().toSet
+    assert(got == allNew -- droppedNew)
+    // dupes of the OTHER parity must not leak into the decision
+    assert(got.forall(_ % 2 == 1))
+  }
+
   test("simhash fingerprints are deterministic across runs") {
     val f1 = Dedup.simhashFingerprints(spark, sf).collect().toSeq
     val f2 = Dedup.simhashFingerprints(spark, sf).collect().toSeq
