@@ -89,13 +89,47 @@ object Windows {
   }
 
   /** ntile quartiles over customer balance (total order incl. unique key —
-    * ntile is only deterministic under a total order).
+    * ntile is only deterministic under a total order). DEMO FORM: the
+    * unpartitioned window funnels every row through one task — fine here,
+    * wrong at scale; [[ntileBalanceDist]] is the scale-honest twin with the
+    * same oracle.
     */
   def ntileBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy("c_acctbal", "c_custkey")
     Tables.customer(spark, sfDir)
       .select(col("c_custkey"), ntile(4).over(w).cast("long").as("quartile"))
       .orderBy("c_custkey")
+  }
+
+  /** EXACT ntile without the single-task global window: range-repartition on
+    * the ordering key (parallel sampled range exchange), sort within each
+    * partition, then assign each row its GLOBAL rank via per-partition
+    * offsets — `zipWithIndex`'s one metadata-sized count job (a handful of
+    * longs to the driver, the same trick Spark itself uses) — and map rank →
+    * bucket with the standard ntile formula (first n%k buckets get one extra
+    * row). Every stage is partition-parallel; no task ever sees more than
+    * its range slice. Same output and oracle as [[ntileBalance]]. This is
+    * the RDD-zone exception the brief carves out: assigning cross-partition
+    * contiguous ranks is genuinely per-partition imperative logic.
+    */
+  def ntileBalanceDist(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_acctbal"))
+    val total = cust.count()
+    val ranked = cust
+      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions("c_acctbal", "c_custkey")
+      .select("c_custkey").rdd.map(_.getLong(0))
+      .zipWithIndex() // range partitions are emitted in ascending range order
+    val base = total / n
+    val rem = total % n
+    val quartiled = ranked.map { case (key, idx) =>
+      val q = if (idx < (base + 1) * rem) idx / (base + 1)
+              else rem + (idx - (base + 1) * rem) / base
+      (key, q + 1)
+    }
+    quartiled.toDF("c_custkey", "quartile").orderBy("c_custkey")
   }
 }
 

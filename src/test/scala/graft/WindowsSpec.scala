@@ -29,6 +29,12 @@ class WindowsSpec extends SparkSpec {
     assert(custom == window)
   }
 
+  test("distributed ntile equals the global-window ntile row-for-row") {
+    val w = Windows.ntileBalance(spark, sf).collect().toSeq
+    val d = Windows.ntileBalanceDist(spark, sf).collect().toSeq
+    assert(d == w)
+  }
+
   test("ntile quartiles are balanced within 1") {
     val df = Windows.ntileBalance(spark, sf)
     val sizes = df.groupBy("quartile").count().collect().map(_.getLong(1))
