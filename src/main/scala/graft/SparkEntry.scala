@@ -123,6 +123,7 @@ object SparkEntry {
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
     "q_binary_meta"       -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "q_lang_centroids"    -> ((s, d) => Multimodal.langCentroids(s, d)),
     "q_media_features"    -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     // ---- B8 streaming batch twins ----
     "q_tumbling_1h"       -> ((s, d) => StreamingTwins.tumbling1h(s, d)),
@@ -752,6 +753,14 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  md5(text) AS checksum, ascii(substr(text,1,1))::BIGINT AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-language embedding centroids; 0-based dim to match posexplode
+    "q_lang_centroids" ->
+      """WITH j AS (SELECT lang, embedding FROM documents JOIN embeddings ON doc_id = vec_id)
+        |SELECT lang, CAST(i - 1 AS BIGINT) AS dim,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*), 6) AS centroid
+        |FROM j, (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY lang, i ORDER BY lang, dim""".stripMargin,
 
     "q_tumbling_1h" ->
       """SELECT (epoch_ns(ts)//3600000000000)*3600 AS bucket_sec, event_type,

@@ -228,9 +228,18 @@ object Dedup {
     * graphs the large-star/small-star variant (Kiveris et al., SoCC'14)
     * drops rounds to O(log n) with the same join-shape per round.
     */
-  def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def neardupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(minhashPairs(spark, sfDir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** Connected components over an ARBITRARY undirected pair frame
+    * (doc_a, doc_b) — the reusable core of [[neardupClusters]], callable on
+    * any pair list (minhash, simhash, embedding pairs, or an external edge
+    * table). Returns (doc_id, cluster, is_survivor) for every node that
+    * appears in a pair; algorithm and scale notes on [[neardupClusters]].
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = minhashPairs(spark, sfDir).select("doc_a", "doc_b")
     // symmetric edge list: propagate labels in both directions
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -257,8 +266,7 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("doc_id"), col("cluster"),
-        (col("doc_id") === col("cluster")).as("is_survivor"))
-      .orderBy("doc_id")
+      (col("doc_id") === col("cluster")).as("is_survivor"))
   }
 
   /** First 8 MinHash signature values per doc as columns — the direct

@@ -49,6 +49,32 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Per-language embedding centroids — the class-prototype computation a
+    * training pipeline runs for clustering seeds, language balance probes,
+    * or nearest-centroid classification. Output is one (lang, dim, centroid)
+    * row per language × dimension.
+    *
+    * Scale shape: `posexplode` widens each doc to 64 (lang, dim, value)
+    * rows, but partial aggregation collapses them MAP-SIDE to at most
+    * langs×64 partial sums per task before the exchange — shuffle volume is
+    * tasks × langs × 64 tiny rows, independent of corpus size. Elements are
+    * cast to DECIMAL(18,6) before summing so the per-dimension sums are
+    * exact and order-independent (bitwise engine-portable, the dsum
+    * discipline).
+    */
+  def langCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    d.join(e, col("doc_id") === col("vec_id"))
+      .select(col("lang"), posexplode(col("embedding")).as(Seq("dim", "ev")))
+      .groupBy("lang", "dim")
+      .agg((sum(col("ev").cast("double").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("c"))
+      .select(col("lang"), col("dim").cast("long").as("dim"),
+        round(col("c"), 6).as("centroid"))
+      .orderBy("lang", "dim")
+  }
+
   /** Binary-column metadata: encode text → bytes, measure and checksum the
     * payload without ever decoding it — the cheap pre-filter pass a media
     * pipeline runs before expensive decode.

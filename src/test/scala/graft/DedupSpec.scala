@@ -63,6 +63,27 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("connected components propagate across chains (multi-round convergence)") {
+    import spark.implicits._
+    // a 5-node chain plus a separate pair: hash-min needs MULTIPLE rounds
+    // here (the corpus's clique-like clusters converge in one), so this
+    // pins the iterative propagation itself, incl. transitivity
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val want = Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false), (5L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false))
+    assert(got == want)
+  }
+
+  test("connected components of an empty pair list are empty") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(none).count() == 0)
+  }
+
   test("incremental survivors = new batch minus cross-batch near-dups") {
     import spark.implicits._
     // independent expected set from the exact all-pairs ground truth:

@@ -106,4 +106,22 @@ class MultimodalSpec extends SparkSpec {
     val j = Multimodal.multimodalJoin(spark, sf)
     assert(j.count() == j.select("doc_id").distinct().count())
   }
+
+  test("language centroids: one row per lang x dim, cell re-derived exactly") {
+    val got = Multimodal.langCentroids(spark, sf)
+    val nLangs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(got.count() == nLangs * 64)
+    // independent re-derivation of the (en, 0) cell with the same decimal
+    // discipline
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), element_at(col("embedding"), 1).cast("double").as("e0"))
+    val want = docs.join(vecs, col("doc_id") === col("vec_id"))
+      .filter(col("lang") === "en")
+      .agg(round(sum(col("e0").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6))
+      .head.getDouble(0)
+    val cell = got.filter(col("lang") === "en" && col("dim") === 0)
+      .select("centroid").head.getDouble(0)
+    assert(cell == want)
+  }
 }
