@@ -218,15 +218,15 @@ object Dedup {
     * of its own label and its neighbors' labels, converging in O(diameter)
     * rounds — near-dup components are dense (candidate pairs come from
     * shared bands, so components are clique-like with diameter 1-2), making
-    * the round count 2-3 in practice. Per round: one equi join pairs + one
+    * the round count 2-3 in practice; the pointer-halving shortcut in
+    * [[connectedComponents]] additionally caps adversarial path-shaped
+    * graphs at O(log n) rounds. Per round: one equi join pairs + one
     * groupBy min, all keyed on 8-byte doc ids — never text. The convergence
     * probe is an aggregated `isEmpty` (metadata-sized driver action, the
     * same shape every iterative graph engine uses); each round's labels are
     * persisted and the previous round's unpersisted, so lineage stays one
     * round deep. At 100 TB scale the same loop holds (label frame = one
-    * (long, long) row per clustered doc); for adversarial high-diameter
-    * graphs the large-star/small-star variant (Kiveris et al., SoCC'14)
-    * drops rounds to O(log n) with the same join-shape per round.
+    * (long, long) row per clustered doc).
     */
   def neardupClusters(spark: SparkSession, sfDir: String): DataFrame =
     connectedComponents(minhashPairs(spark, sfDir).select("doc_a", "doc_b"))
@@ -237,6 +237,17 @@ object Dedup {
     * any pair list (minhash, simhash, embedding pairs, or an external edge
     * table). Returns (doc_id, cluster, is_survivor) for every node that
     * appears in a pair; algorithm and scale notes on [[neardupClusters]].
+    *
+    * Each round is hash-min neighbor propagation PLUS a pointer-halving
+    * shortcut (`l(x) ← l(l(x))`, Shiloach–Vishkin-style pointer jumping):
+    * labels are always node ids with their own label row, so one extra
+    * self-join per round follows the label chain two hops. Propagation
+    * alone converges in O(diameter) rounds; with the shortcut chains
+    * collapse geometrically — O(log n) rounds even on adversarial
+    * path-shaped graphs, at the cost of one more equi join per round.
+    * Labels only ever decrease and are bounded below by the component
+    * minimum, so the combined operator converges to exactly the hash-min
+    * fixpoint.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -249,6 +260,11 @@ object Dedup {
         .select(col("doc_b").as("doc_id"), col("cluster").as("lbl"))
         .union(lbl.select(col("doc_id"), col("cluster").as("lbl")))
         .groupBy("doc_id").agg(min("lbl").as("cluster"))
+    def shortcut(lbl: DataFrame): DataFrame = {
+      val grand = lbl.select(col("doc_id").as("p"), col("cluster").as("gp"))
+      lbl.join(grand, col("cluster") === col("p"))
+        .select(col("doc_id"), least(col("cluster"), col("gp")).as("cluster"))
+    }
     var labels = edges
       .select(col("doc_a").as("doc_id"), col("doc_b").as("lbl"))
       .union(edges.select(col("doc_a").as("doc_id"), col("doc_a").as("lbl")))
@@ -256,8 +272,8 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 32) { // 32 = 2^32-diameter safety valve
-      val next = step(labels).persist(StorageLevel.MEMORY_AND_DISK)
+    while (!converged && rounds < 32) { // 32 = safety valve (log2-bound)
+      val next = shortcut(step(labels)).persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .filter(col("cluster") =!= col("prev")).isEmpty
       labels.unpersist()

@@ -70,6 +70,33 @@ class PropertySpec extends SparkSpec {
     assert(j.filter(col("jab") < 0 || col("jab") > 1).count() == 0)
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val edge = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (a min b, a max b) }
+    val graph = Gen.listOfN(10, edge).map(_.distinct)
+    samples(graph, 5).filter(_.nonEmpty).foreach { edges =>
+      // independent ground truth: union-find pointing larger roots at
+      // smaller ones, so each root is its component minimum
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(m => (m, find(m), m == find(m))).toSet
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("ShingleHashes equals a reference Scala implementation on any input") {
     import spark.implicits._
     import graft.functions.TextHashFunctions.shingleHashes
