@@ -52,6 +52,7 @@ object SparkEntry {
     "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
     "q_asof_join_tolerance" -> ((s, d) => Relational.asOfJoinTolerance(s, d)),
     "q_asof_join_forward" -> ((s, d) => Relational.asOfJoinForward(s, d)),
+    "q_asof_join_payload" -> ((s, d) => Relational.asOfJoinPayload(s, d)),
     // ---- B4 aggregations ----
     "q1_agg"              -> ((s, d) => Aggregates.q1PricingSummary(s, d)),
     "q_global_agg"        -> ((s, d) => Aggregates.globalAgg(s, d)),
@@ -301,6 +302,21 @@ object SparkEntry {
         |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
         |      OVER (PARTITION BY user_id ORDER BY ts
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // payload mode: the matched click's time, id and value ride along
+    // (struct-max oracle — lexicographic on leading epoch_us, tie-free per
+    // the zero same-µs click-click collision probe)
+    "q_asof_join_payload" ->
+      """SELECT event_id, user_id,
+        |  coalesce(m.c_us, -1) AS c_us,
+        |  coalesce(m.c_event, -1) AS c_event,
+        |  coalesce(m.c_value, -1.0) AS c_value FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    max(CASE WHEN event_type = 'click'
+        |             THEN struct_pack(c_us := epoch_us(ts), c_event := event_id, c_value := value) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
         |  FROM events) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // forward direction: first click at or after each purchase

@@ -347,6 +347,37 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** As-of join EMITTING THE MATCHED ROW'S PAYLOAD — the full merge_asof
+    * surface: each purchase gets the time, event_id and value of its latest
+    * preceding click (sentinels when none). Same one-pass merge; the right
+    * row rides along instead of just its timestamp.
+    */
+  def asOfJoinPayload(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val p = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("p_us"))
+    val c = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us_r"),
+        col("event_id").as("c_event_r"), col("value").as("c_value_r"))
+    val pa = p.queryExecution.analyzed
+    val ca = c.queryExecution.analyzed
+    val Seq(eid, uid, pus) = pa.output
+    val Seq(cuser, cusr, _, _) = ca.output
+    val attr = AttributeReference("m_us", org.apache.spark.sql.types.LongType,
+      nullable = false)()
+    ColumnShim.ofRows(spark,
+        AsOfJoin(pa, ca, uid, cuser, pus, cusr, attr, emitRight = true))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_us_r"), lit(-1L)).as("c_us"),
+        coalesce(col("c_event_r"), lit(-1L)).as("c_event"),
+        coalesce(col("c_value_r"), lit(-1.0)).as("c_value"))
+      .orderBy("event_id")
+  }
+
   /** As-of join composed from built-ins: for
     * each purchase event, the latest click at-or-before it per user —
     * expressed as a running `max(click_ts)` window over the interleaved

@@ -44,8 +44,11 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftTime: Expression, rightTime: Expression,
                     asOfAttr: Attribute,
                     forward: Boolean = false,
-                    tolerance: Long = -1L) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output :+ asOfAttr
+                    tolerance: Long = -1L,
+                    emitRight: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (emitRight) left.output ++ right.output.map(_.withNullability(true)) :+ asOfAttr
+    else left.output :+ asOfAttr
   override def producedAttributes: AttributeSet = AttributeSet(asOfAttr)
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -53,8 +56,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, attr, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, attr, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, attr, fwd, tol, emitR) =>
+      AsOfJoinExec(lk, rk, lt, rt, attr, fwd, tol, emitR, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -62,10 +65,17 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         asOfAttr: Attribute,
-                        forward: Boolean, tolerance: Long,
+                        forward: Boolean, tolerance: Long, emitRight: Boolean,
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output :+ asOfAttr
+  /** With `emitRight` the matched right row's columns ride along (nullable,
+    * null-filled on no-match) — the full pandas-`merge_asof` surface rather
+    * than a time lookup. Costs one defensive row copy per right row read;
+    * the merge remains one pass, O(1) state.
+    */
+  override def output: Seq[Attribute] =
+    if (emitRight) left.output ++ right.output.map(_.withNullability(true)) :+ asOfAttr
+    else left.output :+ asOfAttr
   override def producedAttributes: AttributeSet = AttributeSet(asOfAttr)
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -88,15 +98,21 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val attr = asOfAttr
     val fwd = forward
     val tol = tolerance
+    val emitR = emitRight
+    val rightWidth = right.output.length
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
       // key/time are extracted the moment a right row is read, so iterator
-      // row-object reuse is safe — no copies anywhere in the merge.
+      // row-object reuse is safe; in emitRight mode the row itself is
+      // defensively copied at read (one copy per right row — the same cost
+      // an SMJ pays to buffer its streamed side).
       // Null handling per the class contract: null-key/time right rows are
       // skipped here (nulls sort FIRST under the required ascending order,
       // so skipping them never breaks merge monotonicity); null-key/time
       // left rows short-circuit to the -1 sentinel below.
       var rKeyCur = 0L
       var rTimeCur = 0L
+      var rRowCur: InternalRow = null
       var rValid = false
       def advanceRight(): Unit = {
         rValid = false
@@ -107,6 +123,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
           if (kAny != null && tAny != null) {
             rKeyCur = kAny.asInstanceOf[Long]
             rTimeCur = tAny.asInstanceOf[Long]
+            if (emitR) rRowCur = r.copy()
             rValid = true
           }
         }
@@ -114,14 +131,18 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       advanceRight()
       var heldKey = 0L
       var heldTime = 0L
+      var heldRow: InternalRow = null
       var held = false
-      val proj = UnsafeProjection.create(leftOutput :+ attr, leftOutput :+ attr)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      val joinedR = new JoinedRow
       val extra = new GenericInternalRow(1)
+      val nullRight = new GenericInternalRow(rightWidth) // all-null, reused
       lit.map { l =>
         val kAny = lk.eval(l)
         val tAny = lt.eval(l)
         var result = -1L
+        var matchRow: InternalRow = null
         if (kAny != null && tAny != null) {
           val k = kAny.asInstanceOf[Long]
           val t = tAny.asInstanceOf[Long]
@@ -130,19 +151,28 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
             // NOT consume it — it may also be the match for later left rows
             while (rValid && (rKeyCur < k || (rKeyCur == k && rTimeCur < t)))
               advanceRight()
-            if (rValid && rKeyCur == k && (tol < 0 || rTimeCur - t <= tol))
+            if (rValid && rKeyCur == k && (tol < 0 || rTimeCur - t <= tol)) {
               result = rTimeCur
+              matchRow = rRowCur
+            }
           } else {
             while (rValid && (rKeyCur < k || (rKeyCur == k && rTimeCur <= t))) {
-              if (rKeyCur == k) { heldKey = k; heldTime = rTimeCur; held = true }
+              if (rKeyCur == k) {
+                heldKey = k; heldTime = rTimeCur; heldRow = rRowCur; held = true
+              }
               advanceRight()
             }
-            if (held && heldKey == k && (tol < 0 || t - heldTime <= tol))
+            if (held && heldKey == k && (tol < 0 || t - heldTime <= tol)) {
               result = heldTime
+              matchRow = heldRow
+            }
           }
         }
         extra.update(0, result)
-        proj(joined(l, extra))
+        if (emitR)
+          proj(joined(joinedR(l, if (matchRow == null) nullRight else matchRow), extra))
+        else
+          proj(joined(l, extra))
       }
     }
   }

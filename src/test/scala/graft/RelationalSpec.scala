@@ -103,6 +103,20 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, 100L, -1L), (1L, 180L, 200L)))
   }
 
+  test("payload as-of join agrees with the time-only form, sentinels aligned") {
+    val timeOnly = Relational.asOfJoin(spark, sf)
+      .select("event_id", "prev_click_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val payload = Relational.asOfJoinPayload(spark, sf).collect()
+    assert(payload.nonEmpty)
+    payload.foreach { r =>
+      val (eid, cUs, cEvent) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(cUs == timeOnly(eid), s"event $eid: $cUs != ${timeOnly(eid)}")
+      // payload sentinels fire together with the time sentinel
+      assert((cUs == -1L) == (cEvent == -1L), r.toString)
+    }
+  }
+
   test("as-of null keys: right nulls are skipped, left nulls survive with sentinel") {
     val got = asofFixture(
       leftRows = Seq((null: java.lang.Long, 100L: java.lang.Long), (1L: java.lang.Long, 100L), (1L, null: java.lang.Long)),
