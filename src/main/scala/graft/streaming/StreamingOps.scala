@@ -52,6 +52,21 @@ object StreamingOps {
       .withWatermark("ts_us", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAMING incremental dedup against a static index: the streaming twin
+    * of Dedup.incrementalSurvivors' operational shape — documents arrive as
+    * a stream and must not re-enter the corpus if their content fingerprint
+    * already exists in the standing index. A stream-static LEFT ANTI join
+    * on the sha2-256 fingerprint: the static side is the stored index
+    * (re-planned per micro-batch, broadcast under the usual thresholds),
+    * the stream side never shuffles, and output rows are exactly the
+    * appendable arrivals. Input needs a `text` column; the index frame
+    * holds one `fp` column.
+    */
+  def dedupAgainstIndex(docs: DataFrame, index: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", sha2(col("text"), 256))
+      .join(index, Seq("fp"), "left_anti")
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (customer keyed by user_id). The static side re-plans per micro-batch;
     * Spark broadcasts it under the usual thresholds, so the stream never

@@ -40,6 +40,26 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("streaming incremental dedup: stream-static anti join on the index") {
+    // static index = fingerprints of the even-doc_id half (the "existing
+    // corpus"); stream the whole documents table; only docs whose text
+    // fingerprint is NOT indexed come out
+    val docsDir = Files.createTempDirectory("graft-docstream").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val index = docs.filter(col("doc_id") % 2 === 0)
+      .select(sha2(col("text"), 256).as("fp")).distinct()
+    val stream = spark.readStream.schema(docs.schema).parquet(docsDir)
+    val got = runToTable(
+      StreamingOps.dedupAgainstIndex(stream, index), "inc_dedup", "append")
+      .select("doc_id")
+    val want = StreamingOps.dedupAgainstIndex(docs, index).select("doc_id")
+    assert(got.count() == want.count())
+    assert(got.join(want, Seq("doc_id"), "left_anti").count() == 0)
+    // and it genuinely filtered: every even doc's text is indexed
+    assert(got.join(docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), "left_semi").count() == 0)
+  }
+
   // ------------------------------------------------- late-data fixtures
 
   /** 2024-01-01 00:00 UTC, the fixture day. */
