@@ -125,6 +125,7 @@ object SparkEntry {
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
     "q_binary_meta"       -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "q_lang_centroids"    -> ((s, d) => Multimodal.langCentroids(s, d)),
+    "q_centroid_classify" -> ((s, d) => Multimodal.centroidClassify(s, d)),
     "q_media_features"    -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     // ---- B8 streaming batch twins ----
     "q_tumbling_1h"       -> ((s, d) => StreamingTwins.tumbling1h(s, d)),
@@ -777,6 +778,28 @@ object SparkEntry {
         |        / count(*), 6) AS centroid
         |FROM j, (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY lang, i ORDER BY lang, dim""".stripMargin,
+    // nearest-centroid confusion matrix: identical centroid construction,
+    // identical index-order dot products, struct-max argmax (lang
+    // tie-break) — bit-portable across engines
+    "q_centroid_classify" ->
+      """WITH j AS (SELECT lang, embedding FROM documents JOIN embeddings ON doc_id = vec_id),
+        |cent0 AS (SELECT lang AS c_lang, i AS dim,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*), 6) AS c
+        |  FROM j, (SELECT unnest(range(1, 65)) AS i) GROUP BY c_lang, i),
+        |cent AS (SELECT c_lang, list(c ORDER BY dim) AS cvec FROM cent0 GROUP BY c_lang),
+        |ev AS (SELECT vec_id, lang, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings JOIN documents ON vec_id = doc_id),
+        |sc AS (SELECT vec_id, lang, c_lang,
+        |  list_reduce(list_transform(range(1, 65), i -> v[i]*cvec[i]), (a,b) -> a+b)
+        |  / (sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b))) AS cos
+        |  FROM ev, cent),
+        |pred AS (SELECT vec_id, lang,
+        |  (max(struct_pack(cos := cos, c_lang := c_lang))).c_lang AS pred_lang
+        |  FROM sc GROUP BY vec_id, lang)
+        |SELECT lang, pred_lang, count(*) AS n FROM pred
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
     "q_tumbling_1h" ->
       """SELECT (epoch_ns(ts)//3600000000000)*3600 AS bucket_sec, event_type,

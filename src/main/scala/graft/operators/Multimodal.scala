@@ -75,6 +75,38 @@ object Multimodal {
       .orderBy("lang", "dim")
   }
 
+  /** Nearest-centroid classification over the language centroids — the
+    * classify half of the train→classify loop ([[langCentroids]] is the
+    * train half). Every embedding scores against all centroids by cosine
+    * and takes the argmax (struct-max with the language as tie-break, so
+    * the choice is deterministic and engine-portable); output is the
+    * (true lang, predicted lang, count) confusion matrix.
+    *
+    * Scale shape: the centroid table is langs × 64 doubles — broadcast by
+    * construction — so scoring is a map-side nested loop over a
+    * FIXED-SIZE side (langs rows), never a corpus×corpus product; the
+    * confusion matrix aggregates map-side to ≤ langs² rows per task. The
+    * dot products run in the codegen'd DotProduct kernel.
+    */
+  def centroidClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val cent = langCentroids(spark, sfDir)
+      .groupBy(col("lang").as("c_lang"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+        .as("cvec"))
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), v.as("ev"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos", dot(col("ev"), col("cvec"))
+        / (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("cvec"), col("cvec")))))
+      .groupBy("vec_id", "lang")
+      .agg(max(struct(col("cos"), col("c_lang"))).getField("c_lang").as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Binary-column metadata: encode text → bytes, measure and checksum the
     * payload without ever decoding it — the cheap pre-filter pass a media
     * pipeline runs before expensive decode.

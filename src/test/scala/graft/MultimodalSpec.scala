@@ -124,4 +124,15 @@ class MultimodalSpec extends SparkSpec {
       .select("centroid").head.getDouble(0)
     assert(cell == want)
   }
+
+  test("centroid classification covers every embedding exactly once") {
+    val cm = Multimodal.centroidClassify(spark, sf)
+    val total = cm.agg(sum("n")).head.getLong(0)
+    assert(total == Tables.embeddings(spark, sf).count())
+    // predictions come only from real languages
+    val langs = Tables.documents(spark, sf).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cm.select("pred_lang").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(langs))
+  }
 }
