@@ -103,6 +103,7 @@ object SparkEntry {
     "q_neardup_clusters"  -> ((s, d) => Dedup.neardupClusters(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalSurvivors(s, d)),
     "q_dedup_embedding"   -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "q_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
     // ---- B9 text analysis ----
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidfTop3(s, d)),
     "q_bigrams"           -> ((s, d) => TextAnalysis.bigramCounts(s, d)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "q_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
     // ---- B9 pipeline composition: decontamination + keep set ----
     "q_decontaminate"     -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_pipeline_keep"     -> ((s, d) => Pipeline.keepSet(s, d)),
@@ -117,6 +119,8 @@ object SparkEntry {
     // ---- B9 deterministic sampling / data mixing ----
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_sample_k_per_lang" -> ((s, d) => Sampling.sampleKPerStratum(s, d)),
+    "q_sample_importance" -> ((s, d) => Sampling.importanceSample(s, d)),
+    "q_pack_sequences"    -> ((s, d) => Pipeline.packSequences(s, d)),
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
@@ -280,8 +284,8 @@ object SparkEntry {
       """SELECT event_id, user_id, coalesce(prev_click_us, -1) AS prev_click_us FROM (
         |  SELECT event_id, user_id, event_type,
         |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
         |  FROM events) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // same semantics (and oracle) as q_asof_join, computed by the native
@@ -290,8 +294,8 @@ object SparkEntry {
       """SELECT event_id, user_id, coalesce(prev_click_us, -1) AS prev_click_us FROM (
         |  SELECT event_id, user_id, event_type,
         |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
         |  FROM events) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // max-gap variant: the backward match only counts within 30 minutes
@@ -301,13 +305,17 @@ object SparkEntry {
         |       THEN prev_click_us ELSE -1 END AS prev_click_us FROM (
         |  SELECT event_id, user_id, event_type, ts,
         |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
         |  FROM events) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
-    // payload mode: the matched click's time, id and value ride along
-    // (struct-max oracle — lexicographic on leading epoch_us, tie-free per
-    // the zero same-µs click-click collision probe)
+    // payload mode: the matched click's time, id and value ride along.
+    // All as-of oracles use epoch_us RANGE frames, so purchase-click same-µs
+    // pairs are handled identically to the native operator's <=/>= compare
+    // (peers included) regardless of ns tie order. The one remaining tie is
+    // CLICK-CLICK at the matched µs (struct-max picks the larger event_id;
+    // the operator picks its sort-order last) — probed zero such collisions
+    // in events at sf0.01/0.1.
     "q_asof_join_payload" ->
       """SELECT event_id, user_id,
         |  coalesce(m.c_us, -1) AS c_us,
@@ -316,8 +324,8 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type,
         |    max(CASE WHEN event_type = 'click'
         |             THEN struct_pack(c_us := epoch_us(ts), c_event := event_id, c_value := value) END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
         |  FROM events) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // forward direction: first click at or after each purchase
@@ -325,8 +333,8 @@ object SparkEntry {
       """SELECT event_id, user_id, coalesce(next_click_us, -1) AS next_click_us FROM (
         |  SELECT event_id, user_id, event_type,
         |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_us
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_us
         |  FROM events) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
@@ -609,6 +617,19 @@ object SparkEntry {
         |WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
         |      / (sqrt(a.nn)*sqrt(b.nn)) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_embedding_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
+        |ep AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |       FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |       WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |             / (sqrt(a.nn)*sqrt(b.nn)) >= 0.45),
+        |edges AS (SELECT va AS a, vb AS b FROM ep UNION SELECT vb, va FROM ep),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+        |SELECT a AS vec_id, least(a, min(b)) AS cluster,
+        |       a = least(a, min(b)) AS is_survivor
+        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),
@@ -736,6 +757,32 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, sample_key FROM h
         |WHERE sample_key < CASE WHEN lang = 'en' THEN 300000000 ELSE 100000000 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_importance" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS h
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens FROM h
+        |WHERE h < least(n_tokens, 200) * 2500000
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """SELECT doc_id, lang, n_tokens, ((cum - n_tokens) // 4096)::BIGINT AS pack_id FROM (
+        |  SELECT doc_id, lang, len(string_split(text,' '))::BIGINT AS n_tokens,
+        |    sum(len(string_split(text,' '))::BIGINT)
+        |      OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN (len(w)-2)::BIGINT ELSE 0 END AS n_grams,
+        |  CASE WHEN len(w) >= 3
+        |       THEN len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]))::BIGINT
+        |       ELSE 0 END AS n_distinct,
+        |  CASE WHEN len(w) >= 3
+        |       THEN round(1.0 - len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]))::DOUBLE
+        |                  / (len(w)-2), 6)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     "q_sample_k_per_lang" ->
       """WITH h AS (SELECT doc_id, lang,

@@ -116,6 +116,8 @@ object Dedup {
     * threshold. Joins the candidate list back to two independently-built
     * shingle-hash frames; the Jaccard itself is a codegen'd two-pointer
     * merge over the sorted hash arrays (no per-pair set allocation).
+    * UNSORTED — presentation callers add their own orderBy; plan-internal
+    * consumers (connected components) skip the range-partition sort.
     */
   private def verifyPairs(spark: SparkSession, sfDir: String, cand: DataFrame): DataFrame = {
     val sa = shingleSets(spark, sfDir).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hsa")
@@ -124,24 +126,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccardSorted(col("hsa"), col("hsb")).as("j"))
       .filter(col("j") >= ShingleTau)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jac"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact near-dup via inverted index: explode shingle hashes, self-join on
     * the 8-byte hash, then — because shingle-hash sets are distinct — the
-    * per-pair match COUNT from that join IS the intersection size. Joining
-    * back only the two set sizes (broadcast, int-only) yields exact Jaccard
-    * with zero per-pair set operations. Complete because jaccard >= tau > 0
-    * implies at least one shared shingle.
+    * per-pair match COUNT from that join IS the intersection size. The two
+    * set sizes ride along with the index entries (two ints per row) and
+    * aggregate as `min` (constant per doc), so exact Jaccard falls out of
+    * the single groupBy — no join back to the corpus, no broadcast builds,
+    * and the map-side partial aggregate means the widened rows never
+    * inflate the shuffle beyond the candidate-pair count. Complete because
+    * jaccard >= tau > 0 implies at least one shared shingle.
     */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val ia = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), explode(col("hs")).as("s"))
-    val ib = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), explode(col("hs")).as("s"))
-    val overlap = ia.join(ib, "s").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    val za = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), size(col("hs")).as("na"))
-    val zb = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), size(col("hs")).as("nb"))
-    overlap.join(broadcast(za), "doc_a").join(broadcast(zb), "doc_b")
+    val ia = shingleSets(spark, sfDir)
+      .select(col("doc_id").as("doc_a"), size(col("hs")).as("na"), explode(col("hs")).as("s"))
+    val ib = shingleSets(spark, sfDir)
+      .select(col("doc_id").as("doc_b"), size(col("hs")).as("nb"), explode(col("hs")).as("s"))
+    ia.join(ib, "s").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("ni"), min("na").as("na"), min("nb").as("nb"))
       .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
       .filter(col("j") >= ShingleTau)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jac"))
@@ -181,7 +185,7 @@ object Dedup {
     val pb = pref.select(col("doc_id").as("doc_b"), col("s"))
     val cand = pa.join(pb, "s").filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verifyPairs(spark, sfDir, cand)
+    verifyPairs(spark, sfDir, cand).orderBy("doc_a", "doc_b")
   }
 
   // -------------------------------------------------------------- minhash
@@ -193,7 +197,14 @@ object Dedup {
     * corpus; output is identical to the exact strategies. Shuffle key =
     * (band, mixed 4-row signature) — constant width regardless of doc size.
     */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsRaw(spark, sfDir).orderBy("doc_a", "doc_b")
+
+  /** [[minhashPairs]] without the presentation sort — the pair feed for
+    * [[neardupClusters]], which immediately re-shuffles by node id and
+    * would waste the range-partition exchange a global sort costs.
+    */
+  private def minhashPairsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val bandsDf = fence(shingleSets(spark, sfDir)
       .select(col("doc_id"), minHashBands(col("hs")).as("bands")),
       "doc_id") // fence: materialize the 16 band keys before the self-join
@@ -218,19 +229,22 @@ object Dedup {
     * of its own label and its neighbors' labels, converging in O(diameter)
     * rounds — near-dup components are dense (candidate pairs come from
     * shared bands, so components are clique-like with diameter 1-2), making
-    * the round count 2-3 in practice; the pointer-halving shortcut in
+    * the round count 1-3 in practice; the pointer-halving shortcut in
     * [[connectedComponents]] additionally caps adversarial path-shaped
     * graphs at O(log n) rounds. Per round: one equi join pairs + one
-    * groupBy min, all keyed on 8-byte doc ids — never text. The convergence
-    * probe is an aggregated `isEmpty` (metadata-sized driver action, the
-    * same shape every iterative graph engine uses); each round's labels are
-    * persisted and the previous round's unpersisted, so lineage stays one
-    * round deep. At 100 TB scale the same loop holds (label frame = one
-    * (long, long) row per clustered doc).
+    * groupBy min, all keyed on 8-byte doc ids — never text. The pair feed
+    * is the UNSORTED minhash pipeline (the presentation sort would be an
+    * immediately-discarded range exchange). At 100 TB scale the same loop
+    * holds (label frame = one (long, long) row per clustered doc).
     */
   def neardupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(minhashPairs(spark, sfDir).select("doc_a", "doc_b"))
-      .orderBy("doc_id")
+    neardupClustersRaw(spark, sfDir).orderBy("doc_id")
+
+  /** [[neardupClusters]] without the presentation sort, for plan-internal
+    * consumers ([[Pipeline.keepSetNearDup]]'s loser anti join).
+    */
+  private[operators] def neardupClustersRaw(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(minhashPairsRaw(spark, sfDir).select("doc_a", "doc_b"))
 
   /** Connected components over an ARBITRARY undirected pair frame
     * (doc_a, doc_b) — the reusable core of [[neardupClusters]], callable on
@@ -248,13 +262,32 @@ object Dedup {
     * Labels only ever decrease and are bounded below by the component
     * minimum, so the combined operator converges to exactly the hash-min
     * fixpoint.
+    *
+    * Iteration mechanics (this is the one genuinely iterative operator, so
+    * its driver-side shape matters as much as its shuffles):
+    *  - the pair list is `localCheckpoint`ed ONCE up front: the edge list
+    *    is re-read every round, and without the checkpoint the symmetric
+    *    union would compute the (possibly expensive) upstream candidate
+    *    pipeline twice, then every round would re-plan the whole lineage;
+    *  - convergence is decided by a single scalar aggregate per round:
+    *    labels are monotonically non-increasing, so the label SUM is
+    *    strictly smaller iff any label changed — no per-round compare
+    *    join, no second action (sum is carried as decimal(38,0), exact for
+    *    any node count × id range);
+    *  - each round's labels persist and the previous round's unpersist, so
+    *    lineage stays one round deep; the returned frame is checkpointed so
+    *    every intermediate (including the last round's labels) can be
+    *    unpersisted before returning — callers never inherit cached state
+    *    (the checkpoint blocks themselves are reclaimed by the
+    *    ContextCleaner once the result frame is unreferenced).
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // symmetric edge list: propagate labels in both directions
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the pair list once, truncating upstream lineage
+    val p = pairs.localCheckpoint()
+    // symmetric edge list: propagate labels in both directions (lazy — two
+    // map-side reads of the checkpointed blocks, nothing recomputes)
+    val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     def step(lbl: DataFrame): DataFrame =
       lbl.join(edges, col("doc_id") === col("doc_a"))
         .select(col("doc_b").as("doc_id"), col("cluster").as("lbl"))
@@ -265,24 +298,37 @@ object Dedup {
       lbl.join(grand, col("cluster") === col("p"))
         .select(col("doc_id"), least(col("cluster"), col("gp")).as("cluster"))
     }
+    def labelSum(lbl: DataFrame): java.math.BigDecimal = {
+      val s = lbl.agg(sum(col("cluster").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty node set
+    }
     var labels = edges
       .select(col("doc_a").as("doc_id"), col("doc_b").as("lbl"))
       .union(edges.select(col("doc_a").as("doc_id"), col("doc_a").as("lbl")))
       .groupBy("doc_id").agg(min("lbl").as("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) { // 32 = safety valve (log2-bound)
       val next = shortcut(step(labels)).persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       rounds += 1
     }
-    edges.unpersist()
-    labels.select(col("doc_id"), col("cluster"),
-      (col("doc_id") === col("cluster")).as("is_survivor"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $rounds rounds — " +
+          "unconverged labels must never be mistaken for components")
+    val out = labels
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_survivor"))
+      .localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** First 8 MinHash signature values per doc as columns — the direct
@@ -404,7 +450,22 @@ object Dedup {
     * (cos >= 0.9, the dedup case) the banded generators of the text family
     * (MinHash/SimHash over quantized vectors) apply and ARE sub-quadratic.
     */
-  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingPairsRaw(spark, sfDir).orderBy("vec_a", "vec_b")
+
+  /** Embedding near-dup CLUSTERS: the same pair→component→survivor
+    * completion [[neardupClusters]] gives text near-dups, over the
+    * embedding-cosine pair graph — semantic dedup's deletion list. Reuses
+    * [[connectedComponents]] unchanged (it is id-agnostic); the pair feed
+    * skips the presentation sort.
+    */
+  def embeddingClusters(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(embeddingPairsRaw(spark, sfDir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("is_survivor"))
+      .orderBy("vec_id")
+
+  private def embeddingPairsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val B = EmbeddingBlocks
     val v = expr("transform(embedding, x -> cast(x as double))")
@@ -428,6 +489,5 @@ object Dedup {
       .withColumn("cos", dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= CosineTau)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-      .orderBy("vec_a", "vec_b")
   }
 }

@@ -86,8 +86,33 @@ object Pipeline {
     * into components, keep one per cluster — composed as one more id-keyed
     * anti join on the (tiny: clustered-docs-only) loser list.
     */
+  /** Tokens per packed training sequence for [[packSequences]]. */
+  val PackLen = 4096L
+
+  /** Sequence packing: assign each document to the fixed-size training
+    * sequence (pack) its first token lands in, packing contiguously in
+    * doc_id order within each language. pack_id = (running token total
+    * BEFORE this doc) div PackLen — the contiguous-chunking formulation of
+    * training-sequence packing (deterministic, order-defined, exactly
+    * reproducible), not the NP-hard bin-packing variant. One running-sum
+    * window per language: partition-parallel across langs at any scale,
+    * the same caveat-free shape as the B5 running frames. All-integer
+    * arithmetic end to end.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(col("text"), " ")).cast("long")
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("lang").orderBy("doc_id")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackLen").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   def keepSetNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val losers = Dedup.neardupClusters(spark, sfDir)
+    val losers = Dedup.neardupClustersRaw(spark, sfDir)
       .filter(col("doc_id") =!= col("cluster"))
       .select("doc_id")
     keepSet(spark, sfDir)

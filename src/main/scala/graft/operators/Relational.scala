@@ -387,9 +387,13 @@ object Relational {
   def asOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, sfDir)
-    val w = Window.partitionBy("user_id").orderBy("ts")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // µs output: the DuckDB oracle reads parquet ns-timestamps truncated to µs
+    // RANGE frame over the µs-truncated time: exactly the native operator's
+    // `click_us <= purchase_us` semantics, INCLUDING clicks that share the
+    // purchase's microsecond (a ns-ordered ROWS frame would make same-µs
+    // membership depend on ns tie order — a latent oracle divergence; the
+    // DuckDB oracle uses the same epoch_us RANGE frame)
+    val w = Window.partitionBy("user_id").orderBy(expr("ts div 1000"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("prev_click_us",
         max(when(col("event_type") === "click", expr("ts div 1000"))).over(w))
       .filter(col("event_type") === "purchase")

@@ -58,6 +58,25 @@ object Sampling {
     * are (standard mod-hash holdout behavior). One shuffle on (lang),
     * bounded k per stratum via the ranking window.
     */
+  /** Importance (length-weighted) sample: acceptance probability scales
+    * with document token count — p(doc) = min(n_tokens, 200)/400, i.e.
+    * rate = min(n_tokens, 200) * 2 500 000 on the [0, 1e9) hash scale. A
+    * longer doc carries proportionally more training tokens, so a token-
+    * budgeted mixing draw samples it proportionally more often (capped so
+    * outliers can't dominate). All-INTEGER rate arithmetic — exact and
+    * engine-portable, no float threshold to diverge on. Map-side filter
+    * like [[stratifiedSample]]: no shuffle at any scale.
+    */
+  def importanceSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("h", hashBucket(col("doc_id").cast("string")))
+      .filter(col("h") < least(col("n_tokens"), lit(200L)) * 2500000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def sampleKPerStratum(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Tables.documents(spark, sfDir)

@@ -142,4 +142,29 @@ object TextAnalysis {
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq_tokens"),
         col("n_chars"))
       .orderBy("doc_id")
+
+  /** Intra-document repetition score: the fraction of a doc's 3-gram
+    * shingles that are duplicates of an earlier one (Gopher/MassiveText-
+    * style "repetitious document" signal — Rae et al. 2021 filter on
+    * duplicate n-gram fraction). n_grams = tokens-2 sliding 3-grams;
+    * n_distinct comes from the codegen'd ShingleHashes kernel (already
+    * distinct-and-sorted, one compiled pass per doc); dup_frac =
+    * 1 - n_distinct/n_grams. Docs under 3 tokens have no 3-grams → all
+    * three are 0. Map-side only — no shuffle, no state; the same single
+    * pass at any corpus size.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.shingleHashes
+    val nTok = size(split(col("text"), " "))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(nTok >= 3, (nTok - 2).cast("long")).otherwise(0L).as("n_grams"),
+        when(nTok >= 3, size(shingleHashes(col("text"))).cast("long"))
+          .otherwise(0L).as("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
 }

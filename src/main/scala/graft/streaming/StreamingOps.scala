@@ -59,13 +59,19 @@ object StreamingOps {
     * on the sha2-256 fingerprint: the static side is the stored index
     * (re-planned per micro-batch, broadcast under the usual thresholds),
     * the stream side never shuffles, and output rows are exactly the
-    * appendable arrivals. Input needs a `text` column; the index frame
-    * holds one `fp` column.
+    * appendable arrivals — with the input's own columns, not the internal
+    * fingerprint (a uniquely-named probe column, dropped after the anti
+    * join, so a pre-existing `fp` column on the input also survives
+    * untouched). Input needs a `text` column; the index frame holds one
+    * `fp` column.
     */
-  def dedupAgainstIndex(docs: DataFrame, index: DataFrame): DataFrame =
+  def dedupAgainstIndex(docs: DataFrame, index: DataFrame): DataFrame = {
+    val probe = "__graft_fp_probe"
     docs
-      .withColumn("fp", sha2(col("text"), 256))
-      .join(index, Seq("fp"), "left_anti")
+      .withColumn(probe, sha2(col("text"), 256))
+      .join(index.select(col("fp").as(probe)), Seq(probe), "left_anti")
+      .drop(probe)
+  }
 
   /** Stream-static join: enrich the event stream with a static dimension
     * (customer keyed by user_id). The static side re-plans per micro-batch;

@@ -84,6 +84,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(none).count() == 0)
   }
 
+  test("embedding clusters match a driver-side union-find over embedding pairs") {
+    import spark.implicits._
+    val pairs = Dedup.embeddingPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    val members = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val want = members.map { m => val root = find(m); (m, root, m == root) }.toSet
+    val got = Dedup.embeddingClusters(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == want)
+  }
+
   test("incremental survivors = new batch minus cross-batch near-dups") {
     import spark.implicits._
     // independent expected set from the exact all-pairs ground truth:

@@ -63,4 +63,29 @@ class PipelineSpec extends SparkSpec {
     assert(keep.count() < Tables.documents(spark, sf).count())
     assert(keep.count() > 0)
   }
+
+  test("pack sequences: contiguous monotone packs from a driver-side recount") {
+    import spark.implicits._
+    val want = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (id, _, text) =>
+          val n = text.split(" ", -1).length.toLong
+          val pack = cum / Pipeline.PackLen
+          cum += n
+          (id, lang, n, pack)
+        }
+      }.toSet
+    val got = Pipeline.packSequences(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == want)
+    // pack ids per language are non-decreasing in doc_id order and start at 0
+    val perLang = got.toSeq.groupBy(_._2)
+    perLang.foreach { case (lang, rows) =>
+      val packs = rows.sortBy(_._1).map(_._4)
+      assert(packs.head == 0L, s"$lang first pack ${packs.head}")
+      assert(packs.zip(packs.tail).forall { case (a, b) => b >= a }, s"$lang not monotone")
+    }
+  }
 }

@@ -58,4 +58,22 @@ class SamplingSpec extends SparkSpec {
       .select("lang", "doc_id").as[(String, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("importance sample admits exactly the docs under their length rate") {
+    import spark.implicits._
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000000L).as("h"))
+      .as[(Long, Long, Long)].collect()
+      .collect { case (id, n, h) if h < math.min(n, 200L) * 2500000L => id }
+      .toSet
+    val got = Sampling.importanceSample(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // determinism across invocations
+    assert(got == Sampling.importanceSample(spark, sf)
+      .select("doc_id").as[Long].collect().toSet)
+  }
 }

@@ -46,4 +46,21 @@ class TextAnalysisSpec extends SparkSpec {
     val t = TextAnalysis.tokenStats(spark, sf)
     assert(t.filter(col("n_ws_tokens") =!= col("n_re_tokens")).count() == 0)
   }
+
+  test("repetition matches a driver-side sliding-window recount") {
+    import spark.implicits._
+    val want = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val grams =
+          if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+        val (n, d) = (grams.size.toLong, grams.distinct.size.toLong)
+        val frac = if (n > 0) BigDecimal(1.0 - d.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+        (id, n, d, frac)
+      }.toSet
+    val got = TextAnalysis.repetition(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
 }
