@@ -121,6 +121,8 @@ object SparkEntry {
     "q_sample_k_per_lang" -> ((s, d) => Sampling.sampleKPerStratum(s, d)),
     "q_sample_importance" -> ((s, d) => Sampling.importanceSample(s, d)),
     "q_pack_sequences"    -> ((s, d) => Pipeline.packSequences(s, d)),
+    "q_source_mix"        -> ((s, d) => Sampling.sourceMix(s, d)),
+    "q_mixture_rebalance" -> ((s, d) => Sampling.mixtureRebalance(s, d)),
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
@@ -766,6 +768,19 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens FROM h
         |WHERE h < least(n_tokens, 200) * 2500000
         |ORDER BY doc_id""".stripMargin,
+    "q_source_mix" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(string_split(text,' '))::BIGINT)::BIGINT AS n_tokens,
+        |  round(avg(length(text)), 6) AS avg_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "q_mixture_rebalance" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_src FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_src)::BIGINT AS n_total, count(*)::BIGINT AS n_sources FROM c),
+        |r AS (SELECT source, least(1000000000, (n_total * 1000000000) // (n_sources * n_src))::BIGINT AS rate
+        |      FROM c, t)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pack_sequences" ->
       """SELECT doc_id, lang, n_tokens, ((cum - n_tokens) // 4096)::BIGINT AS pack_id FROM (
         |  SELECT doc_id, lang, len(string_split(text,' '))::BIGINT AS n_tokens,

@@ -77,6 +77,47 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Data-mixture report: per (source, lang) document counts, token mass
+    * and mean quality — the table a mixing decision reads. One partial-agg
+    * groupBy; group count = |sources|x|langs|, independent of corpus size.
+    */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", nTok)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        round(avg(length(col("text"))), 6).as("avg_chars"))
+      .orderBy("source", "lang")
+  }
+
+  /** Mixture rebalancing: deterministically subsample so every source
+    * contributes (up to) an equal share — the static-reweighting step of
+    * data mixing. Per-source acceptance rate on the [0, 1e9) hash scale:
+    * rate(s) = min(1e9, total * 1e9 / (n_sources * count(s))), i.e. an
+    * over-represented source is thinned to the uniform share and an under-
+    * represented one keeps everything. The rate table is one tiny
+    * aggregate (|sources| rows) broadcast back; acceptance is the same
+    * map-side hash filter as every other sampler. All-integer: exact and
+    * engine-portable up to ~9e9 docs (longs); beyond that the rate compute
+    * moves to decimal — a type change, not a plan change.
+    */
+  def mixtureRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val totals = counts.agg(sum("n_src").as("n_total"),
+      count(lit(1)).as("n_sources"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1000000000L),
+          expr("(n_total * 1000000000L) div (n_sources * n_src)")).as("rate"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("h", hashBucket(col("doc_id").cast("string")))
+      .filter(col("h") < col("rate"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   def sampleKPerStratum(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Tables.documents(spark, sfDir)

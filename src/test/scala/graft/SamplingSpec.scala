@@ -59,6 +59,44 @@ class SamplingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("source mix covers every (source, lang) cell with exact doc counts") {
+    import spark.implicits._
+    val mix = Sampling.sourceMix(spark, sf)
+    val want = Tables.documents(spark, sf)
+      .groupBy("source", "lang").count()
+      .as[(String, String, Long)].collect().toSet
+    val got = mix.select("source", "lang", "n_docs")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want)
+    assert(mix.filter(col("n_tokens") <= 0).count() == 0)
+  }
+
+  test("mixture rebalance thins over-represented sources toward uniform") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val nTotal = docs.count()
+    val srcCounts = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val nSources = srcCounts.size
+    val kept = Sampling.mixtureRebalance(spark, sf)
+    // every kept doc passes its source's exact integer rate; recompute
+    val rates = srcCounts.map { case (s, n) =>
+      s -> math.min(1000000000L, nTotal * 1000000000L / (nSources * n))
+    }
+    val keptBySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    srcCounts.foreach { case (s, n) =>
+      val r = rates(s)
+      if (r == 1000000000L) // under-represented: keeps everything
+        assert(keptBySrc.getOrElse(s, 0L) == n, s"source $s should keep all")
+      else { // thinned: realized fraction tracks rate/1e9 (wide tolerance at test sf)
+        val frac = keptBySrc.getOrElse(s, 0L).toDouble / n
+        assert(frac < 1.0, s"source $s not thinned")
+      }
+    }
+    // determinism
+    assert(kept.collect().toSeq == Sampling.mixtureRebalance(spark, sf).collect().toSeq)
+  }
+
   test("importance sample admits exactly the docs under their length rate") {
     import spark.implicits._
     val want = Tables.documents(spark, sf)
