@@ -43,14 +43,23 @@ object Sampling {
     * (0.30 for 'en', 0.10 for the rest) under [[hashBucket]]'s uniform
     * 60-bit hash.
     */
-  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The stratified keep-predicate on (doc_id, lang) — STATELESS, so the
+    * identical expression serves the batch query below and the streaming
+    * form (graft.streaming.StreamingOps.sampleStratified): a doc stream
+    * sampled per micro-batch selects exactly the rows the batch operator
+    * would, because the decision is a pure row-local hash compare.
+    */
+  private[graft] def stratifiedKeep: Column = {
     val rate = when(col("lang") === "en", lit(300000000L)).otherwise(lit(100000000L))
-    Tables.documents(spark, sfDir)
-      .withColumn("h", hashBucket(col("doc_id").cast("string")))
-      .filter(col("h") < rate)
-      .select(col("doc_id"), col("lang"), col("h").as("sample_key"))
-      .orderBy("doc_id")
+    hashBucket(col("doc_id").cast("string")) < rate
   }
+
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(stratifiedKeep)
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id").cast("string")).as("sample_key"))
+      .orderBy("doc_id")
 
   /** Fixed-size per-stratum draw: the k docs with the smallest key hash in
     * each language — a deterministic "uniform without replacement" sample

@@ -73,6 +73,16 @@ object StreamingOps {
       .drop(probe)
   }
 
+  /** STREAMING deterministic sampling: the stratified hash filter applied
+    * per arriving micro-batch. Because the keep decision is a pure
+    * row-local hash compare (graft.operators.Sampling.stratifiedKeep —
+    * no state, no watermark), the streamed sample over any arrival order
+    * equals the batch sample over the same rows: exactly-once mixing
+    * semantics under retries for free.
+    */
+  def sampleStratified(docs: DataFrame): DataFrame =
+    docs.filter(graft.operators.Sampling.stratifiedKeep)
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (customer keyed by user_id). The static side re-plans per micro-batch;
     * Spark broadcasts it under the usual thresholds, so the stream never

@@ -97,6 +97,16 @@ class SamplingSpec extends SparkSpec {
     assert(kept.collect().toSeq == Sampling.mixtureRebalance(spark, sf).collect().toSeq)
   }
 
+  test("mixture rebalance broadcasts the rate table onto the doc scan") {
+    // the rate side is |sources| rows — the doc side must pick it up via
+    // broadcast, never co-shuffle the corpus against it
+    val df = Sampling.mixtureRebalance(spark, sf)
+    df.collect() // finalize any adaptive plan before inspecting
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side sort-merge join in:\n$plan")
+  }
+
   test("importance sample admits exactly the docs under their length rate") {
     import spark.implicits._
     val want = Tables.documents(spark, sf)

@@ -60,6 +60,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.join(docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("streaming stratified sample equals the batch sample (stateless hash)") {
+    val docsDir = Files.createTempDirectory("graft-samplestream").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(docsDir)
+    val got = runToTable(
+      StreamingOps.sampleStratified(stream), "sample_stream", "append")
+      .select("doc_id")
+    val want = operators.Sampling.stratifiedSample(spark, sf).select("doc_id")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.join(want, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   // ------------------------------------------------- late-data fixtures
 
   /** 2024-01-01 00:00 UTC, the fixture day. */
