@@ -112,8 +112,15 @@ object SparkEntry {
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
+    // ---- B9 corpus curation: LM scoring, vocab, collocations, PII ----
+    "q_lm_perplexity"     -> ((s, d) => Curation.lmPerplexity(s, d)),
+    "q_vocab_prune"       -> ((s, d) => Curation.vocabPrune(s, d)),
+    "q_pmi_bigrams"       -> ((s, d) => Curation.pmiBigrams(s, d)),
+    "q_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
+    "q_dup_ngrams"        -> ((s, d) => Dedup.dupNgramFractions(s, d)),
     // ---- B9 pipeline composition: decontamination + keep set ----
     "q_decontaminate"     -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "q_decontaminate_overlap" -> ((s, d) => Pipeline.decontaminateOverlap(s, d)),
     "q_pipeline_keep"     -> ((s, d) => Pipeline.keepSet(s, d)),
     "q_pipeline_keep_neardup" -> ((s, d) => Pipeline.keepSetNearDup(s, d)),
     // ---- B9 deterministic sampling / data mixing ----
@@ -703,6 +710,84 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+        |         ELSE w END)) AS s FROM toks),
+        |bench AS (SELECT DISTINCT s, 1 AS hit FROM sh WHERE doc_id % 97 = 0)
+        |SELECT sh.doc_id, count(*)::BIGINT AS n_sh, count(hit)::BIGINT AS n_hit,
+        |  round(count(hit)::DOUBLE / count(*), 6) AS overlap_frac,
+        |  (count(hit) * 20 >= count(*)) AS contaminated
+        |FROM sh LEFT JOIN bench ON sh.s = bench.s
+        |WHERE sh.doc_id % 97 <> 0
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    "q_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+        |         ELSE w END)) AS s FROM toks),
+        |df AS (SELECT s, count(*)::BIGINT AS nd FROM sh GROUP BY s)
+        |SELECT sh.doc_id, count(*)::BIGINT AS n_sh,
+        |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+        |  round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS shared_frac,
+        |  (sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 5 >= count(*) * 4) AS mostly_dup
+        |FROM sh JOIN df USING (s)
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    "q_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b FROM t),
+        |db AS (SELECT doc_id, b, count(*)::BIGINT AS nb FROM bg GROUP BY doc_id, b),
+        |c2 AS (SELECT b, sum(nb)::BIGINT AS c2 FROM db GROUP BY b),
+        |ch AS (SELECT string_split(b,' ')[1] AS w1, sum(c2)::BIGINT AS ch FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok)::BIGINT AS v
+        |      FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
+        |p AS (SELECT b, round(-ln((c2 + 0.5) / (ch + 0.5*v)), 8)::DECIMAL(18,8) AS nlp
+        |      FROM c2 JOIN ch ON string_split(c2.b,' ')[1] = ch.w1 CROSS JOIN v)
+        |SELECT db.doc_id, sum(nb)::BIGINT AS n_bigrams,
+        |  round(sum(nlp*nb::DECIMAL(10,0))::DOUBLE / sum(nb)::DOUBLE, 6) AS avg_nll,
+        |  round(exp(sum(nlp*nb::DECIMAL(10,0))::DOUBLE / sum(nb)::DOUBLE), 6) AS ppl
+        |FROM db JOIN p USING (b)
+        |GROUP BY db.doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab_prune" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |dw AS (SELECT doc_id, w, count(*)::BIGINT AS nw FROM tok GROUP BY doc_id, w),
+        |wc AS (SELECT w, sum(nw)::BIGINT AS cnt FROM dw GROUP BY w),
+        |tt AS (SELECT sum(cnt)::BIGINT AS total FROM wc)
+        |SELECT doc_id, sum(nw)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN cnt*1000 >= total THEN 0 ELSE nw END)::BIGINT AS n_oov,
+        |  round(sum(CASE WHEN cnt*1000 >= total THEN 0 ELSE nw END)::DOUBLE / sum(nw)::DOUBLE, 6) AS oov_rate
+        |FROM dw JOIN wc USING (w) CROSS JOIN tt
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pmi_bigrams" ->
+      """WITH bg AS (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b
+        |            FROM (SELECT string_split(text,' ') AS w FROM documents)),
+        |c2 AS (SELECT b, count(*)::BIGINT AS c2 FROM bg GROUP BY b),
+        |cl AS (SELECT string_split(b,' ')[1] AS w1, sum(c2)::BIGINT AS cl FROM c2 GROUP BY 1),
+        |cr AS (SELECT string_split(b,' ')[2] AS w2, sum(c2)::BIGINT AS cr FROM c2 GROUP BY 1),
+        |n AS (SELECT sum(c2)::BIGINT AS nb FROM c2)
+        |SELECT b, c2, round(ln(nb::DOUBLE * c2 / (cl * cr)), 6) AS pmi
+        |FROM c2 JOIN cl ON string_split(c2.b,' ')[1] = cl.w1
+        |        JOIN cr ON string_split(c2.b,' ')[2] = cr.w2
+        |        CROSS JOIN n
+        |WHERE c2 >= 20
+        |ORDER BY pmi DESC, b LIMIT 20""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH s AS (SELECT doc_id,
+        |  text || ' user' || doc_id::VARCHAR || '@mail' || (doc_id % 10)::VARCHAR
+        |       || '.com tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |       || ' ip 10.' || (doc_id % 200)::VARCHAR || '.'
+        |       || ((doc_id // 200) % 200)::VARCHAR || '.' || (doc_id % 250)::VARCHAR AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(s, '[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+        |  len(regexp_extract_all(s, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+'))::BIGINT AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_pipeline_keep" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3

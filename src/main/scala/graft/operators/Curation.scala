@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining pipeline runs beyond dedup:
+  * statistical language-model quality scoring, vocabulary pruning / OOV
+  * accounting, collocation mining, and PII redaction.
+  *
+  * Scale design: every operator reduces the corpus to vocabulary-sized
+  * statistics (word counts, bigram counts) before any join, and the joins
+  * are hint-free equi-joins on the token/bigram key — AQE broadcasts the
+  * stats side when it measures small (always at these sfs; at 100 TB a
+  * word-bigram table can reach 10^8-10^9 rows, where the shuffle join is
+  * the correct shape and a forced broadcast would not be). Per-document
+  * scoring is a map-side pass plus one hash aggregation keyed by doc_id.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md
+  * §0). LM-perplexity filtering follows CCNet (Wenzek et al. 2020); add-k
+  * smoothing is Lidstone's classical estimator; PMI collocation scoring is
+  * Church & Hanks (1990); min-count vocabulary truncation with OOV/<unk>
+  * accounting is the standard word-LM preprocessing step (Mikolov et al.
+  * 2013 use the same frequency cutoff).
+  *
+  * Float discipline: each per-bigram negative log-probability is computed
+  * once, rounded INTO an exact DECIMAL(24,8), and only then summed — the
+  * per-doc sum is decimal-exact and therefore ordering-independent and
+  * engine-portable, unlike a raw double sum (SURVEY.md §5.2).
+  */
+object Curation {
+
+  /** Lidstone smoothing constant for [[lmPerplexity]]. */
+  val SmoothK = 0.5
+
+  private def docBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextHashFunctions.bigrams(col("text"))).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
+
+  /** Bigram-LM quality score per document (CCNet-style): train
+    * add-k-smoothed bigram probabilities on the corpus itself, then score
+    * each doc by its mean negative log-probability and perplexity. The
+    * "model" is two aggregates — bigram counts and their per-history sums —
+    * both vocabulary-bounded; scoring is one equi-join of per-(doc, bigram)
+    * counts against that table plus a doc_id hash-agg. p(w2|w1) =
+    * (c2 + k) / (c_hist + k·V), V = corpus vocabulary size (tiny global
+    * agg, broadcast by the cross join).
+    */
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = Dedup.fence(docBigrams(spark, sfDir), "doc_id")
+    val c2 = db.groupBy("b").agg(sum("nb").as("c2"))
+    val ch = c2.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum("c2").as("ch"))
+    val v = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    // nlp is the ONLY transcendental: rounded into an exact decimal at the
+    // bigram level so the per-doc sum below is ordering-independent. Widths
+    // are pinned so decimal(18,8) × decimal(10,0) = decimal(29,8) stays
+    // under the 38-digit cap in BOTH engines (Spark would silently shrink
+    // the scale past the cap; DuckDB would flip to double — either way the
+    // exactness guarantee dies).
+    val prob = c2
+      .join(ch, substring_index(col("b"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("b"),
+        round(-log((col("c2") + lit(SmoothK)) / (col("ch") + lit(SmoothK) * col("v"))), 8)
+          .cast("decimal(18,8)").as("nlp"))
+    db.join(prob, "b")
+      .groupBy("doc_id")
+      .agg(sum("nb").as("n_bigrams"),
+        sum(col("nlp") * col("nb").cast("decimal(10,0)")).as("snlp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("snlp").cast("double") / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(col("snlp").cast("double") / col("n_bigrams")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary pruning with OOV accounting: the vocabulary is every token
+    * whose corpus count clears a RELATIVE floor (count ≥ total/1000 —
+    * sf-invariant, unlike an absolute cutoff), and each document reports
+    * how many of its token occurrences fall outside it (the <unk> rate a
+    * word-level LM would see). The compare is integer (cnt·1000 ≥ total) —
+    * no float threshold. Corpus word counts are vocabulary-sized; the scan
+    * side never shuffles text, only (doc_id, word, count) rows.
+    */
+  def vocabPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("nw"))
+    val wc = dw.groupBy("w").agg(sum("nw").as("cnt"))
+    val total = wc.agg(sum("cnt").as("total"))
+    val vocab = wc.crossJoin(broadcast(total))
+      .select(col("w"), (col("cnt") * lit(1000L) >= col("total")).as("in_vocab"))
+    dw.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum("nw").as("n_tokens"),
+        sum(when(col("in_vocab"), lit(0L)).otherwise(col("nw"))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Minimum corpus bigram count for a PMI collocation candidate. */
+  val PmiMinCount = 20L
+
+  /** Top-20 PMI collocations (Church & Hanks): pmi = ln(N·c(w1,w2) /
+    * (c(w1,·)·c(·,w2))) over positional bigrams, candidates floored at
+    * [[PmiMinCount]] occurrences. All three count tables are
+    * vocabulary-bounded aggregates of ONE bigram count pass; the ln's
+    * argument is a ratio of exact integer products (< 2^53 — exact as
+    * doubles), so both engines take ln of bit-identical input.
+    */
+  def pmiBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val c2 = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextHashFunctions.bigrams(col("text"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    val cl = c2.groupBy(substring_index(col("b"), " ", 1).as("w1")).agg(sum("c2").as("cl"))
+    val cr = c2.groupBy(substring_index(col("b"), " ", -1).as("w2")).agg(sum("c2").as("cr"))
+    val n = c2.agg(sum("c2").as("nb"))
+    c2.filter(col("c2") >= PmiMinCount)
+      .join(cl, substring_index(col("b"), " ", 1) === col("w1"))
+      .join(cr, substring_index(col("b"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("b"), col("c2"),
+        round(log(col("nb").cast("double") * col("c2") / (col("cl") * col("cr"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("b"))
+      .limit(20)
+  }
+
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  private val IpRe    = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** The redaction chain alone (email → IP → phone, so earlier rewrites
+    * can't create later matches), as a reusable row-local expression — the
+    * streaming curation pass applies the identical chain per micro-batch.
+    */
+  private[graft] def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** PII detection + redaction: count and mask email / phone / IPv4
+    * patterns with chained regexp_replace, email first so its digits can't
+    * be re-matched by the later rules. The corpus is synthetic lowercase
+    * prose with no PII, so the patterns are exercised on a DETERMINISTIC
+    * derived contact string (built from doc_id — same construction in the
+    * oracle); the redaction itself runs over text+contact. Patterns stay in
+    * the Java∩RE2 common subset ([0-9], literal classes — no \\d, no
+    * backrefs) so Spark and DuckDB agree. Pure map-side pass — no shuffle
+    * at any scale; output carries an md5 fingerprint of the redacted text,
+    * not the text.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val contact = concat(
+      lit("user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 10).cast("string"), lit(".com tel "),
+      lit("555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ip "),
+      lit("10."), (col("doc_id") % 200).cast("string"), lit("."),
+      ((col("doc_id") / 200).cast("long") % 200).cast("string"), lit("."),
+      (col("doc_id") % 250).cast("string"))
+    def nMatches(c: Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val enriched = concat_ws(" ", col("text"), contact)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), enriched.as("s"))
+      .select(col("doc_id"),
+        nMatches(col("s"), EmailRe).as("n_email"),
+        nMatches(col("s"), PhoneRe).as("n_phone"),
+        nMatches(col("s"), IpRe).as("n_ip"),
+        md5(redact(col("s"))).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+}

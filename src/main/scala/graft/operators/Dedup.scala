@@ -188,6 +188,38 @@ object Dedup {
     verifyPairs(spark, sfDir, cand).orderBy("doc_a", "doc_b")
   }
 
+  /** Shingles of a doc that must be cross-doc duplicates before
+    * [[dupNgramFractions]] calls the doc mostly-duplicated: n_shared·5 ≥
+    * n_sh·4 ⇔ shared fraction ≥ 80%. */
+  val DupNgramNum = 5L
+  val DupNgramDen = 4L
+
+  /** Cross-document duplicate-n-gram accounting (the corpus-level signal
+    * behind suffix-style substring dedup — Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): for each doc, how many
+    * of its distinct 3-gram shingles also occur in at least one OTHER doc,
+    * and the resulting shared fraction, flagged at ≥80%. Differs from
+    * [[TextAnalysis.repetition]] (intra-doc) and from the pair generators
+    * (this is per-doc, not per-pair). Document frequency is one hash-agg
+    * over the exploded shingle index — `hs` is per-doc distinct, so
+    * count(*) per hash IS the document frequency; the join back is the same
+    * hint-free 8-byte-hash equi-join every shingle operator uses, and the
+    * mostly_dup compare is integer.
+    */
+  def dupNgramFractions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = shingleSets(spark, sfDir)
+      .select(col("doc_id"), explode(col("hs")).as("s"))
+    val df = ex.groupBy("s").agg(count(lit(1)).as("nd"))
+    ex.join(df, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_sh"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_sh"), 6).as("shared_frac"),
+        (col("n_shared") * DupNgramNum >= col("n_sh") * DupNgramDen).as("mostly_dup"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash LSH near-dup: 64-permutation signature over the shingle-hash

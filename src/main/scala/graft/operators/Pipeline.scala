@@ -60,6 +60,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Shingles a contaminated doc must share with the benchmark before the
+    * fractional detector flags it: n_hit·20 ≥ n_sh ⇔ overlap ≥ 5%. */
+  val OverlapDen = 20L
+
+  /** Fractional decontamination (the GPT-3 appendix-C refinement of
+    * [[decontaminate]]): instead of dropping on ANY shared shingle, report
+    * per-doc how many of its distinct 3-gram shingles appear in the
+    * benchmark set and flag only docs whose overlap fraction clears 5% —
+    * the knob real pipelines tune, since one shared idiom is noise but a
+    * half-copied eval answer is contamination. Same scale shape as
+    * [[decontaminate]]: hint-free semi-style join on 8-byte shingle hashes,
+    * then a doc_id hash-agg; the flag compare is integer (n_hit·20 ≥ n_sh).
+    */
+  def decontaminateOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleSets(spark, sfDir)
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("s"))
+    val bench = ex.filter(isBench).select("s").distinct().withColumn("hit", lit(1))
+    ex.filter(!isBench)
+      .join(bench, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_sh"), 6).as("overlap_frac"),
+        (col("n_hit") * lit(OverlapDen) >= col("n_sh")).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end keep set: non-benchmark docs that are (a) their text's
     * dedup survivor (min doc_id per distinct text), (b) at or above the
     * quality floor, and (c) decontaminated — returned with their quality

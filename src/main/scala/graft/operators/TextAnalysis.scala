@@ -100,6 +100,22 @@ object TextAnalysis {
     * formula is written identically in the oracle so rounding is safe.
     * avg word length uses n_chars = sum(len)+n_tokens-1 (single-space text).
     */
+  /** The quality formula as ONE row-local expression over (text, n_chars)
+    * columns — same arithmetic as [[qualityScore]]'s quality column
+    * (equality per doc is asserted in CurationSpec), reusable where no
+    * intermediate columns are wanted (the streaming curation filter).
+    */
+  private[graft] def qualityCol: org.apache.spark.sql.Column = {
+    val w = split(col("text"), " ")
+    val nTok = size(w).cast("long")
+    val nDist = size(array_distinct(w)).cast("long")
+    val nStop = expr(
+      s"cast(size(filter(split(text, ' '), x -> x IN (${WordCount.stopwords.map(s => s"'$s'").mkString(",")}))) as long)")
+    round(lit(0.4) * (nDist.cast("double") / nTok)
+      + lit(0.3) * (lit(1.0) - nStop.cast("double") / nTok)
+      + lit(0.3) * (least(nTok, lit(200L)).cast("double") / lit(200.0)), 6)
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))

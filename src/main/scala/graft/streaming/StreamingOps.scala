@@ -83,6 +83,21 @@ object StreamingOps {
   def sampleStratified(docs: DataFrame): DataFrame =
     docs.filter(graft.operators.Sampling.stratifiedKeep)
 
+  /** STREAMING corpus curation: the stateless tail of the batch pipeline —
+    * quality-floor filter plus PII redaction — applied per micro-batch.
+    * Both are pure row-local expressions (graft.operators.TextAnalysis
+    * .qualityCol / Curation.redact — no state, no watermark, no shuffle),
+    * so the streamed result over any arrival order equals the batch result
+    * over the same rows, and a retry re-emits identical rows. Input needs
+    * the documents schema (doc_id, text, ...).
+    */
+  def curateDocs(docs: DataFrame): DataFrame =
+    docs
+      .filter(graft.operators.TextAnalysis.qualityCol >=
+        graft.operators.Pipeline.QualityFloor)
+      .select(col("doc_id"),
+        graft.operators.Curation.redact(col("text")).as("text"))
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (customer keyed by user_id). The static side re-plans per micro-batch;
     * Spark broadcasts it under the usual thresholds, so the stream never

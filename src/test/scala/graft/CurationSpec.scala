@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Pipeline}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("lm perplexity: ppl = exp(avg_nll) and both are positive per doc") {
+    val d = Curation.lmPerplexity(spark, sf)
+    assert(d.filter(col("avg_nll") <= 0 || col("ppl") <= 0).count() == 0)
+    // ppl must equal exp(avg_nll) to the rounding grain
+    val bad = d.filter(abs(col("ppl") - exp(col("avg_nll"))) > 0.001)
+    assert(bad.count() == 0)
+    assert(d.count() > 0)
+  }
+
+  test("lm perplexity matches a driver-side recomputation on a small doc set") {
+    import spark.implicits._
+    // recompute the whole model independently with plain Scala collections
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bigramsOf = (t: String) => t.split(" ", -1).sliding(2)
+      .filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    val c2 = texts.flatMap(t => bigramsOf(t._2)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ch = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = texts.flatMap(_._2.split(" ", -1)).distinct.length
+    def nlp(b: (String, String)): BigDecimal =
+      BigDecimal(-math.log((c2(b) + Curation.SmoothK) / (ch(b._1) + Curation.SmoothK * v)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val want = texts.map { case (id, t) =>
+      val bs = bigramsOf(t)
+      val s = bs.map(nlp).sum
+      // same half-up 6-decimal round as the operator applies to the double avg
+      id -> BigDecimal(s.toDouble / bs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Curation.lmPerplexity(spark, sf)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, a) => assert(math.abs(a - want(id)) < 1e-9, s"doc $id: $a vs ${want(id)}") }
+  }
+
+  test("vocab prune: oov tokens are exactly the below-floor words") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val wc = texts.flatMap(_._2.split(" ", -1)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = wc.values.sum
+    val oov = wc.filter { case (_, c) => c * 1000 < total }.keySet
+    val want = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (id, ws.length.toLong, ws.count(oov).toLong)
+    }.toSet
+    val got = Curation.vocabPrune(spark, sf)
+      .select("doc_id", "n_tokens", "n_oov").as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("pmi: every returned collocation clears the count floor, ordered by pmi") {
+    import spark.implicits._
+    val d = Curation.pmiBigrams(spark, sf)
+    val rows = d.select("b", "c2", "pmi").as[(String, Long, Double)].collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.forall(_._2 >= Curation.PmiMinCount))
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("pii scrub finds exactly one email/phone/ip per enriched doc") {
+    import spark.implicits._
+    val d = Curation.piiScrub(spark, sf)
+    val bad = d.filter(col("n_email") =!= 1 || col("n_phone") =!= 1 || col("n_ip") =!= 1)
+    assert(bad.count() == 0)
+    // redaction is deterministic and the sentinel tokens survive in the hash:
+    // recompute one row by hand
+    val doc0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").as[String].head()
+    val enriched = s"$doc0 user0@mail0.com tel 555-0000 ip 10.0.0.0"
+    val redacted = enriched
+      .replaceAll("[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>")
+      .replaceAll("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>")
+      .replaceAll("[0-9]{3}-[0-9]{4}", "<PHONE>")
+    val wantFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gotFp = d.filter(col("doc_id") === 0).select("redacted_fp").as[String].head()
+    assert(gotFp == wantFp)
+  }
+
+  test("qualityCol expression equals qualityScore's quality column per doc") {
+    import graft.operators.TextAnalysis
+    val viaCol = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.qualityCol.as("q"))
+    val viaOp = TextAnalysis.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality").as("q"))
+    assert(viaCol.except(viaOp).count() == 0)
+    assert(viaOp.except(viaCol).count() == 0)
+  }
+
+  test("decontaminate overlap: n_hit <= n_sh, flags agree with the fraction") {
+    val d = Pipeline.decontaminateOverlap(spark, sf)
+    assert(d.filter(col("n_hit") > col("n_sh")).count() == 0)
+    assert(d.filter(col("contaminated") =!=
+      (col("n_hit") * lit(20L) >= col("n_sh"))).count() == 0)
+    // benchmark docs themselves are excluded
+    assert(d.filter(col("doc_id") % 97 === 0).count() == 0)
+    assert(d.count() > 0)
+  }
+
+  test("dup ngrams: shared shingle counts match a driver-side recomputation") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val shingles = texts.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val sh = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet else w.toSet
+      id -> sh
+    }
+    val df = shingles.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val want = shingles.map { case (id, sh) =>
+      (id, sh.size.toLong, sh.count(s => df(s) >= 2).toLong)
+    }.toSet
+    val got = Dedup.dupNgramFractions(spark, sf)
+      .select("doc_id", "n_sh", "n_shared").as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+}

@@ -73,6 +73,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.join(want, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("streaming curation equals the batch quality-floor + redaction pass") {
+    val docsDir = Files.createTempDirectory("graft-curatestream").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(docsDir)
+    val got = runToTable(
+      StreamingOps.curateDocs(stream), "curate_stream", "append")
+    val want = StreamingOps.curateDocs(docs)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.join(want, Seq("doc_id", "text"), "left_anti").count() == 0)
+    // the floor genuinely filtered something, and kept ids match the
+    // batch quality operator's keep set exactly
+    val wantIds = operators.TextAnalysis.qualityScore(spark, sf)
+      .filter(col("quality") >= operators.Pipeline.QualityFloor).select("doc_id")
+    assert(got.count() < docs.count())
+    assert(got.select("doc_id").except(wantIds).count() == 0)
+    assert(wantIds.except(got.select("doc_id")).count() == 0)
+  }
+
   // ------------------------------------------------- late-data fixtures
 
   /** 2024-01-01 00:00 UTC, the fixture day. */
