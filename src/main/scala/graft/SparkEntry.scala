@@ -102,6 +102,7 @@ object SparkEntry {
     "q_neardup_simhash"   -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_neardup_clusters"  -> ((s, d) => Dedup.neardupClusters(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalSurvivors(s, d)),
+    "q_dedup_bloom"       -> ((s, d) => Dedup.incrementalSurvivorsBloom(s, d)),
     "q_dedup_embedding"   -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "q_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
     // ---- B9 text analysis ----
@@ -593,6 +594,14 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
          |ORDER BY doc_id""".stripMargin,
+    // bloom-prefiltered EXACT incremental dedup: the filter only routes
+    // rows (definite-new bypass vs verify join), so the oracle is the
+    // plain exact anti-join semantics
+    "q_dedup_bloom" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM documents o WHERE o.doc_id % 2 = 0 AND o.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
     "q_simhash" -> SimhashOracle,
     // the DuckDB oracle recomputes the same 8 affine-family minima over the
     // md5-60 shingle hashes (constants interpolated from TextHash — the

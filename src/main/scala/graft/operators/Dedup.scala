@@ -417,6 +417,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom sizing for [[incrementalSurvivorsBloom]]: 2^17 bits (16 KB) and
+    * 5 probes. Plan-time constants — in production m is sized from the
+    * index's row-count METADATA (a known quantity, not a corpus scan):
+    * m ≈ -n·ln(fpr)/ln(2)^2. A 10^10-doc index at 1% FPR is ~12 GB of
+    * bits — past comfortable broadcast range, the filter shards by
+    * fingerprint prefix and ships per-partition; the query shape below is
+    * unchanged.
+    */
+  val BloomBits = 1 << 17
+  val BloomK = 5
+
+  /** EXACT incremental dedup with a Bloom pre-filter — the production
+    * shape of "new batch vs standing index" at 100 TB: the index's content
+    * fingerprints are folded into a 16 KB bit array (one aggregation,
+    * map-side partial bit_or), broadcast, and every arriving doc tests k=5
+    * bits locally. Definite-new docs (any bit clear — the vast majority of
+    * a fresh crawl) BYPASS the anti-join entirely; only maybe-duplicates
+    * (all bits set) shuffle into the exact fingerprint anti-join, so false
+    * positives cost a join row, never a wrong answer. Output is EXACT —
+    * identical to the plain anti-join (asserted in DedupSpec) — which is
+    * why this stays oracle-checkable while the filter itself is
+    * probabilistic. Same double-hashing construction as Spark's own
+    * runtime-filter bloom (h1 + i·h2, Kirsch & Mitzenmacher 2006); all
+    * probes are plain column arithmetic — codegen'd, no UDF, no driver
+    * build. Index = even doc_ids, batch = odd (the same split as
+    * q_dedup_incremental's near-dup variant).
+    */
+  def incrementalSurvivorsBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val batch = fence(bloomFlagged(spark, sfDir),
+      "doc_id") // fence: hash + 5 probes once; feeds both branches below
+    val index = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0).select(col("text"))
+    val definiteNew = batch.filter(!col("maybe_dup")).select("doc_id")
+    val verifiedNew = batch.filter(col("maybe_dup"))
+      .join(index, Seq("text"), "left_anti").select("doc_id")
+    definiteNew.union(verifiedNew).orderBy("doc_id")
+  }
+
+  /** The routing half of [[incrementalSurvivorsBloom]]: every odd-id (new
+    * batch) doc with its Bloom verdict — (doc_id, text, maybe_dup). Split
+    * out so DedupSpec can measure the false-positive rate directly.
+    */
+  private[graft] def bloomFlagged(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = BloomBits
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit("graft-bloom"), col("text")).as("h2"))
+    // (h1 + i·h2) mod m, computed as (h1 mod m + i·(h2 mod m)) mod m so the
+    // sum stays ≤ m·(k+1) and can't overflow ANSI long arithmetic
+    def pos(i: Int) = pmod(
+      pmod(col("h1"), lit(m.toLong)) + lit(i.toLong) * pmod(col("h2"), lit(m.toLong)),
+      lit(m.toLong))
+    // ---- build: fold the index side's probe positions into dense words
+    val setWords = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(array((0 until BloomK).map(pos): _*)).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+    val bloom = spark.range(m / 64).select(col("id").cast("int").as("w"))
+      .join(setWords, Seq("w"), "left").na.fill(0L, Seq("bits"))
+      .agg(sort_array(collect_list(struct(col("w"), col("bits")))).as("wb"))
+      .select(expr("transform(wb, x -> x.bits)").as("bloom_bits"))
+    // ---- probe: k local bit tests per arriving doc, AND-ed
+    val probed = (0 until BloomK).foldLeft(
+      docs.filter(col("doc_id") % 2 === 1).crossJoin(broadcast(bloom))) {
+      (d, i) => d.withColumn(s"p$i", pos(i))
+    }
+    val tests = (0 until BloomK).map { i =>
+      expr(s"(element_at(bloom_bits, cast(p$i div 64 as int) + 1)" +
+        s" & shiftleft(1L, cast(p$i % 64 as int))) != 0")
+    }.reduce(_ && _)
+    probed.select(col("doc_id"), col("text"), tests.as("maybe_dup"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** Per-doc 60-bit SimHash fingerprint over 3-gram shingles: bit b of the

@@ -119,6 +119,35 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_ % 2 == 1))
   }
 
+  test("bloom incremental dedup is exact: equals the plain anti-join") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val want = docs.filter(col("doc_id") % 2 === 1)
+      .join(docs.filter(col("doc_id") % 2 === 0).select("text"),
+        Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val got = Dedup.incrementalSurvivorsBloom(spark, sf).as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("bloom pre-filter routes most new docs around the verify join") {
+    import spark.implicits._
+    // with a 2^17-bit / 5-probe filter over ~n/2 index docs the false-
+    // positive probability is well under 1%, so flagged docs must be (true
+    // cross-side dups) + (a tiny FP margin) — the bypass is the point: at
+    // scale only this sliver reaches the shuffle join
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val nBatch = docs.filter(col("doc_id") % 2 === 1).count()
+    val trueDups = docs.filter(col("doc_id") % 2 === 1)
+      .join(docs.filter(col("doc_id") % 2 === 0).select("text"),
+        Seq("text"), "left_semi").count()
+    val flagged = Dedup.bloomFlagged(spark, sf)
+      .filter(col("maybe_dup")).count()
+    assert(flagged >= trueDups, "a true duplicate escaped the bloom filter")
+    assert(flagged <= trueDups + math.max(2L, nBatch / 100),
+      s"FP rate too high: flagged=$flagged trueDups=$trueDups batch=$nBatch")
+  }
+
   test("simhash fingerprints are deterministic across runs") {
     val f1 = Dedup.simhashFingerprints(spark, sf).collect().toSeq
     val f2 = Dedup.simhashFingerprints(spark, sf).collect().toSeq
