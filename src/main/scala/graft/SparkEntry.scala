@@ -53,6 +53,7 @@ object SparkEntry {
     "q_asof_join_tolerance" -> ((s, d) => Relational.asOfJoinTolerance(s, d)),
     "q_asof_join_forward" -> ((s, d) => Relational.asOfJoinForward(s, d)),
     "q_asof_join_payload" -> ((s, d) => Relational.asOfJoinPayload(s, d)),
+    "q_asof_join_nearest" -> ((s, d) => Relational.asOfJoinNearest(s, d)),
     // ---- B4 aggregations ----
     "q1_agg"              -> ((s, d) => Aggregates.q1PricingSummary(s, d)),
     "q_global_agg"        -> ((s, d) => Aggregates.globalAgg(s, d)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_langid"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q_winnow"            -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "q_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
     // ---- B9 corpus curation: LM scoring, vocab, collocations, PII ----
@@ -130,6 +132,8 @@ object SparkEntry {
     "q_sample_importance" -> ((s, d) => Sampling.importanceSample(s, d)),
     "q_pack_sequences"    -> ((s, d) => Pipeline.packSequences(s, d)),
     "q_source_mix"        -> ((s, d) => Sampling.sourceMix(s, d)),
+    "q_train_val_test"    -> ((s, d) => Sampling.trainValTest(s, d)),
+    "q_length_histogram"  -> ((s, d) => Curation.lengthHistogram(s, d)),
     "q_mixture_rebalance" -> ((s, d) => Sampling.mixtureRebalance(s, d)),
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -317,6 +321,23 @@ object SparkEntry {
         |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
         |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_us
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // nearest mode: closer of the backward/forward matches, ties backward
+    "q_asof_join_nearest" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN prev_us IS NULL AND next_us IS NULL THEN -1
+        |       WHEN prev_us IS NULL THEN next_us
+        |       WHEN next_us IS NULL THEN prev_us
+        |       WHEN us - prev_us <= next_us - us THEN prev_us
+        |       ELSE next_us END AS nearest_click_us FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
         |  FROM events) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // payload mode: the matched click's time, id and value ride along.
@@ -701,6 +722,19 @@ object SparkEntry {
         |  list_reduce(list_transform(string_split(text,' '),
         |    w -> ('0x'||substr(md5(w),1,8))::BIGINT), (a,b) -> (a*131+b)%1000000007) AS roll_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing: same 60-bit md5 hash formula recomputed in SQL; window
+    // minima over 4 consecutive positional 3-gram hashes, distinct values
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS wd FROM documents),
+        |hp AS (SELECT doc_id,
+        |  [('0x'||substr(md5(wd[i]||' '||wd[i+1]||' '||wd[i+2]),1,15))::BIGINT
+        |   for i in range(1, len(wd)-1)] AS hp
+        |  FROM t WHERE len(wd) >= 3),
+        |sel AS (SELECT doc_id, CASE WHEN len(hp) >= 4
+        |  THEN [list_min(hp[j:j+3]) for j in range(1, len(hp)-2)]
+        |  ELSE [list_min(hp)] END AS sel FROM hp)
+        |SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp
+        |FROM sel ORDER BY doc_id, fp""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text,' '))::BIGINT AS n_ws_tokens,
@@ -768,6 +802,20 @@ object SparkEntry {
         |  round(sum(CASE WHEN cnt*1000 >= total THEN 0 ELSE nw END)::DOUBLE / sum(nw)::DOUBLE, 6) AS oov_rate
         |FROM dw JOIN wc USING (w) CROSS JOIN tt
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_train_val_test" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN h < 980000000 THEN 'train'
+        |       WHEN h < 990000000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_length_histogram" ->
+      """SELECT (n // 10) * 10 AS bucket_lo, count(*)::BIGINT AS n_docs,
+        |  min(n)::BIGINT AS min_tokens, max(n)::BIGINT AS max_tokens,
+        |  sum(n)::BIGINT AS n_tokens
+        |FROM (SELECT len(string_split(text,' '))::BIGINT AS n FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH bg AS (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b
         |            FROM (SELECT string_split(text,' ') AS w FROM documents)),

@@ -130,6 +130,20 @@ object Curation {
       .limit(20)
   }
 
+  /** Token-length histogram in 10-token bins: the sequence-length
+    * distribution a packing/truncation decision reads (how much of the
+    * corpus a max_len cut drops). One map-side bucket compute + a hash-agg
+    * whose group count is (max_len/10) — independent of corpus size. All
+    * integer arithmetic (`div`, not float division).
+    */
+  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(expr("(n div 10) * 10").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), min("n").as("min_tokens"),
+        max("n").as("max_tokens"), sum("n").as("n_tokens"))
+      .orderBy("bucket_lo")
+
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   private val PhoneRe = "[0-9]{3}-[0-9]{4}"
   private val IpRe    = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"

@@ -401,4 +401,34 @@ object Relational {
         coalesce(col("prev_click_us"), lit(-1L)).as("prev_click_us"))
       .orderBy("event_id")
   }
+
+  /** NEAREST-direction as-of join (`merge_asof(direction='nearest')`, the
+    * remaining mode after backward/forward/tolerance): each purchase takes
+    * whichever click is closer in time, before or after, ties to the
+    * backward match (pandas' rule). Two RANGE-framed window passes over the
+    * SAME µs ordering as [[asOfJoin]] — one partition-parallel shuffle on
+    * user_id, no join; the -1 sentinel marks users with no clicks at all.
+    * All-integer µs arithmetic, same peer semantics in both engines.
+    */
+  def asOfJoinNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+    val us = expr("ts div 1000")
+    val wPrev = Window.partitionBy("user_id").orderBy(us)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy(us)
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val click = when(col("event_type") === "click", expr("ts div 1000"))
+    e.withColumn("prev_us", max(click).over(wPrev))
+      .withColumn("next_us", min(click).over(wNext))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        when(col("prev_us").isNull && col("next_us").isNull, lit(-1L))
+          .when(col("prev_us").isNull, col("next_us"))
+          .when(col("next_us").isNull, col("prev_us"))
+          .when(expr("ts div 1000") - col("prev_us") <= col("next_us") - expr("ts div 1000"),
+            col("prev_us"))
+          .otherwise(col("next_us")).as("nearest_click_us"))
+      .orderBy("event_id")
+  }
 }

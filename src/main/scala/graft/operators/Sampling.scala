@@ -127,6 +127,23 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split: the [0, 1e9) hash line is cut
+    * 98/1/1, so assignment is a pure row-local compare — the same doc lands
+    * in the same split on every run, engine, partitioning and retry (the
+    * property a holdout split MUST have: a val doc that migrates into train
+    * on a rerun silently leaks). New corpus batches inherit the split with
+    * no coordination — that is why hash-banding, not counters, is the
+    * production holdout mechanism. Map-side only; no shuffle at any scale.
+    */
+  def trainValTest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("h", hashBucket(col("doc_id").cast("string")))
+      .select(col("doc_id"), col("lang"),
+        when(col("h") < 980000000L, lit("train"))
+          .when(col("h") < 990000000L, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+
   def sampleKPerStratum(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Tables.documents(spark, sfDir)

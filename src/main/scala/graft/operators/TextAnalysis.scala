@@ -146,6 +146,39 @@ object TextAnalysis {
       .select("doc_id", "md5_fp", "roll_fp")
       .orderBy("doc_id")
 
+  /** Winnowing window width: fingerprints are the window-minima of
+    * [[WinnowW]] consecutive 3-gram hashes. */
+  val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every positional 3-gram, slide a
+    * [[WinnowW]]-wide window, keep each window's minimum hash; the distinct
+    * selected values are the doc's fingerprints. The guarantee: any shared
+    * substring of ≥ w+k-1 tokens between two docs yields a shared
+    * fingerprint, at an expected density of 2/(w+1) — position-robust
+    * partial-overlap detection that whole-doc hashes (md5_fp) and
+    * distinct-set signatures (MinHash) don't give. Docs with fewer than w
+    * 3-grams keep their global minimum (≥1 fingerprint always). Map-side
+    * HOF pass per doc — no shuffle; the 60-bit md5 hash is the same
+    * engine-portable formula the samplers use, recomputed identically by
+    * the oracle. Output exploded to (doc_id, fp) rows.
+    */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = WinnowW
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
+      .filter(size(col("wd")) >= 3)
+      .withColumn("hp", expr(
+        "transform(sequence(0, size(wd)-3), i -> " +
+        "cast(conv(substring(md5(concat_ws(' ', wd[i], wd[i+1], wd[i+2])),1,15),16,10) as bigint))"))
+      .withColumn("sel", expr(
+        s"CASE WHEN size(hp) >= $w THEN transform(sequence(0, size(hp)-$w), " +
+        s"j -> array_min(slice(hp, j+1, $w))) ELSE array(array_min(hp)) END"))
+      .select(col("doc_id"),
+        explode(expr("array_sort(array_distinct(sel))")).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
   /** Token statistics: whitespace tokens vs regex tokens vs distinct — the
     * tokenizer-comparison a BPE-style pipeline runs to sanity-check corpus
     * segmentation (on this pre-normalized corpus ws == regex by design).

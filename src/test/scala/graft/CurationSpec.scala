@@ -84,6 +84,44 @@ class CurationSpec extends SparkSpec {
     assert(gotFp == wantFp)
   }
 
+  test("length histogram buckets partition the corpus and bound their members") {
+    import spark.implicits._
+    val h = Curation.lengthHistogram(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(h.map(_._2).sum == Tables.documents(spark, sf).count())
+    h.foreach { case (lo, _, mn, mx, _) =>
+      assert(mn >= lo && mx < lo + 10 && mn <= mx, s"bucket $lo: [$mn,$mx]")
+    }
+  }
+
+  test("winnowing: selected fingerprints cover every w-window of 3-gram hashes") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val w = TextAnalysis.WinnowW
+    // recompute positional 3-gram hashes driver-side with the same formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val got = TextAnalysis.winnowFingerprints(spark, sf)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    texts.foreach { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length >= 3) {
+        val hp = ws.sliding(3).map(g => h60(g.mkString(" "))).toArray
+        val want =
+          if (hp.length >= w) hp.sliding(w).map(_.min).toSet else Set(hp.min)
+        assert(got(id) == want, s"doc $id")
+        // the winnowing guarantee: every w-window contains a selected hash
+        if (hp.length >= w)
+          hp.sliding(w).foreach(win => assert(win.exists(want.contains)))
+      }
+    }
+  }
+
   test("qualityCol expression equals qualityScore's quality column per doc") {
     import graft.operators.TextAnalysis
     val viaCol = Tables.documents(spark, sf)

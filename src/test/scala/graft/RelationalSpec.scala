@@ -117,6 +117,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("as-of nearest picks the closer of backward/forward, ties backward") {
+    import spark.implicits._
+    // ground truth from a driver-side recomputation over the raw events
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicksByUser = evs.filter(_._3 == "click")
+      .groupBy(_._2).map { case (u, rs) => u -> rs.map(_._4).sorted }
+    val want = evs.filter(_._3 == "purchase").map { case (eid, u, _, us) =>
+      val cs = clicksByUser.getOrElse(u, Array.empty[Long])
+      val prev = cs.filter(_ <= us).lastOption
+      val next = cs.find(_ >= us)
+      val nearest = (prev, next) match {
+        case (None, None) => -1L
+        case (Some(p), None) => p
+        case (None, Some(n)) => n
+        case (Some(p), Some(n)) => if (us - p <= n - us) p else n
+      }
+      eid -> nearest
+    }.toMap
+    val got = Relational.asOfJoinNearest(spark, sf)
+      .select("event_id", "nearest_click_us").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("as-of null keys: right nulls are skipped, left nulls survive with sentinel") {
     val got = asofFixture(
       leftRows = Seq((null: java.lang.Long, 100L: java.lang.Long), (1L: java.lang.Long, 100L), (1L, null: java.lang.Long)),

@@ -107,6 +107,20 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus-side sort-merge join in:\n$plan")
   }
 
+  test("train/val/test split is a total disjoint partition, ~98/1/1") {
+    import spark.implicits._
+    val d = Sampling.trainValTest(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(d.count() == n) // total: every doc assigned exactly once
+    val bySplit = d.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // train dominates; val/test are small (wide tolerance at tiny sf)
+    assert(bySplit("train") > n * 9 / 10)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) < n / 10)
+    // deterministic across runs
+    assert(d.collect().toSeq == Sampling.trainValTest(spark, sf).collect().toSeq)
+  }
+
   test("importance sample admits exactly the docs under their length rate") {
     import spark.implicits._
     val want = Tables.documents(spark, sf)
