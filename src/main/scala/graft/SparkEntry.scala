@@ -823,7 +823,7 @@ object SparkEntry {
         |cl AS (SELECT string_split(b,' ')[1] AS w1, sum(c2)::BIGINT AS cl FROM c2 GROUP BY 1),
         |cr AS (SELECT string_split(b,' ')[2] AS w2, sum(c2)::BIGINT AS cr FROM c2 GROUP BY 1),
         |n AS (SELECT sum(c2)::BIGINT AS nb FROM c2)
-        |SELECT b, c2, round(ln(nb::DOUBLE * c2 / (cl * cr)), 6) AS pmi
+        |SELECT b, c2, round(ln(nb::DOUBLE * c2 / (cl::DOUBLE * cr)), 6) AS pmi
         |FROM c2 JOIN cl ON string_split(c2.b,' ')[1] = cl.w1
         |        JOIN cr ON string_split(c2.b,' ')[2] = cr.w2
         |        CROSS JOIN n

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * 2013 use the same frequency cutoff).
   *
   * Float discipline: each per-bigram negative log-probability is computed
-  * once, rounded INTO an exact DECIMAL(24,8), and only then summed — the
+  * once, rounded INTO an exact DECIMAL(18,8), and only then summed — the
   * per-doc sum is decimal-exact and therefore ordering-independent and
   * engine-portable, unlike a raw double sum (SURVEY.md §5.2).
   */
@@ -109,9 +109,12 @@ object Curation {
   /** Top-20 PMI collocations (Church & Hanks): pmi = ln(N·c(w1,w2) /
     * (c(w1,·)·c(·,w2))) over positional bigrams, candidates floored at
     * [[PmiMinCount]] occurrences. All three count tables are
-    * vocabulary-bounded aggregates of ONE bigram count pass; the ln's
-    * argument is a ratio of exact integer products (< 2^53 — exact as
-    * doubles), so both engines take ln of bit-identical input.
+    * vocabulary-bounded aggregates of ONE bigram count pass. Both products
+    * are taken in DOUBLE (a marginal can reach ~4e9 at 100 TB, so a
+    * long·long product would wrap past 2^63 and feed ln a negative);
+    * numerator, denominator and quotient are the same IEEE expression
+    * written in the same order in both engines, so ln sees bit-identical
+    * input either way.
     */
   def pmiBigrams(spark: SparkSession, sfDir: String): DataFrame = {
     val c2 = Tables.documents(spark, sfDir)
@@ -125,7 +128,8 @@ object Curation {
       .join(cr, substring_index(col("b"), " ", -1) === col("w2"))
       .crossJoin(broadcast(n))
       .select(col("b"), col("c2"),
-        round(log(col("nb").cast("double") * col("c2") / (col("cl") * col("cr"))), 6).as("pmi"))
+        round(log(col("nb").cast("double") * col("c2")
+          / (col("cl").cast("double") * col("cr"))), 6).as("pmi"))
       .orderBy(desc("pmi"), asc("b"))
       .limit(20)
   }
@@ -176,7 +180,8 @@ object Curation {
       lit("@mail"), (col("doc_id") % 10).cast("string"), lit(".com tel "),
       lit("555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ip "),
       lit("10."), (col("doc_id") % 200).cast("string"), lit("."),
-      ((col("doc_id") / 200).cast("long") % 200).cast("string"), lit("."),
+      // integer div (not double /): exact at any id width, like the oracle's //
+      (expr("doc_id div 200") % 200).cast("string"), lit("."),
       (col("doc_id") % 250).cast("string"))
     def nMatches(c: Column, re: String) =
       size(regexp_extract_all(c, lit(re), lit(0))).cast("long")

@@ -315,8 +315,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // materialize the pair list once, truncating upstream lineage
-    val p = pairs.localCheckpoint()
+    // Materialize the pair list once, truncating upstream lineage (without
+    // truncation the iterative loop's plan grows per round and analysis
+    // cost compounds). RELIABLE checkpoint when the session has a
+    // checkpoint dir — lineage-free blocks survive executor loss, which is
+    // what a multi-node 100 TB run requires; localCheckpoint otherwise
+    // (single-process sessions like this harness: executor loss == driver
+    // loss, so the reliability gap is moot there and the dir may not exist).
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    val p = truncate(pairs)
     // symmetric edge list: propagate labels in both directions (lazy — two
     // map-side reads of the checkpointed blocks, nothing recomputes)
     val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -355,10 +365,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $rounds rounds — " +
           "unconverged labels must never be mistaken for components")
-    val out = labels
+    val out = truncate(labels
       .select(col("doc_id"), col("cluster"),
-        (col("doc_id") === col("cluster")).as("is_survivor"))
-      .localCheckpoint()
+        (col("doc_id") === col("cluster")).as("is_survivor")))
     labels.unpersist()
     out
   }

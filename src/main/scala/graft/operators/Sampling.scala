@@ -49,16 +49,22 @@ object Sampling {
     * sampled per micro-batch selects exactly the rows the batch operator
     * would, because the decision is a pure row-local hash compare.
     */
-  private[graft] def stratifiedKeep: Column = {
-    val rate = when(col("lang") === "en", lit(300000000L)).otherwise(lit(100000000L))
-    hashBucket(col("doc_id").cast("string")) < rate
-  }
+  /** Per-language acceptance rate on the [0, 1e9) hash scale. */
+  private def stratRate: Column =
+    when(col("lang") === "en", lit(300000000L)).otherwise(lit(100000000L))
+
+  private[graft] def stratifiedKeep: Column =
+    hashBucket(col("doc_id").cast("string")) < stratRate
 
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    // hash once into a column, then filter on it — the Filter+Project pair
+    // would otherwise evaluate the md5 chain twice per row (Catalyst does
+    // not CSE across the two operators); the one-column form is also what
+    // the streaming filter (stratifiedKeep, no sample_key output) elides
     Tables.documents(spark, sfDir)
-      .filter(stratifiedKeep)
-      .select(col("doc_id"), col("lang"),
-        hashBucket(col("doc_id").cast("string")).as("sample_key"))
+      .withColumn("sample_key", hashBucket(col("doc_id").cast("string")))
+      .filter(col("sample_key") < stratRate)
+      .select(col("doc_id"), col("lang"), col("sample_key"))
       .orderBy("doc_id")
 
   /** Fixed-size per-stratum draw: the k docs with the smallest key hash in

@@ -157,8 +157,11 @@ object TextAnalysis {
     * substring of ≥ w+k-1 tokens between two docs yields a shared
     * fingerprint, at an expected density of 2/(w+1) — position-robust
     * partial-overlap detection that whole-doc hashes (md5_fp) and
-    * distinct-set signatures (MinHash) don't give. Docs with fewer than w
-    * 3-grams keep their global minimum (≥1 fingerprint always). Map-side
+    * distinct-set signatures (MinHash) don't give. Docs with ≥3 tokens but
+    * fewer than w 3-grams keep their global minimum (≥1 fingerprint); docs
+    * under 3 tokens have no 3-grams and are excluded entirely (the oracle
+    * filters identically — never hit at these sfs, min doc ≈ 10 tokens).
+    * Map-side
     * HOF pass per doc — no shuffle; the 60-bit md5 hash is the same
     * engine-portable formula the samplers use, recomputed identically by
     * the oracle. Output exploded to (doc_id, fp) rows.
