@@ -138,6 +138,52 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** LM negative-log-likelihood band for [[curatedKeepSet]]: docs outside
+    * it read as gibberish (high) or degenerate repetition (low) — the
+    * CCNet-style perplexity filter, stated on avg_nll = ln(ppl). */
+  val NllLo = 3.0
+  val NllHi = 4.0
+
+  /** Token-count band for [[curatedKeepSet]] (C4-style length filter). */
+  val LenLo = 15L
+  val LenHi = 400L
+
+  /** The COMPLETE curation pipeline in one declarative plan — what a C4 /
+    * CCNet-style pretraining preparation actually runs, composed from five
+    * already-verified operators: exact-dup survivorship ∧ heuristic
+    * quality ≥ [[QualityFloor]] ∧ fractional decontamination (< 5%
+    * benchmark overlap) ∧ bigram-LM plausibility band ([[NllLo]], [[NllHi]]
+    * on avg_nll) ∧ token-length band. Everything joins on the narrow
+    * doc_id key — text never moves past its per-operator scan — and every
+    * stage keeps its own scale shape (map-side filters, vocabulary-bounded
+    * LM, hint-free shingle joins). Output carries each surviving doc's
+    * quality, avg_nll and n_tokens so downstream mixing can re-weight
+    * without recomputing.
+    */
+  def curatedKeepSet(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+      .filter(col("quality") >= QualityFloor)
+      .select("doc_id", "quality")
+    val clean = decontaminateOverlap(spark, sfDir)
+      .filter(!col("contaminated")).select("doc_id")
+    val lm = Curation.lmPerplexity(spark, sfDir)
+      .filter(col("avg_nll") >= NllLo && col("avg_nll") <= NllHi)
+      .select("doc_id", "avg_nll")
+    val len = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= LenLo && col("n_tokens") <= LenHi)
+    clean
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(quality, "doc_id")
+      .join(lm, "doc_id")
+      .join(len, "doc_id")
+      .select(col("doc_id"), col("quality"), col("avg_nll"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def keepSetNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val losers = Dedup.neardupClustersRaw(spark, sfDir)
       .filter(col("doc_id") =!= col("cluster"))

@@ -64,6 +64,28 @@ class PipelineSpec extends SparkSpec {
     assert(keep.count() > 0)
   }
 
+  test("curated keep set equals the intersection of its five stages") {
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    val curated = Pipeline.curatedKeepSet(spark, sf).select("doc_id")
+    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val quality = TextAnalysis.qualityScore(spark, sf)
+      .filter(col("quality") >= Pipeline.QualityFloor).select("doc_id")
+    val clean = Pipeline.decontaminateOverlap(spark, sf)
+      .filter(!col("contaminated")).select("doc_id")
+    val lm = Curation.lmPerplexity(spark, sf)
+      .filter(col("avg_nll").between(Pipeline.NllLo, Pipeline.NllHi)).select("doc_id")
+    val len = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n").between(Pipeline.LenLo, Pipeline.LenHi)).select("doc_id")
+    val want = survivors.intersect(quality).intersect(clean)
+      .intersect(lm).intersect(len)
+    assert(curated.except(want).count() == 0)
+    assert(want.except(curated).count() == 0)
+    assert(curated.count() > 0)
+    assert(curated.count() < docs.count())
+  }
+
   test("pack sequences: contiguous monotone packs from a driver-side recount") {
     import spark.implicits._
     val want = Tables.documents(spark, sf).select("doc_id", "lang", "text")
