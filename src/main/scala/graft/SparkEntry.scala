@@ -127,6 +127,7 @@ object SparkEntry {
     "q_pipeline_keep"     -> ((s, d) => Pipeline.keepSet(s, d)),
     "q_pipeline_keep_neardup" -> ((s, d) => Pipeline.keepSetNearDup(s, d)),
     "q_pipeline_curated"  -> ((s, d) => Pipeline.curatedKeepSet(s, d)),
+    "q_split_leakage"     -> ((s, d) => Pipeline.splitLeakage(s, d)),
     // ---- B9 deterministic sampling / data mixing ----
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_sample_k_per_lang" -> ((s, d) => Sampling.sampleKPerStratum(s, d)),
@@ -867,6 +868,25 @@ object SparkEntry {
         |  AND doc_id IN (SELECT doc_id FROM surv)
         |  AND quality >= 0.55
         |ORDER BY doc_id""".stripMargin,
+    // cross-split leakage audit: per non-train doc, the fraction of its
+    // shingles present anywhere in the train split
+    "q_split_leakage" ->
+      """WITH sp AS (SELECT doc_id,
+        |  CASE WHEN h < 980000000 THEN 'train'
+        |       WHEN h < 990000000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS h
+        |    FROM documents)),
+        |toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT t.doc_id, sp.split, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+        |         ELSE w END)) AS s FROM toks t JOIN sp ON t.doc_id = sp.doc_id),
+        |tr AS (SELECT DISTINCT s, 1 AS hit FROM sh WHERE split = 'train')
+        |SELECT sh.doc_id, sh.split, count(*)::BIGINT AS n_sh, count(hit)::BIGINT AS n_hit,
+        |  round(count(hit)::DOUBLE / count(*), 6) AS leak_frac
+        |FROM sh LEFT JOIN tr ON sh.s = tr.s
+        |WHERE sh.split <> 'train'
+        |GROUP BY sh.doc_id, sh.split ORDER BY doc_id""".stripMargin,
     // the full five-stage curation pipeline: survivors ∧ quality ∧
     // fractional decontamination ∧ LM nll band ∧ length band
     "q_pipeline_curated" ->

@@ -184,6 +184,30 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Cross-split leakage audit: for every val/test doc of the
+    * [[Sampling.trainValTest]] holdout, how many of its distinct 3-gram
+    * shingles also occur in the TRAIN split — the hygiene check a team
+    * runs after any split, since eval docs with heavy train overlap
+    * measure memorization, not generalization. Same scale shape as the
+    * decontamination family: the train shingle set is a hint-free
+    * semi-style join on 8-byte hashes, then one doc_id hash-agg.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val splits = Sampling.trainValTest(spark, sfDir).select("doc_id", "split")
+    val ex = Dedup.shingleSets(spark, sfDir)
+      .select(col("doc_id"), explode(col("hs")).as("s"))
+      .join(splits, "doc_id")
+    val trainSh = ex.filter(col("split") === "train")
+      .select("s").distinct().withColumn("hit", lit(1))
+    ex.filter(col("split") =!= "train")
+      .join(trainSh, Seq("s"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("split"), col("n_sh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_sh"), 6).as("leak_frac"))
+      .orderBy("doc_id")
+  }
+
   def keepSetNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val losers = Dedup.neardupClustersRaw(spark, sfDir)
       .filter(col("doc_id") =!= col("cluster"))

@@ -86,6 +86,17 @@ class PipelineSpec extends SparkSpec {
     assert(curated.count() < docs.count())
   }
 
+  test("split leakage covers exactly the non-train docs with bounded fractions") {
+    import graft.operators.Sampling
+    val d = Pipeline.splitLeakage(spark, sf)
+    val holdout = Sampling.trainValTest(spark, sf)
+      .filter(col("split") =!= "train").select("doc_id")
+    assert(d.count() == holdout.count())
+    assert(d.select("doc_id").except(holdout).count() == 0)
+    assert(d.filter(col("n_hit") > col("n_sh") || col("leak_frac") > 1.0
+      || col("leak_frac") < 0.0).count() == 0)
+  }
+
   test("pack sequences: contiguous monotone packs from a driver-side recount") {
     import spark.implicits._
     val want = Tables.documents(spark, sf).select("doc_id", "lang", "text")
