@@ -128,6 +128,7 @@ object SparkEntry {
     "q_pipeline_keep_neardup" -> ((s, d) => Pipeline.keepSetNearDup(s, d)),
     "q_pipeline_curated"  -> ((s, d) => Pipeline.curatedKeepSet(s, d)),
     "q_split_leakage"     -> ((s, d) => Pipeline.splitLeakage(s, d)),
+    "q_pack_texts"        -> ((s, d) => Pipeline.packTexts(s, d)),
     // ---- B9 deterministic sampling / data mixing ----
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_sample_k_per_lang" -> ((s, d) => Sampling.sampleKPerStratum(s, d)),
@@ -868,6 +869,19 @@ object SparkEntry {
         |  AND doc_id IN (SELECT doc_id FROM surv)
         |  AND quality >= 0.55
         |ORDER BY doc_id""".stripMargin,
+    // packed training sequences: per (lang, pack), members concatenated in
+    // doc_id order with an <eod> separator, fingerprinted
+    "q_pack_texts" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  len(string_split(text,' '))::BIGINT AS n,
+        |  sum(len(string_split(text,' '))::BIGINT)
+        |    OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |SELECT lang, ((cum - n) // 4096)::BIGINT AS pack_id,
+        |  count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  md5(string_agg(text, ' <eod> ' ORDER BY doc_id)) AS pack_fp
+        |FROM t GROUP BY lang, ((cum - n) // 4096)
+        |ORDER BY lang, pack_id""".stripMargin,
     // cross-split leakage audit: per non-train doc, the fraction of its
     // shingles present anywhere in the train split
     "q_split_leakage" ->

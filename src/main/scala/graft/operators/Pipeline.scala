@@ -208,6 +208,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Materialize the packed training sequences that [[packSequences]]
+    * assigns: per (lang, pack), the member docs concatenated in doc_id
+    * order with an `<eod>` separator — the artifact a trainer actually
+    * reads. The concat order is pinned by sort_array over (doc_id, text)
+    * structs, so the pack text (fingerprinted, not emitted raw) is
+    * deterministic and engine-portable; counts and token totals ride
+    * along. One window pass + one hash-agg — pack groups are ~packLen
+    * tokens each, so no group outgrows an executor regardless of corpus
+    * size.
+    */
+  def packTexts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(col("text"), " ")).cast("long")
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", nTok)
+      .withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("lang").orderBy("doc_id")))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackLen"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        md5(expr("array_join(transform(sort_array(collect_list(struct(doc_id, text))), " +
+          "p -> p.text), ' <eod> ')")).as("pack_fp"))
+      .orderBy("lang", "pack_id")
+  }
+
   def keepSetNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val losers = Dedup.neardupClustersRaw(spark, sfDir)
       .filter(col("doc_id") =!= col("cluster"))

@@ -97,6 +97,25 @@ class PipelineSpec extends SparkSpec {
       || col("leak_frac") < 0.0).count() == 0)
   }
 
+  test("pack texts: fingerprints match a driver-side ordered concat per pack") {
+    import spark.implicits._
+    val assigns = Pipeline.packSequences(spark, sf)
+      .select("doc_id", "lang", "n_tokens", "pack_id")
+      .as[(Long, String, Long, Long)].collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = assigns.groupBy(a => (a._2, a._4)).map { case ((lang, pack), rows) =>
+      val sorted = rows.sortBy(_._1)
+      val joined = sorted.map(r => texts(r._1)).mkString(" <eod> ")
+      val fp = md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (lang, pack, rows.length.toLong, rows.map(_._3).sum, fp)
+    }.toSet
+    val got = Pipeline.packTexts(spark, sf)
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    assert(got == want)
+  }
+
   test("pack sequences: contiguous monotone packs from a driver-side recount") {
     import spark.implicits._
     val want = Tables.documents(spark, sf).select("doc_id", "lang", "text")
