@@ -92,19 +92,26 @@ object Pipeline {
     * quality floor, and (c) decontaminated — returned with their quality
     * score. One declarative plan over three reused operators.
     */
-  def keepSet(spark: SparkSession, sfDir: String): DataFrame = {
-    val survivors = Tables.documents(spark, sfDir)
+  /** Exact-dup survivors (min doc_id per distinct text) — shared by every
+    * keep-set variant so survivorship can never diverge between them. */
+  private def survivorsFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val quality = TextAnalysis.qualityScore(spark, sfDir)
+
+  /** Docs at/above the quality floor, with quality and n_tokens — shared
+    * by the keep-set variants. */
+  private def qualityFloorFrame(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityScore(spark, sfDir)
       .filter(col("quality") >= QualityFloor)
-      .select("doc_id", "quality")
+      .select("doc_id", "quality", "n_tokens")
+
+  def keepSet(spark: SparkSession, sfDir: String): DataFrame =
     decontaminate(spark, sfDir)
-      .join(survivors, Seq("doc_id"), "left_semi")
-      .join(quality, "doc_id")
+      .join(survivorsFrame(spark, sfDir), Seq("doc_id"), "left_semi")
+      .join(qualityFloorFrame(spark, sfDir).select("doc_id", "quality"), "doc_id")
       .select(col("doc_id"), col("quality"))
       .orderBy("doc_id")
-  }
 
   /** [[keepSet]] strengthened from exact-dup to NEAR-dup survivorship: also
     * drop every doc that sits in a near-dup cluster without being its
@@ -126,17 +133,23 @@ object Pipeline {
     * the same caveat-free shape as the B5 running frames. All-integer
     * arithmetic end to end.
     */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The pack-assignment prefix shared by [[packSequences]] and
+    * [[packTexts]] — one definition so the published assignments and the
+    * materialized pack fingerprints can never diverge. */
+  private def packAssign(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(split(col("text"), " ")).cast("long")
     Tables.documents(spark, sfDir)
       .withColumn("n_tokens", nTok)
       .withColumn("cum", sum("n_tokens").over(
         Window.partitionBy("lang").orderBy("doc_id")))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $PackLen").as("pack_id"))
-      .orderBy("doc_id")
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackLen"))
   }
+
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    packAssign(spark, sfDir)
+      .select("doc_id", "lang", "n_tokens", "pack_id")
+      .orderBy("doc_id")
 
   /** LM negative-log-likelihood band for [[curatedKeepSet]]: docs outside
     * it read as gibberish (high) or degenerate repetition (low) — the
@@ -161,25 +174,19 @@ object Pipeline {
     * without recomputing.
     */
   def curatedKeepSet(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val quality = TextAnalysis.qualityScore(spark, sfDir)
-      .filter(col("quality") >= QualityFloor)
-      .select("doc_id", "quality")
+    // the quality stage already carries n_tokens (same split-size
+    // expression) — the length band rides it, no second tokenize pass
+    val qualityAndLen = qualityFloorFrame(spark, sfDir)
+      .filter(col("n_tokens") >= LenLo && col("n_tokens") <= LenHi)
     val clean = decontaminateOverlap(spark, sfDir)
       .filter(!col("contaminated")).select("doc_id")
     val lm = Curation.lmPerplexity(spark, sfDir)
       .filter(col("avg_nll") >= NllLo && col("avg_nll") <= NllHi)
       .select("doc_id", "avg_nll")
-    val len = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .filter(col("n_tokens") >= LenLo && col("n_tokens") <= LenHi)
     clean
-      .join(survivors, Seq("doc_id"), "left_semi")
-      .join(quality, "doc_id")
+      .join(survivorsFrame(spark, sfDir), Seq("doc_id"), "left_semi")
+      .join(qualityAndLen, "doc_id")
       .join(lm, "doc_id")
-      .join(len, "doc_id")
       .select(col("doc_id"), col("quality"), col("avg_nll"), col("n_tokens"))
       .orderBy("doc_id")
   }
@@ -193,10 +200,12 @@ object Pipeline {
     * semi-style join on 8-byte hashes, then one doc_id hash-agg.
     */
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
-    val splits = Sampling.trainValTest(spark, sfDir).select("doc_id", "split")
+    // split is a row-local function of doc_id (Sampling.splitCol) — label
+    // the shingle rows map-side instead of joining the trainValTest output
+    // (which would cost a second documents scan plus its global sort)
     val ex = Dedup.shingleSets(spark, sfDir)
       .select(col("doc_id"), explode(col("hs")).as("s"))
-      .join(splits, "doc_id")
+      .withColumn("split", Sampling.splitCol)
     val trainSh = ex.filter(col("split") === "train")
       .select("s").distinct().withColumn("hit", lit(1))
     ex.filter(col("split") =!= "train")
@@ -219,13 +228,7 @@ object Pipeline {
     * size.
     */
   def packTexts(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nTok = size(split(col("text"), " ")).cast("long")
-    Tables.documents(spark, sfDir)
-      .withColumn("n_tokens", nTok)
-      .withColumn("cum", sum("n_tokens").over(
-        Window.partitionBy("lang").orderBy("doc_id")))
-      .withColumn("pack_id", expr(s"(cum - n_tokens) div $PackLen"))
+    packAssign(spark, sfDir)
       .groupBy("lang", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
         md5(expr("array_join(transform(sort_array(collect_list(struct(doc_id, text))), " +

@@ -141,13 +141,23 @@ object Sampling {
     * no coordination — that is why hash-banding, not counters, is the
     * production holdout mechanism. Map-side only; no shuffle at any scale.
     */
+  /** The split label as a pure row-local expression over doc_id — shared
+    * by [[trainValTest]] and by consumers that label OTHER frames (the
+    * leakage audit), so the banding can never diverge between them. The
+    * hash appears three times in one projection; codegen's subexpression
+    * elimination computes it once (unlike cross-operator Filter+Project,
+    * see stratifiedSample).
+    */
+  private[graft] def splitCol: Column = {
+    val h = hashBucket(col("doc_id").cast("string"))
+    when(h < 980000000L, lit("train"))
+      .when(h < 990000000L, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   def trainValTest(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("h", hashBucket(col("doc_id").cast("string")))
-      .select(col("doc_id"), col("lang"),
-        when(col("h") < 980000000L, lit("train"))
-          .when(col("h") < 990000000L, lit("val"))
-          .otherwise(lit("test")).as("split"))
+      .select(col("doc_id"), col("lang"), splitCol.as("split"))
       .orderBy("doc_id")
 
   def sampleKPerStratum(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
