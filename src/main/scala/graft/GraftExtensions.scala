@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions._
-import graft.plans.{AsOfJoinStrategy, GroupTopKStrategy, TopKRewriteRule}
+import graft.plans.{AsOfJoinStrategy, GroupTopKStrategy, SimJoinRewriteRule, TopKRewriteRule}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
   * (spark-submit / SparkSession.builder config): injects every graft
@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "graft_simhash60", exprs => SimHash60(exprs.head))
     fn(e, "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)))
     e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectOptimizerRule(_ => SimJoinRewriteRule)
     e.injectPlannerStrategy(_ => GroupTopKStrategy)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_hash"        -> ((s, d) => Dedup.hashDedup(s, d)),
     "q_neardup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "q_neardup_ppjoin"    -> ((s, d) => Dedup.ppjoinPairs(s, d)),
+    "q_simjoin_rewrite"   -> ((s, d) => Dedup.simJoinDeclarative(s, d)),
     "q_neardup_minhash"   -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_simhash"           -> ((s, d) => Dedup.simhashFingerprints(s, d)),
     "q_minhash_sig"       -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -597,6 +598,9 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_neardup_jaccard"  -> NearDupOracle,
     "q_neardup_ppjoin"   -> NearDupOracle,
+    // declarative crossJoin+filter form, planned by SimJoinRewriteRule —
+    // same pair semantics, same oracle
+    "q_simjoin_rewrite"  -> NearDupOracle,
     "q_neardup_minhash"  -> NearDupOracle,
     // connected components over the same exact pair ground truth, via a
     // recursive transitive-closure CTE; cluster label = component minimum

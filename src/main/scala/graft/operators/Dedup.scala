@@ -188,6 +188,31 @@ object Dedup {
     verifyPairs(spark, sfDir, cand).orderBy("doc_a", "doc_b")
   }
 
+  /** The near-dup pair query WRITTEN AS ITS SPECIFICATION — an explicit
+    * crossJoin + `jaccard >= tau` filter — relying on
+    * [[graft.plans.SimJoinRewriteRule]] to plan it as a prefix-filtered
+    * equi join. Same output as [[ppjoinPairs]]/[[jaccardPairs]] (one shared
+    * oracle); what this entry demonstrates is the OPTIMIZER path: the user
+    * states all-pairs semantics declaratively and the library's Catalyst
+    * rule removes the CartesianProduct (asserted in SimJoinRewriteSpec —
+    * 12.5M evaluated pairs at sf0.1 becomes a ~240k-collision hash join).
+    * The rule is injected by GraftExtensions; the runtime registration
+    * below covers harness-created sessions, same as the other plan nodes.
+    */
+  def simJoinDeclarative(spark: SparkSession, sfDir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SimJoinRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SimJoinRewriteRule
+    val a = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), col("hs").as("hsa"))
+    val b = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), col("hs").as("hsb"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b") &&
+        jaccardSorted(col("hsa"), col("hsb")) >= lit(ShingleTau))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardSorted(col("hsa"), col("hsb")), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Shingles of a doc that must be cross-doc duplicates before
     * [[dupNgramFractions]] calls the doc mostly-duplicated: n_shared·5 ≥
     * n_sh·4 ⇔ shared fraction ≥ 80%. */
