@@ -139,10 +139,13 @@ object SparkEntry {
     "q_train_val_test"    -> ((s, d) => Sampling.trainValTest(s, d)),
     "q_length_histogram"  -> ((s, d) => Curation.lengthHistogram(s, d)),
     "q_mixture_rebalance" -> ((s, d) => Sampling.mixtureRebalance(s, d)),
+    "q_chunk_overlap"     -> ((s, d) => Curation.chunkOverlap(s, d)),
+    "q_shuffle_det"       -> ((s, d) => Sampling.deterministicShuffle(s, d)),
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
     "q_ivf_topk"          -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
     "q_binary_meta"       -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -823,6 +826,43 @@ object SparkEntry {
         |  sum(n)::BIGINT AS n_tokens
         |FROM (SELECT len(string_split(text,' '))::BIGINT AS n FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // chunking mirrors the operator exactly: starts every 48 tokens,
+    // 64-token slices, trailing fully-covered starts suppressed
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' '))::BIGINT AS n FROM documents),
+        |u AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, n - 1, 48))::BIGINT AS start FROM t)
+        |SELECT doc_id, start // 48 AS chunk_id, start,
+        |  least(64, n - start) AS n_chunk,
+        |  array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
+        |FROM u WHERE start = 0 OR start + 16 < n
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_shuffle_det" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  ('0x'||substr(md5('shuf:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS hk
+        |  FROM documents)
+        |SELECT hk % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS BIGINT) AS pos,
+        |  doc_id, lang
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |a AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+        |qq AS (SELECT vec_id, v, amax,
+        |  CASE WHEN amax = 0.0 THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x -> CAST(round(x * 127.0 / amax) AS INTEGER)) END AS q
+        |  FROM a)
+        |SELECT vec_id,
+        |  round(amax / 127.0, 6) AS scale,
+        |  md5(array_to_string(q, ',')) AS q_fp,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  round(CASE WHEN amax = 0.0 THEN 0.0
+        |       ELSE list_max(list_transform(v,
+        |         x -> abs(x - round(x * 127.0 / amax) * amax / 127.0))) END, 6) AS max_err
+        |FROM qq ORDER BY vec_id""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH bg AS (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b
         |            FROM (SELECT string_split(text,' ') AS w FROM documents)),

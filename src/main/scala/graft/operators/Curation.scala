@@ -148,6 +148,43 @@ object Curation {
         max("n").as("max_tokens"), sum("n").as("n_tokens"))
       .orderBy("bucket_lo")
 
+  /** Chunk length and stride (tokens) for [[chunkOverlap]]; overlap =
+    * ChunkSize - ChunkStride = 16 tokens of left context per chunk. */
+  val ChunkSize = 64L
+  val ChunkStride = 48L
+
+  /** Fixed-size document chunking with overlap — the long-context →
+    * training-example splitter every embedding/RAG/pretraining pipeline
+    * runs: each doc's token sequence becomes chunks of [[ChunkSize]]
+    * tokens starting every [[ChunkStride]] (16 tokens of overlap carry
+    * context across the cut). A trailing start that adds NO new tokens
+    * (doc already fully covered by the previous chunk) is suppressed —
+    * `start = 0 OR start + (size - stride) < n` — so short docs yield
+    * exactly one chunk and nothing degenerate.
+    *
+    * Scale shape: pure map-side generate (split → sequence → explode →
+    * slice) with no shuffle and no state; output grows by the n/stride
+    * fan-out only. Chunk ids are (doc_id, start/stride) — stable under
+    * any partitioning, no window function needed.
+    */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val overlap = ChunkSize - ChunkStride
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1L, lit(ChunkStride))).as("start"))
+      .filter(col("start") === 0L || col("start") + overlap < col("n"))
+      .select(
+        col("doc_id"),
+        expr(s"start div $ChunkStride").as("chunk_id"),
+        col("start"),
+        least(lit(ChunkSize), col("n") - col("start")).as("n_chunk"),
+        array_join(slice(col("toks"), (col("start") + 1L).cast("int"),
+          lit(ChunkSize.toInt)), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   private val PhoneRe = "[0-9]{3}-[0-9]{4}"
   private val IpRe    = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"

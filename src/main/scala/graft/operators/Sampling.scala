@@ -160,6 +160,35 @@ object Sampling {
       .select(col("doc_id"), col("lang"), splitCol.as("split"))
       .orderBy("doc_id")
 
+  /** Shard count for [[deterministicShuffle]]. */
+  val NumShards = 8L
+
+  /** Deterministic training-order shuffle: the reproducible global
+    * permutation a training run reads the corpus in. Order key is the
+    * seeded hash `hashBucket("shuf:" || doc_id)` — changing the seed
+    * prefix is a fresh independent permutation, and the order is a pure
+    * function of doc_id (rerun-stable, engine-portable, unlike
+    * `orderBy(rand(seed))`, whose output depends on partitioning).
+    *
+    * Scale shape: a GLOBAL row_number over the hash would funnel every row
+    * through one partition — the classic driver-bottleneck anti-pattern —
+    * so the permutation is materialized the way training infra consumes
+    * it: hash-assigned to [[NumShards]] shards, with a per-shard position
+    * from a shard-partitioned window. Readers interleave shards
+    * round-robin; each shard's window parallelizes across executors. At
+    * 1000 executors, NumShards simply grows with the reader count.
+    */
+  def deterministicShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, sfDir)
+      .withColumn("h", hashBucket(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("h") % NumShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
+      .orderBy("shard", "pos")
+  }
+
   def sampleKPerStratum(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Tables.documents(spark, sfDir)

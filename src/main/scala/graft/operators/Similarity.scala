@@ -228,4 +228,42 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rn")
   }
+
+  /** Symmetric per-vector int8 scalar quantization — the 4× compression
+    * pass an embedding store runs before indexing (float32 → int8 with a
+    * per-vector scale): `q = round(x · 127 / amax)`, `scale = amax / 127`,
+    * where amax is the vector's max |x|. Also reports the per-vector max
+    * reconstruction error `max |x − q·scale|` (bounded by scale/2), so a
+    * recall-impact audit needs no second pass. Zero vectors quantize to
+    * zeros with scale 0 rather than dividing by it.
+    *
+    * Scale shape: embarrassingly map-side — one codegen'd projection per
+    * row, no shuffle, no state; the error audit rides the same pass. The
+    * elementwise math (promote float→double, multiply before divide) is
+    * mirrored verbatim in the DuckDB oracle so the int lattice and the
+    * rounded error agree bit-for-bit across engines; only `scale` and
+    * `max_err` (genuinely real-valued) are rounded to 6 places for the
+    * compare.
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("amax", array_max(expr("transform(v, x -> abs(x))")))
+      .withColumn("q",
+        expr("""CASE WHEN amax = 0.0 THEN transform(v, x -> 0)
+                ELSE transform(v, x -> cast(round(x * 127.0 / amax) AS int)) END"""))
+      .select(
+        col("vec_id"),
+        round(col("amax") / 127.0, 6).as("scale"),
+        // the int8 code vector, fingerprinted (comparators hash scalar
+        // columns; the md5 + exact sum pin elementwise equality) —
+        // consumers wanting the raw codes drop this projection
+        md5(array_join(col("q").cast("array<string>"), ",")).as("q_fp"),
+        expr("aggregate(q, 0L, (acc, c) -> acc + c)").as("q_sum"),
+        expr("""round(CASE WHEN amax = 0.0 THEN 0.0
+                ELSE array_max(transform(v,
+                  x -> abs(x - round(x * 127.0 / amax) * amax / 127.0))) END, 6)""")
+          .as("max_err"))
+      .orderBy("vec_id")
 }

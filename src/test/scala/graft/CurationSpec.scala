@@ -159,4 +159,29 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "n_sh", "n_shared").as[(Long, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("chunk overlap: chunks cover and reconstruct every doc's token stream") {
+    import spark.implicits._
+    val overlap = (Curation.ChunkSize - Curation.ChunkStride).toInt
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = Curation.chunkOverlap(spark, sf)
+      .select("doc_id", "chunk_id", "start", "n_chunk", "chunk")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    assert(got.keySet == texts.keySet) // every doc yields at least one chunk
+    got.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $id: first chunk must start at 0")
+      sorted.foreach { case (_, cid, start, nc, chunk) =>
+        assert(cid == start / Curation.ChunkStride)
+        assert(chunk.split(" ", -1).length == nc, s"doc $id chunk $cid")
+        assert(nc <= Curation.ChunkSize)
+      }
+      // chunk 0 + each later chunk minus its overlap prefix = the doc
+      val rebuilt = sorted.head._5.split(" ", -1).toSeq ++
+        sorted.tail.flatMap(_._5.split(" ", -1).drop(overlap).toSeq)
+      assert(rebuilt == texts(id).split(" ", -1).toSeq, s"doc $id")
+    }
+  }
 }

@@ -138,4 +138,22 @@ class SamplingSpec extends SparkSpec {
     assert(got == Sampling.importanceSample(spark, sf)
       .select("doc_id").as[Long].collect().toSet)
   }
+
+  test("deterministic shuffle: a real permutation with dense per-shard positions") {
+    import spark.implicits._
+    val d = Sampling.deterministicShuffle(spark, sf)
+    val rows = d.select("shard", "pos", "doc_id").as[(Long, Long, Long)].collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    assert(rows.map(_._3).distinct.length == n) // every doc exactly once
+    assert(rows.forall(r => r._1 >= 0 && r._1 < Sampling.NumShards))
+    rows.groupBy(_._1).foreach { case (s, rs) => // positions are 1..k, no gaps
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"shard $s")
+    }
+    // rerun-stable, and genuinely shuffled (not doc_id order) within a shard
+    assert(d.collect().toSeq ==
+      Sampling.deterministicShuffle(spark, sf).collect().toSeq)
+    val shard0 = rows.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    assert(shard0 != shard0.sorted)
+  }
 }

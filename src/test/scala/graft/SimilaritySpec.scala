@@ -85,4 +85,33 @@ class SimilaritySpec extends SparkSpec {
       expr("aggregate(v, 0D, (acc, x) -> acc + x*x)").as("b"))
     assert(cmp.filter(col("a") =!= col("b")).count() == 0)
   }
+
+  test("int8 quantization: error bounded by scale/2, codes exact vs driver recompute") {
+    import spark.implicits._
+    val rows = Similarity.quantizeInt8(spark, sf)
+      .select("vec_id", "scale", "q_fp", "q_sum", "max_err")
+      .as[(Long, Double, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // full driver-side recomputation with Spark's HALF_UP rounding semantics
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, emb) =>
+        val v = emb.map(_.toDouble)
+        val amax = v.map(math.abs).max
+        val q =
+          if (amax == 0.0) v.map(_ => 0)
+          else v.map(x => BigDecimal(x * 127.0 / amax)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+        assert(q.forall(c => c >= -127 && c <= 127), s"vec $id")
+        id -> q
+      }.toMap
+    rows.foreach { case (id, scale, fp, qsum, err) =>
+      // round-to-nearest guarantee: |x - q·scale| <= scale/2 (+rounding grain)
+      assert(err <= scale / 2 + 1e-6, s"vec $id: err $err vs scale $scale")
+      assert(fp == md5hex(want(id).mkString(",")), s"vec $id codes diverge")
+      assert(qsum == want(id).map(_.toLong).sum, s"vec $id")
+    }
+  }
 }
