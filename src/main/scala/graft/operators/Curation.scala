@@ -167,9 +167,19 @@ object Curation {
     * fan-out only. Chunk ids are (doc_id, start/stride) — stable under
     * any partitioning, no window function needed.
     */
-  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, sfDir)).orderBy("doc_id", "chunk_id")
+
+  /** The chunking transform on any (doc_id, text, ...) frame — every step
+    * is row-local (split → sequence → explode → slice; no state, no
+    * shuffle), so the SAME function serves the batch query above and the
+    * per-micro-batch streaming pass (graft.streaming.StreamingOps
+    * .chunkDocs): streamed chunks over any arrival order equal the batch
+    * chunks over the same rows.
+    */
+  private[graft] def chunkDocs(docs: DataFrame): DataFrame = {
     val overlap = ChunkSize - ChunkStride
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("toks"), col("n"),
@@ -182,7 +192,6 @@ object Curation {
         least(lit(ChunkSize), col("n") - col("start")).as("n_chunk"),
         array_join(slice(col("toks"), (col("start") + 1L).cast("int"),
           lit(ChunkSize.toInt)), " ").as("chunk"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"

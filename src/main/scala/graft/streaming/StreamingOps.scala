@@ -98,6 +98,17 @@ object StreamingOps {
       .select(col("doc_id"),
         graft.operators.Curation.redact(col("text")).as("text"))
 
+  /** STREAMING document chunking: the overlapping 64/48-token splitter
+    * applied per arriving micro-batch — the ingest shape of a
+    * chunk-and-embed pipeline. Delegates to the SAME row-local transform
+    * as the batch operator (graft.operators.Curation.chunkDocs — a pure
+    * generate, no state, no watermark, no shuffle), so streamed chunks
+    * equal batch chunks over the same rows and retries re-emit
+    * identically. Input needs (doc_id, text).
+    */
+  def chunkDocs(docs: DataFrame): DataFrame =
+    graft.operators.Curation.chunkDocs(docs)
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (customer keyed by user_id). The static side re-plans per micro-batch;
     * Spark broadcasts it under the usual thresholds, so the stream never

@@ -92,6 +92,19 @@ class StreamingSpec extends SparkSpec {
     assert(wantIds.except(got.select("doc_id")).count() == 0)
   }
 
+  test("streaming chunking equals the batch overlapping-chunk operator") {
+    val docsDir = Files.createTempDirectory("graft-chunkstream").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(docsDir)
+    val got = runToTable(
+      StreamingOps.chunkDocs(stream), "chunk_stream", "append")
+    val want = operators.Curation.chunkOverlap(spark, sf)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.join(want, Seq("doc_id", "chunk_id", "start", "n_chunk", "chunk"),
+      "left_anti").count() == 0)
+  }
+
   // ------------------------------------------------- late-data fixtures
 
   /** 2024-01-01 00:00 UTC, the fixture day. */
