@@ -66,6 +66,7 @@ object SparkEntry {
     "q_corr_stats"        -> ((s, d) => Aggregates.corrStats(s, d)),
     "q_minmax_by"         -> ((s, d) => Aggregates.minMaxBy(s, d)),
     "q_approx_percentile" -> ((s, d) => Aggregates.approxPercentiles(s, d)),
+    "q_cms_counts"        -> ((s, d) => Aggregates.cmsWordCounts(s, d)),
     "q_pivot"             -> ((s, d) => Aggregates.pivotEventCounts(s, d)),
     "q_grouping_sets"     -> ((s, d) => Aggregates.groupingSetsOrders(s, d)),
     // ---- B5 windows ----
@@ -863,6 +864,24 @@ object SparkEntry {
         |       ELSE list_max(list_transform(v,
         |         x -> abs(x - round(x * 127.0 / amax) * amax / 127.0))) END, 6) AS max_err
         |FROM qq ORDER BY vec_id""".stripMargin,
+    // deterministic md5-seeded CMS: estimates, exact counts and overcounts
+    // are all reproducible cross-engine
+    "q_cms_counts" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        |  SELECT r, ('0x'||substr(md5(r||':'||w),1,15))::BIGINT % 16 AS cell,
+        |         count(*)::BIGINT AS c
+        |  FROM tok, rows_ GROUP BY 1, 2),
+        |exact AS (SELECT w, count(*)::BIGINT AS cnt FROM tok GROUP BY w),
+        |probes AS (
+        |  SELECT w, cnt, r,
+        |         ('0x'||substr(md5(r||':'||w),1,15))::BIGINT % 16 AS cell
+        |  FROM exact, rows_)
+        |SELECT p.w, min(c.c) AS est, p.cnt, min(c.c) - p.cnt AS overcount
+        |FROM probes p JOIN cells c ON p.r = c.r AND p.cell = c.cell
+        |GROUP BY p.w, p.cnt
+        |ORDER BY p.w""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH bg AS (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b
         |            FROM (SELECT string_split(text,' ') AS w FROM documents)),

@@ -106,6 +106,57 @@ object Aggregates {
         percentile_approx(col("value"), lit(0.95), lit(100)).as("p95_approx"))
       .orderBy("event_type")
 
+  /** Count-Min sketch geometry: [[CmsDepth]] independent hash rows of
+    * [[CmsWidth]] cells. Width 16 over this corpus's small vocabulary
+    * forces real collisions, so the estimate-vs-truth gap the spec and
+    * oracle check is non-trivial. */
+  val CmsDepth = 4
+  val CmsWidth = 16L
+
+  /** h_i(w): row-i cell index on [0, CmsWidth) — the same md5-top-60-bit
+    * construction as the sampling hash (engine-portable; DuckDB computes
+    * the identical value), seeded by the row index. */
+  private def cmsCell(row: Int, w: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$row:"), w)), 1, 15), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** Count-Min sketch heavy-hitter counts over the corpus token stream —
+    * the sublinear-memory frequency sketch (Cormode & Muthukrishnan 2005)
+    * a 100 TB pipeline uses where an exact word count's group space no
+    * longer fits: estimate(w) = min over rows i of cell[i][h_i(w)], never
+    * an underestimate. Everything is DETERMINISTIC (md5-seeded hashes), so
+    * unlike the HLL/QuantileSummaries sketches this one has a full DuckDB
+    * oracle: per-word estimate, exact count, and overcount hash-match.
+    *
+    * Scale shape: the sketch build is ONE hash aggregate over (row, cell)
+    * pairs — depth × corpus tokens map-side-combined into ≤ depth·width
+    * rows total, shipped once; constant memory at any corpus size. The
+    * probe side joins the depth·width-row sketch (broadcast) against the
+    * query vocabulary. Here the probe set is the full (31-word) vocab; at
+    * scale it is whatever candidate set you interrogate — the sketch cost
+    * never changes. Mergeability (cell-wise sum of per-split sketches ==
+    * whole-corpus sketch) is asserted in AggregatesSpec.
+    */
+  def cmsWordCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val cells = tokens
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("r"), cmsCell(i, col("w")).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val exact = tokens.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val probes = exact
+      .select(col("w"), col("cnt"), explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("r"), cmsCell(i, col("w")).as("cell"))): _*)).as("rc"))
+      .select(col("w"), col("cnt"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+    probes.join(broadcast(cells), Seq("r", "cell"))
+      .groupBy("w", "cnt")
+      .agg(min("c").as("est"))
+      .select(col("w"), col("est"), col("cnt"), (col("est") - col("cnt")).as("overcount"))
+      .orderBy("w")
+  }
+
   /** ROLLUP: revenue by (nation, order-year) with subtotals and grand total.
     * Null group keys from the rollup are coalesced to sentinels so the sort
     * order is engine-independent.

@@ -62,4 +62,48 @@ class AggregatesSpec extends SparkSpec {
     assert(j.filter(abs(col("p50_approx") - col("p50")) > (col("hi") - col("lo")) * 0.25).count() == 0)
     assert(j.filter(col("p95_approx") < col("p50_approx")).count() == 0)
   }
+
+  test("count-min sketch: never underestimates, exact absent collisions, mergeable") {
+    import graft.operators.Aggregates
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Aggregates.cmsWordCounts(spark, sf)
+    val rows = d.select("w", "est", "cnt", "overcount")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the CMS one-sided error guarantee, and internal consistency
+    rows.foreach { case (w, est, cnt, over) =>
+      assert(est >= cnt, s"word $w: CMS underestimated ($est < $cnt)")
+      assert(over == est - cnt)
+    }
+    // exact count agrees with the plain word count query
+    val wc = graft.operators.WordCount.wordCount(spark, sf)
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (w, _, cnt, _) => assert(cnt == wc(w), s"word $w") }
+    // width 16 over this vocab must produce at least one real collision
+    // (otherwise the estimate-vs-truth check is vacuous)
+    assert(rows.exists(_._4 > 0))
+    // mergeability: driver-side recompute — cell counts from disjoint doc
+    // halves sum to the whole-corpus cells, so est over the merged sketch
+    // equals the query's est
+    val toks = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def h(r: Int, w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % Aggregates.CmsWidth
+    }
+    def sketch(docs: Seq[(Long, String)]): Map[(Int, Long), Long] =
+      docs.flatMap(_._2.split(" ", -1).toSeq)
+        .flatMap(w => (0 until Aggregates.CmsDepth).map(r => (r, h(r, w))))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (even, odd) = toks.partition(_._1 % 2 == 0)
+    val merged = (sketch(even).toSeq ++ sketch(odd).toSeq)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(merged == sketch(toks.toSeq))
+    rows.foreach { case (w, est, _, _) =>
+      val want = (0 until Aggregates.CmsDepth).map(r => merged((r, h(r, w)))).min
+      assert(est == want, s"word $w: est $est vs merged-sketch $want")
+    }
+  }
 }
