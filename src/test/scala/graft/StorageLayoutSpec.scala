@@ -59,4 +59,35 @@ class StorageLayoutSpec extends SparkSpec {
     val want = Tables.events(spark, sf).filter(col("event_type") === "click").count()
     assert(one.count() == want)
   }
+
+  test("selective dim join injects a runtime bloom filter into the fact side") {
+    // the at-scale shape: a filtered dimension joined to a big fact —
+    // Spark's InjectRuntimeFilter should guard the fact scan with a bloom
+    // filter built from the dim's join keys, cutting shuffle input before
+    // the join. Thresholds lowered so the optimization fires at test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    def withAll[A](cs: Seq[(String, String)])(f: => A): A = cs match {
+      case (k, v) +: rest => withConf(k, v)(withAll(rest)(f))
+      case _ => f
+    }
+    withAll(confs) {
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${plan.linesIterator.take(30).mkString("\n")}")
+      // unchanged result vs the plain join
+      val want = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == want)
+    }
+  }
 }
