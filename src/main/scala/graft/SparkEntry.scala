@@ -140,6 +140,7 @@ object SparkEntry {
     "q_train_val_test"    -> ((s, d) => Sampling.trainValTest(s, d)),
     "q_length_histogram"  -> ((s, d) => Curation.lengthHistogram(s, d)),
     "q_mixture_rebalance" -> ((s, d) => Sampling.mixtureRebalance(s, d)),
+    "q_mixture_temp"      -> ((s, d) => Sampling.mixtureTemperature(s, d)),
     "q_chunk_overlap"     -> ((s, d) => Curation.chunkOverlap(s, d)),
     "q_shuffle_det"       -> ((s, d) => Sampling.deterministicShuffle(s, d)),
     // ---- B9 similarity search ----
@@ -1060,6 +1061,20 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    // α=1/2 temperature flattening: IEEE sqrt/division are correctly
+    // rounded in both engines, so the floored rates match bit-for-bit
+    "q_mixture_temp" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_src FROM documents GROUP BY source),
+        |m AS (SELECT min(n_src) AS n_min FROM c),
+        |r AS (SELECT source, n_src,
+        |  CAST(floor(1000000000 * sqrt(n_min::DOUBLE / n_src::DOUBLE)) AS BIGINT) AS rate
+        |  FROM c, m),
+        |k AS (SELECT d.source, r.n_src, r.rate,
+        |  ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS h
+        |  FROM documents d JOIN r USING (source))
+        |SELECT source, n_src, rate, count(*)::BIGINT AS n_kept
+        |FROM k WHERE h < rate
+        |GROUP BY source, n_src, rate ORDER BY source""".stripMargin,
     "q_pack_sequences" ->
       """SELECT doc_id, lang, n_tokens, ((cum - n_tokens) // 4096)::BIGINT AS pack_id FROM (
         |  SELECT doc_id, lang, len(string_split(text,' '))::BIGINT AS n_tokens,

@@ -133,6 +133,35 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based mixture sampling (the multilingual/multi-source
+    * flattening rule of T5/mT5: sampled share ∝ count^α): with α = 1/2,
+    * acceptance rate(s) = sqrt(min_count / count(s)) — the smallest source
+    * keeps everything, an over-represented one is thinned to
+    * sqrt(min·count) docs, BETWEEN proportional (α=1, no change) and
+    * uniform (α=0, [[mixtureRebalance]]). α = 1/2 specifically because
+    * IEEE sqrt and double division are correctly rounded on every engine,
+    * so floor(1e9·sqrt(min/count)) is bit-identical in Spark and DuckDB —
+    * an arbitrary-α pow() would be libm-dependent and break the oracle.
+    * Same scale shape as the other mixers: a |sources|-row rate table
+    * broadcast onto a map-side hash filter; no corpus shuffle.
+    */
+  def mixtureTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val minc = counts.agg(min("n_src").as("n_min"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .select(col("source"), col("n_src"),
+        floor(lit(1000000000L) *
+          sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+          .cast("long").as("rate"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("h", hashBucket(col("doc_id").cast("string")))
+      .filter(col("h") < col("rate"))
+      .groupBy("source", "n_src", "rate")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/val/test split: the [0, 1e9) hash line is cut
     * 98/1/1, so assignment is a pure row-local compare — the same doc lands
     * in the same split on every run, engine, partitioning and retry (the

@@ -139,6 +139,37 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("temperature mixing flattens shares: min source keeps all, kept counts between sqrt-prop and raw") {
+    import spark.implicits._
+    val rows = Sampling.mixtureTemperature(spark, sf)
+      .select("source", "n_src", "rate", "n_kept")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val minSrc = rows.minBy(_._2)
+    // the smallest source's rate is exactly 1e9 (sqrt(min/min) = 1): keeps everything
+    assert(minSrc._3 == 1000000000L && minSrc._4 == minSrc._2)
+    rows.foreach { case (s, nSrc, rate, kept) =>
+      // rate = floor(1e9 * sqrt(min/n)) recomputed driver-side
+      val want = math.floor(1e9 * math.sqrt(minSrc._2.toDouble / nSrc.toDouble)).toLong
+      assert(rate == want, s"source $s")
+      assert(kept <= nSrc)
+      // kept share converges on sqrt flattening; at tiny sf just demand
+      // over-represented sources were genuinely thinned
+      if (nSrc > minSrc._2 * 2) assert(kept < nSrc, s"source $s not thinned")
+    }
+    // membership is exactly the hash-under-rate predicate (spot: recompute)
+    val kept = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000000L).as("h"))
+      .as[(String, Long, Long)].collect()
+    val rateBySrc = rows.map(r => r._1 -> r._3).toMap
+    val wantKept = kept.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.count(_._3 < rateBySrc(s)).toLong
+    }
+    rows.foreach { case (s, _, _, k) => assert(k == wantKept(s), s"source $s") }
+  }
+
   test("deterministic shuffle: a real permutation with dense per-shard positions") {
     import spark.implicits._
     val d = Sampling.deterministicShuffle(spark, sf)
