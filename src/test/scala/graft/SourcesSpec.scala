@@ -51,6 +51,29 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id"), plan)
   }
 
+  test("malformed json records: PERMISSIVE captures, DROPMALFORMED skips, count survives") {
+    // ingest robustness — a 100 TB crawl always contains broken records;
+    // the pipeline must quarantine them without failing the job
+    val dir = tmp("badjson")
+    val good = Seq("""{"doc_id": 1, "text": "alpha beta"}""",
+      """{"doc_id": 2, "text": "gamma"}""")
+    val bad = Seq("""{"doc_id": 3, "text": """", """not json at all""")
+    import spark.implicits._
+    (good ++ bad).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = "doc_id LONG, text STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(dir).cache()
+    try {
+      assert(permissive.count() == 4)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 2)
+      assert(permissive.filter(col("_corrupt_record").isNull)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+      val dropped = spark.read.schema("doc_id LONG, text STRING")
+        .option("mode", "DROPMALFORMED").json(dir)
+      assert(dropped.count() == 2)
+    } finally permissive.unpersist()
+  }
+
   test("salted join equals the plain fact-fact join") {
     val plain = Relational.joinFactFact(spark, sf).collect().toSeq
     val salted = Relational.joinFactFactSalted(spark, sf).collect().toSeq
