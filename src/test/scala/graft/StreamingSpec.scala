@@ -92,6 +92,33 @@ class StreamingSpec extends SparkSpec {
     assert(wantIds.except(got.select("doc_id")).count() == 0)
   }
 
+  test("composed streaming ingest: curate -> dedup-against-index -> chunk in one pass") {
+    // the full streaming ingest shape a training pipeline runs per
+    // micro-batch: quality-floor + redaction, then drop docs whose
+    // fingerprint is already indexed, then chunk the survivors. All three
+    // stages are stateless/stream-static, so the composition must equal
+    // the same three batch operators applied in the same order.
+    val docsDir = Files.createTempDirectory("graft-ingeststream").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(docsDir)
+    // standing index: fingerprints of every third doc's CURATED text (the
+    // index stores what a prior ingest wrote, i.e. post-redaction bytes)
+    val index = StreamingOps.curateDocs(docs)
+      .filter(col("doc_id") % 3 === 0)
+      .select(sha2(col("text"), 256).as("fp"))
+    val composed = StreamingOps.chunkDocs(
+      StreamingOps.dedupAgainstIndex(StreamingOps.curateDocs(stream), index))
+    val got = runToTable(composed, "ingest_stream", "append")
+    val want = operators.Curation.chunkDocs(
+      StreamingOps.dedupAgainstIndex(StreamingOps.curateDocs(docs), index))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.join(want, Seq("doc_id", "chunk_id", "start", "n_chunk", "chunk"),
+      "left_anti").count() == 0)
+    // the dedup stage genuinely dropped the indexed docs
+    assert(got.filter(col("doc_id") % 3 === 0).count() == 0)
+  }
+
   test("streaming chunking equals the batch overlapping-chunk operator") {
     val docsDir = Files.createTempDirectory("graft-chunkstream").toString
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
