@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayIntersect, ArrayMin, AttributeReference, Cast, Ceil, EqualNullSafe, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Multiply, PredicateHelper, Size, Slice}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, ArrayIntersect, ArrayMin, AttributeReference, Cast, Ceil, EqualNullSafe, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Multiply, PredicateHelper, Size, Slice}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -75,13 +75,13 @@ object SimJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     // as its own batch) it is a Filter over a condition-less cross join —
     // match both shapes
     case j @ Join(l, r, Inner | Cross, Some(cond), _) =>
-      rewrite(l, r, splitConjunctivePredicates(cond)).getOrElse(j)
-    case f @ Filter(cond, Join(l, r, Inner | Cross, None, _)) =>
-      rewrite(l, r, splitConjunctivePredicates(cond)).getOrElse(f)
+      rewrite(l, r, splitConjunctivePredicates(cond), j.hint).getOrElse(j)
+    case f @ Filter(cond, Join(l, r, Inner | Cross, None, hint)) =>
+      rewrite(l, r, splitConjunctivePredicates(cond), hint).getOrElse(f)
   }
 
   private def rewrite(l: LogicalPlan, r: LogicalPlan,
-                      conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+                      conjuncts: Seq[Expression], hint: JoinHint): Option[LogicalPlan] = {
     if (conjuncts.exists(isEqui(l, r))) return None
     val hit = conjuncts.iterator.map(simConjunct).collectFirst {
       case Some((a, b, tau)) if tau > 0.0 && tau <= 1.0 &&
@@ -98,18 +98,28 @@ object SimJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     hit.flatten.map { case (aL, bR, tau) =>
       val at = aL.dataType.asInstanceOf[ArrayType]
+      // prefix of the array's first ceil((1-tau)·|S|)+1 elements, then
+      // array_distinct: a no-op on contract-valid (sorted distinct) input,
+      // but it pins exactly-once pair emission even when an array carries
+      // duplicate elements (the exploded dup token would otherwise match
+      // the min-shared-token conjunct once per copy). Unsorted input is
+      // outside graft_jaccard_sorted's own contract (the kernel's
+      // two-pointer result is unspecified there), so the rewrite preserves
+      // semantics on every input the kernel defines them for.
       def prefix(arr: Expression): Expression = {
         val len = Add(
           Cast(Ceil(Multiply(Literal(1.0 - tau),
             Cast(Size(arr), DoubleType))), IntegerType),
           Literal(1))
-        Slice(arr, Literal(1), len)
+        ArrayDistinct(Slice(arr, Literal(1), len))
       }
       val tokA = AttributeReference("_sj_tok_a", at.elementType, at.containsNull)()
       val tokB = AttributeReference("_sj_tok_b", at.elementType, at.containsNull)()
       val genL = Generate(Explode(prefix(aL)), Nil, outer = false, None, Seq(tokA), l)
       val genR = Generate(Explode(prefix(bR)), Nil, outer = false, None, Seq(tokB), r)
-      val joined = Join(genL, genR, Inner, Some(EqualTo(tokA, tokB)), JoinHint.NONE)
+      // carry the original join's hint: a user's broadcast()/hint() on a
+      // side survives the rewrite instead of silently degrading to NONE
+      val joined = Join(genL, genR, Inner, Some(EqualTo(tokA, tokB)), hint)
       val minTok = EqualTo(tokA, ArrayMin(ArrayIntersect(prefix(aL), prefix(bR))))
       val verified = Filter((minTok +: conjuncts).reduce(org.apache.spark.sql.catalyst.expressions.And), joined)
       Project(l.output ++ r.output, verified)

@@ -64,6 +64,19 @@ class SimJoinRewriteSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("duplicate elements in an array do not double-emit the pair") {
+    import spark.implicits._
+    // [10,10,20,30] is sorted but violates distinctness; the kernel still
+    // returns a defined value and the rewrite must emit the pair exactly
+    // once per row-instance (array_distinct on the exploded prefix)
+    val l = Seq((1L, Array(10L, 10L, 20L, 30L))).toDF("lid", "la")
+    val r = Seq((9L, Array(10L, 20L, 30L))).toDF("rid", "ra")
+    val out = l.crossJoin(r)
+      .filter(jaccardSorted(col("la"), col("ra")) >= lit(0.5))
+    assert(!physical(out).contains("CartesianProduct"))
+    assert(out.count() == 1)
+  }
+
   test("null and empty arrays: rewritten plan drops them like the filter does") {
     import spark.implicits._
     val l = Seq((1L, Array(1L, 2L)), (2L, Array.empty[Long]), (3L, null))
