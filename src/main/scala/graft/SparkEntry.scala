@@ -48,6 +48,10 @@ object SparkEntry {
     "q_theta_join_banded" -> ((s, d) => Relational.thetaJoinBanded(s, d)),
     "q_range_join"        -> ((s, d) => Relational.rangeJoin(s, d)),
     "q_scalar_subquery"   -> ((s, d) => Relational.scalarSubquery(s, d)),
+    "q_unpivot"           -> ((s, d) => Relational.unpivotMeasures(s, d)),
+    "q_lateral_topk"      -> ((s, d) => Relational.lateralTopCustomers(s, d)),
+    "q_not_exists"        -> ((s, d) => Relational.notExistsCustomers(s, d)),
+    "q_recursive_cte"     -> ((s, d) => Relational.recursiveAncestors(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
     "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
     "q_asof_join_tolerance" -> ((s, d) => Relational.asOfJoinTolerance(s, d)),
@@ -297,6 +301,40 @@ object SparkEntry {
         |                              / count(*)
         |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin,
+    // UNPIVOT stated as its portable UNION ALL equivalent
+    "q_unpivot" ->
+      """WITH long_ AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+        |FROM long_ GROUP BY measure ORDER BY measure""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, round(t.c_acctbal, 6) AS bal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |           WHERE c.c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin,
+    "q_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    // the IDENTICAL recursion, DuckDB syntax (// for integer div)
+    "q_recursive_cte" ->
+      """WITH RECURSIVE anc(doc_id, node, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, node // 2, depth + 1 FROM anc WHERE node > 0
+        |)
+        |SELECT doc_id, CAST(max(depth) AS BIGINT) AS chain_len,
+        |  count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
+        |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs_1h
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -431,4 +431,75 @@ object Relational {
           .otherwise(col("next_us")).as("nearest_click_us"))
       .orderBy("event_id")
   }
+
+  /** UNPIVOT (wide → long): the four lineitem measures melted into
+    * (measure, value) rows, then aggregated per measure. The melt is a
+    * zero-shuffle Expand (each input row fans to 4 output rows map-side);
+    * the only exchange is the 4-group aggregate. Oracle states the same
+    * melt as a portable UNION ALL.
+    */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_up")
+    spark.sql(
+      """SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+        |FROM lineitem_up
+        |  UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |GROUP BY measure ORDER BY measure""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery: top-3 customers by balance per nation —
+    * the SQL-standard form of the per-group top-k (the DataFrame window
+    * form is q_window_topk; the custom plan node is q_window_topk_custom).
+    * Catalyst decorrelates the lateral limit into a ranked window under
+    * the hood, so the plan stays a single shuffle on the correlation key.
+    */
+  def lateralTopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation_lat")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_lat")
+    spark.sql(
+      """SELECT n.n_name, t.c_name, round(t.c_acctbal, 6) AS bal
+        |FROM nation_lat n,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer_lat c
+        |           WHERE c.c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin)
+  }
+
+  /** NOT EXISTS correlated subquery with an extra correlated predicate —
+    * the SQL surface of the anti join (q_anti_join is the DataFrame form;
+    * Catalyst decorrelates both to LeftAnti): customers who never placed
+    * an URGENT order.
+    */
+  def notExistsCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_ne")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_ne")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer_ne c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders_ne o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** RECURSIVE CTE (new in Spark 4.x): walk each doc_id's implicit binary
+    * ancestor chain (anc → anc div 2 until 0) and aggregate per doc —
+    * recursion depth is log2(doc_id), so the iteration count is bounded
+    * by the KEY WIDTH, not the corpus size, and each recursive step is one
+    * narrow self-union the engine unions breadth-first. The oracle runs
+    * the identical recursion in DuckDB.
+    */
+  def recursiveAncestors(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents_rc")
+    spark.sql(
+      """WITH RECURSIVE anc(doc_id, node, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents_rc
+        |  UNION ALL
+        |  SELECT doc_id, node div 2, depth + 1 FROM anc WHERE node > 0
+        |)
+        |SELECT doc_id, CAST(max(depth) AS BIGINT) AS chain_len,
+        |  count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
+        |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
 }

@@ -170,4 +170,54 @@ class RelationalSpec extends SparkSpec {
     val got = df.agg(Relational.dsum(col("x"))).head.getDouble(0)
     assert(math.abs(got - 0.6) < 1e-12)
   }
+
+  test("unpivot melts each lineitem measure once: counts and totals match direct aggs") {
+    import spark.implicits._
+    val rows = Relational.unpivotMeasures(spark, sf)
+      .select("measure", "n", "total").as[(String, Long, Double)].collect()
+    val nLine = Tables.lineitem(spark, sf).count()
+    assert(rows.length == 4 && rows.forall(_._2 == nLine))
+    val direct = Tables.lineitem(spark, sf)
+      .agg(Relational.dsum(col("l_quantity")), Relational.dsum(col("l_tax")))
+      .head
+    val byM = rows.map(r => r._1 -> r._3).toMap
+    assert(math.abs(byM("l_quantity") - direct.getDouble(0)) < 1e-9)
+    assert(math.abs(byM("l_tax") - direct.getDouble(1)) < 1e-9)
+  }
+
+  test("lateral top-3 equals the window-ranked top-3 per nation") {
+    import spark.implicits._
+    val got = Relational.lateralTopCustomers(spark, sf)
+      .select("n_name", "c_name").as[(String, String)].collect().toSet
+    val want = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("n_name")
+          .orderBy(desc("c_acctbal"), asc("c_name"))))
+      .filter(col("rn") <= 3)
+      .select("n_name", "c_name").as[(String, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("not-exists equals the DataFrame anti join, and is non-empty") {
+    val got = Relational.notExistsCustomers(spark, sf).select("c_custkey")
+    val want = Tables.customer(spark, sf).join(
+      Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+      col("c_custkey") === col("o_custkey"), "left_anti").select("c_custkey")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("recursive ancestor chain: depth is the doc_id bit length, recomputed driver-side") {
+    import spark.implicits._
+    val rows = Relational.recursiveAncestors(spark, sf)
+      .select("doc_id", "chain_len", "n_nodes", "node_sum")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { case (id, len, n, sum) =>
+      var (node, d, s) = (id, 0L, id)
+      while (node > 0) { node /= 2; d += 1; s += node }
+      assert(len == d && n == d + 1 && sum == s, s"doc $id")
+    }
+  }
 }
