@@ -79,6 +79,7 @@ object SparkEntry {
     "q_window_running"    -> ((s, d) => Windows.runningTotal(s, d)),
     "q_window_trailing1h" -> ((s, d) => Windows.trailing1h(s, d)),
     "q_percent_rank"      -> ((s, d) => Windows.percentRank(s, d)),
+    "q_window_nav"        -> ((s, d) => Windows.navFunctions(s, d)),
     "q_ntile"             -> ((s, d) => Windows.ntileBalance(s, d)),
     "q_ntile_dist"        -> ((s, d) => Windows.ntileBalanceDist(s, d)),
     // ---- B6 sorts / limits / set ops ----
@@ -522,6 +523,15 @@ object SparkEntry {
         |       round(cume_dist() OVER w, 6) AS cd
         |FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_window_nav" ->
+      """SELECT event_id, user_id,
+        |  round(first_value(value) OVER w, 6) AS first_v,
+        |  round(nth_value(value, 3) OVER w, 6) AS third_v,
+        |  round(last_value(value) OVER w, 6) AS last_v
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
     "q_ntile" ->
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile

@@ -88,6 +88,25 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** Navigation functions over the full partition frame: each event sees
+    * its user's first, third and last event value under the µs-total
+    * order (ties broken by event_id — navigation is only deterministic
+    * under a total order, same discipline as ntile). One shuffle on
+    * user_id; the unbounded frame is a single pass per partition.
+    */
+  def navFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        round(first("value").over(w), 6).as("first_v"),
+        round(nth_value(col("value"), 3).over(w), 6).as("third_v"),
+        round(last("value").over(w), 6).as("last_v"))
+      .orderBy("event_id")
+  }
+
   /** ntile quartiles over customer balance (total order incl. unique key —
     * ntile is only deterministic under a total order). DEMO FORM: the
     * unpartitioned window funnels every row through one task — fine here,

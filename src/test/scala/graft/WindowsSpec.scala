@@ -40,4 +40,22 @@ class WindowsSpec extends SparkSpec {
     val sizes = df.groupBy("quartile").count().collect().map(_.getLong(1))
     assert(sizes.max - sizes.min <= 1)
   }
+
+  test("navigation funcs: first/third/last agree with a driver-side ordered walk") {
+    import spark.implicits._
+    val got = Windows.navFunctions(spark, sf)
+      .select("event_id", "user_id", "first_v", "third_v", "last_v")
+      .as[(Long, Long, Double, Option[Double], Double)].collect()
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byUser = events.groupBy(_._2).map { case (u, es) =>
+      val ord = es.sortBy(e => (e._3, e._1)).map(_._4)
+      u -> (r6(ord.head), if (ord.length >= 3) Some(r6(ord(2))) else None, r6(ord.last))
+    }
+    got.foreach { case (id, u, f, t, l) =>
+      assert((f, t, l) == byUser(u), s"event $id user $u")
+    }
+  }
 }
