@@ -92,6 +92,44 @@ class StreamingSpec extends SparkSpec {
     assert(wantIds.except(got.select("doc_id")).count() == 0)
   }
 
+  test("restart from checkpoint resumes exactly-once: batch 2 only, no re-emission") {
+    // the operational property checkpoints exist for: a restarted query
+    // must pick up at the committed offsets — never re-emit batch 1, never
+    // skip batch 2. Memory sink is rebuilt per run, so the second run's
+    // table contains exactly what the restarted query processed.
+    // (memory sink cannot recover from a checkpoint; the parquet sink's
+    // _spark_metadata commit log is the exactly-once mechanism)
+    val srcDir = Files.createTempDirectory("graft-ckpt-src").toString
+    val outDir = Files.createTempDirectory("graft-ckpt-out").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-loc").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val batch1 = docs.filter(col("doc_id") % 2 === 0)
+    val batch2 = docs.filter(col("doc_id") % 2 =!= 0)
+    batch1.write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = StreamingOps.sampleStratified(
+          spark.readStream.schema(docs.schema).parquet(srcDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val want1 = batch1.filter(graft.operators.Sampling.stratifiedKeep)
+    val after1 = spark.read.parquet(outDir)
+    assert(after1.count() == want1.count() && after1.count() > 0)
+    // new files arrive while the query is down; restart from the checkpoint
+    batch2.write.mode("append").parquet(srcDir)
+    runOnce()
+    val want2 = batch2.filter(graft.operators.Sampling.stratifiedKeep)
+    val after2 = spark.read.parquet(outDir)
+    // exactly-once across the restart: batch 1 not re-emitted, batch 2 not
+    // skipped, no duplicates anywhere
+    assert(after2.count() == want1.count() + want2.count())
+    assert(after2.select("doc_id").distinct().count() == after2.count())
+    assert(want2.join(after2, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   test("composed streaming ingest: curate -> dedup-against-index -> chunk in one pass") {
     // the full streaming ingest shape a training pipeline runs per
     // micro-batch: quality-floor + redaction, then drop docs whose
