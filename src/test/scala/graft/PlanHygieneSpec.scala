@@ -1,0 +1,51 @@
+package graft
+
+/** Plan hygiene over the ENTIRE registered query surface: build every
+  * `SparkEntry.queries` physical plan at sf0.001 and assert the
+  * scale-safety invariants SCALE.md claims — no CartesianProduct and no
+  * BroadcastNestedLoopJoin anywhere except the explicitly documented
+  * small-sf demo twin (`q_theta_join`, whose scale-honest sibling
+  * `q_theta_join_banded` shares its oracle). A regression that silently
+  * degrades a join to a nested loop (a lost equi-condition, a dropped
+  * broadcast, a rewrite rule gone wrong) fails here by name before it
+  * ever reaches a benchmark.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  /** Documented exceptions: the deliberate nested-loop demo twin. */
+  private val allowNestedLoop = Set("q_theta_join")
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.sorted.mkString(", ")}")
+  }
+
+  test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
+    // a BNLJ is scale-safe in exactly one shape: the broadcast side is a
+    // global (groupless) aggregate — one row of corpus totals joined onto
+    // every row (N for idf, min count for rates, ...). Anything else is a
+    // real nested loop and fails by name.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def isScalarSide(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+      }.nonEmpty
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (allowNestedLoop(name)) None
+      else {
+        val bad = fn(spark, sf).queryExecution.executedPlan.collect {
+          case j: BroadcastNestedLoopJoinExec
+            if !isScalarSide(j.left) && !isScalarSide(j.right) => j
+        }
+        if (bad.nonEmpty) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar nested-loop joins in: ${offenders.sorted.mkString(", ")}")
+  }
+}
