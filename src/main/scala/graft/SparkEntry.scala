@@ -147,6 +147,7 @@ object SparkEntry {
     "q_mixture_rebalance" -> ((s, d) => Sampling.mixtureRebalance(s, d)),
     "q_mixture_temp"      -> ((s, d) => Sampling.mixtureTemperature(s, d)),
     "q_chunk_overlap"     -> ((s, d) => Curation.chunkOverlap(s, d)),
+    "q_vocab_encode"      -> ((s, d) => Curation.vocabEncode(s, d)),
     "q_shuffle_det"       -> ((s, d) => Sampling.deterministicShuffle(s, d)),
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -888,6 +889,18 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
         |FROM u WHERE start = 0 OR start + 16 < n
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // id = global frequency rank; md5 over the ORDERED id sequence
+    "q_vocab_encode" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks)))::BIGINT AS i FROM t),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS w FROM u),
+        |v AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS id
+        |      FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY w))
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(v.id)::BIGINT AS id_sum,
+        |  md5(string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY t.pos)) AS ids_fp
+        |FROM tok t JOIN v USING (w)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_shuffle_det" ->
       """WITH h AS (SELECT doc_id, lang,
         |  ('0x'||substr(md5('shuf:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS hk

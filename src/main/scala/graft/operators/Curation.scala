@@ -194,6 +194,38 @@ object Curation {
           lit(ChunkSize.toInt)), " ").as("chunk"))
   }
 
+  /** Vocabulary-indexed encoding — the tokenize-to-ids step a word-level
+    * training pipeline runs after pruning: ids assigned by global
+    * frequency rank (count desc, word asc — the conventional "id 1 = most
+    * frequent" layout), every doc re-emitted as its id sequence,
+    * fingerprinted (md5 over the ordered ids, plus an order-independent
+    * exact id sum) so the full sequence is pinned without shipping arrays.
+    *
+    * Scale shape: the rank window runs over the VOCABULARY aggregate
+    * (vocab-sized, not corpus-sized — fine to 10^7; beyond that the
+    * two-phase rank of q_ntile_dist applies verbatim); the vocab table
+    * broadcasts back onto the token stream, and sequence reassembly is
+    * one hash aggregate keyed by doc_id with in-group sort — no global
+    * sort, no window over the corpus.
+    */
+  def vocabEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("cnt"), asc("w"))).cast("long"))
+      .select("w", "id")
+    toks.join(broadcast(vocab), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("id").as("id_sum"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          s => s.getField("id").cast("string")), ",")).as("ids_fp"))
+      .orderBy("doc_id")
+  }
+
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   private val PhoneRe = "[0-9]{3}-[0-9]{4}"
   private val IpRe    = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"

@@ -160,6 +160,31 @@ class CurationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("vocab encode: frequency-ranked ids, sequences match a driver-side recompute") {
+    import spark.implicits._
+    val rows = Curation.vocabEncode(spark, sf)
+      .select("doc_id", "n_tokens", "id_sum", "ids_fp")
+      .as[(Long, Long, Long, String)].collect()
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(rows.length == texts.length)
+    // independent vocab: rank by (count desc, word asc), 1-based
+    val counts = texts.flatMap(_._2.split(" ", -1).toSeq)
+      .groupBy(identity).map { case (w, v) => w -> v.size }
+    val id = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = texts.map { case (did, t) =>
+      val ids = t.split(" ", -1).toSeq.map(id)
+      did -> ((ids.length.toLong, ids.sum, md5hex(ids.mkString(","))))
+    }.toMap
+    rows.foreach { case (did, n, s, fp) =>
+      assert((n, s, fp) == want(did), s"doc $did")
+    }
+  }
+
   test("chunk overlap: chunks cover and reconstruct every doc's token stream") {
     import spark.implicits._
     val overlap = (Curation.ChunkSize - Curation.ChunkStride).toInt
