@@ -29,13 +29,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // also persist the record to a file: the driver captures only a stdout
-    // tail, which has truncated past per-query histories (BENCH_r03 lost 21
-    // of 87 timings) — the file survives regardless of console buffering
+    // full per-query record → file: the driver captures only a 2000-char
+    // stdout tail, and with 100+ queries the full line overflows it
+    // (BENCH_r01–r04 all show "parsed": null for exactly this reason)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
+    println(line)
+    // compact summary LAST so it lands complete inside the captured tail:
+    // same shape, "queries" restricted to one stable headline per family
+    // (BASELINE.md's metrics), plus the run-wide total and query count
+    val headline = Seq("wordcount", "top10_words", "q1_agg", "q_star_join",
+      "q_window_topk", "q_tumbling_1h", "q_dedup_exact", "q_cosine_topk",
+      "q_neardup_minhash", "q_asof_join_custom", "q_ann_topk",
+      "q_pipeline_curated")
+    val hq = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
+      s""""n_queries":${results.size},"detail":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
