@@ -164,6 +164,11 @@ object SparkEntry {
     "q_tumbling_1h"       -> ((s, d) => StreamingTwins.tumbling1h(s, d)),
     "q_sliding_1h15m"     -> ((s, d) => StreamingTwins.sliding1h15m(s, d)),
     "q_sessions_10m"      -> ((s, d) => StreamingTwins.sessions10m(s, d)),
+    // ---- B5/B8 behavioral analytics over events ----
+    "q_funnel"            -> ((s, d) => Funnels.funnel(s, d)),
+    "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
+    // ---- B9 tokenizer training ----
+    "q_bpe_merges"        -> ((s, d) => Curation.bpeMerges(s, d)),
   )
 
   /** DuckDB SQL twins. Table names resolve to the same parquet files.
@@ -1241,6 +1246,30 @@ object SparkEntry {
         |SELECT user_id, min(tns)//1000000000 AS sess_start_sec, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_sec""".stripMargin,
+    // strict order: each stage's earliest qualifying event must be strictly
+    // after the timestamp that satisfied the previous stage (ns precision
+    // on BOTH sides, so tie behavior is identical)
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS ns FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) > v.ns
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) > c.ns
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 'view' AS stage, 1 AS stage_ord, count(*)::BIGINT AS n_users FROM v
+        |UNION ALL SELECT 'click', 2, count(*)::BIGINT FROM c
+        |UNION ALL SELECT 'purchase', 3, count(*)::BIGINT FROM p
+        |ORDER BY stage_ord""".stripMargin,
+    "q_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             epoch_ns(ts)//86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** Shared CTE block (no WITH keyword) producing `np` = the exact all-pairs

@@ -226,6 +226,95 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Merge rounds for [[bpeMerges]]. 16 keeps the demo corpus interesting;
+    * real tokenizers run 30k-100k rounds over the same loop shape. */
+  val BpeRounds = 16
+
+  /** End-of-word marker appended to every word's symbol sequence so merges
+    * cannot cross word boundaries (Sennrich et al. 2016's convention). */
+  val BpeEow = "</w>"
+
+  /** Byte-pair-encoding merge training — the vocabulary-learning half of a
+    * subword tokenizer. Words become character sequences (+ [[BpeEow]]);
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * merges the most frequent pair corpus-wide (ties: lexicographic on the
+    * pair), and stops early when no pair repeats. Emits the learned merge
+    * table: (merge_rank, left, right, freq), the exact artifact a tokenizer
+    * ships. Deterministic — no RNG, total tie order.
+    *
+    * Scale shape: the corpus is touched ONCE (word-count aggregate); all
+    * [[BpeRounds]] iterations run over the VOCABULARY table (counts carry
+    * the corpus weight), so each round is a vocab-sized flatMap + one
+    * partial-aggregated shuffle + a single-row argmax to the driver — the
+    * same one-row-per-round driver traffic as the iterative-dedup
+    * convergence checks. Each round's vocab is `localCheckpoint`ed (the
+    * same lineage-truncation discipline as Dedup.connectedComponents) —
+    * a plain cache() keeps the full map-chain lineage, and with it
+    * per-round plan analysis and closure serialization that compound to
+    * minutes by round 16, measured; checkpointing holds every round at
+    * sub-second. At a 10^7-word vocab each round is a few-second job;
+    * production trainers amortize further by recounting only pairs
+    * adjacent to the last merge, which this loop's structure admits but
+    * does not need at these sfs.
+    *
+    * Typed Dataset map/flatMap is deliberate here: the per-word merge is
+    * imperative array splicing over vocab-sized data, not corpus data, so
+    * codegen loss is immaterial (and no SQL HOF expresses the two-symbol
+    * lookahead cleanly).
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => ((w.map(_.toString) :+ BpeEow): Seq[String], c) }
+      .localCheckpoint() // eager: materialize once, lineage truncated
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= BpeRounds && !done) {
+      val top = words
+        .flatMap { case (syms, c) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), c)).toSeq
+        }
+        .toDF("left", "right", "c")
+        .groupBy("left", "right").agg(sum("c").as("freq"))
+        .orderBy(desc("freq"), asc("left"), asc("right"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption.filter(_._3 >= 2) match {
+        case None => done = true
+        case Some((l, r, freq)) =>
+          merges += ((rank, l, r, freq))
+          val prev = words
+          words = words
+            .map { case (syms, c) => (mergePair(syms, l, r), c) }
+            .localCheckpoint()
+          prev.unpersist() // old round's checkpoint blocks are done with
+          rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("merge_rank", "left", "right", "freq")
+      .orderBy("merge_rank")
+  }
+
+  /** One greedy left-to-right pass replacing every adjacent (l, r) with the
+    * concatenated symbol — the standard BPE apply step. */
+  private[graft] def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   private val PhoneRe = "[0-9]{3}-[0-9]{4}"
   private val IpRe    = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral analytics over the `events` table: ordered-funnel conversion
+  * and cohort retention — the two queries every event-warehouse engine ships
+  * (cf. ClickHouse `windowFunnel`, BigQuery cohort templates), expressed as
+  * plain Spark aggregations.
+  */
+object Funnels {
+
+  /** Sentinel "stage not reached" timestamp (larger than any real ns ts). */
+  private val Unreached = Long.MaxValue
+
+  /** Ordered funnel view → click → purchase with strict temporal order:
+    * stage N+1 counts a user only if their earliest qualifying event is
+    * STRICTLY after the timestamp that satisfied stage N. Emits one row per
+    * stage: (stage, stage_ord, n_users).
+    *
+    * Scale shape: ONE shuffle — events group to their user, each user's
+    * (bounded) event list is sorted in-group, and a codegen'd `aggregate`
+    * HOF folds it into the three stage timestamps; the stage counts are a
+    * map-side-partial global aggregate over one row per user. No self-joins
+    * (the naive 3-way `events ⋈ events ⋈ events` repeats the fact scan and
+    * shuffles it three times). Per-user lists are the same boundedness
+    * assumption sessionization makes; a user with millions of events would
+    * move this to the sort-within-partitions + mapPartitions fold of
+    * SCALE.md §B8.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val folded = evs.groupBy("user_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("ts"), col("event_type")))),
+        struct(lit(Unreached).as("v"), lit(Unreached).as("c"),
+          lit(Unreached).as("p")),
+        (acc, e) => {
+          val ts = e.getField("ts")
+          val et = e.getField("event_type")
+          struct(
+            when(acc.getField("v") === Unreached && et === "view", ts)
+              .otherwise(acc.getField("v")).as("v"),
+            when(acc.getField("v") =!= Unreached &&
+              acc.getField("c") === Unreached &&
+              et === "click" && ts > acc.getField("v"), ts)
+              .otherwise(acc.getField("c")).as("c"),
+            when(acc.getField("c") =!= Unreached &&
+              acc.getField("p") === Unreached &&
+              et === "purchase" && ts > acc.getField("c"), ts)
+              .otherwise(acc.getField("p")).as("p"))
+        }).as("f"))
+    folded
+      .agg(
+        sum(when(col("f.v") =!= Unreached, 1L).otherwise(0L)).as("nv"),
+        sum(when(col("f.c") =!= Unreached, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("f.p") =!= Unreached, 1L).otherwise(0L)).as("np"))
+      .selectExpr("stack(3, 'view', 1, nv, 'click', 2, nc, 'purchase', 3, np)" +
+        " AS (stage, stage_ord, n_users)")
+      .orderBy("stage_ord")
+  }
+
+  private val NsPerDay = 86400000000000L
+
+  /** Classic cohort-retention grid: cohort = the epoch-day of a user's first
+    * event; one row per (cohort_day, day_offset) with the count of distinct
+    * cohort users active that day.
+    *
+    * Scale shape: both the first-event aggregate and the activity join key
+    * on user_id, so the join reuses the groupBy's hash partitioning (one
+    * logical shuffle of the fact, AQE-coalesced); the final grid aggregate
+    * is over (days × offsets) — tiny. The distinct-user count is exact with
+    * a plain count() because activity is pre-deduplicated to one row per
+    * (user, day) — that distinct partial-aggregates map-side, unlike a
+    * countDistinct pushed into the grid aggregate.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))
+      .distinct()
+    val cohorts = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+}

@@ -185,6 +185,49 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bpe merges: merge table matches an in-memory trainer; greedy apply handles overlaps") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // overlapping-pair edge: greedy left-to-right on a a a -> (aa, a)
+    assert(Curation.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Curation.mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+
+    val got = Curation.bpeMerges(spark, sf)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // independent in-memory trainer over the same corpus
+    val wordCnt = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (w, v) => w -> v.size.toLong }
+    var vocab: Map[Seq[String], Long] =
+      wordCnt.groupBy { case (w, _) => w.map(_.toString) :+ Curation.BpeEow }
+        .map { case (syms, v) => syms -> v.values.sum }
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var stop = false
+    while (rank <= Curation.BpeRounds && !stop) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val best = pairs.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }.headOption
+      best.filter(_._2 >= 2) match {
+        case None => stop = true
+        case Some(((l, r), f)) =>
+          want += ((rank, l, r, f))
+          vocab = vocab.groupBy { case (syms, _) => Curation.mergePair(syms, l, r) }
+            .map { case (syms, v) => syms -> v.values.sum }
+          rank += 1
+      }
+    }
+    assert(got == want.toSeq)
+    assert(got.nonEmpty)
+    // learned merges must be genuine multi-char growth somewhere
+    assert(got.exists { case (_, l, r, _) => (l + r).length > 2 })
+  }
+
   test("chunk overlap: chunks cover and reconstruct every doc's token stream") {
     import spark.implicits._
     val overlap = (Curation.ChunkSize - Curation.ChunkStride).toInt
