@@ -58,6 +58,7 @@ object SparkEntry {
     "q_asof_join_forward" -> ((s, d) => Relational.asOfJoinForward(s, d)),
     "q_asof_join_payload" -> ((s, d) => Relational.asOfJoinPayload(s, d)),
     "q_asof_join_nearest" -> ((s, d) => Relational.asOfJoinNearest(s, d)),
+    "q_interval_join"     -> ((s, d) => Relational.intervalJoin(s, d)),
     // ---- B4 aggregations ----
     "q1_agg"              -> ((s, d) => Aggregates.q1PricingSummary(s, d)),
     "q_global_agg"        -> ((s, d) => Aggregates.globalAgg(s, d)),
@@ -167,8 +168,12 @@ object SparkEntry {
     // ---- B5/B8 behavioral analytics over events ----
     "q_funnel"            -> ((s, d) => Funnels.funnel(s, d)),
     "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
-    // ---- B9 tokenizer training ----
+    "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
+    // ---- B9 tokenizer training + apply ----
     "q_bpe_merges"        -> ((s, d) => Curation.bpeMerges(s, d)),
+    "q_bpe_encode"        -> ((s, d) => Curation.bpeEncode(s, d)),
+    // ---- B6/B10 storage layout ----
+    "q_zorder"            -> ((s, d) => Layout.zorderLayout(s, d)),
   )
 
   /** DuckDB SQL twins. Table names resolve to the same parquet files.
@@ -1270,7 +1275,50 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_users
         |FROM d JOIN f ON d.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // z-score from exact decimal sums; same left-associated scalar
+    // arithmetic as the Spark side so the doubles are bit-identical, and
+    // the >= 2 cut is applied to the 4-dp-rounded score in both engines
+    "q_anomaly_zscore" ->
+      """WITH st AS (SELECT event_type AS t, count(*)::BIGINT AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s1,
+        |    sum(CAST(value*value AS DECIMAL(28,12))) AS s2
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT event_id, event_type, value,
+        |    round((value - CAST(s1 AS DOUBLE)/n)
+        |      / sqrt((CAST(s2 AS DOUBLE)
+        |              - n * (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/n))
+        |             / (n - 1)), 4) AS z
+        |  FROM events JOIN st ON event_type = t)
+        |SELECT event_id, event_type, value, z FROM z
+        |WHERE abs(z) >= 2.0 ORDER BY event_id""".stripMargin,
+    // banded interval-overlap join's exact twin: plain inequality join
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec,
+        |    epoch_ns(ts)//86400000000000 AS day FROM events),
+        |b AS (SELECT min(sec) AS tmin, max(sec) AS tmax FROM e),
+        |w AS (SELECT unnest(generate_series((tmin//86400)*86400, tmax, 18000))::BIGINT
+        |        AS w_start FROM b),
+        |iv AS (SELECT user_id, day, min(sec) AS s, max(sec) AS e FROM e GROUP BY 1, 2)
+        |SELECT user_id, day, w_start,
+        |  least(e, w_start + 17999) - greatest(s, w_start) + 1 AS overlap_sec
+        |FROM iv JOIN w ON s <= w_start + 17999 AND w_start <= e
+        |ORDER BY user_id, day, w_start""".stripMargin,
+    // bit-exact twin of the MortonInterleave kernel: 32 explicit shift
+    // terms (generated) over the same 16-bit-masked keys
+    "q_zorder" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  l_partkey, l_suppkey, CAST($mortonSqlTerms AS BIGINT) AS zcode
+         |FROM lineitem ORDER BY zcode, l_orderkey, l_linenumber""".stripMargin,
   )
+
+  /** The DuckDB-side Morton interleave for q_zorder's oracle: bit i of the
+    * 16-bit-masked partkey lands at 2i, of the suppkey at 2i+1 — generated
+    * term-by-term so the SQL provably mirrors the kernel's loop.
+    */
+  private lazy val mortonSqlTerms: String = (0 until 16).map { i =>
+    s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i}) | " +
+      s"((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})"
+  }.mkString("(", " | ", ")")
 
   /** Shared CTE block (no WITH keyword) producing `np` = the exact all-pairs
     * near-dup ground truth (3-gram-shingle Jaccard >= 0.8) — composed into

@@ -302,6 +302,53 @@ object Curation {
       .orderBy("merge_rank")
   }
 
+  /** BPE ENCODE — the apply half of the tokenizer [[bpeMerges]] trains:
+    * every document's words re-segmented by replaying the learned merges
+    * in rank order, emitting per-doc token count, distinct-token count and
+    * an md5 fingerprint of the full token stream (unit-separator-joined,
+    * collision-free for these symbols).
+    *
+    * Scale shape: the merge table is rank-bounded (16 here, 30k-100k in a
+    * production tokenizer — KBs to MBs) and rides to every task as a
+    * broadcast; encoding is embarrassingly parallel — one partition-local
+    * pass, no shuffle until the final presentation sort. Words repeat
+    * Zipf-style, so each partition memoizes word → tokens in a hash map:
+    * the merge replay runs once per DISTINCT word per partition, not once
+    * per occurrence (the same trick production tokenizers use). Typed
+    * mapPartitions is deliberate, as in [[bpeMerges]]: imperative array
+    * splicing per word, no SQL HOF equivalent.
+    *
+    * No SQL oracle — BPE's iterative argmax is not SQL-expressible — so
+    * the driver records rows-only; CurationSpec cross-checks every doc's
+    * encoding against an independent in-memory trainer + encoder.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, sfDir)
+      .select("left", "right").as[(String, String)].collect() // rank-ordered
+    val bc = spark.sparkContext.broadcast(merges)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def encodeWord(w: String): Array[String] =
+          memo.getOrElseUpdate(w, {
+            var syms: Seq[String] = w.map(_.toString) :+ BpeEow
+            bc.value.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+            syms.toArray
+          })
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1).flatMap(encodeWord)
+          (id, toks.length.toLong, toks.distinct.length.toLong,
+            toks.mkString("\u001f"))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct", "toks")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        md5(col("toks")).as("tok_fp"))
+      .orderBy("doc_id")
+  }
+
   /** One greedy left-to-right pass replacing every adjacent (l, r) with the
     * concatenated symbol — the standard BPE apply step. */
   private[graft] def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {

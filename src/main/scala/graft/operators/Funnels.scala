@@ -76,6 +76,38 @@ object Funnels {
     * (user, day) — that distinct partial-aggregates map-side, unlike a
     * countDistinct pushed into the grid aggregate.
     */
+  /** Z-score outlier detection: events whose `value` sits ≥ 2 standard
+    * deviations from their event_type's mean — the simplest anomaly
+    * monitor an event warehouse runs continuously.
+    *
+    * Scale shape: the per-type statistics are ONE map-side-partial
+    * aggregate producing a types-sized frame (single digits of rows at any
+    * corpus size), broadcast back onto the fact scan — the fact never
+    * shuffles. Float discipline: mean and variance derive from exact
+    * DECIMAL sums of value and value² (each product is one deterministic
+    * IEEE multiply, rounded once into a decimal), so the scalar math that
+    * follows sees bit-identical inputs in Spark and the DuckDB oracle; the
+    * z-score is rounded to 4 dp BEFORE the ≥2 threshold so the filter
+    * decision is made on identical values in both engines.
+    */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,12)")).as("s2"))
+    ev.join(broadcast(stats), col("event_type") === col("t"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("variance",
+        (col("s2").cast("double") - col("n") * col("mean") * col("mean"))
+          / (col("n") - 1))
+      .withColumn("z", round((col("value") - col("mean")) / sqrt(col("variance")), 4))
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
   def retention(spark: SparkSession, sfDir: String): DataFrame = {
     val active = Tables.events(spark, sfDir)
       .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))

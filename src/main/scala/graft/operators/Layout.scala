@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: the writer-side transformations that decide
+  * how much a 100 TB table costs to READ. StorageLayoutSpec already proves
+  * bucketing (shuffle-free joins) and partitioning (plan-time pruning);
+  * this module adds multi-dimensional clustering — Z-order — the layout
+  * lakehouse writers (Delta OPTIMIZE ZORDER BY, Iceberg sort orders) apply
+  * so min/max data skipping works on MORE THAN ONE column at once.
+  *
+  * Scale shape: the Z-key is a per-row codegen'd expression (no shuffle of
+  * its own); laying out by it is one range exchange — exactly what a plain
+  * ORDER BY costs — after which every file's footer carries tight min/max
+  * ranges on BOTH clustered columns. A single-column sort gives tight
+  * ranges on its leading key only: filters on the second column skip
+  * nothing. LayoutSpec measures both claims on real partition statistics.
+  *
+  * Reference provenance: /root/reference is an empty checkout (SURVEY.md
+  * §0); Z-ordering follows Morton (1966) and its use for multi-dimensional
+  * data skipping in the public Delta/Iceberg docs.
+  */
+object Layout {
+
+  /** Z-order key per lineitem row over (l_partkey, l_suppkey), masked to
+    * 16 bits explicitly IN the query so the truncation the Morton kernel
+    * applies is visible to the reader and mirrored term-by-term in the
+    * DuckDB oracle's bit arithmetic. Emitted sorted by the Z-key — the
+    * exact row order a Z-clustered writer lays down, with the two source
+    * keys alongside so the oracle verifies every interleave bit. (Raw
+    * masked keys keep the oracle bit-exact; [[withNormalizedZ]] is the
+    * production path when key widths differ.)
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.MortonFunctions.morton
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        morton(col("l_partkey").bitwiseAND(0xFFFFL), col("l_suppkey").bitwiseAND(0xFFFFL))
+          .as("zcode"))
+      .orderBy("zcode", "l_orderkey", "l_linenumber")
+  }
+
+  /** Z-key over RANGE-NORMALIZED columns — the production layout path.
+    * Interleaving raw values only clusters both dimensions when they span
+    * similar bit widths; real Z-order writers first map each column onto
+    * its value range (Delta/Iceberg compute per-column range-partition ids
+    * for the same reason). Here each column scales linearly onto
+    * 2^bits buckets from a one-row global min/max aggregate (broadcast,
+    * constant-size at any scale; a rank/quantile mapping would resist
+    * skew better at the cost of a percentile sketch — same join shape).
+    * All-integer arithmetic: (v - lo) * (2^bits - 1) div max(hi - lo, 1).
+    */
+  def withNormalizedZ(df: DataFrame, xCol: String, yCol: String,
+                      bits: Int = 4): DataFrame = {
+    import graft.functions.MortonFunctions.morton
+    val b = df.agg(min(xCol).as("xlo"), max(xCol).as("xhi"),
+      min(yCol).as("ylo"), max(yCol).as("yhi"))
+    val m = (1 << bits) - 1
+    df.crossJoin(broadcast(b))
+      .withColumn("zcode", morton(
+        expr(s"(($xCol - xlo) * $m) div greatest(xhi - xlo, 1)"),
+        expr(s"(($yCol - ylo) * $m) div greatest(yhi - ylo, 1)")))
+      .drop("xlo", "xhi", "ylo", "yhi")
+  }
+
+  /** Per-range-partition min/max spans of both clustering columns under a
+    * given layout ordering — the statistics a reader's file-skipping sees.
+    * Used by LayoutSpec to compare Z-order against a single-column sort;
+    * not a registered query (partition boundaries are a layout property,
+    * not a logical result).
+    */
+  def partitionSpans(df: DataFrame, orderCol: String, nParts: Int): DataFrame =
+    df.repartitionByRange(nParts, col(orderCol))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
+        min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
+}

@@ -266,6 +266,49 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Interval-OVERLAP join: per-user daily activity intervals
+    * [first event, last event] joined to a global grid of 5-hour windows
+    * wherever the two intervals overlap — the general interval⋈interval
+    * shape ([[rangeJoin]] is the point-in-interval special case). Output:
+    * one row per (user-day interval × overlapping window) with the overlap
+    * length in seconds.
+    *
+    * Scale shape: a naive formulation is a cross join with an inequality
+    * filter — quadratic. Here both sides explode into the fixed-width
+    * BANDS they span (band = sec div 4h; an interval of length L covers
+    * ≤ L/4h + 1 bands, a 5-h window exactly 2-3), the join is an equi-join
+    * on the 8-byte band id, and the exact overlap predicate filters the
+    * banded candidates — O(intervals × bands-spanned), never O(n²). A pair
+    * overlapping in several shared bands would duplicate, so the projected
+    * result is `distinct` (all output columns are functionally determined
+    * by the pair, making distinct exact). Band width is a tuning knob:
+    * ~max(window, typical-interval) width keeps the candidate multiplier
+    * at 1-2. The window grid derives from a one-row global min/max
+    * aggregate — a broadcast, constant-size at any corpus scale.
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 18000L   // 5-hour windows
+    val B = 14400L   // 4-hour bands — deliberately ≠ W so windows span 2-3
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+        expr("ts div 86400000000000").as("day"))
+    val iv = ev.groupBy("user_id", "day").agg(min("sec").as("s"), max("sec").as("e"))
+    val wins = ev.agg(min("sec").as("tmin"), max("sec").as("tmax"))
+      .select(explode(sequence(expr("(tmin div 86400) * 86400"), col("tmax"),
+        lit(W))).as("w_start"))
+    val ivb = iv.withColumn("band",
+      explode(sequence(expr(s"s div $B"), expr(s"e div $B"))))
+    val wb = wins.withColumn("band",
+      explode(sequence(expr(s"w_start div $B"), expr(s"(w_start + ${W - 1}) div $B"))))
+    ivb.join(wb, "band")
+      .filter(col("s") <= col("w_start") + lit(W - 1) && col("w_start") <= col("e"))
+      .select(col("user_id"), col("day"), col("w_start"),
+        (least(col("e"), col("w_start") + lit(W - 1))
+          - greatest(col("s"), col("w_start")) + lit(1L)).as("overlap_sec"))
+      .distinct()
+      .orderBy("user_id", "day", "w_start")
+  }
+
   /** As-of join through the NATIVE sort-merge operator
     * (graft.plans.AsOfJoin): purchases as the left stream, clicks as the
     * right, merged per user in one forward pass with O(1) state. Same

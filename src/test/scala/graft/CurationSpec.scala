@@ -226,6 +226,30 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty)
     // learned merges must be genuine multi-char growth somewhere
     assert(got.exists { case (_, l, r, _) => (l + r).length > 2 })
+
+    // ENCODE: replaying the learned merges over every doc must match an
+    // independent in-memory encoder (count, distinct count, fingerprint)
+    val gotEnc = Curation.bpeEncode(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val mergeList = want.toSeq.map { case (_, l, r, _) => (l, r) }
+    def encodeWord(w: String): Seq[String] = {
+      var syms: Seq[String] = w.map(_.toString) :+ Curation.BpeEow
+      mergeList.foreach { case (l, r) => syms = Curation.mergePair(syms, l, r) }
+      syms
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val wantEnc = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq.flatMap(encodeWord)
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString("\u001f").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (id, toks.length.toLong, toks.distinct.length.toLong, fp)
+    }.sortBy(_._1)
+    assert(gotEnc == wantEnc)
+    // merges actually fired: some doc's token count < its char count + words
+    val charTok = docs.map { case (_, t) => t.replace(" ", "").length + t.split(" ", -1).length }.sum
+    assert(gotEnc.map(_._2).sum < charTok, "no merge ever applied during encode")
   }
 
   test("chunk overlap: chunks cover and reconstruct every doc's token stream") {

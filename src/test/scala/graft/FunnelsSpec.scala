@@ -33,6 +33,32 @@ class FunnelsSpec extends SparkSpec {
     assert(nv >= nc && nc >= np && np > 0)
   }
 
+  test("anomaly z-score: flags match an independent two-pass recompute") {
+    import spark.implicits._
+    val got = Funnels.anomalyZscore(spark, sf)
+      .as[(Long, String, Double, Double)].collect().toSeq
+    val vals = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+    val byType = vals.groupBy(_._2)
+    val want = vals.flatMap { case (id, t, v) =>
+      val g = byType(t).map(_._3)
+      val n = g.length
+      val mean = g.sum / n
+      val variance = (g.map(x => x * x).sum - n * mean * mean) / (n - 1)
+      val z = BigDecimal(((v - mean) / math.sqrt(variance)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (math.abs(z) >= 2.0) Some((id, t, v, z)) else None
+    }.sortBy(_._1).toSeq
+    // the recompute's plain double sums are order-sensitive where the
+    // operator's decimal sums are exact, so compare z at 3 dp
+    assert(got.size == want.size)
+    got.zip(want).foreach { case ((gi, gt, gv, gz), (wi, wt, wv, wz)) =>
+      assert(gi == wi && gt == wt && gv == wv && math.abs(gz - wz) < 5e-4)
+    }
+    assert(got.nonEmpty, "no outliers at all would mean the threshold tested nothing")
+  }
+
   test("retention: cohort grid matches an independent recompute") {
     import spark.implicits._
     val got = Funnels.retention(spark, sf)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Layout
+
+/** Z-order layout: kernel correctness against independent bit math, and the
+  * measurable data-skipping claim — Z-clustering gives usable min/max
+  * pruning on BOTH dimensions where a single-column sort serves only its
+  * leading key.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("MortonInterleave equals independent bit math on random key pairs") {
+    import spark.implicits._
+    import graft.functions.MortonFunctions.morton
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x & 0xFFFFL) >> i) & 1L) << (2 * i) |
+          (((y & 0xFFFFL) >> i) & 1L) << (2 * i + 1)
+      }
+    val pair = Gen.zip(Gen.choose(0L, 200000L), Gen.choose(0L, 200000L))
+    val pairs = (0 until 40).flatMap(i => pair.apply(Gen.Parameters.default, Seed(7L + i)))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), morton(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == ref(x, y), s"morton($x, $y)") }
+    // interleave must be monotone per 16-bit dimension at fixed other key
+    assert(ref(3, 0) < ref(5, 0) && ref(0, 3) < ref(0, 5))
+  }
+
+  test("z-order layout skips files on BOTH dimensions; single-key sort only on one") {
+    // range-normalized z (the production path): raw interleave would let
+    // the wider key's high bits dominate the ordering at this scale
+    val li = Layout.withNormalizedZ(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey")
+    val nParts = 8
+    def spans(orderCol: String): Seq[(Long, Long, Long, Long)] =
+      Layout.partitionSpans(li, orderCol, nParts)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val zSpans = spans("zcode")
+    val pSpans = spans("l_partkey")
+    assert(zSpans.size > 1 && pSpans.size > 1)
+    // a reader filtering a narrow slice of EITHER dimension consults the
+    // per-file min/max: count the partitions it cannot skip
+    val (pLo, pHi) = (Tables.lineitem(spark, sf).agg(min("l_partkey"), max("l_partkey"))
+      .collect()(0) match { case r => (r.getLong(0), r.getLong(1)) })
+    val (sLo, sHi) = (Tables.lineitem(spark, sf).agg(min("l_suppkey"), max("l_suppkey"))
+      .collect()(0) match { case r => (r.getLong(0), r.getLong(1)) })
+    def hitP(spans: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long) =
+      spans.count { case (a, b, _, _) => a <= hi && lo <= b }
+    def hitS(spans: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long) =
+      spans.count { case (_, _, a, b) => a <= hi && lo <= b }
+    // a 1/4-range slice of each dimension, anchored at the low end so it
+    // sits inside one top-level Z quadrant (a mid-range slice straddles
+    // the first split boundary and legitimately hits every partition)
+    val pSlice = (pLo, pLo + (pHi - pLo) / 4)
+    val sSlice = (sLo, sLo + (sHi - sLo) / 4)
+    // partkey-sorted layout: perfect on partkey, useless on suppkey
+    assert(hitP(pSpans, pSlice._1, pSlice._2) < nParts)
+    assert(hitS(pSpans, sSlice._1, sSlice._2) == pSpans.size,
+      "single-key sort unexpectedly clustered the second dimension")
+    // z-ordered layout: skips some partitions on EACH dimension
+    assert(hitP(zSpans, pSlice._1, pSlice._2) < zSpans.size,
+      s"z-order gave no partkey pruning: $zSpans")
+    assert(hitS(zSpans, sSlice._1, sSlice._2) < zSpans.size,
+      s"z-order gave no suppkey pruning: $zSpans")
+  }
+}

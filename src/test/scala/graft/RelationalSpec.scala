@@ -164,6 +164,30 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("banded interval join equals the naive inequality join, no cross product") {
+    import org.apache.spark.sql.functions._
+    val W = 18000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+        expr("ts div 86400000000000").as("day"))
+    val iv = ev.groupBy("user_id", "day").agg(min("sec").as("s"), max("sec").as("e"))
+    val wins = ev.agg(min("sec").as("tmin"), max("sec").as("tmax"))
+      .select(explode(sequence(expr("(tmin div 86400) * 86400"), col("tmax"),
+        lit(W))).as("w_start"))
+    val naive = iv.crossJoin(wins)
+      .filter(col("s") <= col("w_start") + lit(W - 1) && col("w_start") <= col("e"))
+      .select(col("user_id"), col("day"), col("w_start"),
+        (least(col("e"), col("w_start") + lit(W - 1))
+          - greatest(col("s"), col("w_start")) + lit(1L)).as("overlap_sec"))
+      .collect().toSet
+    val banded = Relational.intervalJoin(spark, sf).collect().toSet
+    assert(banded == naive)
+    assert(banded.nonEmpty)
+    // the banded plan must be an equi-join, not a nested loop
+    val plan = Relational.intervalJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("dsum is exact: matches decimal sum on a known frame") {
     import spark.implicits._
     val df = Seq(0.1, 0.2, 0.3, 1e9, -1e9).toDF("x")
