@@ -169,6 +169,8 @@ object SparkEntry {
     "q_funnel"            -> ((s, d) => Funnels.funnel(s, d)),
     "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
+    "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
+    "q_textrank"          -> ((s, d) => TextAnalysis.textrank(s, d)),
     // ---- B9 tokenizer training + apply ----
     "q_bpe_merges"        -> ((s, d) => Curation.bpeMerges(s, d)),
     "q_bpe_encode"        -> ((s, d) => Curation.bpeEncode(s, d)),
@@ -1291,6 +1293,16 @@ object SparkEntry {
         |  FROM events JOIN st ON event_type = t)
         |SELECT event_id, event_type, value, z FROM z
         |WHERE abs(z) >= 2.0 ORDER BY event_id""".stripMargin,
+    // event_id tiebreak on BOTH engines: pair composition at equal ns
+    // timestamps must be identical
+    "q_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_ns(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // banded interval-overlap join's exact twin: plain inequality join
     "q_interval_join" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec,

@@ -62,6 +62,31 @@ object Funnels {
       .orderBy("stage_ord")
   }
 
+  /** Markov transition matrix over the event stream: counts of consecutive
+    * (prev_type → next_type) pairs per user timeline — the table behind
+    * "what do users do after X" and the input to any sequence model over
+    * behavioral data.
+    *
+    * Scale shape: one shuffle (the per-user window); `lag` streams over
+    * each sorted partition with O(1) state — no per-user list
+    * materialization, so unbounded user timelines are fine (unlike the
+    * funnel fold's bounded-list assumption). The output matrix is
+    * |types|² — constant at any corpus size. Ordering ties broken by
+    * event_id on BOTH engines so pair composition is deterministic at
+    * equal timestamps.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
   private val NsPerDay = 86400000000000L
 
   /** Classic cohort-retention grid: cohort = the epoch-day of a user's first

@@ -219,4 +219,69 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
   }
+
+  /** TextRank damping factor and iteration count (Mihalcea & Tarau 2004:
+    * d = 0.85, convergence typically < 30 rounds; 10 is stable for this
+    * graph and keeps the demo bounded — the loop shape is
+    * iteration-count-independent). */
+  val TextRankD     = 0.85
+  val TextRankIters = 10
+
+  /** TextRank keyword extraction: weighted PageRank over the word
+    * co-occurrence graph (edges = adjacent-word bigrams, weight = corpus
+    * count, symmetric), top-20 words by rank. The classic
+    * graph-of-the-vocabulary keyword scorer.
+    *
+    * Scale shape: the GRAPH is vocabulary-sized — nodes = distinct words,
+    * edges = distinct bigrams — built from one corpus pass (the bigram
+    * count aggregate), after which every iteration touches only the graph:
+    * rank ⋈ edges on the 8-byte-hashable word key, contributions
+    * partial-aggregated map-side, plus the damping add — no corpus data in
+    * the loop. Per-round `localCheckpoint` keeps lineage O(1) (same
+    * discipline as connectedComponents/bpeMerges). Driver traffic is zero
+    * rows per round (fixed iteration count, no convergence probe).
+    *
+    * Float discipline: each contribution r(u)·w/wdeg(u) is one IEEE
+    * multiply-divide rounded into DECIMAL(20,10) BEFORE the neighbor sum,
+    * so every round's sums are exact and ordering-independent —
+    * deterministic across partitionings and retries; the spec's in-memory
+    * recompute reproduces them bit-for-bit. Rows-only for the driver gate
+    * (fixed-point iteration with aggregates isn't portable SQL).
+    */
+  def textrank(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextHashFunctions.bigrams(col("text"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("w"))
+      .select(substring_index(col("b"), " ", 1).as("src"),
+        substring_index(col("b"), " ", -1).as("dst"), col("w"))
+      .filter(col("src") =!= col("dst")) // self-loops add nothing to ranking
+    // symmetric edge list + out-weight per source, checkpointed once
+    val edges = bi.union(bi.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint()
+    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    val graph = edges.join(wdeg, "src").localCheckpoint()
+    var ranks = graph.select(col("src").as("word")).distinct()
+      .withColumn("rank", lit(1.0))
+      .localCheckpoint()
+    for (_ <- 1 to TextRankIters) {
+      val prev = ranks
+      ranks = graph.join(ranks, col("src") === col("word"))
+        .select(col("dst"),
+          round(col("rank") * col("w") / col("wdeg"), 10)
+            .cast("decimal(20,10)").as("contrib"))
+        .groupBy(col("dst").as("word"))
+        .agg((lit(1.0) - lit(TextRankD)
+          + lit(TextRankD) * sum(col("contrib")).cast("double")).as("rank"))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    // the final ranks frame stays checkpointed until the result is
+    // unreferenced (ContextCleaner reclaims the blocks) — unpersisting here
+    // would orphan the lineage-truncated result before it is consumed
+    ranks
+      .select(col("word"), round(col("rank"), 6).as("score"))
+      .orderBy(desc("score"), asc("word"))
+      .limit(20)
+  }
 }

@@ -33,6 +33,24 @@ class FunnelsSpec extends SparkSpec {
     assert(nv >= nc && nc >= np && np > 0)
   }
 
+  test("transitions: matrix matches a per-user timeline recompute, totals conserve") {
+    import spark.implicits._
+    val got = Funnels.transitions(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val rows = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val want = rows.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1)))
+    }.toSeq.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sorted
+    assert(got == want)
+    // conservation: total transitions = total events - distinct users
+    val nUsers = rows.map(_._1).distinct.length
+    assert(got.map(_._3).sum == rows.length - nUsers)
+  }
+
   test("anomaly z-score: flags match an independent two-pass recompute") {
     import spark.implicits._
     val got = Funnels.anomalyZscore(spark, sf)

@@ -60,6 +60,49 @@ class StorageLayoutSpec extends SparkSpec {
     assert(one.count() == want)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // the runtime half of the skew story: q_join_salted is the WRITER-side
+    // mitigation; here Spark's adaptive skew-join handles the same shape
+    // with no query change. 90% of fact rows share one key; thresholds are
+    // lowered so the optimization fires at test scale.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // shuffle sizes are COMPRESSED bytes — thresholds sized well under
+      // the skewed partition's ~180 KB of md5 padding
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    def withAll[A](cs: Seq[(String, String)])(f: => A): A = cs match {
+      case (k, v) +: rest => withConf(k, v)(withAll(rest)(f))
+      case _ => f
+    }
+    withAll(confs) {
+      // deterministic skew: most rows collapse onto key 0; md5 padding is
+      // incompressible so the skewed partition clears the byte threshold.
+      // repartition(8) gives the map side 8 tasks — AQE splits a skewed
+      // partition at MAPPER granularity, so a single-mapper stage (one
+      // parquet file here) would be unsplittable regardless of size.
+      val fact = Tables.lineitem(spark, sf).repartition(8)
+        .select(when(col("l_orderkey") % 10 < 9, 0L)
+          .otherwise(col("l_orderkey") % 50).as("k"),
+          md5(col("l_orderkey").cast("string")).as("pad"))
+      // the dim side must feed the join exchange DIRECTLY: OptimizeSkewedJoin
+      // matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an aggregate
+      // (e.g. a distinct) between Sort and stage opts the join out
+      val dim = spark.range(0, 50).select(col("id").as("k"))
+      val j = fact.join(dim, "k")
+      // materialize THROUGH j's own QueryExecution (a count() would spawn a
+      // separate execution and leave this plan un-finalized)
+      val n = j.collect().length
+      assert(n == fact.count(), "inner join on a covering dim must keep every fact row")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed partition:\n${plan.linesIterator.take(40).mkString("\n")}")
+    }
+  }
+
   test("selective dim join injects a runtime bloom filter into the fact side") {
     // the at-scale shape: a filtered dimension joined to a big fact —
     // Spark's InjectRuntimeFilter should guard the fact scan with a bloom

@@ -205,6 +205,48 @@ class StreamingSpec extends SparkSpec {
       .parquet(dir)
   }
 
+  test("foreachBatch upsert sink: keep-latest merge equals the batch last-write-wins") {
+    // the operational sink shape when the target is a keyed table and the
+    // format has no native MERGE: foreachBatch applies an idempotent
+    // upsert per micro-batch. Replay documents in doc_id-ordered batches
+    // (maxFilesPerTrigger=1 over several files) and upsert (doc_id %
+    // 100) -> (doc_id, fp): later batches overwrite earlier keys, so the
+    // final table must equal the batch-computed max-doc_id-per-key state.
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), (col("doc_id") % 100).as("k"), md5(col("text")).as("fp"))
+    // 4 files = 4 micro-batches, each a contiguous doc_id range so
+    // "later batch" aligns with "larger doc_id" deterministically
+    docs.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val state = scala.collection.concurrent.TrieMap.empty[Long, (Long, String)]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // within one batch, last-write-wins by doc_id (MERGE semantics);
+        // the max-doc_id guard makes the upsert batch-order-independent
+        batch.withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy(desc("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .collect().foreach { r =>
+            val (id, k, fp) = (r.getLong(0), r.getLong(1), r.getString(2))
+            if (!state.get(k).exists(_._1 > id)) state(k) = (id, fp)
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val want = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(desc("doc_id"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getString(2)))).toMap
+    assert(state.toMap == want)
+    // upserts genuinely happened: more docs than keys
+    assert(docs.count() > state.size)
+  }
+
   test("watermark drops late rows: handcrafted fixture, hand-computed answer") {
     // 2h watermark, 1h tumbling windows. NOTE: Spark filters late records
     // with the watermark of the batch BEFORE the one that evicts state (the

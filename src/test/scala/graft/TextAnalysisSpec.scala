@@ -63,4 +63,44 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == want)
   }
+
+  test("textrank top-20 matches an independent in-memory weighted PageRank") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf).select("text").as[String].collect()
+    // independent graph build: positional bigrams, self-loops dropped,
+    // symmetric weights
+    val biCnt = texts.flatMap(_.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1)))).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val sym = scala.collection.mutable.Map.empty[(String, String), Long]
+    biCnt.foreach { case ((a, b), w) =>
+      if (a != b) {
+        sym((a, b)) = sym.getOrElse((a, b), 0L) + w
+        sym((b, a)) = sym.getOrElse((b, a), 0L) + w
+      }
+    }
+    val wdeg = sym.toSeq.groupBy(_._1._1).map { case (s, es) => s -> es.map(_._2).sum }
+    var rank: Map[String, Double] = wdeg.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to TextAnalysis.TextRankIters) {
+      // same decimal-rounded contributions as the operator: exact sums,
+      // ordering-independent
+      val inbox = scala.collection.mutable.Map.empty[String, BigDecimal]
+      sym.foreach { case ((src, dst), w) =>
+        val c = BigDecimal(rank(src) * w / wdeg(src))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        inbox(dst) = inbox.getOrElse(dst, BigDecimal(0)) + c
+      }
+      rank = inbox.map { case (v, s) =>
+        v -> (1.0 - TextAnalysis.TextRankD + TextAnalysis.TextRankD * s.toDouble)
+      }.toMap
+    }
+    val want = rank.toSeq.map { case (w, r) =>
+      (w, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (w, s) => (-s, w) }.take(20)
+    val got = TextAnalysis.textrank(spark, sf)
+      .as[(String, Double)].collect().toSeq
+    assert(got == want)
+    // ranks must discriminate: top score strictly above the 20th
+    assert(got.head._2 > got.last._2)
+  }
 }
