@@ -70,6 +70,8 @@ object SparkEntry {
     "q_percentile_stats"  -> ((s, d) => Aggregates.percentileStats(s, d)),
     "q_corr_stats"        -> ((s, d) => Aggregates.corrStats(s, d)),
     "q_minmax_by"         -> ((s, d) => Aggregates.minMaxBy(s, d)),
+    "q_median_hist"       -> ((s, d) => Aggregates.medianHist(s, d)),
+    "q_mode_hist"         -> ((s, d) => Aggregates.modeHist(s, d)),
     "q_approx_percentile" -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_cms_counts"        -> ((s, d) => Aggregates.cmsWordCounts(s, d)),
     "q_pivot"             -> ((s, d) => Aggregates.pivotEventCounts(s, d)),
@@ -492,6 +494,18 @@ object SparkEntry {
         |  (max(struct_pack(value := value, event_id := event_id))).event_id AS top_event_id,
         |  (min(struct_pack(ts := epoch_ns(ts), event_id := event_id))).event_id AS first_event_id
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // fully independent formulation: DuckDB's native median (quantile_cont
+    // 0.5) vs the engine's histogram-cumulative construction
+    "q_median_hist" ->
+      """SELECT l_returnflag AS k, median(l_quantity) AS med
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mode_hist" ->
+      """WITH h AS (SELECT l_returnflag AS k, l_quantity AS v,
+        |    count(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),
+        |  m AS (SELECT k, max(c) AS mc FROM h GROUP BY k)
+        |SELECT h.k AS k, min(h.v) AS mode_v, m.mc::BIGINT AS cnt
+        |FROM h JOIN m ON h.k = m.k AND h.c = m.mc
+        |GROUP BY h.k, m.mc ORDER BY h.k""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -229,6 +229,58 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Per-(key, value) histogram of lineitem quantities — the shared input
+    * for exact-median and mode below. The groupBy collapses map-side to at
+    * most |keys|x|distinct values| partial rows per task, so the shuffle
+    * carries the HISTOGRAM (3x50 rows here, keys x bins at any corpus
+    * size), never the raw measures.
+    */
+  private def quantityHist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("k"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Exact per-key median from the value histogram — no per-key sort of
+    * raw rows. `percentile(col, 0.5)` collects every value of a group into
+    * one aggregation buffer, so a hot key at 100 TB concentrates its whole
+    * value list in a single task; the histogram route shuffles keys x bins
+    * partial counts, runs a window over the (tiny) histogram, and reads the
+    * median off the cumulative count: lo = smallest v with cum >=
+    * floor((n+1)/2), hi = smallest v with cum >= floor(n/2)+1, median =
+    * (lo+hi)/2 — the interpolated (quantile_cont) definition for even n,
+    * the middle value for odd n. Exact for any discrete/bounded-cardinality
+    * measure (codes, ratings, token counts); values here are integral, so
+    * the midpoint arithmetic is IEEE-exact cross-engine. Oracle is DuckDB's
+    * own `median()` — a fully independent formulation.
+    */
+  def medianHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy("k").orderBy("v")
+    val totW = Window.partitionBy("k")
+    quantityHist(spark, sfDir)
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .groupBy("k")
+      .agg(
+        min(when(col("cum") >= floor((col("n") + 1) / 2), col("v"))).as("lo"),
+        min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))).as("hi"))
+      .select(col("k"), ((col("lo") + col("hi")) / 2).as("med"))
+      .orderBy("k")
+  }
+
+  /** Deterministic per-key mode from the same histogram: the most frequent
+    * value, smallest value winning ties (a struct max on (count, -v) — one
+    * aggregate, no join back). Same scale shape as the median: the raw
+    * table collapses to the histogram map-side and only keys x bins rows
+    * shuffle.
+    */
+  def modeHist(spark: SparkSession, sfDir: String): DataFrame =
+    quantityHist(spark, sfDir)
+      .groupBy("k")
+      .agg(max(struct(col("c").as("c"), (-col("v")).as("nv"))).as("top"))
+      .select(col("k"), (-col("top.nv")).as("mode_v"), col("top.c").as("cnt"))
+      .orderBy("k")
+
   /** max_by / min_by semantics with deterministic struct tie-breaks: the
     * highest-value event and the first event per user in one pass.
     */

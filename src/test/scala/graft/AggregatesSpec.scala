@@ -106,4 +106,29 @@ class AggregatesSpec extends SparkSpec {
       assert(est == want, s"word $w: est $est vs merged-sketch $want")
     }
   }
+
+  test("histogram median equals the sort-based exact percentile; mode equals a full recompute") {
+    import spark.implicits._
+    val got = Aggregates.medianHist(spark, sf).as[(String, Double)].collect().toSeq
+    // independent in-engine formulation: percentile() sorts the raw values
+    // per group (the buffer-heavy route the histogram avoids)
+    val want = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("k"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      .orderBy("k").as[(String, Double)].collect().toSeq
+    assert(got == want)
+
+    val gotMode = Aggregates.modeHist(spark, sf)
+      .as[(String, Double, Long)].collect().toSeq
+    val rows = Tables.lineitem(spark, sf).select("l_returnflag", "l_quantity")
+      .as[(String, Double)].collect()
+    val wantMode = rows.groupBy(_._1).toSeq.map { case (k, vs) =>
+      val hist = vs.groupBy(_._2).map { case (v, g) => v -> g.size.toLong }
+      val mc = hist.values.max
+      // smallest value among tied maxima: the documented tie-break
+      val mv = hist.filter(_._2 == mc).keys.min
+      (k, mv, mc)
+    }.sortBy(_._1)
+    assert(gotMode == wantMode)
+  }
 }
