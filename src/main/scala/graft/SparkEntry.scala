@@ -173,6 +173,7 @@ object SparkEntry {
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
     "q_textrank"          -> ((s, d) => TextAnalysis.textrank(s, d)),
+    "q_triangles"         -> ((s, d) => TextAnalysis.triangles(s, d)),
     // ---- B9 tokenizer training + apply ----
     "q_bpe_merges"        -> ((s, d) => Curation.bpeMerges(s, d)),
     "q_bpe_encode"        -> ((s, d) => Curation.bpeEncode(s, d)),
@@ -1317,6 +1318,28 @@ object SparkEntry {
         |SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
         |FROM s WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // orientation-free triangle enumeration: lexicographic edges a<b<c via
+    // a three-way join — triangles are orientation-invariant, so this must
+    // equal the engine's degree-ordered construction
+    "q_triangles" ->
+      """WITH p AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN [w[i]||' '||w[i+1] for i in range(1, len(w))]
+        |    ELSE []::VARCHAR[] END) AS b
+        |  FROM (SELECT string_split(text,' ') AS w FROM documents)),
+        |e AS (SELECT DISTINCT
+        |    least(split_part(b,' ',1), split_part(b,' ',2)) AS u,
+        |    greatest(split_part(b,' ',1), split_part(b,' ',2)) AS v
+        |  FROM p WHERE split_part(b,' ',1) <> split_part(b,' ',2)),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT word, count(*)::BIGINT AS n_tri FROM (
+        |  SELECT a AS word FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // banded interval-overlap join's exact twin: plain inequality join
     "q_interval_join" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec,

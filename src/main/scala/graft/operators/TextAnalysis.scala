@@ -284,4 +284,55 @@ object TextAnalysis {
       .orderBy(desc("score"), asc("word"))
       .limit(20)
   }
+
+  /** Per-word triangle counts over the word co-occurrence graph — the
+    * third classic graph operator next to connected components (Dedup)
+    * and PageRank (textrank above). Triangles drive clustering
+    * coefficients and community detection.
+    *
+    * Scale shape: DEGREE-ORDERED edge orientation (Suri & Vassilvitskii,
+    * "Counting triangles and the curse of the last reducer", WWW 2011).
+    * Each undirected edge is oriented from its lower-(degree, name)
+    * endpoint to its higher one, so every out-degree is O(sqrt(m)) — a
+    * celebrity node with 10^6 neighbors produces no 10^12-wedge task
+    * because almost all its edges point INTO it. Wedges come from one
+    * equi-join of the oriented list with itself on the source, triangles
+    * from one semi join probing the closing edge; both joins key on
+    * 8-byte-hashable strings and the graph is vocabulary-sized however
+    * large the corpus (the bigram aggregate collapses map-side). The
+    * oracle formulation is orientation-free (lexicographic three-way
+    * join) — triangles are orientation-invariant, so the two must agree.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextHashFunctions.bigrams(col("text"))).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("a"),
+        substring_index(col("b"), " ", -1).as("z"))
+      .filter(col("a") =!= col("z"))
+    val edges = pair.select(least(col("a"), col("z")).as("u"),
+        greatest(col("a"), col("z")).as("v")).distinct()
+    val deg = edges.select(col("u").as("w")).unionAll(edges.select(col("v").as("w")))
+      .groupBy("w").agg(count(lit(1)).as("deg"))
+    // orient by the (degree, name) total order; carry the target's degree
+    // so wedge pairs can be ordered by the same relation
+    val oriented = edges
+      .join(deg.select(col("w").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("w").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
+      .localCheckpoint() // reused three times (both wedge sides + closing probe)
+    val wedges = oriented.select(col("s"), col("t").as("y"), col("dt").as("dy"))
+      .join(oriented.select(col("s"), col("t").as("z"), col("dt").as("dz")), Seq("s"))
+      .filter(struct(col("dy"), col("y")) < struct(col("dz"), col("z")))
+    // y precedes z in the orientation order, so the closing edge — if the
+    // graph has it — is stored exactly as (s=y, t=z)
+    wedges.join(oriented.select(col("s").as("y"), col("t").as("z")),
+        Seq("y", "z"), "left_semi")
+      .select(explode(array(col("s"), col("y"), col("z"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_tri"))
+      .orderBy("word")
+  }
 }

@@ -103,4 +103,24 @@ class TextAnalysisSpec extends SparkSpec {
     // ranks must discriminate: top score strictly above the 20th
     assert(got.head._2 > got.last._2)
   }
+
+  test("triangles: per-word counts match a brute-force in-memory enumeration") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf).select("text").as[String].collect()
+    val edges = texts.flatMap(_.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1)))).filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else p.swap).toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    // edges hold u < v; requiring w > v makes each triangle u < v < w
+    // enumerated exactly once (from its lexicographically-least edge)
+    for ((u, v) <- edges; w <- adj(u) if w > v && adj(v).contains(w))
+      Seq(u, v, w).foreach(x => counts(x) = counts.getOrElse(x, 0L) + 1)
+    val want = counts.toSeq.sortBy(_._1)
+    val got = TextAnalysis.triangles(spark, sf).as[(String, Long)].collect().toSeq
+    assert(got == want)
+    // the graph genuinely has triangles at this sf
+    assert(got.map(_._2).sum > 0)
+  }
 }
