@@ -12,12 +12,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one un-timed warm-up query: codegen compiler, parquet readers and the
     // scheduler pay their one-time session costs here, not inside whichever
-    // query happens to run first
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // query happens to run first. NonFatal only — a dying JVM (OOM, stack
+    // overflow) must fail the whole bench loudly rather than poison the
+    // per-query numbers that follow it with a half-dead executor.
+    try SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: drop per-query caches and collect garbage so one
       // allocation-heavy query doesn't tax its successors' timings

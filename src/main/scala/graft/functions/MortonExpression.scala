@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -32,6 +33,17 @@ case class MortonInterleave(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_morton"
+
+  // analysis-time typing: a non-long child (e.g. an Int column) must fail
+  // at analysis like the other graft expressions, not as a runtime
+  // ClassCastException inside nullSafeEval's asInstanceOf
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, bigint) inputs, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Long] & 0xFFFFL

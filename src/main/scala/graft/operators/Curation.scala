@@ -242,64 +242,84 @@ object Curation {
     * table: (merge_rank, left, right, freq), the exact artifact a tokenizer
     * ships. Deterministic — no RNG, total tie order.
     *
-    * Scale shape: the corpus is touched ONCE (word-count aggregate); all
-    * [[BpeRounds]] iterations run over the VOCABULARY table (counts carry
-    * the corpus weight), so each round is a vocab-sized flatMap + one
-    * partial-aggregated shuffle + a single-row argmax to the driver — the
-    * same one-row-per-round driver traffic as the iterative-dedup
-    * convergence checks. Each round's vocab is `localCheckpoint`ed (the
-    * same lineage-truncation discipline as Dedup.connectedComponents) —
-    * a plain cache() keeps the full map-chain lineage, and with it
-    * per-round plan analysis and closure serialization that compound to
-    * minutes by round 16, measured; checkpointing holds every round at
-    * sub-second. At a 10^7-word vocab each round is a few-second job;
-    * production trainers amortize further by recounting only pairs
-    * adjacent to the last merge, which this loop's structure admits but
-    * does not need at these sfs.
-    *
-    * Typed Dataset map/flatMap is deliberate here: the per-word merge is
-    * imperative array splicing over vocab-sized data, not corpus data, so
-    * codegen loss is immaterial (and no SQL HOF expresses the two-symbol
-    * lookahead cleanly).
+    * Scale shape — distributed count, LOCAL train: the corpus is touched by
+    * exactly ONE Spark job (the word-count aggregate, map-side-combined to
+    * a vocabulary-bounded table: ≤ ~10^7 rows / MBs even under a 100 TB
+    * corpus, because counts carry the corpus weight), collected once; every
+    * merge round then replays driver-locally over that in-memory table.
+    * Spark job count is O(1) in the merge count — a production tokenizer's
+    * 30k–100k merges cost zero scheduler round-trips, where the previous
+    * one-job-per-merge loop paid 30k–100k sequential jobs of pure latency
+    * on KB-sized data. This is the topology production trainers
+    * (SentencePiece, HF tokenizers) use: the cluster does the only
+    * corpus-sized step, the driver does the vocabulary-sized iteration.
+    * The local recount is O(vocab·word_len) per round; incremental
+    * pair-recounting (touch only pairs adjacent to the last merge) drops
+    * that further and the loop structure admits it, unneeded at 16 rounds.
+    * CurationSpec asserts the O(1)-job property with a listener and checks
+    * the merge table against an independently written in-memory trainer.
     */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    var words = Tables.documents(spark, sfDir)
+    trainMerges(bpeVocab(spark, sfDir))
+      .toDF("merge_rank", "left", "right", "freq")
+      .orderBy("merge_rank")
+  }
+
+  /** The one distributed step of BPE training: the (word, count) vocabulary
+    * aggregate, collected to the driver. Vocabulary-bounded by construction
+    * — this is the same table the old loop re-mapped every round, shipped
+    * once instead.
+    */
+  private def bpeVocab(spark: SparkSession, sfDir: String): Array[(String, Long)] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-      .map { case (w, c) => ((w.map(_.toString) :+ BpeEow): Seq[String], c) }
-      .localCheckpoint() // eager: materialize once, lineage truncated
+      .collect()
+  }
+
+  /** Driver-local merge replay over the collected vocabulary: per round,
+    * count adjacent symbol pairs weighted by word frequency, take the
+    * argmax by (freq desc, left asc, right asc) — the identical total tie
+    * order the distributed `orderBy(desc(freq), asc(left), asc(right))`
+    * used, so outputs are byte-identical to the old loop — and splice the
+    * winning pair into every word. Stops early when no pair repeats.
+    */
+  private[graft] def trainMerges(vocab: Array[(String, Long)]): Seq[(Int, String, String, Long)] = {
+    var words: Array[(Seq[String], Long)] =
+      vocab.map { case (w, c) => ((w.map(_.toString) :+ BpeEow): Seq[String], c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     var rank = 1
     while (rank <= BpeRounds && !done) {
-      val top = words
-        .flatMap { case (syms, c) =>
-          syms.iterator.sliding(2).withPartial(false)
-            .map(p => (p.head, p(1), c)).toSeq
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairs.update(k, pairs.getOrElse(k, 0L) + c)
+          i += 1
         }
-        .toDF("left", "right", "c")
-        .groupBy("left", "right").agg(sum("c").as("freq"))
-        .orderBy(desc("freq"), asc("left"), asc("right"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
-      top.headOption.filter(_._3 >= 2) match {
-        case None => done = true
-        case Some((l, r, freq)) =>
-          merges += ((rank, l, r, freq))
-          val prev = words
-          words = words
-            .map { case (syms, c) => (mergePair(syms, l, r), c) }
-            .localCheckpoint()
-          prev.unpersist() // old round's checkpoint blocks are done with
-          rank += 1
+      }
+      var best: ((String, String), Long) = null
+      pairs.foreach { case kv@((l, r), f) =>
+        if (best == null) best = kv
+        else {
+          val ((bl, br), bf) = best
+          if (f > bf || (f == bf && (l < bl || (l == bl && r < br)))) best = kv
+        }
+      }
+      if (best == null || best._2 < 2) done = true
+      else {
+        val ((l, r), f) = best
+        merges += ((rank, l, r, f))
+        words = words.map { case (syms, c) => (mergePair(syms, l, r), c) }
+        rank += 1
       }
     }
-    words.unpersist()
-    merges.toSeq.toDF("merge_rank", "left", "right", "freq")
-      .orderBy("merge_rank")
+    merges.toSeq
   }
 
   /** BPE ENCODE — the apply half of the tokenizer [[bpeMerges]] trains:
@@ -324,8 +344,10 @@ object Curation {
     */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeMerges(spark, sfDir)
-      .select("left", "right").as[(String, String)].collect() // rank-ordered
+    // train via the O(1)-job path: one collected vocabulary aggregate, all
+    // merges replayed driver-locally (rank-ordered by construction)
+    val merges = trainMerges(bpeVocab(spark, sfDir))
+      .map { case (_, l, r, _) => (l, r) }.toArray
     val bc = spark.sparkContext.broadcast(merges)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]

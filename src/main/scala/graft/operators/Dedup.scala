@@ -198,6 +198,16 @@ object Dedup {
     * 12.5M evaluated pairs at sf0.1 becomes a ~240k-collision hash join).
     * The rule is injected by GraftExtensions; the runtime registration
     * below covers harness-created sessions, same as the other plan nodes.
+    *
+    * SIDE EFFECT — session-global and deliberate: the registration below
+    * mutates `spark.experimental.extraOptimizations`, so after this runs
+    * once, EVERY later crossJoin+jaccard-filter plan in the same session is
+    * rewritten, GraftExtensions or not. That is the intended install
+    * semantics (the rule is a semantics-preserving equivalence and a no-op
+    * on any other plan shape), but callers embedding this in a long-lived
+    * shared session should prefer installing GraftExtensions at session
+    * build instead of relying on this lazy fallback; to undo it, filter the
+    * rule back out of `spark.experimental.extraOptimizations`.
     */
   def simJoinDeclarative(spark: SparkSession, sfDir: String): DataFrame = {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.SimJoinRewriteRule))

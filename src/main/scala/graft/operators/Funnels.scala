@@ -89,18 +89,6 @@ object Funnels {
 
   private val NsPerDay = 86400000000000L
 
-  /** Classic cohort-retention grid: cohort = the epoch-day of a user's first
-    * event; one row per (cohort_day, day_offset) with the count of distinct
-    * cohort users active that day.
-    *
-    * Scale shape: both the first-event aggregate and the activity join key
-    * on user_id, so the join reuses the groupBy's hash partitioning (one
-    * logical shuffle of the fact, AQE-coalesced); the final grid aggregate
-    * is over (days × offsets) — tiny. The distinct-user count is exact with
-    * a plain count() because activity is pre-deduplicated to one row per
-    * (user, day) — that distinct partial-aggregates map-side, unlike a
-    * countDistinct pushed into the grid aggregate.
-    */
   /** Z-score outlier detection: events whose `value` sits ≥ 2 standard
     * deviations from their event_type's mean — the simplest anomaly
     * monitor an event warehouse runs continuously.
@@ -133,6 +121,18 @@ object Funnels {
       .orderBy("event_id")
   }
 
+  /** Classic cohort-retention grid: cohort = the epoch-day of a user's first
+    * event; one row per (cohort_day, day_offset) with the count of distinct
+    * cohort users active that day.
+    *
+    * Scale shape: both the first-event aggregate and the activity join key
+    * on user_id, so the join reuses the groupBy's hash partitioning (one
+    * logical shuffle of the fact, AQE-coalesced); the final grid aggregate
+    * is over (days × offsets) — tiny. The distinct-user count is exact with
+    * a plain count() because activity is pre-deduplicated to one row per
+    * (user, day) — that distinct partial-aggregates map-side, unlike a
+    * countDistinct pushed into the grid aggregate.
+    */
   def retention(spark: SparkSession, sfDir: String): DataFrame = {
     val active = Tables.events(spark, sfDir)
       .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))

@@ -249,31 +249,13 @@ object TextAnalysis {
     * (fixed-point iteration with aggregates isn't portable SQL).
     */
   def textrank(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = Tables.documents(spark, sfDir)
-      .select(explode(graft.functions.TextHashFunctions.bigrams(col("text"))).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("w"))
-      .select(substring_index(col("b"), " ", 1).as("src"),
-        substring_index(col("b"), " ", -1).as("dst"), col("w"))
-      .filter(col("src") =!= col("dst")) // self-loops add nothing to ranking
-    // symmetric edge list + out-weight per source, checkpointed once
-    val edges = bi.union(bi.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .groupBy("src", "dst").agg(sum("w").as("w"))
-      .localCheckpoint()
-    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
-    val graph = edges.join(wdeg, "src").localCheckpoint()
+    val graph = textrankGraph(spark, sfDir).localCheckpoint()
     var ranks = graph.select(col("src").as("word")).distinct()
       .withColumn("rank", lit(1.0))
       .localCheckpoint()
     for (_ <- 1 to TextRankIters) {
       val prev = ranks
-      ranks = graph.join(ranks, col("src") === col("word"))
-        .select(col("dst"),
-          round(col("rank") * col("w") / col("wdeg"), 10)
-            .cast("decimal(20,10)").as("contrib"))
-        .groupBy(col("dst").as("word"))
-        .agg((lit(1.0) - lit(TextRankD)
-          + lit(TextRankD) * sum(col("contrib")).cast("double")).as("rank"))
-        .localCheckpoint()
+      ranks = textrankRound(graph, ranks).localCheckpoint()
       prev.unpersist()
     }
     // the final ranks frame stays checkpointed until the result is
@@ -284,6 +266,38 @@ object TextAnalysis {
       .orderBy(desc("score"), asc("word"))
       .limit(20)
   }
+
+  /** The symmetric weighted co-occurrence graph (src, dst, w, wdeg) —
+    * [[textrank]]'s loop input, factored out (uncheckpointed) so
+    * PlanHygieneSpec can inspect the full-lineage plan of a loop round.
+    */
+  private[graft] def textrankGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextHashFunctions.bigrams(col("text"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("w"))
+      .select(substring_index(col("b"), " ", 1).as("src"),
+        substring_index(col("b"), " ", -1).as("dst"), col("w"))
+      .filter(col("src") =!= col("dst")) // self-loops add nothing to ranking
+    val edges = bi.union(bi.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    edges.join(wdeg, "src")
+  }
+
+  /** One rank-update round: graph ⋈ ranks on the word key, each
+    * contribution rounded into DECIMAL(20,10) before the neighbor sum,
+    * damping applied. Shared by the iterating loop and PlanHygieneSpec
+    * (the registered query's FINAL plan does not contain the per-round
+    * plans, so the spec asserts hygiene on this frame directly).
+    */
+  private[graft] def textrankRound(graph: DataFrame, ranks: DataFrame): DataFrame =
+    graph.join(ranks, col("src") === col("word"))
+      .select(col("dst"),
+        round(col("rank") * col("w") / col("wdeg"), 10)
+          .cast("decimal(20,10)").as("contrib"))
+      .groupBy(col("dst").as("word"))
+      .agg((lit(1.0) - lit(TextRankD)
+        + lit(TextRankD) * sum(col("contrib")).cast("double")).as("rank"))
 
   /** Per-word triangle counts over the word co-occurrence graph — the
     * third classic graph operator next to connected components (Dedup)

@@ -252,6 +252,28 @@ class CurationSpec extends SparkSpec {
     assert(gotEnc.map(_._2).sum < charTok, "no merge ever applied during encode")
   }
 
+  test("bpe training is O(1) Spark jobs in the merge count") {
+    import graft.operators.Curation
+    // the scale contract of the collect-once/train-locally topology: job
+    // count must NOT grow with BpeRounds (the old loop ran one job per
+    // merge). Counted via listener, parquet metadata jobs excluded — same
+    // technique as SimilaritySpec's laziness check.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (!js.stageInfos.exists(_.name.startsWith("parquet at"))) jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Curation.bpeMerges(spark, sf).count()
+      assert(n >= 2, "training learned no merges")
+      Thread.sleep(1000) // listener bus is async; drain before reading
+      assert(jobs.get() < Curation.BpeRounds / 2,
+        s"bpe training launched ${jobs.get()} jobs for ${Curation.BpeRounds} rounds" +
+          " — the per-merge job loop is back")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("chunk overlap: chunks cover and reconstruct every doc's token stream") {
     import spark.implicits._
     val overlap = (Curation.ChunkSize - Curation.ChunkStride).toInt

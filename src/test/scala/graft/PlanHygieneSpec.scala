@@ -9,6 +9,17 @@ package graft
   * degrades a join to a nested loop (a lost equi-condition, a dropped
   * broadcast, a rewrite rule gone wrong) fails here by name before it
   * ever reaches a benchmark.
+  *
+  * LIMITATION: for the driver-iterative queries (q_textrank,
+  * q_neardup_clusters family), `fn(spark, sf)` runs the full multi-round
+  * job just to build the final frame, and the assertions below see only
+  * that final presentation plan — each round's intermediate plan is
+  * checkpoint-truncated out of it. The representative-round test at the
+  * bottom covers the textrank loop body directly (on its FULL lineage, a
+  * stricter check than the checkpointed form the loop actually runs);
+  * the connected-components round is join+agg on (long,long) labels with
+  * the same shape. The BPE trainer no longer iterates Spark jobs at all
+  * (driver-local replay over the collected vocabulary).
   */
 class PlanHygieneSpec extends SparkSpec {
 
@@ -47,5 +58,18 @@ class PlanHygieneSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"non-scalar nested-loop joins in: ${offenders.sorted.mkString(", ")}")
+  }
+
+  test("a representative iterative-loop round plans no nested loop") {
+    // the textrank rank-update round, on full (uncheckpointed) lineage —
+    // covers the per-round plans the registry-wide tests never see
+    val graph = operators.TextAnalysis.textrankGraph(spark, sf)
+    val ranks0 = graph.select(org.apache.spark.sql.functions.col("src").as("word"))
+      .distinct()
+      .withColumn("rank", org.apache.spark.sql.functions.lit(1.0))
+    val plan = operators.TextAnalysis.textrankRound(graph, ranks0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "textrank round plans a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "textrank round plans a BNLJ")
   }
 }
