@@ -1340,6 +1340,14 @@ object SparkEntry {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // textrank's fixed-round iteration, UNROLLED: one CTE per rank-update
+    // round (generated from the same TextRankIters/TextRankD constants the
+    // engine uses, so they cannot drift). Portable because each round's
+    // contributions are decimal-rounded before the neighbor sum — both
+    // engines sum identical DECIMAL(20,10) values — and the damping
+    // constant is written as the same IEEE expression (1.0 - d) Catalyst
+    // constant-folds, not its shortest-string rendering.
+    "q_textrank" -> textrankOracleSql,
     // banded interval-overlap join's exact twin: plain inequality join
     "q_interval_join" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec,
@@ -1368,6 +1376,47 @@ object SparkEntry {
     s"((((l_partkey & 65535) >> $i) & 1) << ${2 * i}) | " +
       s"((((l_suppkey & 65535) >> $i) & 1) << ${2 * i + 1})"
   }.mkString("(", " | ", ")")
+
+  /** The DuckDB textrank twin: the co-occurrence graph as CTEs, then the
+    * engine's fixed TextRankIters rank-update rounds unrolled one CTE per
+    * round (generated from the SAME constants, so iteration count and
+    * damping cannot drift from operators/TextAnalysis.textrank). Each
+    * round mirrors the engine bit-for-bit: contribution = round(rank·w /
+    * wdeg, 10) cast into DECIMAL(20,10) BEFORE the neighbor sum (exact,
+    * ordering-independent), then rank = (1.0 - d) + d·sum — with the
+    * damping base written as the expression `1.0 - d` (= the IEEE value
+    * Catalyst constant-folds, 0.15000000000000002 for d = 0.85), not a
+    * rounded literal.
+    */
+  private lazy val textrankOracleSql: String = {
+    val d = operators.TextAnalysis.TextRankD
+    val rounds = (1 to operators.TextAnalysis.TextRankIters).map { i =>
+      s"""r$i AS (SELECT g.dst AS word,
+         |  (1.0 - $d) + $d * CAST(sum(CAST(round(r.rank * g.w / g.wdeg, 10)
+         |    AS DECIMAL(20,10))) AS DOUBLE) AS rank
+         |  FROM g JOIN r${i - 1} r ON g.src = r.word GROUP BY g.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bg AS (SELECT unnest(CASE WHEN len(wl) >= 2
+       |    THEN [wl[i]||' '||wl[i+1] for i in range(1, len(wl))]
+       |    ELSE []::VARCHAR[] END) AS b
+       |  FROM (SELECT string_split(text,' ') AS wl FROM documents)),
+       |bc AS (SELECT split_part(b,' ',1) AS src, split_part(b,' ',2) AS dst,
+       |         count(*)::BIGINT AS w
+       |  FROM bg GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM bc WHERE src <> dst),
+       |edges AS (SELECT src, dst, sum(w)::BIGINT AS w FROM (
+       |    SELECT src, dst, w FROM e
+       |    UNION ALL SELECT dst AS src, src AS dst, w FROM e)
+       |  GROUP BY src, dst),
+       |wd AS (SELECT src, sum(w)::BIGINT AS wdeg FROM edges GROUP BY src),
+       |g AS (SELECT edges.src, edges.dst, edges.w, wd.wdeg
+       |  FROM edges JOIN wd USING (src)),
+       |r0 AS (SELECT DISTINCT src AS word, 1.0::DOUBLE AS rank FROM g),
+       |$rounds
+       |SELECT word, round(rank, 6) AS score
+       |FROM r${operators.TextAnalysis.TextRankIters}
+       |ORDER BY score DESC, word LIMIT 20""".stripMargin
+  }
 
   /** Shared CTE block (no WITH keyword) producing `np` = the exact all-pairs
     * near-dup ground truth (3-gram-shingle Jaccard >= 0.8) — composed into

@@ -245,8 +245,10 @@ object TextAnalysis {
     * multiply-divide rounded into DECIMAL(20,10) BEFORE the neighbor sum,
     * so every round's sums are exact and ordering-independent —
     * deterministic across partitionings and retries; the spec's in-memory
-    * recompute reproduces them bit-for-bit. Rows-only for the driver gate
-    * (fixed-point iteration with aggregates isn't portable SQL).
+    * recompute reproduces them bit-for-bit — and the same construction
+    * makes the query ORACLE-CHECKED: the fixed iteration count unrolls
+    * into one plain-SQL CTE per round (SparkEntry.textrankOracleSql,
+    * generated from these constants), which DuckDB replays exactly.
     */
   def textrank(spark: SparkSession, sfDir: String): DataFrame = {
     val graph = textrankGraph(spark, sfDir).localCheckpoint()
