@@ -182,8 +182,10 @@ object SparkEntry {
   )
 
   /** DuckDB SQL twins. Table names resolve to the same parquet files.
-    * `q_approx_distinct` is intentionally absent (HLL implementations
-    * differ) → rows-only check.
+    * The HLL/QuantileSummaries sketches carry BRACKET oracles (exact
+    * companion columns + sketch-error verdicts); the remaining rows-only
+    * queries are genuinely unobservable by a row oracle (partition layout,
+    * ANN recall floors, typed-Dataset round-trips).
     */
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
@@ -482,6 +484,21 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.95), 6) AS p95,
         |  round(stddev_samp(value), 4) AS sd,
         |  min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // bracket oracles for the two non-portable sketches: the oracle computes
+    // the EXACT companion columns and expects the sketch-error verdicts
+    // TRUE — a sketch drifting outside its asserted envelope hash-mismatches
+    // by name (the raw estimates are displayed and bounded in AggregatesSpec)
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.95), 6) AS p95_exact,
+        |  TRUE AS p50_in_rank_window,
+        |  TRUE AS p95_in_rank_window
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_corr_stats" ->
       """SELECT l_returnflag,

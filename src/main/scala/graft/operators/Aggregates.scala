@@ -83,27 +83,59 @@ object Aggregates {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** Approximate distinct via HyperLogLog++ — no oracle (DuckDB's HLL
-    * differs); driver records a rows-only check. The at-scale substitute for
+  /** Approximate distinct via HyperLogLog++ — the at-scale substitute for
     * exact distinct when 2-phase Expand is too expensive.
+    *
+    * BRACKET ORACLE: the HLL estimate itself is engine-specific (DuckDB's
+    * HLL differs), so the registered output carries what IS portable — the
+    * exact count, and a verdict column asserting the sketch landed within
+    * 10% of it (the same tolerance AggregatesSpec bounds; rsd 0.02 makes
+    * 10% a ≥5σ envelope). The DuckDB twin computes the exact count and
+    * expects the verdict TRUE, so a drifting sketch hash-mismatches by
+    * name instead of hiding behind a rows-only check. The raw estimate is
+    * displayed and bounded in AggregatesSpec.
     */
   def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          <= col("exact_users").cast("double") * 0.10).as("hll_within_10pct"))
       .orderBy("event_type")
 
   /** Approximate percentile sketch (companion to the HLL approx-distinct):
     * per-event-type p50/p95 via Spark's QuantileSummaries with a 100-row
-    * accuracy budget. Rows-only (sketch internals differ across engines);
-    * AggregatesSpec bounds it against the exact quantile.
+    * accuracy budget.
+    *
+    * BRACKET ORACLE, like [[approxDistinctUsers]]: the sketch value is a
+    * sampled corpus element (not portable), so the output carries the
+    * exact interpolated percentiles (round-6, the construction
+    * q_percentile_stats already hash-proves against quantile_cont) plus
+    * verdict columns asserting each sketch value sits inside a ±5%-rank
+    * window around its target — 5× the sketch's 1/accuracy = 1% rank-error
+    * guarantee, so TRUE is the only correct answer and the oracle pins it.
     */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(
-        percentile_approx(col("value"), lit(0.5), lit(100)).as("p50_approx"),
-        percentile_approx(col("value"), lit(0.95), lit(100)).as("p95_approx"))
+        percentile_approx(col("value"), lit(0.5), lit(100)).as("p50s"),
+        percentile_approx(col("value"), lit(0.95), lit(100)).as("p95s"),
+        percentile(col("value"), lit(0.5)).as("p50e"),
+        percentile(col("value"), lit(0.95)).as("p95e"),
+        percentile(col("value"), lit(0.45)).as("p45"),
+        percentile(col("value"), lit(0.55)).as("p55"),
+        percentile(col("value"), lit(0.90)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+      .select(col("event_type"),
+        round(col("p50e"), 6).as("p50_exact"),
+        round(col("p95e"), 6).as("p95_exact"),
+        (col("p50s") >= col("p45") && col("p50s") <= col("p55"))
+          .as("p50_in_rank_window"),
+        (col("p95s") >= col("p90") && col("p95s") <= col("p99"))
+          .as("p95_in_rank_window"))
       .orderBy("event_type")
 
   /** Count-Min sketch geometry: [[CmsDepth]] independent hash rows of

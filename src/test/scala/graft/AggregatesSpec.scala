@@ -22,14 +22,20 @@ class AggregatesSpec extends SparkSpec {
   }
 
   test("exact count distinct dominates the approximate one within 10%") {
+    // raw-sketch bound, on the estimate itself (the registered query's
+    // output carries only the portable exact + verdict columns)
     val exact = Aggregates.countDistinctUsers(spark, sf)
       .select("event_type", "n_users")
-    val approx = Aggregates.approxDistinctUsers(spark, sf)
-      .select(col("event_type"), col("approx_users"))
+    val approx = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
     val joined = exact.join(approx, "event_type")
     val bad = joined.filter(
       abs(col("n_users") - col("approx_users")) > col("n_users") * 0.1)
     assert(bad.count() == 0)
+    // the bracket-oracle verdicts the DuckDB twin pins to TRUE
+    val q = Aggregates.approxDistinctUsers(spark, sf)
+    assert(q.filter(!col("hll_within_10pct")).count() == 0)
   }
 
   test("min_by/max_by pick rows that exist in the source") {
@@ -52,7 +58,11 @@ class AggregatesSpec extends SparkSpec {
   test("approx percentiles bracket the exact quantiles") {
     import graft.operators.Aggregates
     import org.apache.spark.sql.functions._
-    val approx = Aggregates.approxPercentiles(spark, sf)
+    // raw-sketch bound, on the estimates themselves (the registered query
+    // carries only the portable exact + rank-window verdict columns)
+    val approx = Tables.events(spark, sf).groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.5), lit(100)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.95), lit(100)).as("p95_approx"))
     val exact = Tables.events(spark, sf).groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("p50"), expr("percentile(value, 0.95)").as("p95"),
         min("value").as("lo"), max("value").as("hi"))
@@ -61,6 +71,9 @@ class AggregatesSpec extends SparkSpec {
     assert(j.filter(col("p50_approx") < col("lo") || col("p50_approx") > col("hi")).count() == 0)
     assert(j.filter(abs(col("p50_approx") - col("p50")) > (col("hi") - col("lo")) * 0.25).count() == 0)
     assert(j.filter(col("p95_approx") < col("p50_approx")).count() == 0)
+    // the bracket-oracle verdicts the DuckDB twin pins to TRUE
+    val q = Aggregates.approxPercentiles(spark, sf)
+    assert(q.filter(!col("p50_in_rank_window") || !col("p95_in_rank_window")).count() == 0)
   }
 
   test("count-min sketch: never underestimates, exact absent collisions, mergeable") {
