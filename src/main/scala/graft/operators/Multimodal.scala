@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column surface (SURVEY.md §2.B9): media payloads travel as
   * opaque `binary` columns with typed metadata; decode / feature-extraction
-  * runs batched per partition. IMAGE decode is REAL — the JDK's built-in
-  * javax.imageio readers (PNG/BMP/GIF/JPEG) decode actual pixels, asserted
-  * against handcrafted images in MultimodalSpec. Audio/video framing
-  * (`resizeStub`/`frameSampleStub`) remains a deterministic stand-in (no
-  * audio/video codec ships with the JDK); the Spark-side plumbing — schema,
-  * encoders, partition-batched execution, metadata joins — is real and
-  * tested.
+  * runs batched per partition. IMAGE decode and resize are REAL — the JDK's
+  * built-in javax.imageio readers (PNG/BMP/GIF/JPEG) decode actual pixels
+  * and Graphics2D rescales them — and AUDIO decode/framing is REAL too:
+  * javax.sound.sampled parses WAV/PCM payloads into samples, framed into
+  * fixed windows with per-frame RMS energy. Both are asserted against
+  * handcrafted fixtures (known pixels / known PCM samples) in
+  * MultimodalSpec. VIDEO is the one modality with no JDK codec: video
+  * payloads ride the same opaque-binary plumbing and take the
+  * byte-histogram fallback; a real frame extractor would plug into
+  * [[extractFeatures]] exactly where the WAV decode does.
   *
   * Scale design: payload bytes never shuffle — features are extracted
   * map-side and only the (id, features) projection moves. Joins against
@@ -156,31 +159,106 @@ object Multimodal {
   def byteMean(payload: Array[Byte]): Double =
     if (payload.isEmpty) 0.0 else payload.map(_.toDouble).sum / payload.length
 
-  /** STUB resize: stands in for an image resize. Deterministically
-    * downsamples the payload to `target` bytes by striding — the real system
-    * swaps in a pixel-space scaler; the batch shape (bytes → smaller bytes,
-    * metadata updated) is what the pipeline depends on.
+  /** REAL image resize via the JDK's Graphics2D bilinear scaler + ImageIO
+    * re-encode (PNG — lossless, so the spec can decode the result and
+    * assert pixels). Pixel-space scaling, not byte striding. None when the
+    * payload is not a decodable image.
     */
-  def resizeStub(payload: Array[Byte], target: Int): Array[Byte] =
-    if (payload.length <= target || target <= 0) payload
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || w <= 0 || h <= 0) None
     else {
-      val stride = payload.length.toDouble / target
-      Array.tabulate(target)(i => payload((i * stride).toInt))
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      Some(bos.toByteArray)
     }
+  }
 
-  /** STUB frame sampling: stands in for video frame extraction. Splits the
-    * payload into fixed-size "frames" and keeps every k-th one.
+  /** REAL WAV/PCM decode via the JDK's built-in javax.sound.sampled (no
+    * external codec): parses the RIFF/WAV header, decodes 8- or 16-bit PCM
+    * (signed/unsigned, either endianness), averages channels to mono, and
+    * normalizes to [-1, 1). None when the payload is not decodable WAV or
+    * uses an encoding outside plain PCM. Deterministic: samples come back
+    * in stream order, and the per-sample arithmetic is exact integer
+    * scaling by a power of two.
     */
-  def frameSampleStub(payload: Array[Byte], frameSize: Int, everyK: Int): Seq[Array[Byte]] =
-    payload.grouped(math.max(frameSize, 1)).zipWithIndex
-      .collect { case (frame, i) if i % math.max(everyK, 1) == 0 => frame }
+  def decodeWavSamples(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      if (!(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED) ||
+          (bits != 8 && bits != 16) || ch < 1) None
+      else {
+        val bytes = ais.readAllBytes()
+        val bps = bits / 8
+        val frameBytes = bps * ch
+        val n = bytes.length / frameBytes
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = i * frameBytes + c * bps
+            val v =
+              if (bits == 8) {
+                if (signed) bytes(off).toDouble / 128.0
+                else ((bytes(off) & 0xff) - 128).toDouble / 128.0
+              } else {
+                val b0 = bytes(if (fmt.isBigEndian) off + 1 else off) & 0xff
+                val b1 = bytes(if (fmt.isBigEndian) off else off + 1) & 0xff
+                val raw = (b1 << 8) | b0
+                val s = if (signed) raw.toShort.toInt else raw - 32768
+                s.toDouble / 32768.0
+              }
+            acc += v
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** Audio framing geometry: [[AudioFrameLen]]-sample windows, keep every
+    * [[AudioFrameEvery]]-th — the standard frame-subsampling an audio
+    * feature pipeline runs before the expensive per-frame model. */
+  val AudioFrameLen = 256
+  val AudioFrameEvery = 2
+
+  /** REAL audio framing over decoded PCM: consecutive fixed-length sample
+    * windows in stream order, every k-th kept, per-frame RMS energy — the
+    * canonical frame-level audio feature. A short trailing frame keeps its
+    * true length (RMS divides by the actual sample count).
+    */
+  def audioFrameRms(samples: Array[Double], frameLen: Int, everyK: Int): Seq[Double] =
+    samples.grouped(math.max(frameLen, 1)).zipWithIndex
+      .collect { case (f, i) if i % math.max(everyK, 1) == 0 =>
+        math.sqrt(f.map(s => s * s).sum / f.length)
+      }
       .toSeq
 
   /** Partition-batched feature extraction over a typed Dataset: checksum →
-    * decode (REAL ImageIO for image payloads; byte-histogram fallback over
-    * resize + frame-sample for everything else) per record inside
-    * mapPartitions (amortizing per-batch codec setup), and only the narrow
-    * feature row survives — payload bytes never shuffle.
+    * decode (REAL ImageIO pixels for image payloads; REAL WAV/PCM frame
+    * RMS for audio payloads; byte-histogram fallback for everything else,
+    * video included — no JDK video codec) per record inside mapPartitions
+    * (amortizing per-batch codec setup), and only the narrow feature row
+    * survives — payload bytes never shuffle.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -194,10 +272,12 @@ object Multimodal {
         val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
         val mean = decodeImage(r.payload) match {
           case Some((_, _, lum)) => lum
-          case None =>
-            val resized = resizeStub(r.payload, 256)
-            val frames = frameSampleStub(resized, 32, 2)
-            if (frames.isEmpty) 0.0 else frames.map(byteMean).sum / frames.length
+          case None => decodeWavSamples(r.payload) match {
+            case Some(samples) =>
+              val frames = audioFrameRms(samples, AudioFrameLen, AudioFrameEvery)
+              if (frames.isEmpty) 0.0 else frames.sum / frames.length
+            case None => byteMean(r.payload)
+          }
         }
         MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, sum, mean)
       }
@@ -206,9 +286,10 @@ object Multimodal {
 
   /** End-to-end media pipeline over the documents table: text → binary
     * payload → typed MediaRecord → partition-batched feature extraction
-    * (text payloads take the fallback path; real PNG/BMP decode is asserted
-    * in MultimodalSpec). Rows-only check (the typed Dataset round-trip is
-    * not SQL); exact values asserted in MultimodalSpec.
+    * (text payloads take the byte-histogram fallback; real PNG/BMP pixel
+    * decode and real WAV/PCM frame RMS are asserted on handcrafted
+    * fixtures in MultimodalSpec). Rows-only check (the typed Dataset
+    * round-trip is not SQL); exact values asserted in MultimodalSpec.
     */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

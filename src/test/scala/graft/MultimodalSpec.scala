@@ -49,23 +49,76 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
   }
 
-  test("extractFeatures computes features from genuinely decoded pixels") {
+  /** Deterministic WAV fixture encoded by the JDK's own writer: the given
+    * 16-bit signed samples (interleaved if stereo) at 8 kHz, little-endian.
+    */
+  private def fixtureWav(samples: Array[Short], channels: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, channels, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("extractFeatures computes features from genuinely decoded pixels and PCM") {
     import spark.implicits._
     val png = fixtureImage(8, 6, "png")
     val bmp = fixtureImage(5, 9, "bmp")
     val txt = "not an image".getBytes("UTF-8")
+    // 1024 samples of a +/-8192 square wave: |sample| = 8192 everywhere, so
+    // every frame's RMS = 8192/32768 = 0.25 exactly (power-of-two scaling)
+    val wav = fixtureWav(Array.tabulate(1024)(i => if (i % 2 == 0) 8192 else -8192)
+      .map(_.toShort), 1)
     val media = Seq(
       MediaRecord(1L, "image/png", png, 8, 6),
       MediaRecord(2L, "image/bmp", bmp, 5, 9),
-      MediaRecord(3L, "text/plain", txt, 0, 0)).toDS()
+      MediaRecord(3L, "text/plain", txt, 0, 0),
+      MediaRecord(4L, "audio/wav", wav, 0, 0)).toDS()
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
     assert(feats(1L).feat_mean == fixtureMean(8, 6))
     assert(feats(2L).feat_mean == fixtureMean(5, 9))
-    // text payload takes the deterministic fallback path
-    val resized = Multimodal.resizeStub(txt, 256)
-    val frames = Multimodal.frameSampleStub(resized, 32, 2)
-    assert(feats(3L).feat_mean == frames.map(Multimodal.byteMean).sum / frames.length)
+    // text payload takes the deterministic byte-histogram fallback
+    assert(feats(3L).feat_mean == Multimodal.byteMean(txt))
     assert(feats(1L).n_bytes == png.length.toLong)
+    // audio payload: REAL WAV decode → framed RMS, exactly 0.25
+    assert(feats(4L).feat_mean == 0.25)
+  }
+
+  test("decodeWavSamples decodes real 16-bit PCM mono samples") {
+    val samples = Array[Short](0, 8192, -8192, 16384, -32768, 32767)
+    val got = Multimodal.decodeWavSamples(fixtureWav(samples, 1))
+    assert(got.isDefined)
+    val want = samples.map(_.toDouble / 32768.0)
+    assert(got.get.toSeq == want.toSeq) // power-of-two scaling: exact
+  }
+
+  test("decodeWavSamples averages stereo channels to mono") {
+    // interleaved L/R: (8192, -8192) -> 0.0; (16384, 16384) -> 0.5
+    val samples = Array[Short](8192, -8192, 16384, 16384)
+    val got = Multimodal.decodeWavSamples(fixtureWav(samples, 2))
+    assert(got.get.toSeq == Seq(0.0, 0.5))
+  }
+
+  test("decodeWavSamples rejects non-audio payloads") {
+    assert(Multimodal.decodeWavSamples("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWavSamples(Array.emptyByteArray).isEmpty)
+    // an image is not audio either
+    assert(Multimodal.decodeWavSamples(fixtureImage(4, 4, "png")).isEmpty)
+  }
+
+  test("audioFrameRms frames in stream order and keeps every k-th frame") {
+    // 10 samples, frames of 4 -> frames [0..3], [4..7], [8..9]; keep 0th, 2nd
+    val s = Array(1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.5, 3.0, 4.0)
+    val got = Multimodal.audioFrameRms(s, 4, 2)
+    // frame 0: rms(1,1,1,1) = 1; frame 2 (trailing, len 2): rms(3,4) = sqrt(12.5)
+    assert(got == Seq(1.0, math.sqrt(12.5)))
   }
 
   test("media features: checksum equals md5 of the text payload") {
@@ -88,18 +141,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.byteMean(Array.emptyByteArray) == 0.0)
   }
 
-  test("resize stub hits the target size and preserves small payloads") {
-    val big = Array.tabulate(1000)(_.toByte)
-    assert(Multimodal.resizeStub(big, 256).length == 256)
-    val small = Array.tabulate(10)(_.toByte)
-    assert(Multimodal.resizeStub(small, 256).toSeq == small.toSeq)
-  }
-
-  test("frame sampling keeps every k-th frame") {
-    val payload = Array.tabulate(100)(_.toByte)
-    val frames = Multimodal.frameSampleStub(payload, 10, 2)
-    assert(frames.length == 5) // 10 frames, every 2nd
-    assert(frames.head.toSeq == payload.take(10).toSeq)
+  test("resizeImage rescales real pixels (uniform image stays uniform)") {
+    // a uniform-color image resists interpolation artifacts: every output
+    // pixel of a bilinear downscale must be the same color
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (40 << 16) | (80 << 8) | 120)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val resized = Multimodal.resizeImage(bos.toByteArray, 4, 5)
+    assert(resized.isDefined)
+    val Some((w, h, mean)) = Multimodal.decodeImage(resized.get)
+    assert(w == 4 && h == 5)
+    assert(mean == (40.0 + 80.0 + 120.0) / 3.0)
+    // non-images don't resize
+    assert(Multimodal.resizeImage("text".getBytes("UTF-8"), 4, 4).isEmpty)
   }
 
   test("multimodal join is 1:1 doc to embedding") {
