@@ -169,6 +169,7 @@ object SparkEntry {
     "q_sessions_10m"      -> ((s, d) => StreamingTwins.sessions10m(s, d)),
     // ---- B5/B8 behavioral analytics over events ----
     "q_funnel"            -> ((s, d) => Funnels.funnel(s, d)),
+    "q_funnel_fold"       -> ((s, d) => Funnels.funnelFold(s, d)),
     "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
@@ -1289,6 +1290,20 @@ object SparkEntry {
     // after the timestamp that satisfied the previous stage (ns precision
     // on BOTH sides, so tie behavior is identical)
     "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS ns FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) > v.ns
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) > c.ns
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 'view' AS stage, 1 AS stage_ord, count(*)::BIGINT AS n_users FROM v
+        |UNION ALL SELECT 'click', 2, count(*)::BIGINT FROM c
+        |UNION ALL SELECT 'purchase', 3, count(*)::BIGINT FROM p
+        |ORDER BY stage_ord""".stripMargin,
+    // the O(1)-state fold computes the IDENTICAL funnel — shared oracle
+    "q_funnel_fold" ->
       """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS ns FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e

@@ -25,9 +25,9 @@ object Funnels {
     * map-side-partial global aggregate over one row per user. No self-joins
     * (the naive 3-way `events ⋈ events ⋈ events` repeats the fact scan and
     * shuffles it three times). Per-user lists are the same boundedness
-    * assumption sessionization makes; a user with millions of events would
-    * move this to the sort-within-partitions + mapPartitions fold of
-    * SCALE.md §B8.
+    * assumption sessionization makes; [[funnelFold]] is the same query
+    * with that assumption removed (sort-within-partitions + mapPartitions
+    * fold, O(1) per-user state), sharing this oracle.
     */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
     val evs = Tables.events(spark, sfDir)
@@ -60,6 +60,73 @@ object Funnels {
       .selectExpr("stack(3, 'view', 1, nv, 'click', 2, nc, 'purchase', 3, np)" +
         " AS (stage, stage_ord, n_users)")
       .orderBy("stage_ord")
+  }
+
+  /** The funnel at its 100 TB shape: identical semantics to [[funnel]] —
+    * same oracle — computed WITHOUT materializing any per-user event list.
+    * Events hash-partition by user and sort WITHIN partitions by
+    * (user_id, ts, event_type) — the same (ts, event_type) order the
+    * fold's sort_array uses, partition-local, never a global sort — then
+    * one mapPartitions pass streams each user's run of rows through the
+    * three-stage state machine holding THREE longs of state, and emits one
+    * partial (nv, nc, np) row per partition. A user with millions of
+    * events costs millions of streamed rows and constant memory, where
+    * [[funnel]]'s collect_list would blow its aggregation buffer — this is
+    * the "sort-within-partitions + mapPartitions fold" alternative that
+    * funnel's scaladoc names, promoted to a registered, oracle-checked
+    * query. Shuffle volume matches funnel's (one hash exchange of the
+    * fact); the final aggregate reads partitions-many rows.
+    *
+    * FunnelsSpec additionally pins the hot-user case: a synthetic user
+    * with a long event stream folds in O(1) state and agrees with the
+    * list-based reference.
+    */
+  def funnelFold(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val partials = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_type")
+      .as[(Long, Long, String)]
+      .mapPartitions(it => Iterator.single(foldPartition(it)))
+      .toDF("nv", "nc", "np")
+    partials
+      .agg(sum("nv").as("nv"), sum("nc").as("nc"), sum("np").as("np"))
+      .selectExpr("stack(3, 'view', 1, nv, 'click', 2, nc, 'purchase', 3, np)" +
+        " AS (stage, stage_ord, n_users)")
+      .orderBy("stage_ord")
+  }
+
+  /** One partition's funnel fold: rows arrive grouped by user (hash
+    * partitioning) and sorted by (user_id, ts, event_type); per user the
+    * state is three stage timestamps, flushed into the partition's three
+    * counters at each user boundary. Exactly [[funnel]]'s per-event update
+    * — each event's type fires at most one transition, tested against the
+    * PRE-event state.
+    */
+  private[graft] def foldPartition(it: Iterator[(Long, Long, String)]): (Long, Long, Long) = {
+    var nv = 0L; var nc = 0L; var np = 0L
+    var cur = 0L
+    var any = false
+    var v = Unreached; var c = Unreached; var p = Unreached
+    def flush(): Unit = {
+      if (v != Unreached) nv += 1
+      if (c != Unreached) nc += 1
+      if (p != Unreached) np += 1
+    }
+    while (it.hasNext) {
+      val (u, ts, et) = it.next()
+      if (!any || u != cur) {
+        if (any) flush()
+        cur = u; any = true
+        v = Unreached; c = Unreached; p = Unreached
+      }
+      if (v == Unreached && et == "view") v = ts
+      else if (v != Unreached && c == Unreached && et == "click" && ts > v) c = ts
+      else if (c != Unreached && p == Unreached && et == "purchase" && ts > c) p = ts
+    }
+    if (any) flush()
+    (nv, nc, np)
   }
 
   /** Markov transition matrix over the event stream: counts of consecutive

@@ -31,6 +31,39 @@ class FunnelsSpec extends SparkSpec {
     // the funnel must actually narrow on this data — all-equal counts would
     // mean the strict-order constraint tested nothing
     assert(nv >= nc && nc >= np && np > 0)
+    // the O(1)-state fold is the same query: identical rows
+    val fold = Funnels.funnelFold(spark, sf)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(fold == got)
+  }
+
+  test("funnelFold handles a hot user with a long event stream in O(1) state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one user emits 200k interleaved events (every view-click-purchase
+    // cycle strictly ordered), plus two small control users; the list-based
+    // funnel would build a 200k-element array for the hot user — the fold
+    // streams it. Expected counts are hand-derivable: the hot user converts
+    // fully, u2 stops at click, u3 never views.
+    val hot = (0 until 200000).map { i =>
+      val et = i % 3 match { case 0 => "view"; case 1 => "click"; case _ => "purchase" }
+      (1L, 1000000L + i.toLong, et)
+    }
+    val controls = Seq(
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 15L, "error"),
+      (3L, 10L, "click"), (3L, 20L, "purchase"))
+    val df = (hot ++ controls).toDF("user_id", "ts", "event_type")
+    // write through a temp view-free path: reuse the fold's kernel by
+    // repartition + sortWithinPartitions + the same per-partition machine
+    val partials = df
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_type")
+      .as[(Long, Long, String)]
+      .mapPartitions(it => Iterator.single(graft.operators.Funnels.foldPartition(it)))
+      .toDF("nv", "nc", "np")
+    val (nv, nc, np) = partials.agg(sum("nv"), sum("nc"), sum("np"))
+      .as[(Long, Long, Long)].head()
+    assert((nv, nc, np) == (2L, 2L, 1L))
   }
 
   test("transitions: matrix matches a per-user timeline recompute, totals conserve") {
