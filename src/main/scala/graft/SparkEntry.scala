@@ -131,6 +131,7 @@ object SparkEntry {
     "q_pmi_bigrams"       -> ((s, d) => Curation.pmiBigrams(s, d)),
     "q_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q_dup_ngrams"        -> ((s, d) => Dedup.dupNgramFractions(s, d)),
+    "q_dup_spans"         -> ((s, d) => Dedup.dupSpans(s, d)),
     // ---- B9 pipeline composition: decontamination + keep set ----
     "q_decontaminate"     -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_decontaminate_overlap" -> ((s, d) => Pipeline.decontaminateOverlap(s, d)),
@@ -883,6 +884,31 @@ object SparkEntry {
         |  (sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 5 >= count(*) * 4) AS mostly_dup
         |FROM sh JOIN df USING (s)
         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    // positional trigrams under the same portable 60-bit md5 hash the
+    // winnowing/sampling oracles use; runs via gaps-and-islands
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tg AS (SELECT doc_id, i-1 AS pos,
+        |    ('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15))::BIGINT AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+        |        FROM t WHERE len(w) >= 3)),
+        |dfq AS (SELECT h, count(*) AS nd
+        |  FROM (SELECT DISTINCT doc_id, h FROM tg) GROUP BY h),
+        |dp AS (SELECT tg.doc_id, tg.pos FROM tg JOIN dfq USING (h) WHERE nd >= 2),
+        |runs AS (SELECT doc_id, max(cnt) AS max_run FROM (
+        |    SELECT doc_id, grp, count(*) AS cnt FROM (
+        |      SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM dp) GROUP BY doc_id, grp) GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |    greatest(len(string_split(text,' ')) - 2, 0)::BIGINT AS n_grams
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_grams,
+        |  coalesce(r.max_run, 0)::BIGINT AS max_dup_run,
+        |  (CASE WHEN coalesce(r.max_run, 0) > 0 THEN r.max_run + 2
+        |        ELSE 0 END)::BIGINT AS dup_span_tokens
+        |FROM base b LEFT JOIN runs r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |bg AS (SELECT doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b FROM t),

@@ -255,6 +255,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Longest cross-document duplicated token SPAN per doc — the signal
+    * behind substring-level dedup (Lee et al. 2022 remove duplicated
+    * spans, not whole documents): where [[dupNgramFractions]] reports HOW
+    * MUCH of a doc is duplicated, this reports the longest CONTIGUOUS
+    * duplicated stretch, the unit a span-removal pass would actually cut.
+    * A position's 3-gram is "duplicated" when it occurs in ≥ 2 distinct
+    * docs; the longest run of consecutive duplicated positions over r
+    * 3-grams covers r+2 tokens.
+    *
+    * Scale shape: positional 3-grams hash to the engine-portable 60-bit
+    * md5 key (the samplers'/winnowing formula — the ORACLE recomputes the
+    * identical hash, so the dup flags agree bit-for-bit rather than
+    * probabilistically); document frequency is one hash aggregate over the
+    * per-doc-distinct (doc_id, h) projection; the join back is the usual
+    * hint-free 8-byte equi-join. The runs come from the classic
+    * gaps-and-islands window (pos − row_number), which partitions by
+    * doc_id over DUPLICATED positions only — per-doc state, no global
+    * sort, no per-doc list materialization.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val tg = toks
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w)-3), i -> " +
+        "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2])),1,15),16,10) as bigint))"))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val docFreq = tg.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    val dupPos = tg.join(docFreq, "h").filter(col("nd") >= 2)
+      .select("doc_id", "pos")
+    val runs = dupPos
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("max_run"))
+    toks
+      .select(col("doc_id"),
+        greatest(size(col("w")).cast("long") - 2L, lit(0L)).as("n_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("max_run"), lit(0L)).as("max_dup_run"),
+        when(coalesce(col("max_run"), lit(0L)) > 0L, col("max_run") + 2L)
+          .otherwise(0L).as("dup_span_tokens"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash LSH near-dup: 64-permutation signature over the shingle-hash

@@ -170,4 +170,32 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("dup spans: longest duplicated run matches an in-memory recompute") {
+    import spark.implicits._
+    val got = Dedup.dupSpans(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // independent recompute on trigram STRINGS (no hashing): the operator's
+    // 60-bit hash must not change any dup flag
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tris = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray
+    }.toMap
+    val docFreq = tris.toSeq.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).distinct.size }
+    val want = docs.map { case (id, _) =>
+      val ts = tris(id)
+      var best = 0L; var run = 0L
+      ts.foreach { s =>
+        if (docFreq(s) >= 2) { run += 1; best = math.max(best, run) }
+        else run = 0
+      }
+      (id, ts.length.toLong, best, if (best > 0) best + 2 else 0L)
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    // the signal is live: some doc has a duplicated span, none exceeds its length
+    assert(got.exists(_._3 > 0))
+    got.foreach { case (_, n, r, s) => assert(r <= n && (s == 0 || s == r + 2)) }
+  }
 }
