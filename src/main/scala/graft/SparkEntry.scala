@@ -155,6 +155,7 @@ object SparkEntry {
     "q_shuffle_det"       -> ((s, d) => Sampling.deterministicShuffle(s, d)),
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "q_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
     "q_ivf_topk"          -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -1247,6 +1248,24 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
         |  FROM sc)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // cosine_topk's construction with the cross-label constraint in the join
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |n AS (SELECT e.vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn,
+        |        d.lang
+        |      FROM e JOIN documents d ON d.doc_id = e.vec_id),
+        |q AS (SELECT vec_id AS q_id, v AS vq, nn AS nq, lang AS q_lang
+        |      FROM n WHERE vec_id % 25 = 0),
+        |sc AS (SELECT q.q_id, q.q_lang, c.vec_id, c.lang AS neg_lang,
+        |         list_reduce(list_transform(range(1, len(q.vq)+1), i -> q.vq[i]*c.v[i]), (a,b) -> a+b)
+        |         / (sqrt(q.nq)*sqrt(c.nn)) AS cos
+        |       FROM q JOIN n c ON c.lang <> q.q_lang)
+        |SELECT q_id, q_lang, CAST(rn AS BIGINT) AS rn, vec_id, neg_lang,
+        |       round(cos, 6) AS cos FROM (
+        |  SELECT q_id, q_lang, vec_id, neg_lang, cos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM sc)
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,

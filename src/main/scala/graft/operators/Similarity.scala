@@ -69,6 +69,41 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep step (DPR /
+    * SimCSE style): per query vector, the top-[[HardNegK]] most
+    * cosine-similar vectors whose LANGUAGE label differs from the query
+    * doc's. "Looks maximally similar, is a different class" is exactly the
+    * negative an embedding trainer wants; the easy negatives (random picks)
+    * need no query at all.
+    *
+    * Scale shape: same broadcast-queries + codegen-dot single corpus scan
+    * as [[cosineTopK]] — the label inequality rides in the join condition,
+    * so same-class pairs are dropped AT the join instead of surviving to
+    * the scorer; the per-query top-k is the usual bounded window. The
+    * lang label joins onto the fenced vector frame by doc_id once
+    * (narrow two-column side, AQE-broadcast), not per pair.
+    */
+  val HardNegK = 3
+
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = vectors(spark, sfDir, "vec_id", "vc", "nc")
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("vc"), col("nc"), col("lang"))
+    val q = c.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("vc").as("vq"), col("nc").as("nq"),
+        col("lang").as("q_lang"))
+    c.join(broadcast(q), col("lang") =!= col("q_lang"))
+      .withColumn("cos", graft.functions.VectorFunctions.dot(col("vq"), col("vc"))
+        / (sqrt(col("nq")) * sqrt(col("nc"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rn") <= HardNegK)
+      .select(col("q_id"), col("q_lang"), col("rn").cast("long").as("rn"),
+        col("vec_id"), col("lang").as("neg_lang"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Coarse-quantizer seed stride: every 128th vector is a centroid, so the
     * centroid count scales with the corpus (n/128 lists of ~128 vectors)
     * with NO driver-side count — the stride is a plan-time constant and

@@ -25,6 +25,20 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ.filter(col("n") =!= 10 || col("mx") =!= 10).count() == 0)
   }
 
+  test("hard negatives: cross-label only, ranked, and at most the unrestricted best") {
+    import spark.implicits._
+    val hn = Similarity.hardNegatives(spark, sf)
+    assert(hn.filter(col("neg_lang") === col("q_lang")).count() == 0)
+    val perQ = hn.groupBy("q_id").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+    assert(perQ.filter(col("n") =!= Similarity.HardNegK
+      || col("mx") =!= Similarity.HardNegK).count() == 0)
+    // a label-constrained best can never beat the unconstrained best
+    val best = Similarity.cosineTopK(spark, sf).filter(col("rn") === 1)
+      .select(col("q_id"), col("cos").as("best"))
+    val j = hn.filter(col("rn") === 1).join(best, "q_id")
+    assert(j.filter(col("cos") > col("best") + 1e-9).count() == 0)
+  }
+
   test("ann results are a subset of each query's probed buckets with valid cosines") {
     val a = Similarity.annTopK(spark, sf)
     assert(a.filter(col("cos") < -1.000001 || col("cos") > 1.000001).count() == 0)
