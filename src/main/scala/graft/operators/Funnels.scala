@@ -11,8 +11,22 @@ import graft.Tables
   */
 object Funnels {
 
-  /** Sentinel "stage not reached" timestamp (larger than any real ns ts). */
-  private val Unreached = Long.MaxValue
+  /** Sentinel "stage not reached" timestamp (larger than any real ns ts).
+    * Shared with the streaming funnel state machine. */
+  private[graft] val Unreached = Long.MaxValue
+
+  /** One event through the three-stage machine, against the PRE-event
+    * state — the single step shared by [[funnel]]'s HOF fold semantics,
+    * [[funnelFold]]'s partition fold, and the streaming funnel
+    * (graft.streaming.StreamingOps.funnelStates). Events must be applied
+    * in (ts, event_type) order.
+    */
+  private[graft] def stepEvent(v: Long, c: Long, p: Long,
+                               ts: Long, et: String): (Long, Long, Long) =
+    if (v == Unreached && et == "view") (ts, c, p)
+    else if (v != Unreached && c == Unreached && et == "click" && ts > v) (v, ts, p)
+    else if (c != Unreached && p == Unreached && et == "purchase" && ts > c) (v, c, ts)
+    else (v, c, p)
 
   /** Ordered funnel view → click → purchase with strict temporal order:
     * stage N+1 counts a user only if their earliest qualifying event is
@@ -121,9 +135,8 @@ object Funnels {
         cur = u; any = true
         v = Unreached; c = Unreached; p = Unreached
       }
-      if (v == Unreached && et == "view") v = ts
-      else if (v != Unreached && c == Unreached && et == "click" && ts > v) c = ts
-      else if (c != Unreached && p == Unreached && et == "purchase" && ts > c) p = ts
+      val s = stepEvent(v, c, p, ts, et)
+      v = s._1; c = s._2; p = s._3
     }
     if (any) flush()
     (nv, nc, np)

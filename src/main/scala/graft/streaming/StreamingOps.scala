@@ -197,6 +197,49 @@ object StreamingOps {
       }
   }
 
+  /** One raw event for the streaming funnel — ns-long event time, the same
+    * precision the batch funnel compares at. */
+  case class FEv(user_id: Long, ts: Long, event_type: String)
+
+  /** Per-user funnel stage snapshot after the latest arrival. */
+  case class FunnelSnap(user_id: Long, reached_view: Boolean,
+                        reached_click: Boolean, reached_purchase: Boolean)
+
+  /** Persisted per-user stage timestamps (Unreached = not yet). */
+  case class FunnelSt(v: Long, c: Long, p: Long)
+
+  /** STREAMING funnel: the q_funnel / q_funnel_fold three-stage state
+    * machine held per user in [[GroupState]] across micro-batches. Each
+    * fire folds the user's batch events in (ts, event_type) order — the
+    * identical `Funnels.stepEvent` kernel the batch forms run — into the
+    * stored stage timestamps and emits the updated snapshot; keep-latest
+    * per user (the foreachBatch upsert pattern) + summing the three flags
+    * reproduces the batch stage counts. Correct under chunk-ordered
+    * per-user arrival (no event older than one already folded — the
+    * in-order assumption every one-pass funnel makes; a violating late
+    * event would need the batch recompute, not more state).
+    *
+    * Scale shape: state is THREE LONGS per user — the same O(1)-per-key
+    * state discipline as funnelFold, resident instead of streamed.
+    */
+  def funnelStates(events: Dataset[FEv]): Dataset[FunnelSnap] = {
+    import events.sparkSession.implicits._
+    import graft.operators.Funnels
+    val U = Funnels.Unreached
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelSt, FunnelSnap](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FEv], state: GroupState[FunnelSt]) =>
+          var st = if (state.exists) state.get else FunnelSt(U, U, U)
+          it.toSeq.sortBy(e => (e.ts, e.event_type)).foreach { e =>
+            val s = Funnels.stepEvent(st.v, st.c, st.p, e.ts, e.event_type)
+            st = FunnelSt(s._1, s._2, s._3)
+          }
+          state.update(st)
+          FunnelSnap(user, st.v != U, st.c != U, st.p != U)
+      }
+  }
+
   /** Split event-time-sorted events into sessions: a gap >= gapMs (ms
     * precision — the 10-minute session gap dwarfs sub-ms effects) starts a
     * new session. Returned oldest-first.

@@ -371,6 +371,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming funnel states reproduce the batch funnel stage counts") {
+    import spark.implicits._
+    import graft.operators.Funnels
+    val evs = eventsStream
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[StreamingOps.FEv]
+    val got = runToTable(StreamingOps.funnelStates(evs).toDF(), "t_funnel", "update")
+    // AvailableNow: one batch → one snapshot per user; summing flags must
+    // equal the oracle-checked batch funnel's stage counts exactly
+    val counts = got.agg(
+      sum(when(col("reached_view"), 1L).otherwise(0L)),
+      sum(when(col("reached_click"), 1L).otherwise(0L)),
+      sum(when(col("reached_purchase"), 1L).otherwise(0L)))
+      .as[(Long, Long, Long)].head()
+    val want = Funnels.funnel(spark, sf)
+      .select("stage", "n_users").as[(String, Long)].collect().toMap
+    assert(counts == ((want("view"), want("click"), want("purchase"))))
+    // state carries across chunk boundaries: folding a split stream through
+    // the shared kernel equals folding it whole (chunk-ordered arrival)
+    val stream = Seq((10L, "view"), (20L, "click"), (30L, "purchase"), (40L, "view"))
+    def fold(init: (Long, Long, Long), evs: Seq[(Long, String)]) =
+      evs.foldLeft(init) { case ((v, c, p), (ts, et)) => Funnels.stepEvent(v, c, p, ts, et) }
+    val whole = fold((Long.MaxValue, Long.MaxValue, Long.MaxValue), stream)
+    val chunked = fold(fold((Long.MaxValue, Long.MaxValue, Long.MaxValue),
+      stream.take(2)), stream.drop(2))
+    assert(whole == chunked && whole == ((10L, 20L, 30L)))
+  }
+
   test("flatMapGroupsWithState sessionization over the stream matches batch counts") {
     import spark.implicits._
     val evs = eventsStream
