@@ -132,6 +132,7 @@ object SparkEntry {
     "q_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q_dup_ngrams"        -> ((s, d) => Dedup.dupNgramFractions(s, d)),
     "q_dup_spans"         -> ((s, d) => Dedup.dupSpans(s, d)),
+    "q_span_scrub"        -> ((s, d) => Dedup.spanScrub(s, d)),
     // ---- B9 pipeline composition: decontamination + keep set ----
     "q_decontaminate"     -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_decontaminate_overlap" -> ((s, d) => Pipeline.decontaminateOverlap(s, d)),
@@ -909,6 +910,37 @@ object SparkEntry {
         |  (CASE WHEN coalesce(r.max_run, 0) > 0 THEN r.max_run + 2
         |        ELSE 0 END)::BIGINT AS dup_span_tokens
         |FROM base b LEFT JOIN runs r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // the apply half: same runs, pick (longest, earliest), cut the token
+    // range [start, start+run+1], fingerprint the rejoined remainder
+    "q_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tg AS (SELECT doc_id, i-1 AS pos,
+        |    ('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15))::BIGINT AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+        |        FROM t WHERE len(w) >= 3)),
+        |dfq AS (SELECT h, count(*) AS nd
+        |  FROM (SELECT DISTINCT doc_id, h FROM tg) GROUP BY h),
+        |dp AS (SELECT tg.doc_id, tg.pos FROM tg JOIN dfq USING (h) WHERE nd >= 2),
+        |runs AS (SELECT doc_id, grp, count(*) AS cnt, min(pos) AS start FROM (
+        |    SELECT doc_id, pos,
+        |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |    FROM dp) GROUP BY doc_id, grp),
+        |best AS (SELECT doc_id, cnt, start FROM (
+        |    SELECT doc_id, cnt, start,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, start) AS rn
+        |    FROM runs) WHERE rn = 1)
+        |SELECT doc_id, n_tokens, cut_start, cut_tokens,
+        |  len(cw)::BIGINT AS n_clean,
+        |  -- array_to_string([]) is NULL in DuckDB where Spark's
+        |  -- array_join([]) is '' — a fully-cut doc must hash '' here too
+        |  md5(coalesce(array_to_string(cw, ' '), '')) AS clean_fp
+        |FROM (SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+        |    coalesce(b.start, -1)::BIGINT AS cut_start,
+        |    (CASE WHEN b.cnt IS NULL THEN 0 ELSE b.cnt + 2 END)::BIGINT AS cut_tokens,
+        |    CASE WHEN b.cnt IS NULL THEN t.w
+        |         ELSE list_concat(t.w[1:b.start], t.w[b.start+b.cnt+3:]) END AS cw
+        |  FROM t LEFT JOIN best b USING (doc_id))
         |ORDER BY doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

@@ -275,24 +275,9 @@ object Dedup {
     * sort, no per-doc list materialization.
     */
   def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val tg = toks
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(w)-3), i -> " +
-        "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2])),1,15),16,10) as bigint))"))
-        .as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
-    val docFreq = tg.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-    val dupPos = tg.join(docFreq, "h").filter(col("nd") >= 2)
-      .select("doc_id", "pos")
-    val runs = dupPos
-      .withColumn("grp",
-        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
-      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+    val runs = dupRunStats(toks)
       .groupBy("doc_id").agg(max("run").as("max_run"))
     toks
       .select(col("doc_id"),
@@ -302,6 +287,69 @@ object Dedup {
         coalesce(col("max_run"), lit(0L)).as("max_dup_run"),
         when(coalesce(col("max_run"), lit(0L)) > 0L, col("max_run") + 2L)
           .otherwise(0L).as("dup_span_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Maximal runs of cross-doc-duplicated trigram positions per doc:
+    * (doc_id, grp, run, start) — shared by [[dupSpans]] (reports the
+    * longest) and [[spanScrub]] (cuts it). Input: (doc_id, w) with w the
+    * token array.
+    */
+  private def dupRunStats(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tg = toks
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w)-3), i -> " +
+        "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2])),1,15),16,10) as bigint))"))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val docFreq = tg.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    tg.join(docFreq, "h").filter(col("nd") >= 2)
+      .select("doc_id", "pos")
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("run"), min("pos").as("start"))
+  }
+
+  /** SPAN SCRUB — the apply half of span-level dedup ([[dupSpans]] is the
+    * detect half): cut each doc's longest cross-doc duplicated span (ties:
+    * earliest) and emit the cleaned token stream's length and md5
+    * fingerprint. This is what "deduplicating training data" means at the
+    * substring level (Lee et al. 2022): the duplicated stretch goes, the
+    * unique remainder stays — removing whole docs would throw away their
+    * unique content, keeping them double-counts the span.
+    *
+    * The cut is token-range arithmetic: a run of r duplicated trigram
+    * positions starting at s covers tokens [s, s+r+1], so cleaned =
+    * tokens[0, s) ++ tokens[s+r+2, n). Map-side slice/concat per doc —
+    * the only shuffles are dupRunStats' (document frequency + the per-doc
+    * run window); text rides to the cut in its scan partition. The
+    * fingerprint is over the REJOINED token stream in both engines, so
+    * no-cut docs compare identically too.
+    */
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // per doc: the longest run, earliest on ties — min over (-run, start)
+    val best = dupRunStats(toks)
+      .groupBy("doc_id")
+      .agg(min(struct((-col("run")).as("nr"), col("start"))).as("b"))
+      .select(col("doc_id"), (-col("b.nr")).as("run"), col("b.start").as("start"))
+    toks.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(col("start"), lit(-1L)).as("cut_start"),
+        when(col("run").isNotNull, col("run") + 2L).otherwise(0L).as("cut_tokens"),
+        when(col("run").isNotNull,
+          concat(slice(col("w"), lit(1), col("start").cast("int")),
+            slice(col("w"), (col("start") + col("run") + 3L).cast("int"), size(col("w")))))
+          .otherwise(col("w")).as("cw"))
+      .select(col("doc_id"), col("n_tokens"), col("cut_start"), col("cut_tokens"),
+        size(col("cw")).cast("long").as("n_clean"),
+        md5(array_join(col("cw"), " ")).as("clean_fp"))
       .orderBy("doc_id")
   }
 

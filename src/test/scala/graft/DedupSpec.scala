@@ -198,4 +198,42 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_._3 > 0))
     got.foreach { case (_, n, r, s) => assert(r <= n && (s == 0 || s == r + 2)) }
   }
+
+  test("span scrub: cuts exactly the (longest, earliest) duplicated span") {
+    import spark.implicits._
+    val got = Dedup.spanScrub(spark, sf)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tris = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray
+    }.toMap
+    val docFreq = tris.toSeq.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).distinct.size }
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val dup = tris(id).zipWithIndex.collect { case (s, i) if docFreq(s) >= 2 => i }
+      // maximal runs of consecutive dup positions → (run, start), pick
+      // longest then earliest
+      val runs = dup.foldLeft(List.empty[(Int, Int)]) { (acc, i) =>
+        acc match {
+          case (run, st) :: rest if st + run == i => (run + 1, st) :: rest
+          case _ => (1, i) :: acc
+        }
+      }
+      runs.sortBy { case (r, st) => (-r, st) }.headOption match {
+        case None =>
+          (id, w.length.toLong, -1L, 0L, w.length.toLong, md5(w.mkString(" ")))
+        case Some((r, st)) =>
+          val cw = w.take(st) ++ w.drop(st + r + 2)
+          (id, w.length.toLong, st.toLong, r + 2L, cw.length.toLong, md5(cw.mkString(" ")))
+      }
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+    // live and bounded: some doc is cut (tiny vocabulary: at this sf every
+    // doc shares trigrams), and not every doc loses everything
+    assert(got.exists(_._4 > 0) && got.exists(_._5 > 0))
+  }
 }
