@@ -399,6 +399,57 @@ class StreamingSpec extends SparkSpec {
     assert(whole == chunked && whole == ((10L, 20L, 30L)))
   }
 
+  test("stateful streaming funnel survives a restart across two chronological batches") {
+    import spark.implicits._
+    import graft.operators.Funnels
+    // chunk-ordered arrival: batch 1 = first half of event time, batch 2 =
+    // second half, with the query STOPPED in between — GroupState (the
+    // three stage timestamps per user) must come back from the checkpoint
+    // so the fold continues, not restarts
+    val srcDir = Files.createTempDirectory("graft-funnel-src").toString
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    val evs = Tables.events(spark, sf).select("user_id", "ts", "event_type")
+    val mid = evs.agg(expr("min(ts) + (max(ts) - min(ts)) div 2").as("m")).head.getLong(0)
+    val b1 = evs.filter(col("ts") <= mid)
+    val b2 = evs.filter(col("ts") > mid)
+    assert(b1.count() > 0 && b2.count() > 0)
+    // keep-latest upsert per user (the foreachBatch MERGE shape)
+    val state = scala.collection.concurrent.TrieMap.empty[Long, (Boolean, Boolean, Boolean)]
+    def runOnce(): Unit = {
+      val q = StreamingOps.funnelStates(
+          spark.readStream.schema(evs.schema).parquet(srcDir)
+            .as[StreamingOps.FEv])
+        .toDF()
+        .writeStream
+        .foreachBatch { (snap: DataFrame, _: Long) =>
+          snap.collect().foreach { r =>
+            state(r.getLong(0)) = (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+          }
+          ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    b1.write.mode("append").parquet(srcDir)
+    runOnce()
+    val afterB1 = state.values.count(_._3) // purchases reached so far
+    b2.write.mode("append").parquet(srcDir)
+    runOnce()
+    val counts = (state.values.count(_._1).toLong,
+      state.values.count(_._2).toLong, state.values.count(_._3).toLong)
+    val want = Funnels.funnel(spark, sf)
+      .select("stage", "n_users").as[(String, Long)].collect().toMap
+    assert(counts == ((want("view"), want("click"), want("purchase"))))
+    // the restart genuinely continued: stage counts are monotone across
+    // the restart (state never regressed) and every user's state survived
+    // to the final snapshot
+    assert(counts._3 >= afterB1)
+    assert(state.keySet == evs.select("user_id").distinct()
+      .as[Long].collect().toSet)
+  }
+
   test("flatMapGroupsWithState sessionization over the stream matches batch counts") {
     import spark.implicits._
     val evs = eventsStream
