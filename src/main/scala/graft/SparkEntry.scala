@@ -149,6 +149,7 @@ object SparkEntry {
     "q_source_mix"        -> ((s, d) => Sampling.sourceMix(s, d)),
     "q_train_val_test"    -> ((s, d) => Sampling.trainValTest(s, d)),
     "q_length_histogram"  -> ((s, d) => Curation.lengthHistogram(s, d)),
+    "q_vocab_coverage"    -> ((s, d) => Curation.vocabCoverage(s, d)),
     "q_mixture_rebalance" -> ((s, d) => Sampling.mixtureRebalance(s, d)),
     "q_mixture_temp"      -> ((s, d) => Sampling.mixtureTemperature(s, d)),
     "q_chunk_overlap"     -> ((s, d) => Curation.chunkOverlap(s, d)),
@@ -981,6 +982,20 @@ object SparkEntry {
         |  sum(n)::BIGINT AS n_tokens
         |FROM (SELECT len(string_split(text,' '))::BIGINT AS n FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH wc AS (SELECT w, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |rk AS (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, w) AS r,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM wc),
+        |t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nvocab FROM wc)
+        |SELECT r::BIGINT AS rank, cum::BIGINT AS cum_tokens,
+        |  round(cum::DOUBLE / total, 6) AS coverage
+        |FROM rk, t
+        |WHERE (r & (r - 1)) = 0 OR r = nvocab
+        |ORDER BY rank""".stripMargin,
     // chunking mirrors the operator exactly: starts every 48 tokens,
     // 64-token slices, trailing fully-covered starts suppressed
     "q_chunk_overlap" ->

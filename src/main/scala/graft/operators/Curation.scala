@@ -226,6 +226,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage curve: the cumulative fraction of all token
+    * occurrences covered by the top-r most frequent words, reported at
+    * power-of-two ranks plus the full-vocabulary row — the curve a
+    * vocab-size decision reads ("how many words cover 95% of the
+    * stream?"), and the empirical face of Zipf's law over this corpus.
+    *
+    * Scale shape: the corpus is touched once (the word-count aggregate);
+    * ranking and the running sum are windows over the VOCABULARY table
+    * (same caveat as [[vocabEncode]]: beyond ~10^7 words the two-phase
+    * rank of q_ntile_dist applies). The total is a broadcast scalar; all
+    * sums are integer, the coverage fraction is one double division
+    * rounded to 6 dp in both engines. The power-of-two filter is the
+    * branchless `(r & (r-1)) = 0`.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), asc("w"))
+    val ranked = wc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = wc.agg(sum("cnt").as("total"), count(lit(1)).as("nvocab"))
+    ranked.crossJoin(broadcast(totals))
+      .filter(expr("(rank & (rank - 1)) = 0") || col("rank") === col("nvocab"))
+      .select(col("rank"), col("cum_tokens"),
+        round(col("cum_tokens").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy("rank")
+  }
+
   /** Merge rounds for [[bpeMerges]]. 16 keeps the demo corpus interesting;
     * real tokenizers run 30k-100k rounds over the same loop shape. */
   val BpeRounds = 16

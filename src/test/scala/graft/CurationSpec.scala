@@ -252,6 +252,27 @@ class CurationSpec extends SparkSpec {
     assert(gotEnc.map(_._2).sum < charTok, "no merge ever applied during encode")
   }
 
+  test("vocab coverage: monotone, ends at 1.0, rank-1 row is the top word") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Curation.vocabCoverage(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // power-of-two ranks plus the closing full-vocab row
+    rows.init.foreach { case (r, _, _) => assert((r & (r - 1)) == 0) }
+    assert(rows.last._3 == 1.0)
+    // strictly increasing cumulative counts, non-decreasing coverage
+    rows.sliding(2).foreach {
+      case Seq((_, c1, v1), (_, c2, v2)) => assert(c2 > c1 && v2 >= v1)
+      case _ => ()
+    }
+    // rank 1 covers exactly the most frequent word's occurrences
+    val top = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().agg(max("count")).head.getLong(0)
+    assert(rows.head == ((1L, top, rows.head._3)))
+  }
+
   test("bpe training is O(1) Spark jobs in the merge count") {
     import graft.operators.Curation
     // the scale contract of the collect-once/train-locally topology: job
