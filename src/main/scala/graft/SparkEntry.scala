@@ -155,6 +155,7 @@ object SparkEntry {
     "q_chunk_overlap"     -> ((s, d) => Curation.chunkOverlap(s, d)),
     "q_vocab_encode"      -> ((s, d) => Curation.vocabEncode(s, d)),
     "q_shuffle_det"       -> ((s, d) => Sampling.deterministicShuffle(s, d)),
+    "q_shard_manifest"    -> ((s, d) => Sampling.shardManifest(s, d)),
     // ---- B9 similarity search ----
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
@@ -1028,6 +1029,19 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS BIGINT) AS pos,
         |  doc_id, lang
         |FROM h ORDER BY shard, pos""".stripMargin,
+    // the manifest over the same deterministic order: per-shard counts +
+    // order-sensitive fingerprint of the doc_id sequence
+    "q_shard_manifest" ->
+      """WITH h AS (SELECT doc_id,
+        |    len(string_split(text,' '))::BIGINT AS n,
+        |    ('0x'||substr(md5('shuf:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS hk
+        |  FROM documents),
+        |s AS (SELECT hk % 8 AS shard, doc_id, n,
+        |    row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS pos
+        |  FROM h)
+        |SELECT shard, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS order_fp
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q_quantize_int8" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -218,6 +218,37 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** Shard MANIFEST — the reproducibility attestation of
+    * [[deterministicShuffle]]'s training order, one row per shard: doc
+    * count, token total, and an ORDER-SENSITIVE md5 over the shard's
+    * doc_id sequence in training order. This is the artifact a training
+    * job records next to its shard files and re-verifies on every re-run
+    * or backfill: equal manifests = byte-equal training order, across
+    * engines, partitionings and retries.
+    *
+    * Scale shape: the per-shard sequence fingerprint uses the same
+    * bounded collect_list + array_sort + md5 trick as vocabEncode's
+    * ids_fp — per-SHARD state, which at real scale means per-shard-FILE
+    * (shards scale with the reader count, each a bounded file's worth of
+    * ids); the aggregate itself is one hash-agg keyed by shard.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, sfDir)
+      .withColumn("h", hashBucket(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("h") % NumShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .withColumn("n", size(split(col("text"), " ")).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+          s => s.getField("doc_id").cast("string")), ",")).as("order_fp"))
+      .orderBy("shard")
+  }
+
   def sampleKPerStratum(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Tables.documents(spark, sfDir)

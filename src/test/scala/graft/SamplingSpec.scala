@@ -187,4 +187,24 @@ class SamplingSpec extends SparkSpec {
     val shard0 = rows.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
     assert(shard0 != shard0.sorted)
   }
+
+  test("shard manifest fingerprints the exact q_shuffle_det training order") {
+    import spark.implicits._
+    val m = Sampling.shardManifest(spark, sf)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val order = Sampling.deterministicShuffle(spark, sf)
+      .select("shard", "pos", "doc_id").as[(Long, Long, Long)].collect()
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    order.groupBy(_._1).foreach { case (shard, rs) =>
+      val (_, nDocs, _, fp) = m(shard)
+      assert(nDocs == rs.length.toLong)
+      assert(fp == md5(rs.sortBy(_._2).map(_._3).mkString(",")), s"shard $shard")
+    }
+    // token totals conserve: sum over shards = corpus token count
+    val total = Sampling.shardManifest(spark, sf).agg(sum("n_tokens")).head.getLong(0)
+    val want = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(total == want)
+  }
 }
