@@ -133,6 +133,8 @@ object SparkEntry {
     "q_dup_ngrams"        -> ((s, d) => Dedup.dupNgramFractions(s, d)),
     "q_dup_spans"         -> ((s, d) => Dedup.dupSpans(s, d)),
     "q_span_scrub"        -> ((s, d) => Dedup.spanScrub(s, d)),
+    "q_containment"       -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q_minhash_est"       -> ((s, d) => Dedup.minhashEstimate(s, d)),
     // ---- B9 pipeline composition: decontamination + keep set ----
     "q_decontaminate"     -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_decontaminate_overlap" -> ((s, d) => Pipeline.decontaminateOverlap(s, d)),
@@ -750,6 +752,41 @@ object SparkEntry {
          |SELECT doc_id, $terms
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // estimate-vs-exact sketch audit: ALL 64 affine minima recomputed, the
+    // matching-component fraction compared against the exact Jaccard on
+    // the verified near-dup pair set
+    "q_minhash_est" -> {
+      val mins = (0 until 64).map(i =>
+        s"min((${graft.functions.TextHash.coefA(i)} * hm + ${graft.functions.TextHash.coefB(i)}) % 2147483647)")
+        .mkString("list_value(", ", ", ")")
+      s"""WITH $NearDupPairsCte,
+         |hm AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647 AS hm
+         |  FROM (SELECT doc_id, unnest(ts) AS s FROM sh)),
+         |sigs AS (SELECT doc_id, $mins AS sig FROM hm GROUP BY doc_id)
+         |SELECT np.doc_a, np.doc_b,
+         |  len([i for i in range(1, 65) if sa.sig[i] = sb.sig[i]])::BIGINT AS n_match,
+         |  round(len([i for i in range(1, 65) if sa.sig[i] = sb.sig[i]]) / 64.0, 6) AS jac_est,
+         |  np.jac AS jac_exact,
+         |  round(round(len([i for i in range(1, 65) if sa.sig[i] = sb.sig[i]]) / 64.0, 6)
+         |        - np.jac, 6) AS err
+         |FROM np JOIN sigs sa ON sa.doc_id = np.doc_a
+         |        JOIN sigs sb ON sb.doc_id = np.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // containment: exact all-pairs ground truth on the same shingle sets
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+        |         ELSE w END) AS ts FROM toks)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.ts, b.ts))::BIGINT AS inter,
+        |  len(a.ts)::BIGINT AS sz_a, len(b.ts)::BIGINT AS sz_b,
+        |  round(len(list_intersect(a.ts, b.ts))::DOUBLE
+        |        / least(len(a.ts), len(b.ts)), 6) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ts, b.ts)) * 10 >= least(len(a.ts), len(b.ts)) * 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_neardup_simhash" ->
       s"""WITH f AS ($SimhashOracle)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,

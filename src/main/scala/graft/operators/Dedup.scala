@@ -382,6 +382,73 @@ object Dedup {
     verifyPairs(spark, sfDir, cand)
   }
 
+  /** Containment numerator/denominator: the smaller shingle set must be
+    * ≥ 90% inside the other (inter·10 ≥ min(sz)·9 — integer compare). */
+  val ContainNum = 9L
+  val ContainDen = 10L
+
+  /** ASYMMETRIC containment near-dup: pairs where the smaller doc's
+    * shingle set sits ≥ 90% inside the other's — the quote/excerpt/subset
+    * relation symmetric Jaccard structurally misses (a 20-shingle doc
+    * fully contained in a 500-shingle doc has containment 1.0 but Jaccard
+    * 0.04, far under any sane τ). The dedup decision it feeds: drop or
+    * down-weight the contained doc, keep the container.
+    *
+    * Scale shape: the same inverted-index equi-join as [[jaccardPairs]] —
+    * candidates are pairs sharing ≥1 shingle, intersection = per-pair
+    * match count, both set sizes ride as ints and collapse with min() —
+    * and the containment test is integer. No prefix filter applies (the
+    * PPJoin prefix lemma is Jaccard-specific; containment's candidate
+    * bound is the index join itself), which is honest: containment search
+    * IS harder than similarity search, and the index join is its standard
+    * shape (Xiao et al. use asymmetric prefixes; at this τ the plain
+    * index join is exact and subquadratic on shared-shingle pairs).
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = shingleSets(spark, sfDir)
+      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("s"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("s"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("s"))
+    a.join(b, "s").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), min("sz_a").as("sz_a"), min("sz_b").as("sz_b"))
+      .filter(col("inter") * ContainDen >= least(col("sz_a"), col("sz_b")) * ContainNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"),
+        round(col("inter").cast("double")
+          / least(col("sz_a"), col("sz_b")), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash ESTIMATE-vs-EXACT audit — the sketch-accuracy companion that
+    * q_cms_counts gives frequencies: for every verified near-dup pair,
+    * the 64-permutation MinHash estimate (matching-component fraction)
+    * next to the exact Jaccard and the signed error. The affine hash
+    * family is deterministic, so — unlike HLL — the estimate is
+    * engine-reproducible and this audit carries a FULL oracle (DuckDB
+    * recomputes all 64 minima from the md5-60 shingle hashes). n/64 has
+    * at most six decimal digits, so the round-6 estimate is exact.
+    * Pair set = the verified pairs (candidate recall 1 at this τ,
+    * asserted by the shared near-dup oracle), so the audit measures the
+    * sketch, not the bucketing.
+    */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.{minHashSig => sigFn}
+    val pairs = minhashPairsRaw(spark, sfDir)
+    val sigs = fence(shingleSets(spark, sfDir)
+      .select(col("doc_id"), sigFn(col("hs")).as("sig")), "doc_id")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(size(filter(zip_with(siga, sigb, (x, y) -> x = y), m -> m)) as bigint)")
+          .as("n_match"),
+        col("jac").as("jac_exact"))
+      .withColumn("jac_est", round(col("n_match") / lit(64.0), 6))
+      .withColumn("err", round(col("jac_est") - col("jac_exact"), 6))
+      .select("doc_a", "doc_b", "n_match", "jac_est", "jac_exact", "err")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-dup clusters: connected components over the near-dup pair graph,
     * labeled by the component's minimum doc_id, plus the survivor flag a
     * deletion list needs (survivor = the component minimum — "keep one doc

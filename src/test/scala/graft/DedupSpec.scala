@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import graft.functions.TextHashFunctions.shingleHashes
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -235,5 +236,53 @@ class DedupSpec extends SparkSpec {
     // live and bounded: some doc is cut (tiny vocabulary: at this sf every
     // doc shares trigrams), and not every doc loses everything
     assert(got.exists(_._4 > 0) && got.exists(_._5 > 0))
+  }
+
+  test("containment pairs match a driver-side brute force over shingle sets") {
+    import spark.implicits._
+    val got = Dedup.containmentPairs(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .as[(Long, Seq[Long])].collect().map { case (id, hs) => id -> hs.toSet }
+    val want = (for {
+      (ida, sa) <- sets; (idb, sb) <- sets if ida < idb
+      inter = (sa & sb).size.toLong
+      minSz = math.min(sa.size, sb.size).toLong
+      if inter * Dedup.ContainDen >= minSz * Dedup.ContainNum
+    } yield (ida, idb, inter, sa.size.toLong, sb.size.toLong,
+      math.rint(inter.toDouble / minSz * 1e6) / 1e6)).toSeq.sorted
+    assert(got == want)
+    // containment strictly extends symmetric Jaccard: every Jaccard
+    // near-dup pair at jac >= 0.9 is also a containment pair
+    val jacHigh = Dedup.jaccardPairs(spark, sf).filter(col("jac") >= 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jacHigh.subsetOf(got.map(t => (t._1, t._2)).toSet))
+  }
+
+  test("minhash estimate audit matches a driver-side signature recompute") {
+    import spark.implicits._
+    import graft.functions.TextHash
+    val got = Dedup.minhashEstimate(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // same pair set as the verified near-dup pairs
+    val pairs = Dedup.minhashPairs(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == pairs.map(t => (t._1, t._2)))
+    assert(got.map(_._5) == pairs.map(_._3)) // jac_exact rides through
+    // recompute all 64 affine minima driver-side from the raw shingle hashes
+    val sig: Map[Long, Array[Long]] = Tables.documents(spark, sf)
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .as[(Long, Seq[Long])].collect().map { case (id, hs) =>
+        id -> Array.tabulate(TextHash.NumHashes) { j =>
+          hs.map(h => (TextHash.coefA(j) * (h % TextHash.P) + TextHash.coefB(j)) % TextHash.P).min
+        }
+      }.toMap
+    got.foreach { case (a, b, nMatch, jacEst, _, err) =>
+      val want = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+      assert(nMatch == want && nMatch >= 0 && nMatch <= 64)
+      assert(jacEst == math.rint(nMatch / 64.0 * 1e6) / 1e6)
+      assert(math.abs(err) <= 1.0)
+    }
   }
 }
