@@ -164,6 +164,7 @@ object SparkEntry {
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
     "q_ivf_topk"          -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
     "q_binary_meta"       -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -1333,6 +1334,40 @@ object SparkEntry {
         |  FROM h)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
+    // deterministic integer k-means, iteration UNROLLED one CTE-triple per
+    // Lloyd round (like q_textrank): a{r} = assignment under c{r-1},
+    // g{r} = per-cluster component sums, c{r} = half-up integer means
+    // (empty cluster keeps its centroid via the LEFT JOIN coalesce).
+    // All math is int64 on positive values, so the engines agree bit-for-bit.
+    "q_kmeans" -> {
+      val k = graft.operators.Similarity.KmeansK
+      val sums = (1 to 64).map(i => s"sum(qv[$i])").mkString("list_value(", ", ", ")")
+      val rounds = (1 to graft.operators.Similarity.KmeansRounds).map { r =>
+        s"""a$r AS (SELECT vec_id, qv, cid, dist,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM (SELECT q.vec_id, q.qv, c.cid,
+           |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist
+           |        FROM q CROSS JOIN c${r - 1} c)),
+           |g$r AS (SELECT cid, count(*) AS n, $sums AS sv FROM a$r WHERE rn = 1 GROUP BY cid),
+           |c$r AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv
+           |          ELSE [CAST((2*g.sv[i] + g.n) // (2*g.n) AS BIGINT) for i in range(1,65)] END AS cv
+           |        FROM c${r - 1} c LEFT JOIN g$r g USING (cid))""".stripMargin
+      }.mkString(",\n")
+      val fr = graft.operators.Similarity.KmeansRounds
+      s"""WITH q AS (SELECT vec_id, label::BIGINT AS label,
+         |  [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+         |$rounds,
+         |af AS (SELECT vec_id, cid, dist,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT q.vec_id, q.qv, c.cid,
+         |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist
+         |        FROM q CROSS JOIN c$fr c))
+         |SELECT q.vec_id, q.label, af.cid::BIGINT AS cluster, af.dist::BIGINT AS dist
+         |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin
+    },
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
         |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),

@@ -301,4 +301,80 @@ object Similarity {
                   x -> abs(x - round(x * 127.0 / amax) * amax / 127.0))) END, 6)""")
           .as("max_err"))
       .orderBy("vec_id")
+
+  /** k-means configuration (SemDeDup-style semantic clustering): k
+    * clusters, a fixed number of Lloyd rounds, and the integer
+    * quantization that makes the whole computation engine-exact. */
+  val KmeansK = 10
+  val KmeansRounds = 4
+
+  /** DETERMINISTIC Lloyd's k-means over the embedding corpus — the
+    * semantic-clustering step a SemDeDup/cluster-balance pipeline runs
+    * before per-cluster dedup or mixture decisions. Unlike [[ivfTopK]]'s
+    * float trainer (recall-floor checked, rows-only), this one is
+    * engine-EXACT and carries a full DuckDB oracle:
+    *
+    *   - quantize: each component to shifted micro-units,
+    *     `round((x + 1.0) * 1e6)` as int64 — positive, so Spark HALF_UP
+    *     and DuckDB half-away-from-zero agree; squared L2 distances are
+    *     shift-invariant, so the +1.0 changes nothing semantically
+    *   - distances: pure int64 (max 64 · (1.5e6)² ≈ 1.4e14 « 2^63)
+    *   - argmin tie-break: lowest centroid id (first-occurrence
+    *     `array_position`; `ORDER BY dist, cid` in the oracle)
+    *   - centroid update: half-up integer mean `(2s + n) div (2n)` —
+    *     positive operands, so truncating and floor division coincide
+    *   - empty cluster: keeps its previous centroid (both engines)
+    *   - seeds: the K lowest vec_ids' vectors (no RNG)
+    *
+    * Scale shape: per round, ONE map-side pass (k×64 literal centroid
+    * arithmetic inside codegen'd HOFs — no join, no BNLJ) feeding one
+    * partial-aggregated k×64-cell groupBy; the driver holds only the
+    * k×64 centroid longs between rounds (same driver-local-trainer
+    * pattern as the BPE merges). That is the standard distributed
+    * k-means shape (MLlib's trainer aggregates identically); at 100 TB
+    * the per-round shuffle is k·64·partitions rows — independent of
+    * corpus size. Deterministic lowest-id seeding is the oracle-parity
+    * choice; a production run would swap in k-means|| seeding (one extra
+    * pass per seeding round) without touching the round loop.
+    */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = Dedup.fence(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
+          .as("qv")),
+      "vec_id") // fence: the quantized corpus feeds every round + the final assignment
+    def withAssignment(cents: IndexedSeq[Array[Long]]): DataFrame = {
+      val dists = cents.map { cv =>
+        aggregate(zip_with(col("qv"), typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0L), (s, x) => s + x)
+      }
+      qv.withColumn("dists", array(dists: _*))
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cluster", (array_position(col("dists"), col("dist")) - 1).cast("long"))
+    }
+    val seeds: IndexedSeq[Array[Long]] = qv.orderBy("vec_id").limit(KmeansK)
+      .select("qv").collect().toIndexedSeq
+      .map(_.getSeq[Long](0).toArray)
+    val finalCents = (1 to KmeansRounds).foldLeft(seeds) { (cents, _) =>
+      val cells = withAssignment(cents)
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect() // k×64 rows — the only driver-side state between rounds
+        .groupBy(_.getLong(0))
+      cents.indices.map { cid =>
+        cells.get(cid.toLong).fold(cents(cid)) { rows => // empty cluster: keep centroid
+          val next = cents(cid).clone()
+          rows.foreach { r =>
+            val (pos, s, n) = (r.getInt(1), r.getLong(2), r.getLong(3))
+            next(pos) = (2 * s + n) / (2 * n)
+          }
+          next
+        }
+      }
+    }
+    withAssignment(finalCents)
+      .select(col("vec_id"), col("label"), col("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
 }

@@ -128,4 +128,48 @@ class SimilaritySpec extends SparkSpec {
       assert(qsum == want(id).map(_.toLong).sum, s"vec $id")
     }
   }
+
+  test("integer k-means matches a driver-side Lloyd recompute exactly") {
+    import spark.implicits._
+    val got = Similarity.kmeans(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // independent reimplementation: BigDecimal HALF_UP quantization,
+    // plain-Scala Lloyd rounds with the same tie-break and update rules
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .as[(Long, Long, Seq[Float])].collect().sortBy(_._1)
+    val qv: Map[Long, Array[Long]] = vecs.map { case (id, _, e) =>
+      id -> e.map(x => BigDecimal((x.toDouble + 1.0) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    }.toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: IndexedSeq[Array[Long]] =
+      vecs.take(Similarity.KmeansK).map(v => qv(v._1)).toIndexedSeq
+    def assign(): Map[Long, (Int, Long)] = qv.map { case (id, v) =>
+      val ds = cents.map(dist(v, _))
+      val best = ds.min
+      id -> (ds.indexOf(best), best) // first occurrence = lowest cid
+    }
+    (1 to Similarity.KmeansRounds).foreach { _ =>
+      val byC = assign().toSeq.groupBy(_._2._1)
+      cents = cents.indices.map { cid =>
+        byC.get(cid).fold(cents(cid)) { members =>
+          val vs = members.map(m => qv(m._1))
+          Array.tabulate(64) { d =>
+            val s = vs.map(_(d)).sum
+            (2 * s + vs.size) / (2L * vs.size)
+          }
+        }
+      }
+    }
+    val fin = assign()
+    val want = vecs.map { case (id, label, _) =>
+      (id, label, fin(id)._1.toLong, fin(id)._2)
+    }.toSeq
+    assert(got == want)
+    // the clustering is live: more than one cluster, every id in [0, k)
+    assert(got.map(_._3).distinct.size > 1)
+    assert(got.forall(r => r._3 >= 0 && r._3 < Similarity.KmeansK))
+  }
 }
