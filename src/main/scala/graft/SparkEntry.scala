@@ -165,6 +165,7 @@ object SparkEntry {
     "q_ivf_topk"          -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
+    "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
     "q_binary_meta"       -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -1335,39 +1336,27 @@ object SparkEntry {
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
     // deterministic integer k-means, iteration UNROLLED one CTE-triple per
-    // Lloyd round (like q_textrank): a{r} = assignment under c{r-1},
-    // g{r} = per-cluster component sums, c{r} = half-up integer means
-    // (empty cluster keeps its centroid via the LEFT JOIN coalesce).
-    // All math is int64 on positive values, so the engines agree bit-for-bit.
-    "q_kmeans" -> {
-      val k = graft.operators.Similarity.KmeansK
-      val sums = (1 to 64).map(i => s"sum(qv[$i])").mkString("list_value(", ", ", ")")
-      val rounds = (1 to graft.operators.Similarity.KmeansRounds).map { r =>
-        s"""a$r AS (SELECT vec_id, qv, cid, dist,
-           |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-           |  FROM (SELECT q.vec_id, q.qv, c.cid,
-           |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist
-           |        FROM q CROSS JOIN c${r - 1} c)),
-           |g$r AS (SELECT cid, count(*) AS n, $sums AS sv FROM a$r WHERE rn = 1 GROUP BY cid),
-           |c$r AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv
-           |          ELSE [CAST((2*g.sv[i] + g.n) // (2*g.n) AS BIGINT) for i in range(1,65)] END AS cv
-           |        FROM c${r - 1} c LEFT JOIN g$r g USING (cid))""".stripMargin
-      }.mkString(",\n")
-      val fr = graft.operators.Similarity.KmeansRounds
-      s"""WITH q AS (SELECT vec_id, label::BIGINT AS label,
-         |  [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
-         |  FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
-         |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
-         |$rounds,
-         |af AS (SELECT vec_id, cid, dist,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM (SELECT q.vec_id, q.qv, c.cid,
-         |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist
-         |        FROM q CROSS JOIN c$fr c))
+    // Lloyd round (like q_textrank) — CTE chain shared with q_semdedup.
+    "q_kmeans" ->
+      s"""WITH $KmeansCtes
          |SELECT q.vec_id, q.label, af.cid::BIGINT AS cluster, af.dist::BIGINT AS dist
-         |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin
-    },
+         |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin,
+    // SemDeDup: within each k-means cluster, drop every vector with a
+    // lower-id neighbor at cosine >= 0.45 (greedy lowest-id keep);
+    // cross-cluster near-dups survive by design.
+    "q_semdedup" ->
+      s"""WITH $KmeansCtes,
+         |asg AS (SELECT vec_id, cid AS cluster FROM af WHERE rn = 1),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
+         |m AS (SELECT n.vec_id, v, nn, cluster FROM n JOIN asg USING (vec_id)),
+         |dr AS (SELECT DISTINCT b.vec_id
+         |       FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |       WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+         |             / (sqrt(a.nn)*sqrt(b.nn)) >= 0.45)
+         |SELECT m.vec_id, m.cluster::BIGINT AS cluster, (dr.vec_id IS NULL) AS is_kept
+         |FROM m LEFT JOIN dr ON dr.vec_id = m.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
         |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
@@ -1626,6 +1615,43 @@ object SparkEntry {
        |SELECT word, round(rank, 6) AS score
        |FROM r${operators.TextAnalysis.TextRankIters}
        |ORDER BY score DESC, word LIMIT 20""".stripMargin
+  }
+
+  /** Shared CTE block (no WITH keyword) for the deterministic integer
+    * k-means: `q` = micro-unit-quantized vectors, `c0` = lowest-vec_id
+    * seeds, then one CTE-triple per Lloyd round (a{r} = assignment under
+    * c{r-1}, g{r} = per-cluster component sums, c{r} = half-up integer
+    * means, empty cluster keeping its centroid via the LEFT JOIN CASE),
+    * ending in `af` = the final assignment with rn=1 marking the argmin.
+    * All math is int64 on positive values, so the engines agree
+    * bit-for-bit. Composed into the q_kmeans and q_semdedup oracles.
+    */
+  private val KmeansCtes: String = {
+    val k = graft.operators.Similarity.KmeansK
+    val sums = (1 to 64).map(i => s"sum(qv[$i])").mkString("list_value(", ", ", ")")
+    val rounds = (1 to graft.operators.Similarity.KmeansRounds).map { r =>
+      s"""a$r AS (SELECT vec_id, qv, cid, dist,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT q.vec_id, q.qv, c.cid,
+         |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist
+         |        FROM q CROSS JOIN c${r - 1} c)),
+         |g$r AS (SELECT cid, count(*) AS n, $sums AS sv FROM a$r WHERE rn = 1 GROUP BY cid),
+         |c$r AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv
+         |          ELSE [CAST((2*g.sv[i] + g.n) // (2*g.n) AS BIGINT) for i in range(1,65)] END AS cv
+         |        FROM c${r - 1} c LEFT JOIN g$r g USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val fr = graft.operators.Similarity.KmeansRounds
+    s"""q AS (SELECT vec_id, label::BIGINT AS label,
+       |  [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+       |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |af AS (SELECT vec_id, cid, dist,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT q.vec_id, q.qv, c.cid,
+       |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist
+       |        FROM q CROSS JOIN c$fr c))""".stripMargin
   }
 
   /** Shared CTE block (no WITH keyword) producing `np` = the exact all-pairs

@@ -337,7 +337,14 @@ object Similarity {
     * choice; a production run would swap in k-means|| seeding (one extra
     * pass per seeding round) without touching the round loop.
     */
-  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssigned(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("cluster"), col("dist"))
+      .orderBy("vec_id")
+
+  /** [[kmeans]] without the presentation projection/sort — the assignment
+    * feed for [[semDedup]], which immediately re-joins by vec_id. */
+  private def kmeansAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val qv = Dedup.fence(Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
@@ -374,7 +381,40 @@ object Similarity {
       }
     }
     withAssignment(finalCents)
-      .select(col("vec_id"), col("label"), col("cluster"), col("dist"))
+  }
+
+  /** SemDeDup (Abbas et al.): semantic dedup made cluster-local. Run
+    * [[kmeans]], then WITHIN each cluster drop every vector that has a
+    * lower-id neighbor at cosine ≥ [[Dedup.CosineTau]] (greedy lowest-id
+    * keep — the same survivor rule as the text family). The clustering is
+    * what makes this scale: the pairwise join is an equi join on the
+    * cluster id, so each cluster is an independent n_c² tile instead of
+    * the corpus-wide n² of [[Dedup.embeddingPairs]] — this is exactly why
+    * SemDeDup clusters first. Cross-cluster near-dups are NOT dropped,
+    * by design (the algorithm trades that recall for tractability).
+    *
+    * At 100 TB: k grows with the corpus (k ≈ n/target-cell-size, e.g.
+    * 100k clusters for 10⁹ docs), so the per-cluster tiles stay bounded
+    * and the join keys are high-cardinality — no 10-key skew like this
+    * test-scale k=10; the k-means rounds themselves stay one map-side
+    * pass + a k×64-cell aggregate regardless of k.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    val m = Dedup.fence(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), v.as("v"), dot(v, v).as("nn"))
+        .join(kmeansAssigned(spark, sfDir).select(col("vec_id"), col("cluster")), "vec_id"),
+      "vec_id") // fence: one cast+norm+assignment frame for both self-join sides
+    val a = m.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nn").as("na"), col("cluster"))
+    val b = m.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nn").as("nb"), col("cluster"))
+    val dropped = a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))
+      .filter(dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))) >= Dedup.CosineTau)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("isdrop", lit(true))
+    m.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("isdrop").isNull.as("is_kept"))
       .orderBy("vec_id")
   }
 }

@@ -172,4 +172,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).distinct.size > 1)
     assert(got.forall(r => r._3 >= 0 && r._3 < Similarity.KmeansK))
   }
+
+  test("semdedup drop rule: dropped iff a lower-id same-cluster neighbor above tau") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val got = Similarity.semDedup(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == got.map(_._1).sorted)
+    val cluster = Similarity.kmeans(spark, sf)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case (id, cl, kept) =>
+      assert(cl == cluster(id))
+      val hasLowerNeighbor = vecs.keys.exists(o =>
+        o < id && cluster(o) == cl && cos(vecs(o), vecs(id)) >= Dedup.CosineTau)
+      assert(kept == !hasLowerNeighbor, s"vec $id")
+    }
+    // live signal both ways at this sf
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
 }
