@@ -129,6 +129,7 @@ object SparkEntry {
     "q_lm_perplexity"     -> ((s, d) => Curation.lmPerplexity(s, d)),
     "q_vocab_prune"       -> ((s, d) => Curation.vocabPrune(s, d)),
     "q_pmi_bigrams"       -> ((s, d) => Curation.pmiBigrams(s, d)),
+    "q_fuzzy_vocab"       -> ((s, d) => Curation.fuzzyVocabPairs(s, d)),
     "q_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q_dup_ngrams"        -> ((s, d) => Dedup.dupNgramFractions(s, d)),
     "q_dup_spans"         -> ((s, d) => Dedup.dupSpans(s, d)),
@@ -1116,6 +1117,18 @@ object SparkEntry {
         |FROM probes p JOIN cells c ON p.r = c.r AND p.cell = c.cell
         |GROUP BY p.w, p.cnt
         |ORDER BY p.w""".stripMargin,
+    // fuzzy pairs: exact brute-force ground truth over the (tiny) distinct
+    // vocabulary — the engine's deletion-neighborhood join must reproduce
+    // it exactly (recall-complete for levenshtein <= 2, then verified)
+    "q_fuzzy_vocab" ->
+      """WITH wc AS (SELECT w, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)
+        |SELECT a.w AS word_a, b.w AS word_b,
+        |  levenshtein(a.w, b.w)::BIGINT AS dist, a.cnt AS cnt_a, b.cnt AS cnt_b
+        |FROM wc a JOIN wc b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2
+        |ORDER BY word_a, word_b""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH bg AS (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b
         |            FROM (SELECT string_split(text,' ') AS w FROM documents)),

@@ -103,6 +103,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Maximum Levenshtein distance for a fuzzy vocabulary pair. */
+  val FuzzyMaxEd = 2
+
+  /** Fuzzy vocabulary pairs (typo/variant detection for token
+    * normalization): all unordered pairs of corpus words within
+    * Levenshtein distance [[FuzzyMaxEd]], each carrying both corpus
+    * frequencies — the signal a normalizer needs to map the rare variant
+    * onto the frequent canonical form.
+    *
+    * Candidate generation is the SymSpell deletion-neighborhood join
+    * (Garbe): each word emits itself plus every variant reachable by
+    * deleting ≤ 2 characters, and candidates are pairs sharing a variant
+    * key. That is RECALL-COMPLETE for Levenshtein ≤ 2 (if ed(a,b) = k,
+    * deleting the k edited positions from each side yields a common
+    * string), then `levenshtein` verifies exactly. Scale shape: the
+    * corpus first collapses to its vocabulary (one hash agg); variants
+    * are ~L²/2 per word map-side; the join is a plain equi join on the
+    * variant key — ~50·V keys for a 10⁷-word vocabulary instead of the
+    * V² brute-force cross join, and never corpus-sized.
+    */
+  def fuzzyVocabPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val wc = Dedup.fence(Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt")),
+      "w") // fence: one vocabulary aggregate for both self-join sides
+    val keys = wc
+      .withColumn("d1", expr(
+        "transform(sequence(1, length(w)), i -> concat(substring(w, 1, i-1), substring(w, i+1, length(w))))"))
+      .withColumn("k", explode(expr(
+        """array_distinct(concat(array(w), d1,
+          |  flatten(transform(filter(d1, v -> length(v) > 0),
+          |    v -> transform(sequence(1, length(v)),
+          |      i -> concat(substring(v, 1, i-1), substring(v, i+1, length(v))))))))""".stripMargin)))
+      .select(col("w"), col("cnt"), col("k"))
+    val a = keys.select(col("w").as("word_a"), col("cnt").as("cnt_a"), col("k"))
+    val b = keys.select(col("w").as("word_b"), col("cnt").as("cnt_b"), col("k"))
+    a.join(b, "k").filter(col("word_a") < col("word_b"))
+      .select("word_a", "word_b", "cnt_a", "cnt_b").distinct()
+      .filter(levenshtein(col("word_a"), col("word_b")) <= FuzzyMaxEd)
+      .select(col("word_a"), col("word_b"),
+        levenshtein(col("word_a"), col("word_b")).cast("long").as("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("word_a", "word_b")
+  }
+
   /** Minimum corpus bigram count for a PMI collocation candidate. */
   val PmiMinCount = 20L
 

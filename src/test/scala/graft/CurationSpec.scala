@@ -319,4 +319,28 @@ class CurationSpec extends SparkSpec {
       assert(rebuilt == texts(id).split(" ", -1).toSeq, s"doc $id")
     }
   }
+
+  test("fuzzy vocab pairs equal a driver-side brute force over the vocabulary") {
+    import spark.implicits._
+    val got = Curation.fuzzyVocabPairs(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val wc = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val words = wc.keys.toSeq.sorted
+    val want = (for {
+      a <- words; b <- words if a < b
+      k = ed(a, b) if k <= Curation.FuzzyMaxEd
+    } yield (a, b, k.toLong, wc(a), wc(b))).sorted
+    assert(got.sorted == want)
+    // the deletion-neighborhood candidates missed nothing and the signal is live
+    assert(want.nonEmpty)
+  }
 }
