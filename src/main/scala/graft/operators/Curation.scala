@@ -106,6 +106,20 @@ object Curation {
   /** Maximum Levenshtein distance for a fuzzy vocabulary pair. */
   val FuzzyMaxEd = 2
 
+  /** Adds `keys` = the SymSpell ≤2-deletion neighborhood of column `w`
+    * (the word itself, every 1-deletion, every 2-deletion) — the join key
+    * set whose pairwise intersection is recall-complete for Levenshtein
+    * ≤ 2 (PropertySpec asserts this on generated words). */
+  private[graft] def withDeletionKeys(df: DataFrame): DataFrame =
+    df.withColumn("d1", expr(
+        "transform(sequence(1, length(w)), i -> concat(substring(w, 1, i-1), substring(w, i+1, length(w))))"))
+      .withColumn("keys", expr(
+        """array_distinct(concat(array(w), d1,
+          |  flatten(transform(filter(d1, v -> length(v) > 0),
+          |    v -> transform(sequence(1, length(v)),
+          |      i -> concat(substring(v, 1, i-1), substring(v, i+1, length(v))))))))""".stripMargin))
+      .drop("d1")
+
   /** Fuzzy vocabulary pairs (typo/variant detection for token
     * normalization): all unordered pairs of corpus words within
     * Levenshtein distance [[FuzzyMaxEd]], each carrying both corpus
@@ -129,15 +143,8 @@ object Curation {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt")),
       "w") // fence: one vocabulary aggregate for both self-join sides
-    val keys = wc
-      .withColumn("d1", expr(
-        "transform(sequence(1, length(w)), i -> concat(substring(w, 1, i-1), substring(w, i+1, length(w))))"))
-      .withColumn("k", explode(expr(
-        """array_distinct(concat(array(w), d1,
-          |  flatten(transform(filter(d1, v -> length(v) > 0),
-          |    v -> transform(sequence(1, length(v)),
-          |      i -> concat(substring(v, 1, i-1), substring(v, i+1, length(v))))))))""".stripMargin)))
-      .select(col("w"), col("cnt"), col("k"))
+    val keys = withDeletionKeys(wc)
+      .select(col("w"), col("cnt"), explode(col("keys")).as("k"))
     val a = keys.select(col("w").as("word_a"), col("cnt").as("cnt_a"), col("k"))
     val b = keys.select(col("w").as("word_b"), col("cnt").as("cnt_b"), col("k"))
     a.join(b, "k").filter(col("word_a") < col("word_b"))

@@ -209,4 +209,28 @@ class PropertySpec extends SparkSpec {
       assert(got == local)
     }
   }
+
+  test("SymSpell deletion neighborhood is recall-complete for ed <= 2 on random words") {
+    import spark.implicits._
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val wordGen = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString // 3-letter alphabet makes ed<=2 collisions plentiful
+    val words = samples(Gen.listOfN(30, wordGen), 4).flatten.distinct
+    val keys = graft.operators.Curation.withDeletionKeys(words.toDF("w"))
+      .select("w", "keys").as[(String, Seq[String])].collect().toMap
+    val close = for (a <- words; b <- words if a < b && ed(a, b) <= 2) yield (a, b)
+    assert(close.nonEmpty) // the property is exercised, not vacuous
+    close.foreach { case (a, b) =>
+      assert(keys(a).toSet.intersect(keys(b).toSet).nonEmpty,
+        s"ed(${a}, ${b}) = ${ed(a, b)} but deletion neighborhoods are disjoint")
+    }
+  }
 }
