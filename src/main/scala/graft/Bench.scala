@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint (driver contract: ONE compact JSON line last on
+  * stdout; full per-query detail in bench_out.json).
+  *
+  * Failure-honest + noise-resistant (VERDICT r7 ask #3):
+  *   - each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+  *     the MIN — the estimator least sensitive to host-level contention,
+  *     which has poisoned round-over-round comparison twice (r5, r7);
+  *   - a query that throws is recorded with an "err" string and sec=-1, so a
+  *     time-to-exception can never masquerade as a fast run (BENCH_r07
+  *     recorded 30 AnalysisExceptions as ~0.08 s "timings");
+  *   - the summary line carries n_err and a noise indicator
+  *     (first-rep total / min total — 1.0 on a quiet host).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,39 +33,67 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => () }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(_) => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop per-query caches and collect garbage so one
-      // allocation-heavy query doesn't tax its successors' timings
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
+
+    final case class R(secs: Seq[Double], err: Option[String]) {
+      def best: Double = if (err.isDefined) -1.0 else secs.min
+      def first: Double = if (err.isDefined) -1.0 else secs.head
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val results: Map[String, R] = SparkEntry.queries.map { case (name, fn) =>
+      var err: Option[String] = None
+      val secs = Seq.newBuilder[Double]
+      var rep = 0
+      while (rep < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            val msg = Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            err = Some(s"${e.getClass.getSimpleName}: $msg")
+        }
+        secs += (System.nanoTime() - t0) / 1e9
+        // isolate reps/queries: drop caches and collect garbage so one
+        // allocation-heavy query doesn't tax its successors' timings
+        spark.catalog.clearCache()
+        System.gc()
+        rep += 1
+      }
+      name -> R(secs.result(), err)
+    }
+
+    def j(d: Double) = f"$d%.6f"
+    val ok = results.filter(_._2.err.isEmpty)
+    val nErr = results.size - ok.size
+    val total = ok.values.map(_.best).sum
+    val totalFirst = ok.values.map(_.first).sum
+    val noise = if (total > 0) totalFirst / total else 1.0
     // full per-query record → file: the driver captures only a 2000-char
-    // stdout tail, and with 100+ queries the full line overflows it
-    // (BENCH_r01–r04 all show "parsed": null for exactly this reason)
+    // stdout tail, and with 150+ queries the full line overflows it
+    val detail = results.map { case (k, r) =>
+      val repsJson = r.secs.map(j).mkString("[", ",", "]")
+      val errJson = r.err.map("\"" + _ + "\"").getOrElse("null")
+      s""""$k":{"sec":${j(r.best)},"reps":$repsJson,"err":$errJson}"""
+    }.mkString("{", ",", "}")
+    val qs = results.map { case (k, r) => s""""$k":${j(r.best)}""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""n_err":$nErr,"noise_first_over_min":${j(noise)},"queries":$qs,"per_query":$detail,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     println(line)
     // compact summary LAST so it lands complete inside the captured tail:
-    // same shape, "queries" restricted to one stable headline per family
-    // (BASELINE.md's metrics), plus the run-wide total and query count
+    // "queries" restricted to one stable headline per family (BASELINE.md's
+    // metrics) plus run-wide total, error count and noise ratio
     val headline = Seq("wordcount", "top10_words", "q1_agg", "q_star_join",
       "q_window_topk", "q_tumbling_1h", "q_dedup_exact", "q_cosine_topk",
       "q_neardup_minhash", "q_asof_join_custom", "q_ann_topk",
       "q_pipeline_curated")
-    val hq = headline.flatMap(k => results.get(k).map(v => f""""$k":$v%.3f"""))
+    val hq = headline.flatMap(k => results.get(k).map(r => f""""$k":${r.best}%.3f"""))
       .mkString("{", ",", "}")
+    val errNames = results.collect { case (k, r) if r.err.isDefined => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
-      s""""n_queries":${results.size},"detail":"bench_out.json","sf":"$sfDir"}""")
+      s""""n_queries":${results.size},"n_err":$nErr,"err_queries":$errNames,""" +
+      s""""reps":$reps,"noise_first_over_min":${j(noise)},"detail":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,18 +27,32 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4.x rejects by
-    * default (SURVEY.md §1.2). Read nanos as long and expose:
-    *   - `ts`      original bigint nanoseconds (exact, for arithmetic)
+  /** events.parquet's `ts` encoding has changed across testdata generations:
+    * INT64 TIMESTAMP(NANOS) originally (SURVEY.md §1.2), plain `timestamp[us]`
+    * (read by Spark as TIMESTAMP_NTZ) since 2026-08-13. Branch on the observed
+    * dtype and normalize to one canonical contract so every downstream
+    * consumer (and the DuckDB `epoch_ns(ts)` oracles) is encoding-agnostic:
+    *   - `ts`      bigint epoch nanoseconds (exact, for arithmetic)
     *   - `ts_us`   timestamp (µs precision) for window/date functions
     *   - `ts_sec`  bigint epoch seconds (for oracle-safe output)
-    * The conf is a runtime SQL conf, set per-session here because the
-    * harness-created sessions do not set it.
+    * The NTZ column is cast to TIMESTAMP before unix_micros; the session
+    * timezone is UTC everywhere (Spark sessions and DuckDB), so the cast is a
+    * pure reinterpretation with no wall-clock shift.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Harmless when ts is already a timestamp; required for the ns-as-long era.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_sec", expr("ts div 1000000000"))
+      case _ => // TimestampType or TimestampNTZType
+        raw
+          .withColumn("ts_us", expr("cast(ts as timestamp)"))
+          .withColumn("ts_sec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+          .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 }
