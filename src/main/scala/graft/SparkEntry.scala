@@ -163,7 +163,7 @@ object SparkEntry {
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
-    "q_ivf_topk"          -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_ivf_topk"          -> ((s, d) => Similarity.ivfAudit(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
@@ -1401,6 +1401,14 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
         |  FROM sc)
         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // FULL oracle: the LSH pipeline is deterministic plan-time math, so the
+    // SQL re-runs bucketing + multi-probe + rerank (plane-weight literals
+    // interpolated from the same generator the engine compiles in)
+    "q_ann_topk" -> Similarity.annOracleSql,
+    // BRACKET oracle (HLL recipe): float Lloyd training is not bit-portable,
+    // so the oracle recomputes the EXACT companions and expects the
+    // recall/slack verdicts TRUE
+    "q_ivf_topk" -> Similarity.ivfAuditOracleSql,
 
     "q_multimodal_join" ->
       """SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
