@@ -24,6 +24,7 @@ object BenchFamily {
     for (cpus <- Seq(4, 32)) {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -196,23 +196,26 @@ object Dedup {
     * states all-pairs semantics declaratively and the library's Catalyst
     * rule removes the CartesianProduct (asserted in SimJoinRewriteSpec —
     * 12.5M evaluated pairs at sf0.1 becomes a ~240k-collision hash join).
-    * The rule is injected by GraftExtensions; the runtime registration
-    * below covers harness-created sessions, same as the other plan nodes.
     *
-    * SIDE EFFECT — session-global and deliberate: the registration below
-    * mutates `spark.experimental.extraOptimizations`, so after this runs
-    * once, EVERY later crossJoin+jaccard-filter plan in the same session is
-    * rewritten, GraftExtensions or not. That is the intended install
-    * semantics (the rule is a semantics-preserving equivalence and a no-op
-    * on any other plan shape), but callers embedding this in a long-lived
-    * shared session should prefer installing GraftExtensions at session
-    * build instead of relying on this lazy fallback; to undo it, filter the
-    * rule back out of `spark.experimental.extraOptimizations`.
+    * Install contract (r6 ask #5 — no session mutation): the rule must
+    * already be active, either injected by GraftExtensions at session
+    * build (`spark.sql.extensions=graft.GraftExtensions` — how SparkSpec,
+    * Verify and Bench sessions all run) or added to
+    * `spark.experimental.extraOptimizations` BY THE CALLER. Absent both,
+    * this fails fast with the install instruction instead of silently
+    * planning a 100 TB cartesian product — and no longer flips a
+    * session-global switch behind the caller's back.
     */
   def simJoinDeclarative(spark: SparkSession, sfDir: String): DataFrame = {
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.SimJoinRewriteRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.SimJoinRewriteRule
+    val rule = graft.plans.SimJoinRewriteRule
+    val active =
+      spark.sessionState.optimizer.extendedOperatorOptimizationRules.contains(rule) ||
+        spark.experimental.extraOptimizations.contains(rule)
+    if (!active) throw new IllegalStateException(
+      "SimJoinRewriteRule is not installed in this session; build it with " +
+        ".config(\"spark.sql.extensions\", \"graft.GraftExtensions\") (or add the rule " +
+        "to spark.experimental.extraOptimizations yourself). Refusing to plan the " +
+        "declarative sim join as a cartesian product.")
     val a = shingleSets(spark, sfDir).select(col("doc_id").as("doc_a"), col("hs").as("hsa"))
     val b = shingleSets(spark, sfDir).select(col("doc_id").as("doc_b"), col("hs").as("hsb"))
     a.crossJoin(b)
