@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dedup_bloom"       -> ((s, d) => Dedup.incrementalSurvivorsBloom(s, d)),
     "q_dedup_embedding"   -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "q_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
+    "q_embedding_clusters_tight" -> ((s, d) => Dedup.embeddingClustersTight(s, d)),
     // ---- B9 text analysis ----
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidfTop3(s, d)),
     "q_bigrams"           -> ((s, d) => TextAnalysis.bigramCounts(s, d)),
@@ -820,6 +821,23 @@ object SparkEntry {
         |SELECT a AS vec_id, least(a, min(b)) AS cluster,
         |       a = least(a, min(b)) AS is_survivor
         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+    // tight-τ (0.9) variant over the FULL corpus — singletons cluster to
+    // themselves; the engine side generates candidates from sign-LSH bands
+    // (bucket-only), the oracle from the exact cross join
+    "q_embedding_clusters_tight" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
+        |ep AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |       FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |       WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |             / (sqrt(a.nn)*sqrt(b.nn)) >= 0.9),
+        |edges AS (SELECT va AS a, vb AS b FROM ep UNION SELECT vb, va FROM ep),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS vec_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+        |SELECT e.vec_id AS vec_id, coalesce(c.cluster, e.vec_id) AS cluster,
+        |       coalesce(c.cluster, e.vec_id) = e.vec_id AS is_survivor
+        |FROM e LEFT JOIN comp c ON c.vec_id = e.vec_id ORDER BY e.vec_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),

@@ -784,6 +784,105 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("cluster"), col("is_survivor"))
       .orderBy("vec_id")
 
+  /** Tight-τ verify threshold: cos ≥ 0.9 is the regime where embeddings of
+    * genuinely duplicated content live (re-crawls, templated boilerplate,
+    * paraphrases land ≥ 0.95 under any competent encoder). */
+  val TightCosineTau = 0.9
+
+  /** Sign-LSH topology for the tight-τ candidate generator — EXACTLY the
+    * text family's SimHash shape: 60 sign bits, 10 bands of 6, pigeonhole-
+    * complete for signature hamming ≤ 9. */
+  val EmbSimHashPlanes = 60
+  val EmbSimHashBands = 10
+
+  /** Tight-τ embedding near-dup pairs — the SUB-QUADRATIC companion to the
+    * exact-loose [[embeddingPairs]] (r6 ask #6): candidates come from an
+    * equi join on (band, 6-bit band key) of a 60-plane sign signature —
+    * bucket-only, NO B²-tile stage, no corpus broadcast — then exact
+    * cosine verifies at [[TightCosineTau]].
+    *
+    * Candidate recall, stated honestly (deterministic md5 planes, random-
+    * plane analysis): per-plane disagreement for a pair at angle θ is θ/π.
+    * Pigeonhole GUARANTEES capture at signature hamming ≤ 9; beyond that
+    * capture is probabilistic. At the true-duplicate similarities this
+    * operator exists for (cos ≥ 0.99, θ/π ≈ 0.045: mean hamming 2.7,
+    * P[ham ≤ 9] ≈ 0.9996; cos 0.95 → ≈ 0.97) recall is effectively 1 —
+    * measured 1.0 on planted duplicates in DedupSpec. At exactly cos 0.9
+    * (mean hamming 8.6) band capture decays — the documented boundary of
+    * the LSH regime; below it the exact tiled form or [[Similarity.semDedup]]'s
+    * cluster-local tiles are the right tool. This testdata's max pair
+    * cosine is 0.51 (no true tight pairs), so the oracle checks the
+    * zero-pair result exactly and the planted-pair spec carries the
+    * completeness evidence.
+    *
+    * Scale shape: signature = one codegen'd pass (60 literal dot products,
+    * one long); candidates = 10 equi joins' worth of (band, key) buckets in
+    * ONE join (posexplode'd keys), data movement O(Σ bucket²) — on a
+    * deduplicated web corpus the buckets are near-dup families, not random
+    * mass. Verify joins vectors back by id. No stage depends on n².
+    */
+  def embeddingPairsTight(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingPairsTightRaw(vectorsWithSig(spark, sfDir)).orderBy("vec_a", "vec_b")
+
+  /** Tight-τ embedding CLUSTERS over the full corpus: every vector labeled
+    * with its near-dup component (singletons label themselves) plus the
+    * survivor flag — the semantic deletion list at production τ. Oracle:
+    * exact 0.9-pairs via cross join + recursive-CTE min-label components,
+    * COALESCE'd over the full vector list (the same construction as
+    * q_neardup_clusters' oracle).
+    */
+  def embeddingClustersTight(spark: SparkSession, sfDir: String): DataFrame = {
+    val vs = vectorsWithSig(spark, sfDir)
+    val comps = connectedComponents(embeddingPairsTightRaw(vs)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    vs.select(col("vec_id"))
+      .join(comps.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"),
+        coalesce(col("is_survivor"), lit(true)).as("is_survivor"))
+      .orderBy("vec_id")
+  }
+
+  /** Fenced (vec_id, v, n, sig) frame: cast + norm + 60-bit sign signature
+    * in one codegen'd pass per vector. Package-private so DedupSpec can
+    * drive the planted-duplicate completeness probe through the same code.
+    */
+  private[graft] def vectorsWithSig(spark: SparkSession, sfDir: String): DataFrame =
+    vectorsWithSigFrom(Tables.embeddings(spark, sfDir))
+
+  private[graft] def vectorsWithSigFrom(embeddings: DataFrame): DataFrame = {
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    fence(embeddings.select(col("vec_id"), v.as("v"),
+        graft.functions.VectorFunctions.dot(v, v).as("n"))
+      .withColumn("sig",
+        Similarity.hyperplaneSignBits(col("v"), EmbSimHashPlanes, 64)),
+      "vec_id")
+  }
+
+  private[graft] def embeddingPairsTightRaw(vs: DataFrame): DataFrame = {
+    val bandBits = EmbSimHashPlanes / EmbSimHashBands
+    // (band, key) index: band b's key is bits [b*6, b*6+6) of the signature
+    val keys = (0 until EmbSimHashBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("key")))
+    // the index carries only (id, band, key) — 8-byte rows; vectors join
+    // back onto the deduplicated candidate pairs, never into the band index
+    def side(idCol: String): DataFrame =
+      vs.select(col("vec_id").as(idCol), explode(array(keys: _*)).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = side("vec_a").join(side("vec_b"), Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    import graft.functions.VectorFunctions.dot
+    cand
+      .join(vs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na")), "vec_a")
+      .join(vs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb")), "vec_b")
+      .withColumn("cos", dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= TightCosineTau)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
   private def embeddingPairsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val B = EmbeddingBlocks

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -213,13 +213,32 @@ object Similarity {
     * inside an interpreted HOF for every vector × plane × dimension —
     * 5M md5 calls per corpus pass at sf0.1).
     */
-  private def planeWeights(dims: Int): Seq[Seq[Double]] = {
+  private def planeWeights(dims: Int): Seq[Seq[Double]] =
+    planeWeightFamily(NumPlanes, dims)
+
+  /** The full deterministic hyperplane family: plane p, dim d weight is
+    * md5("p_d") mapped to [-1, 1). Shared with [[Dedup.embeddingPairsTight]]
+    * (which takes planes 0..59 of the same family), so every sign-LSH
+    * surface in the engine derives from one public-construction source.
+    */
+  private[operators] def planeWeightFamily(nPlanes: Int, dims: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def w(p: Int, d: Int): Double = {
       val hex = md.digest(s"${p}_$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
     }
-    Seq.tabulate(NumPlanes)(p => Seq.tabulate(dims)(d => w(p, d)))
+    Seq.tabulate(nPlanes)(p => Seq.tabulate(dims)(d => w(p, d)))
+  }
+
+  /** 64-bit-packed sign signature of `vCol` under the first `nPlanes`
+    * deterministic hyperplanes (bit p = 1 iff v · plane_p > 0), as a
+    * single LongType column of codegen'd DotProducts against literals. */
+  private[operators] def hyperplaneSignBits(vCol: Column, nPlanes: Int, dims: Int): Column = {
+    require(nPlanes <= 63, s"sign bits must pack one long, got $nPlanes")
+    planeWeightFamily(nPlanes, dims).zipWithIndex.map { case (w, p) =>
+      when(graft.functions.VectorFunctions.dot(vCol, typedlit(w)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** ANN top-k via random-hyperplane LSH: NumPlanes sign bits bucket the

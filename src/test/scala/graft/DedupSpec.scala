@@ -172,6 +172,69 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("tight-τ pairs: planted near-duplicates are all found (candidate recall 1)") {
+    import spark.implicits._
+    // deterministic corpus: 40 base gaussian vectors + a perturbed copy of
+    // each (cos ≥ ~0.995 — the true-duplicate regime the operator targets)
+    val rnd = new scala.util.Random(42)
+    val base = Seq.tabulate(40)(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairsTightRaw(Dedup.vectorsWithSigFrom(df))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // ground truth: brute force over all pairs in driver memory
+    val all = (base ++ dups).map { case (i, v) => (i, v.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { d += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= Dedup.TightCosineTau
+    } yield (ia, ib)).toSet
+    assert(want.size >= 40, s"planted corpus must contain its duplicates, got ${want.size}")
+    assert(got == want)
+  }
+
+  test("tight-τ clusters: planted duplicates pair up, everything labels correctly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(20)(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val vs = Dedup.vectorsWithSigFrom(df)
+    val comps = Dedup.connectedComponents(Dedup.embeddingPairsTightRaw(vs)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // every base vector anchors its duplicate's cluster
+    assert(comps.length == 40)
+    assert(comps.count(_._3) == 20)
+    assert(comps.filter(!_._3).forall { case (id, cl, _) => cl == id - 100L })
+  }
+
+  test("tight-τ on the live corpus: zero pairs, every vector a singleton survivor") {
+    // this testdata's max pair cosine is 0.51 — the tight query must say so
+    assert(Dedup.embeddingPairsTight(spark, sf).count() == 0)
+    val cl = Dedup.embeddingClustersTight(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(cl.count() == n)
+    assert(cl.filter(col("cluster") =!= col("vec_id")).count() == 0)
+    assert(cl.filter(!col("is_survivor")).count() == 0)
+  }
+
+  test("tight-τ pair plan is bucket-only: no cartesian, no nested loop, no block tiles") {
+    val plan = Dedup.embeddingPairsTight(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the B²-tile form joins a generated block-pair range; the tight form must not
+    assert(!plan.contains("Range ("), plan)
+  }
+
   test("dup spans: longest duplicated run matches an in-memory recompute") {
     import spark.implicits._
     val got = Dedup.dupSpans(spark, sf)
