@@ -438,14 +438,43 @@ object Similarity {
     * pass per seeding round) without touching the round loop.
     */
   def kmeans(spark: SparkSession, sfDir: String): DataFrame =
-    kmeansAssigned(spark, sfDir)
+    kmeans(spark, sfDir, KmeansSeedLowestId)
+
+  /** Seeding strategy names for [[kmeans]]: the oracle-parity lowest-id
+    * default, and a deterministic k-means&#124;&#124; adaptation (Bahmani
+    * et al., VLDB'12) — see [[seedsParallel]]. */
+  val KmeansSeedLowestId = "lowest-id"
+  val KmeansSeedParallel = "parallel"
+
+  def kmeans(spark: SparkSession, sfDir: String, seeding: String): DataFrame =
+    kmeansAssigned(spark, sfDir, seeding)
       .select(col("vec_id"), col("label"), col("cluster"), col("dist"))
       .orderBy("vec_id")
 
+  /** k-means&#124;&#124; seeding stops oversampling once the candidate set
+    * reaches [[KmeansOversample]] (= 2k). Each pass admits the
+    * [[KmeansPerPass]] farthest per-region representatives; on clustered
+    * data many regions surface new clusters at once and the pass count is
+    * small, while the adversarial equidistant case degrades gracefully to
+    * farthest-point traversal (one new cluster per pass) bounded by
+    * [[KmeansParRoundsMax]] = k passes — each pass is one map-side corpus
+    * scan, so the worst case prices like sequential k-means++ and the good
+    * case like the paper's ~5 rounds. */
+  val KmeansOversample = 2 * KmeansK
+  val KmeansPerPass = 2
+  val KmeansParRoundsMax = KmeansK
+
   /** [[kmeans]] without the presentation projection/sort — the assignment
     * feed for [[semDedup]], which immediately re-joins by vec_id. */
-  private def kmeansAssigned(spark: SparkSession, sfDir: String): DataFrame = {
-    val qv = Dedup.fence(Tables.embeddings(spark, sfDir)
+  private def kmeansAssigned(spark: SparkSession, sfDir: String,
+                             seeding: String = KmeansSeedLowestId): DataFrame =
+    kmeansAssignedFrom(Tables.embeddings(spark, sfDir), seeding)
+
+  /** [[kmeansAssigned]] over an arbitrary (vec_id, label, embedding) frame —
+    * package-private so SimilaritySpec can plant clustered corpora where
+    * seeding quality is observable. */
+  private[graft] def kmeansAssignedFrom(embeddings: DataFrame, seeding: String): DataFrame = {
+    val qv = Dedup.fence(embeddings
       .select(col("vec_id"), col("label").cast("long").as("label"),
         expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
           .as("qv")),
@@ -459,9 +488,15 @@ object Similarity {
         .withColumn("dist", array_min(col("dists")))
         .withColumn("cluster", (array_position(col("dists"), col("dist")) - 1).cast("long"))
     }
-    val seeds: IndexedSeq[Array[Long]] = qv.orderBy("vec_id").limit(KmeansK)
-      .select("qv").collect().toIndexedSeq
-      .map(_.getSeq[Long](0).toArray)
+    val seeds: IndexedSeq[Array[Long]] = seeding match {
+      case KmeansSeedLowestId =>
+        qv.orderBy("vec_id").limit(KmeansK)
+          .select("qv").collect().toIndexedSeq
+          .map(_.getSeq[Long](0).toArray)
+      case KmeansSeedParallel => seedsParallel(qv)
+      case other => throw new IllegalArgumentException(
+        s"unknown k-means seeding '$other' (use $KmeansSeedLowestId | $KmeansSeedParallel)")
+    }
     val finalCents = (1 to KmeansRounds).foldLeft(seeds) { (cents, _) =>
       val cells = withAssignment(cents)
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
@@ -481,6 +516,97 @@ object Similarity {
       }
     }
     withAssignment(finalCents)
+  }
+
+  /** Deterministic k-means&#124;&#124; seeding (Bahmani et al., "Scalable
+    * k-means++", VLDB'12), with the multinomial ∝d² sampling step replaced
+    * by a per-region farthest-point argmax — the same determinization every
+    * sampling surface in this engine uses, so seeds are engine-reproducible:
+    *
+    *   1. start from the lowest-id vector;
+    *   2. per pass: assign every point to its nearest current candidate
+    *      and take the FARTHEST point of each candidate's region (tie:
+    *      lowest vec_id) — candidates ~double per pass and spread into
+    *      every under-covered region (a global top-l would pile into the
+    *      single farthest cluster); stop at [[KmeansOversample]] = 2k
+    *      candidates (~log2(2k) passes, [[KmeansParRoundsMax]] guard);
+    *   3. one corpus pass weights each candidate by its nearest-assignment
+    *      count;
+    *   4. driver-side weighted farthest-point greedy (heaviest first, then
+    *      argmax weight·d²-to-chosen; ties to the lowest index) reduces
+    *      the candidates to k — the paper's step 7-8 recluster, with
+    *      argmax for weighted-k-means++ sampling.
+    *
+    * Scale shape: each pass is one map-side codegen'd corpus scan against
+    * ≤2k literal centroids plus a 2k-group max aggregate; driver state is
+    * the candidate matrix (≤ 2k×64 longs). Cost ≈ log2(2k)+1 extra passes
+    * before Lloyd — the trade the paper prescribes for avoiding bad seeds,
+    * bought here without RNG. The oracle-parity default stays
+    * [[KmeansSeedLowestId]]; SimilaritySpec asserts the seeded variant
+    * recovers planted clusters that degenerate lowest-id seeding misses.
+    */
+  private[graft] def seedsParallel(qv: DataFrame): IndexedSeq[Array[Long]] = {
+    var cand: IndexedSeq[Array[Long]] =
+      qv.orderBy("vec_id").limit(1).select("qv").collect().toIndexedSeq
+        .map(_.getSeq[Long](0).toArray)
+    var pass = 0
+    var grew = true
+    while (cand.size < KmeansOversample && grew && pass < KmeansParRoundsMax) {
+      val dists = cand.map { cv =>
+        aggregate(zip_with(col("qv"), typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0L), (s, x) => s + x)
+      }
+      // farthest point per nearest-candidate region, in one aggregate:
+      // max_by over (d2 desc, vec_id asc) via (d2, -vec_id) struct ordering.
+      // When regions outnumber the remaining candidate slots, keep the
+      // FARTHEST regions' representatives — the ∝d² prioritization of the
+      // paper's sampling step: a cross-cluster representative (huge d²)
+      // always beats an already-covered region's internal outlier.
+      val far = qv.withColumn("dists", array(dists: _*))
+        .withColumn("d2", array_min(col("dists")))
+        .withColumn("ci", (array_position(col("dists"), col("d2")) - 1).cast("int"))
+        .groupBy("ci")
+        .agg(max_by(struct(col("qv"), col("d2")), struct(col("d2"), -col("vec_id"))).as("f"))
+        .select(col("f.qv").as("qv"), col("f.d2").as("d2"))
+        .collect().map(r => (r.getSeq[Long](0).toArray, r.getLong(1)))
+      val seen = cand.map(_.toSeq).toSet
+      val fresh = far.filter { case (v, _) => !seen.contains(v.toSeq) }
+        .distinctBy(_._1.toSeq)
+        .sortBy { case (v, d) => (-d, v.toSeq.toIndexedSeq) }(
+          Ordering.Tuple2(Ordering.Long, Ordering.Implicits.seqOrdering[IndexedSeq, Long]))
+        .take(KmeansPerPass min (KmeansOversample - cand.size))
+        .map(_._1)
+      grew = fresh.nonEmpty
+      cand = cand ++ fresh
+      pass += 1
+    }
+    require(cand.size >= KmeansK,
+      s"k-means|| oversample produced only ${cand.size} < $KmeansK distinct candidates " +
+        "— corpus has fewer distinct vectors than k")
+    // weight candidates by nearest-assignment count over the corpus
+    val dists = cand.map { cv =>
+      aggregate(zip_with(col("qv"), typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x)
+    }
+    val weights: Map[Int, Long] = qv
+      .withColumn("dists", array(dists: _*))
+      .withColumn("ci", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .groupBy("ci").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.indices.foldLeft(BigInt(0))((s, i) => s + BigInt(a(i) - b(i)) * BigInt(a(i) - b(i)))
+    // greedy weighted farthest-point: heaviest candidate first, then argmax
+    // weight·d²(candidate, nearest chosen); ties to the lowest index
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    chosen += cand.indices.maxBy(i => (weights.getOrElse(i, 0L), -i))
+    while (chosen.size < KmeansK) {
+      val next = cand.indices.filterNot(chosen.contains).maxBy { i =>
+        val d = chosen.map(c => d2(cand(i), cand(c))).min
+        (BigInt(weights.getOrElse(i, 0L)) * d, BigInt(-i))
+      }
+      chosen += next
+    }
+    chosen.map(cand).toIndexedSeq
   }
 
   /** SemDeDup (Abbas et al.): semantic dedup made cluster-local. Run

@@ -173,6 +173,58 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._3 >= 0 && r._3 < Similarity.KmeansK))
   }
 
+  test("k-means|| seeding: valid deterministic clustering, SSE no worse than lowest-id") {
+    import spark.implicits._
+    val par = Similarity.kmeans(spark, sf, Similarity.KmeansSeedParallel)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // valid partition over the same corpus
+    val n = Tables.embeddings(spark, sf).count()
+    assert(par.size == n)
+    assert(par.forall(r => r._3 >= 0 && r._3 < Similarity.KmeansK))
+    assert(par.map(_._3).distinct.size > 1)
+    // deterministic: a second run is identical (no RNG anywhere in seeding)
+    val again = Similarity.kmeans(spark, sf, Similarity.KmeansSeedParallel)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(par == again)
+    // on this structure-free gaussian corpus seeding is a wash — assert
+    // parity within 5% (the planted-cluster test below is where quality
+    // is actually observable)
+    val sseLowest = Similarity.kmeans(spark, sf)
+      .agg(sum("dist")).head.getLong(0)
+    val ssePar = par.map(_._4).sum
+    assert(ssePar.toDouble <= sseLowest.toDouble * 1.05,
+      s"k-means|| SSE $ssePar far worse than lowest-id SSE $sseLowest")
+    // unknown seeding name fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.kmeans(spark, sf, "bogus")
+    }
+  }
+
+  test("k-means|| seeding beats lowest-id on a clustered corpus with adversarial ids") {
+    import spark.implicits._
+    // 10 well-separated centers; the K lowest vec_ids ALL sit in cluster 0,
+    // so lowest-id seeding starts degenerate while k-means|| must spread
+    val rnd = new scala.util.Random(13)
+    val centers = IndexedSeq.tabulate(Similarity.KmeansK)(_ =>
+      Array.fill(64)(rnd.nextGaussian() * 0.8))
+    def around(c: Array[Double]) = c.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+    val firstClusterBlock = Seq.tabulate(Similarity.KmeansK + 2)(i =>
+      (i.toLong, i.toLong, around(centers(0))))
+    val rest = for {
+      c <- 0 until Similarity.KmeansK; j <- 0 until 12
+    } yield ((100 + c * 12 + j).toLong, (100 + c * 12 + j).toLong, around(centers(c)))
+    val df = (firstClusterBlock ++ rest).toDF("vec_id", "label", "embedding")
+    def sse(seeding: String): Long =
+      Similarity.kmeansAssignedFrom(df, seeding).agg(sum("dist")).head.getLong(0)
+    val lo = sse(Similarity.KmeansSeedLowestId)
+    val par = sse(Similarity.KmeansSeedParallel)
+    assert(par < lo, s"k-means|| SSE $par should beat degenerate lowest-id SSE $lo")
+    // and it recovers (nearly) all planted clusters
+    val nClusters = Similarity.kmeansAssignedFrom(df, Similarity.KmeansSeedParallel)
+      .select("cluster").distinct().count()
+    assert(nClusters >= Similarity.KmeansK - 1, s"only $nClusters clusters recovered")
+  }
+
   test("semdedup drop rule: dropped iff a lower-id same-cluster neighbor above tau") {
     import spark.implicits._
     import graft.operators.Dedup
