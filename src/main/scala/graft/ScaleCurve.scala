@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured scaling curve for the dedup family (VERDICT r6 ask #3 / r7 #6):
+  * runs jaccard / ppjoin / minhash / containment / incremental at n and 10n
+  * documents and reports wall seconds plus total shuffle-write RECORDS (the
+  * partition-count-independent data-movement measure), backing SCALE.md's
+  * O(index) growth claims with numbers.
+  *
+  * The 10n corpus is the sf0.1 documents table replicated 10x with every
+  * token suffixed by the replica index — replicas share NO shingles, so
+  * true near-dup density (and the verified pair count) scales exactly
+  * linearly and any super-linear cost growth is the engine's, not the
+  * data's.
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val srcSf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outBase = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // shuffle-record listener: stage-level write records, reset per query
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleRecords.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    })
+
+    val docs = Tables.documents(spark, srcSf)
+    def corpusDir(factor: Int): String = {
+      val dir = s"$outBase/x$factor"
+      val n = docs.count()
+      val replicated = (0 until factor).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r * n)).as("doc_id"),
+          (if (r == 0) col("text")
+           else array_join(transform(split(col("text"), " "),
+             t => concat(t, lit(s"_$r"))), " ")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dirs = Seq(1 -> corpusDir(1), 10 -> corpusDir(10))
+
+    import graft.operators.Dedup
+    val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "jaccard"     -> (d => Dedup.jaccardPairs(spark, d)),
+      "ppjoin"      -> (d => Dedup.ppjoinPairs(spark, d)),
+      "minhash"     -> (d => Dedup.minhashPairs(spark, d)),
+      "containment" -> (d => Dedup.containmentPairs(spark, d)),
+      "incremental" -> (d => Dedup.incrementalSurvivors(spark, d)))
+
+    println(f"${"query"}%-12s ${"factor"}%6s ${"rows"}%10s ${"wall_s"}%8s ${"shuffle_rows"}%13s")
+    val results = for ((name, fn) <- queries; (factor, dir) <- dirs) yield {
+      spark.catalog.clearCache(); System.gc()
+      shuffleRecords.set(0)
+      val t0 = System.nanoTime()
+      val rows = fn(dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async (private bus): settle before reading
+      var sr = shuffleRecords.get()
+      var settled = false
+      while (!settled) {
+        Thread.sleep(300)
+        val now = shuffleRecords.get()
+        settled = now == sr
+        sr = now
+      }
+      println(f"$name%-12s $factor%6d $rows%10d $wall%8.2f $sr%13d")
+      (name, factor, rows, wall, sr)
+    }
+    // growth summary: a 10x corpus must cost ~10x, nowhere near 100x
+    println(f"${"query"}%-12s ${"wall_x"}%7s ${"shuffle_x"}%10s ${"rows_x"}%7s")
+    results.groupBy(_._1).foreach { case (name, rs) =>
+      val r1 = rs.find(_._2 == 1).get
+      val r10 = rs.find(_._2 == 10).get
+      println(f"$name%-12s ${r10._4 / r1._4}%7.1f ${r10._5.toDouble / r1._5}%10.1f " +
+        f"${r10._3.toDouble / r1._3}%7.1f")
+    }
+    spark.stop()
+  }
+}
