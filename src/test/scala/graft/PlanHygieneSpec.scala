@@ -42,7 +42,10 @@ class PlanHygieneSpec extends SparkSpec {
     * cardinality is fixed by the VALUE DOMAIN (languages), not the corpus.
     */
   private val allowBoundedBroadcast =
-    Set("q_cosine_topk", "q_hard_negatives", "q_centroid_classify")
+    Set("q_cosine_topk", "q_hard_negatives", "q_centroid_classify",
+      // the IVF bracket audit (round 8) embeds q_cosine_topk's exact
+      // companion, inheriting the same bounded query-panel broadcast
+      "q_ivf_topk")
 
   test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
     // a BNLJ is scale-safe in exactly one shape: the broadcast side is a
