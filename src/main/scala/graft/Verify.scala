@@ -27,6 +27,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // failure-honesty (round-7 lesson: a throwing query left NO dump,
+        // so the driver's compare silently skipped it and 30 broken
+        // queries read as "0 recorded failures"): write a one-row dump
+        // whose schema can never match any oracle, so the breakage lands
+        // in CORRECTNESS as an explicit schema/hash mismatch BY NAME
+        try {
+          import spark.implicits._
+          Seq((name, s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(500)))
+            .toDF("__verify_error_query", "__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
