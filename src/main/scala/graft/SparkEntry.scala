@@ -189,6 +189,7 @@ object SparkEntry {
     // ---- B9 tokenizer training + apply ----
     "q_bpe_merges"        -> ((s, d) => Curation.bpeMerges(s, d)),
     "q_bpe_encode"        -> ((s, d) => Curation.bpeEncode(s, d)),
+    "q_drift_audit"       -> ((s, d) => Curation.driftAudit(s, d)),
     // ---- B6/B10 storage layout ----
     "q_zorder"            -> ((s, d) => Layout.zorderLayout(s, d)),
   )
@@ -1176,6 +1177,26 @@ object SparkEntry {
         |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
         |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
         |FROM s ORDER BY doc_id""".stripMargin,
+    // dataset drift audit: shares in exact integer per-mille (n*1000 // total)
+    // so both engines land on identical longs; count(*) FILTER keeps BIGINT
+    "q_drift_audit" ->
+      """WITH docs AS (SELECT *, CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS parity FROM documents),
+        |segs AS (
+        |  SELECT 'lang' AS dim, lang AS seg, parity FROM docs
+        |  UNION ALL SELECT 'source', source, parity FROM docs
+        |  UNION ALL SELECT 'len', 'b' || lpad((n_chars // 50)::VARCHAR, 4, '0'), parity FROM docs),
+        |wide AS (SELECT dim, seg,
+        |  count(*) FILTER (WHERE parity = 0) AS n_index,
+        |  count(*) FILTER (WHERE parity = 1) AS n_batch
+        |  FROM segs GROUP BY dim, seg),
+        |tot AS (SELECT dim, sum(n_index)::BIGINT AS t_index, sum(n_batch)::BIGINT AS t_batch
+        |        FROM wide GROUP BY dim)
+        |SELECT w.dim AS dim, seg, n_index, n_batch,
+        |  n_index * 1000 // t_index AS rate_index_pm,
+        |  n_batch * 1000 // t_batch AS rate_batch_pm,
+        |  n_batch * 1000 // t_batch - n_index * 1000 // t_index AS delta_pm,
+        |  abs(n_batch * 1000 // t_batch - n_index * 1000 // t_index) > 20 AS drifted
+        |FROM wide w JOIN tot t ON w.dim = t.dim ORDER BY dim, seg""".stripMargin,
     "q_pipeline_keep" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3

@@ -516,4 +516,60 @@ object Curation {
         md5(redact(col("s"))).as("redacted_fp"))
       .orderBy("doc_id")
   }
+
+  /** Drift verdict threshold: a segment whose share moved > 20‰ between
+    * the standing corpus and the arriving batch is flagged. */
+  val DriftPerMille = 20L
+
+  /** Length-bucket width for the drift audit's distribution dimension. */
+  val DriftLenBucket = 50L
+
+  /** Dataset DRIFT AUDIT — the batch-over-batch monitoring pass a crawl
+    * pipeline runs before appending new data to a training corpus: has
+    * the language mix, source mix, or document-length distribution moved?
+    * Training on a silently-shifted batch (a crawler that lost a domain,
+    * an extractor that started truncating) corrupts the mixture long
+    * before any per-document filter notices.
+    *
+    * Split: the same even/odd doc_id halves as the incremental dedup
+    * family — even = standing corpus ("index"), odd = arriving batch.
+    * For each (dimension, segment): both counts, both shares in exact
+    * integer per-mille (n·1000 div total — engine-portable, no float),
+    * the signed share delta, and the drift flag at [[DriftPerMille]].
+    * Segments missing from one side surface with count 0 (full outer
+    * union of the two distributions) — disappearance IS drift.
+    *
+    * Scale shape: one map-side projection to (dim, seg, parity), one
+    * partial-aggregated count per (dim, seg, parity), a broadcast-sized
+    * per-(dim, parity) total join (segment cardinality = langs + sources
+    * + length buckets, value-domain-bounded, corpus-independent). The
+    * full corpus shuffles nothing wider than the group keys.
+    */
+  def driftAudit(spark: SparkSession, sfDir: String): DataFrame =
+    driftAuditFrom(Tables.documents(spark, sfDir))
+
+  /** [[driftAudit]] over an arbitrary (doc_id, lang, source, n_chars)
+    * frame — package-private so CurationSpec can plant a shifted batch. */
+  private[graft] def driftAuditFrom(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .withColumn("parity", (col("doc_id") % 2 === 1).cast("int")) // 1 = batch
+    val segs = docs.select(lit("lang").as("dim"), col("lang").as("seg"), col("parity"))
+      .unionAll(docs.select(lit("source").as("dim"), col("source").as("seg"), col("parity")))
+      .unionAll(docs.select(lit("len").as("dim"),
+        concat(lit("b"), lpad((expr(s"n_chars div $DriftLenBucket")).cast("string"), 4, "0")).as("seg"),
+        col("parity")))
+    val counts = segs.groupBy("dim", "seg", "parity").agg(count(lit(1)).as("n"))
+    val wide = counts.groupBy("dim", "seg").agg(
+      sum(when(col("parity") === 0, col("n")).otherwise(0L)).as("n_index"),
+      sum(when(col("parity") === 1, col("n")).otherwise(0L)).as("n_batch"))
+    val totals = wide.groupBy("dim").agg(
+      sum("n_index").as("t_index"), sum("n_batch").as("t_batch"))
+    wide.join(totals, "dim")
+      .select(col("dim"), col("seg"), col("n_index"), col("n_batch"),
+        expr("n_index * 1000 div t_index").as("rate_index_pm"),
+        expr("n_batch * 1000 div t_batch").as("rate_batch_pm"))
+      .withColumn("delta_pm", col("rate_batch_pm") - col("rate_index_pm"))
+      .withColumn("drifted", abs(col("delta_pm")) > DriftPerMille)
+      .orderBy("dim", "seg")
+  }
 }

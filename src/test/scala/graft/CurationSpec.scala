@@ -343,4 +343,33 @@ class CurationSpec extends SparkSpec {
     // the deletion-neighborhood candidates missed nothing and the signal is live
     assert(want.nonEmpty)
   }
+
+  test("drift audit: shares sum to ~1000 per-mille per side, counts cover the corpus") {
+    val a = Curation.driftAudit(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    for (dim <- Seq("lang", "source", "len")) {
+      val rows = a.filter(_.getString(0) == dim)
+      assert(rows.map(_.getLong(2)).sum + rows.map(_.getLong(3)).sum == n,
+        s"$dim counts must cover the corpus")
+      // integer per-mille floors: totals land in (1000 - segments, 1000]
+      val pmIndex = rows.map(_.getLong(4)).sum
+      assert(pmIndex <= 1000 && pmIndex > 1000 - rows.length, s"$dim index share sum $pmIndex")
+    }
+  }
+
+  test("drift audit flags a planted language shift and only that") {
+    import spark.implicits._
+    // index half: uniform en/de; batch half: en-heavy (de collapses 500->100)
+    val index = (0 until 1000).map(i =>
+      (i.toLong * 2, if (i % 2 == 0) "en" else "de", "web", 100L))
+    val batch = (0 until 1000).map(i =>
+      (i.toLong * 2 + 1, if (i % 10 == 0) "de" else "en", "web", 100L))
+    val df = (index ++ batch).toDF("doc_id", "lang", "source", "n_chars")
+    val out = Curation.driftAuditFrom(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(6), r.getBoolean(7))).toMap
+    assert(out(("lang", "en"))._2 && out(("lang", "en"))._1 == 400)
+    assert(out(("lang", "de"))._2 && out(("lang", "de"))._1 == -400)
+    assert(!out(("source", "web"))._2)
+    assert(!out(("len", "b0002"))._2)
+  }
 }
