@@ -23,6 +23,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.events normalizes TIMESTAMP_NTZ via the session timezone —
+      // pin UTC like Verify/BenchFamily so events instants are host-
+      // independent (ADVICE r8)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -351,18 +351,47 @@ object Curation {
       .orderBy("merge_rank")
   }
 
-  /** The one distributed step of BPE training: the (word, count) vocabulary
-    * aggregate, collected to the driver. Vocabulary-bounded by construction
-    * — this is the same table the old loop re-mapped every round, shipped
-    * once instead.
+  /** Relative frequency floor for the BPE vocabulary collect: words whose
+    * count falls below this fraction of the total token mass are pruned
+    * BEFORE the driver collect. This makes the collect PROVABLY bounded —
+    * Σ counts = total, so at most 1/[[BpeVocabMinFrac]] words can clear
+    * the floor (= 10^6 rows max at 1 ppm), regardless of corpus size: the
+    * 100 TB story is a hard row bound, not a "vocabularies are usually
+    * small" hope. Semantically this is the `min_frequency` knob every
+    * production BPE trainer (SentencePiece, HF tokenizers) exposes: a
+    * sub-ppm word contributes sub-ppm pair counts and cannot win a merge
+    * on any corpus large enough for the floor to bite. On this testdata
+    * the floor prunes nothing (31 words, all ≥ 1 ppm), so the oracle
+    * cross-check is unchanged; CurationSpec plants a rare-word corpus
+    * where the prune provably bites and asserts the 1/frac bound.
     */
-  private def bpeVocab(spark: SparkSession, sfDir: String): Array[(String, Long)] = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
+  val BpeVocabMinFrac = 1e-6
+
+  /** The one distributed step of BPE training: the (word, count) vocabulary
+    * aggregate, frequency-floor pruned (see [[BpeVocabMinFrac]]), collected
+    * to the driver. This is the same table the old loop re-mapped every
+    * round, shipped once instead.
+    */
+  private def bpeVocab(spark: SparkSession, sfDir: String): Array[(String, Long)] =
+    bpeVocabFrom(Tables.documents(spark, sfDir), BpeVocabMinFrac)
+
+  /** [[bpeVocab]] over an arbitrary (doc_id, text) frame with an explicit
+    * floor — package-private so CurationSpec can plant skewed vocabularies
+    * where the prune is observable. The scalar total broadcasts (one row);
+    * the floor filter runs inside the aggregate's output, so pruned words
+    * never reach the driver.
+    */
+  private[graft] def bpeVocabFrom(docs: DataFrame, minFrac: Double): Array[(String, Long)] = {
+    val wc = Dedup.fence(docs
       .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)]
-      .collect()
+      .groupBy("w").agg(count(lit(1)).as("cnt")),
+      "w") // fence: one corpus scan feeds both the total and the floor filter
+    val kept = wc.crossJoin(broadcast(wc.agg(sum("cnt").as("tot"))))
+      .filter(col("cnt") >= ceil(col("tot") * lit(minFrac)))
+      .select("w", "cnt")
+    val out = kept.collect().map(r => (r.getString(0), r.getLong(1)))
+    wc.unpersist()
+    out
   }
 
   /** Driver-local merge replay over the collected vocabulary: per round,

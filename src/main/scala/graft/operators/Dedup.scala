@@ -748,41 +748,73 @@ object Dedup {
     */
   val CosineTau = 0.45
 
-  /** Block count for the exact pair join: the n^2 comparison work is tiled
-    * into B^2 block pairs so it spreads across the cluster as ordinary
+  /** Block count for the exact-audit pair join: the n^2 comparison work is
+    * tiled into B^2 block pairs so it spreads across the cluster as ordinary
     * equi-join partitions. Replication is x B on ONE side only (the other
     * side moves once), so B ~ sqrt(target parallelism) is the right order.
     */
   private val EmbeddingBlocks = 16
 
-  /** Embedding-cosine near-dup pairs: normalized dot product >= tau over the
-    * 64-d float vectors, exact over ALL pairs. At tau = 0.45 the matching
-    * pairs sit ~63 degrees apart, where no LSH/IVF candidate generator is
-    * both complete and selective (a radius that catches every 63-degree pair
-    * probes ~15/16 of all buckets) — exact loose-threshold similarity is
-    * inherently quadratic in COMPARISONS. What must NOT be quadratic-on-one-
-    * machine is the plan: instead of a BroadcastNestedLoopJoin (whose build
-    * side is the whole corpus — dies at scale), the pair space is tiled into
-    * B^2 blocks via a tiny generated block-pair relation, and the join is a
-    * plain shuffled equi join on the block id: every executor gets an even
-    * n^2/B^2 tile and no vector is broadcast. For the tight-tau regime
-    * (cos >= 0.9, the dedup case) the banded generators of the text family
-    * (MinHash/SimHash over quantized vectors) apply and ARE sub-quadratic.
+  /** Embedding-cosine near-dup pairs at loose τ = [[CosineTau]],
+    * CLUSTER-LOCAL (SemDeDup-style, r9): pairs are generated by a plain
+    * hash equi join on the deterministic k-means cluster id and verified
+    * with exact cosine — see [[embeddingPairsClusteredRaw]] for the full
+    * semantics and the 100 TB argument. The former exact global all-pairs
+    * form (B²-tiled, corpus²-compute — correct but a scale-killer at
+    * 100×) is demoted to the unregistered [[embeddingPairsExact]] audit
+    * tool, the same role q_minhash_est's estimator audit plays for the
+    * MinHash family.
     */
   def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
-    embeddingPairsRaw(spark, sfDir).orderBy("vec_a", "vec_b")
+    embeddingPairsClusteredRaw(spark, sfDir).orderBy("vec_a", "vec_b")
 
   /** Embedding near-dup CLUSTERS: the same pair→component→survivor
     * completion [[neardupClusters]] gives text near-dups, over the
-    * embedding-cosine pair graph — semantic dedup's deletion list. Reuses
-    * [[connectedComponents]] unchanged (it is id-agnostic); the pair feed
-    * skips the presentation sort.
+    * cluster-local embedding-cosine pair graph — semantic dedup's deletion
+    * list. Reuses [[connectedComponents]] unchanged (it is id-agnostic);
+    * the pair feed skips the presentation sort.
     */
   def embeddingClusters(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(embeddingPairsRaw(spark, sfDir)
+    connectedComponents(embeddingPairsClusteredRaw(spark, sfDir)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"), col("is_survivor"))
       .orderBy("vec_id")
+
+  /** Cluster-local loose-τ pair generator: SELF-JOIN ON THE K-MEANS
+    * CLUSTER ID (a plain hash equi join — bucket-only, no B²-tile stage,
+    * no corpus broadcast), exact cosine ≥ [[CosineTau]] within each
+    * cluster. This is SemDeDup's tractability trade (Abbas et al.)
+    * applied to the PAIR GRAPH itself: at loose τ (cos 0.45, ~63°) no
+    * sign-LSH banding is both complete and selective — OR-amplifying to
+    * recall ≈ 1 at 63° admits essentially every pair (per-plane
+    * disagreement 0.35 vs the bulk's 0.44 leaves no margin; see the r8
+    * analysis in the scaladoc above) — so the scale answer is the one the
+    * SemDeDup paper prescribes: partition semantically first, compare
+    * within partitions. Cross-cluster pairs are excluded BY DEFINITION
+    * (the oracle applies the identical k-means + same-cluster condition,
+    * so this is the query's contract, not silent recall loss); the exact
+    * global graph remains available as the unregistered
+    * [[embeddingPairsExact]] audit tool, and DedupSpec pins
+    * clustered == exact ∩ same-cluster plus the measured global recall.
+    *
+    * At 100 TB: k grows with the corpus (k ≈ n / target-cell-size), so
+    * per-cluster tiles stay bounded and Σ n_c² ≪ n²; the k-means rounds
+    * stay one map-side pass + a k×64-cell aggregate regardless of k, and
+    * the trained centroids are shared session-wide
+    * ([[Similarity.kmeansAssigned]]'s memo) with q_kmeans/q_semdedup.
+    */
+  private[graft] def embeddingPairsClusteredRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val m = Similarity.assignedVectors(spark, sfDir)
+    val a = m.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nn").as("na"), col("cluster"))
+    val b = m.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nn").as("nb"), col("cluster"))
+    a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))
+      // sqrt(na)*sqrt(nb), NOT sqrt(na*nb): must stay bit-identical to the
+      // oracle's normalization order
+      .withColumn("cos", dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= CosineTau)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
 
   /** Tight-τ verify threshold: cos ≥ 0.9 is the regime where embeddings of
     * genuinely duplicated content live (re-crawls, templated boilerplate,
@@ -883,7 +915,24 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
-  private def embeddingPairsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+  /** EXACT global all-pairs loose-τ pair graph — UNREGISTERED AUDIT TOOL
+    * (not in SparkEntry.queries since r9; the registered q_dedup_embedding
+    * is the cluster-local [[embeddingPairsClusteredRaw]]). Kept because it
+    * is the ground truth the specs measure the cluster-local generator's
+    * containment and recall against, and because exact loose-threshold
+    * similarity is inherently quadratic in COMPARISONS — at τ = 0.45 the
+    * matching pairs sit ~63° apart, where no LSH candidate generator is
+    * both complete and selective. What must NOT be quadratic-on-one-machine
+    * is the plan: instead of a BroadcastNestedLoopJoin (whose build side is
+    * the whole corpus), the pair space is tiled into B² blocks via a tiny
+    * generated block-pair relation and the join is a plain shuffled equi
+    * join on the block id — every executor gets an even n²/B² tile and no
+    * vector is broadcast.
+    */
+  private[graft] def embeddingPairsExact(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingPairsExactRaw(spark, sfDir).orderBy("vec_a", "vec_b")
+
+  private def embeddingPairsExactRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val B = EmbeddingBlocks
     val v = expr("transform(embedding, x -> cast(x as double))")

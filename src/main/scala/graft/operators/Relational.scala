@@ -180,9 +180,9 @@ object Relational {
 
   /** Non-equi theta join (BroadcastNestedLoopJoin with the small side
     * broadcast): parts cheaper than a supplier-specific bound. The broadcast
-    * side grows O(sf), so this form is the small-sf oracle twin; the
-    * scale-safe plan is [[thetaJoinBanded]], which never broadcasts a
-    * growing table.
+    * side grows O(sf), so since r9 this form is UNREGISTERED — a didactic
+    * baseline only, pinned row-for-row equal to [[thetaJoinBanded]] (the
+    * registered plan for BOTH q_theta_join names) in RelationalSpec.
     */
   def thetaJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.supplier(spark, sfDir)
@@ -261,6 +261,42 @@ object Relational {
     a.join(b, a("user_id") === b("b_user")
         && b("b_us") > a("a_us")
         && b("b_us") <= a("a_us") + lit(3600000000L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs_1h"))
+      .orderBy("user_id")
+  }
+
+  /** SKEW-SAFE sibling of [[rangeJoin]] (VERDICT r8 ask #6): identical
+    * semantics and oracle, but the join key is (user_id, 1-hour time band)
+    * instead of user_id alone. The plain per-user self-join puts a hot
+    * user's ENTIRE history into one join partition — O(m²) residual work
+    * on one task. Banding splits that key by time: the left (earlier)
+    * event replicates onto its own band and the next (each candidate
+    * partner within +1 h lives in one of those two), the right side keys
+    * on its single band, the exact inequality filters the candidates.
+    * Each qualifying pair meets in EXACTLY one band (the right event's),
+    * so no distinct step is needed. Per (user, band) work is bounded by
+    * events-per-user-per-2h — the irreducible output density — not by the
+    * user's total history; replication is a constant 2×. RelationalSpec
+    * pins banded == naive on a planted 50k-event hot-user fixture and
+    * asserts the plan stays a hash equi join under that skew.
+    */
+  def rangeJoinBanded(spark: SparkSession, sfDir: String): DataFrame =
+    rangeJoinBandedFrom(Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("us")))
+
+  /** [[rangeJoinBanded]] over an arbitrary (user_id, us) event frame —
+    * package-private so the spec can drive the hot-user fixture through
+    * the same plan. */
+  private[graft] def rangeJoinBandedFrom(ev: DataFrame): DataFrame = {
+    val W = 3600000000L // 1-hour band in µs = the range width, so ≤ 2 bands/pair
+    val a = ev.select(col("user_id"), col("us").as("a_us"))
+      .withColumn("band", explode(array(expr(s"a_us div $W"), expr(s"a_us div $W + 1"))))
+    val b = ev.select(col("user_id").as("b_user"), col("us").as("b_us"))
+      .withColumn("band", expr(s"b_us div $W"))
+    a.join(b, a("user_id") === b("b_user") && a("band") === b("band")
+        && b("b_us") > a("a_us")
+        && b("b_us") <= a("a_us") + lit(W))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs_1h"))
       .orderBy("user_id")

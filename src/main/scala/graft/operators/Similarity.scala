@@ -454,42 +454,86 @@ object Similarity {
       .orderBy("vec_id")
 
   /** k-means&#124;&#124; seeding stops oversampling once the candidate set
-    * reaches [[KmeansOversample]] (= 2k). Each pass admits the
-    * [[KmeansPerPass]] farthest per-region representatives; on clustered
-    * data many regions surface new clusters at once and the pass count is
-    * small, while the adversarial equidistant case degrades gracefully to
-    * farthest-point traversal (one new cluster per pass) bounded by
-    * [[KmeansParRoundsMax]] = k passes — each pass is one map-side corpus
-    * scan, so the worst case prices like sequential k-means++ and the good
-    * case like the paper's ~5 rounds. */
+    * reaches [[KmeansOversample]] (= 2k). Each pass admits up to
+    * `cand.size` fresh per-region representatives (the farthest point of
+    * each current candidate's region), so the candidate set can genuinely
+    * ~double per pass — Bahmani et al.'s geometric growth — and the good
+    * case reaches 2k in ~log2(2k) corpus scans. The adversarial case
+    * (every region's farthest point already a candidate, one fresh region
+    * per pass) degrades to farthest-point traversal bounded by
+    * [[KmeansParRoundsMax]] = k passes, pricing like sequential
+    * k-means++. */
   val KmeansOversample = 2 * KmeansK
-  val KmeansPerPass = 2
   val KmeansParRoundsMax = KmeansK
 
-  /** [[kmeans]] without the presentation projection/sort — the assignment
-    * feed for [[semDedup]], which immediately re-joins by vec_id. */
-  private def kmeansAssigned(spark: SparkSession, sfDir: String,
-                             seeding: String = KmeansSeedLowestId): DataFrame =
-    kmeansAssignedFrom(Tables.embeddings(spark, sfDir), seeding)
+  /** Session-scoped memo for the TRAINED centroid matrix, keyed on
+    * (session identity, sfDir, seeding). The trainer is deterministic —
+    * same corpus, same seeding → bit-identical k×64 long centroids — so
+    * memoizing changes no query result, only stops every k-means CONSUMER
+    * (`q_kmeans`, `q_semdedup`, `q_dedup_embedding`,
+    * `q_embedding_clusters`) from re-running the KmeansRounds training
+    * jobs (each a full map-side corpus pass + k×64-cell aggregate). The
+    * map holds k×64 longs per (session, sf) — bounded driver state.
+    * Spec-planted corpora go through [[kmeansAssignedFrom]], which does
+    * NOT memoize (the frame, not the path, is the cache key there).
+    */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), IndexedSeq[Array[Long]]]()
 
-  /** [[kmeansAssigned]] over an arbitrary (vec_id, label, embedding) frame —
-    * package-private so SimilaritySpec can plant clustered corpora where
-    * seeding quality is observable. */
-  private[graft] def kmeansAssignedFrom(embeddings: DataFrame, seeding: String): DataFrame = {
-    val qv = Dedup.fence(embeddings
+  /** [[kmeans]] without the presentation projection/sort — the assignment
+    * feed for [[semDedup]] and the cluster-local embedding pair graph
+    * ([[Dedup.embeddingPairs]]), which immediately re-join by vec_id.
+    * Trained centroids come from [[centroidMemo]], so all consumers in a
+    * session share ONE training run. */
+  private[operators] def kmeansAssigned(spark: SparkSession, sfDir: String,
+                             seeding: String = KmeansSeedLowestId): DataFrame = {
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
+    val cents = centroidMemo.computeIfAbsent((spark, sfDir, seeding),
+      _ => trainCentroids(qv, seeding))
+    withAssignment(qv, cents)
+  }
+
+  /** The (vec_id, v, nn, cluster) frame every embedding-cluster consumer
+    * joins from: cast + norm + k-means cluster id, fenced once. Shared by
+    * [[semDedup]] and [[Dedup]]'s cluster-local pair generator so the
+    * self-join sides (and the queries themselves) reuse one cache entry.
+    */
+  private[operators] def assignedVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    Dedup.fence(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), v.as("v"), dot(v, v).as("nn"))
+        .join(kmeansAssigned(spark, sfDir).select(col("vec_id"), col("cluster")), "vec_id"),
+      "vec_id") // fence: one cast+norm+assignment frame for all self-join sides
+  }
+
+  /** Micro-unit-quantized (vec_id, label, qv) frame — the integer corpus
+    * every k-means step runs on. Fenced: feeds every round + the final
+    * assignment. */
+  private def quantizedVectors(embeddings: DataFrame): DataFrame =
+    Dedup.fence(embeddings
       .select(col("vec_id"), col("label").cast("long").as("label"),
         expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
           .as("qv")),
-      "vec_id") // fence: the quantized corpus feeds every round + the final assignment
-    def withAssignment(cents: IndexedSeq[Array[Long]]): DataFrame = {
-      val dists = cents.map { cv =>
-        aggregate(zip_with(col("qv"), typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
-          lit(0L), (s, x) => s + x)
-      }
-      qv.withColumn("dists", array(dists: _*))
-        .withColumn("dist", array_min(col("dists")))
-        .withColumn("cluster", (array_position(col("dists"), col("dist")) - 1).cast("long"))
+      "vec_id")
+
+  /** Assignment under a literal centroid matrix: per-row k codegen'd
+    * integer distances, argmin with lowest-cid tie-break. */
+  private def withAssignment(qv: DataFrame, cents: IndexedSeq[Array[Long]]): DataFrame = {
+    val dists = cents.map { cv =>
+      aggregate(zip_with(col("qv"), typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x)
     }
+    qv.withColumn("dists", array(dists: _*))
+      .withColumn("dist", array_min(col("dists")))
+      .withColumn("cluster", (array_position(col("dists"), col("dist")) - 1).cast("long"))
+  }
+
+  /** The KmeansRounds Lloyd loop: per round one map-side assignment pass
+    * feeding a k×64-cell aggregate; the driver holds only the centroid
+    * longs between rounds. */
+  private def trainCentroids(qv: DataFrame, seeding: String): IndexedSeq[Array[Long]] = {
     val seeds: IndexedSeq[Array[Long]] = seeding match {
       case KmeansSeedLowestId =>
         qv.orderBy("vec_id").limit(KmeansK)
@@ -499,8 +543,8 @@ object Similarity {
       case other => throw new IllegalArgumentException(
         s"unknown k-means seeding '$other' (use $KmeansSeedLowestId | $KmeansSeedParallel)")
     }
-    val finalCents = (1 to KmeansRounds).foldLeft(seeds) { (cents, _) =>
-      val cells = withAssignment(cents)
+    (1 to KmeansRounds).foldLeft(seeds) { (cents, _) =>
+      val cells = withAssignment(qv, cents)
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -517,7 +561,14 @@ object Similarity {
         }
       }
     }
-    withAssignment(finalCents)
+  }
+
+  /** [[kmeansAssigned]] over an arbitrary (vec_id, label, embedding) frame —
+    * package-private so SimilaritySpec can plant clustered corpora where
+    * seeding quality is observable. Un-memoized: every call trains. */
+  private[graft] def kmeansAssignedFrom(embeddings: DataFrame, seeding: String): DataFrame = {
+    val qv = quantizedVectors(embeddings)
+    withAssignment(qv, trainCentroids(qv, seeding))
   }
 
   /** Deterministic k-means&#124;&#124; seeding (Bahmani et al., "Scalable
@@ -576,7 +627,7 @@ object Similarity {
         .distinctBy(_._1.toSeq)
         .sortBy { case (v, d) => (-d, v.toSeq.toIndexedSeq) }(
           Ordering.Tuple2(Ordering.Long, Ordering.Implicits.seqOrdering[IndexedSeq, Long]))
-        .take(KmeansPerPass min (KmeansOversample - cand.size))
+        .take(cand.size min (KmeansOversample - cand.size))
         .map(_._1)
       grew = fresh.nonEmpty
       cand = cand ++ fresh
@@ -629,12 +680,7 @@ object Similarity {
     */
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val v = expr("transform(embedding, x -> cast(x as double))")
-    val m = Dedup.fence(
-      Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), v.as("v"), dot(v, v).as("nn"))
-        .join(kmeansAssigned(spark, sfDir).select(col("vec_id"), col("cluster")), "vec_id"),
-      "vec_id") // fence: one cast+norm+assignment frame for both self-join sides
+    val m = assignedVectors(spark, sfDir)
     val a = m.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nn").as("na"), col("cluster"))
     val b = m.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nn").as("nb"), col("cluster"))
     val dropped = a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))

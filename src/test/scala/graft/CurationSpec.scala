@@ -289,10 +289,38 @@ class CurationSpec extends SparkSpec {
       val n = Curation.bpeMerges(spark, sf).count()
       assert(n >= 2, "training learned no merges")
       Thread.sleep(1000) // listener bus is async; drain before reading
-      assert(jobs.get() < Curation.BpeRounds / 2,
+      // the r9 frequency floor adds a CONSTANT two jobs to the collect
+      // (scalar total broadcast + pruned collect over the fenced counts);
+      // the contract under test is unchanged — job count must stay far
+      // below one-per-round
+      assert(jobs.get() < Curation.BpeRounds / 2 + 2,
         s"bpe training launched ${jobs.get()} jobs for ${Curation.BpeRounds} rounds" +
           " — the per-merge job loop is back")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bpe vocabulary collect is frequency-floor bounded (VERDICT r8 ask #5)") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // planted skew: 5 frequent words carrying ~99% of the mass plus 400
+    // singleton words — the shape where an unbounded collect would ship
+    // the long tail to the driver
+    val frequent = Seq.fill(200)("alpha beta gamma delta epsilon")
+    val rare = (0 until 400).map(i => s"rare$i")
+    val docs = (frequent ++ rare.grouped(10).map(_.mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val floored = Curation.bpeVocabFrom(docs, 0.01)
+    // hard bound: at most 1/frac words can each hold >= frac of total mass
+    assert(floored.length <= 100, s"collected ${floored.length} > 1/frac bound")
+    assert(floored.map(_._1).toSet == Set("alpha", "beta", "gamma", "delta", "epsilon"),
+      "floor must keep exactly the frequent words")
+    // the singleton tail is gone before the collect
+    assert(!floored.exists(_._1.startsWith("rare")))
+    // and on the live corpus the 1-ppm default prunes nothing: the merge
+    // table the oracle pins is built from the full vocabulary
+    val full = Curation.bpeVocabFrom(Tables.documents(spark, sf), 0.0)
+    val dflt = Curation.bpeVocabFrom(Tables.documents(spark, sf), Curation.BpeVocabMinFrac)
+    assert(dflt.sorted.toSeq == full.sorted.toSeq)
   }
 
   test("chunk overlap: chunks cover and reconstruct every doc's token stream") {

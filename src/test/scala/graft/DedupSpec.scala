@@ -166,10 +166,45 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
   }
 
-  test("embedding pair plan is a block equi-join, never a nested loop") {
+  test("embedding pair plan is a cluster-local equi-join: no nested loop, no B² tiles") {
     val plan = Dedup.embeddingPairs(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // the demoted exact-audit form joins a generated block-pair range; the
+    // registered cluster-local form must not (r9 — the last scale-killer)
+    assert(!plan.contains("Range ("), plan)
+  }
+
+  test("cluster-local pairs = exact global pairs ∩ same-cluster (and measured recall)") {
+    import spark.implicits._
+    val exact = Dedup.embeddingPairsExact(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val cluster = operators.Similarity.kmeans(spark, sf)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val want = exact.filter { case (a, b) => cluster(a) == cluster(b) }
+    val got = Dedup.embeddingPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == want, "cluster-local pair graph must be exactly the same-cluster slice")
+    assert(got.subsetOf(exact))
+    // the trade is measured, not hidden: report the global recall the
+    // SemDeDup partitioning keeps at this sf (info only — the contract is
+    // the same-cluster slice, asserted above)
+    if (exact.nonEmpty)
+      info(f"cluster-local recall vs exact global pairs: ${got.size.toDouble / exact.size}%.3f (${got.size}/${exact.size})")
+  }
+
+  test("corpus guard: max pair cosine stays below the tight-τ LSH decay region") {
+    // ADVICE r8: q_embedding_clusters_tight pairs an exact oracle with a
+    // probabilistic LSH engine path, sound ONLY while the corpus has no
+    // pairs in the decay region (cos 0.90-0.95, hamming > 9). Pin that
+    // assumption: if regenerated testdata ever grows pairs near the 0.9
+    // boundary, this fails loudly instead of silently masking under-recall.
+    val row = Dedup.embeddingPairsExact(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("cos")).collect()(0)
+    val maxCos = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    assert(maxCos < 0.85,
+      f"corpus max pair cosine $maxCos%.3f entered the sign-LSH decay region — " +
+        "re-verify tight-τ candidate recall before trusting the exact oracle")
   }
 
   test("tight-τ pairs: planted near-duplicates are all found (candidate recall 1)") {

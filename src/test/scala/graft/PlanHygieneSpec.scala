@@ -3,9 +3,9 @@ package graft
 /** Plan hygiene over the ENTIRE registered query surface: build every
   * `SparkEntry.queries` physical plan at sf0.001 and assert the
   * scale-safety invariants SCALE.md claims — no CartesianProduct and no
-  * BroadcastNestedLoopJoin anywhere except the explicitly documented
-  * small-sf demo twin (`q_theta_join`, whose scale-honest sibling
-  * `q_theta_join_banded` shares its oracle). A regression that silently
+  * BroadcastNestedLoopJoin anywhere (since r9 both q_theta_join names run
+  * the banded equi-join plan; the broadcast-NLJ demo form is unregistered
+  * and lives only in RelationalSpec). A regression that silently
   * degrades a join to a nested loop (a lost equi-condition, a dropped
   * broadcast, a rewrite rule gone wrong) fails here by name before it
   * ever reaches a benchmark.
@@ -23,8 +23,9 @@ package graft
   */
 class PlanHygieneSpec extends SparkSpec {
 
-  /** Documented exceptions: the deliberate nested-loop demo twin. */
-  private val allowNestedLoop = Set("q_theta_join")
+  /** Documented exceptions — EMPTY since r9: no registered query may plan
+    * a deliberate nested loop (the theta-join BNLJ demo is unregistered). */
+  private val allowNestedLoop = Set.empty[String]
 
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -43,9 +44,11 @@ class PlanHygieneSpec extends SparkSpec {
     */
   private val allowBoundedBroadcast =
     Set("q_cosine_topk", "q_hard_negatives", "q_centroid_classify",
-      // the IVF bracket audit (round 8) embeds q_cosine_topk's exact
-      // companion, inheriting the same bounded query-panel broadcast
-      "q_ivf_topk")
+      // the IVF operator scores vectors against the broadcast centroid
+      // table (n/CentroidStride rows — the coarse quantizer, not the
+      // corpus); its bracket audit additionally embeds q_cosine_topk's
+      // exact companion with the same bounded query-panel broadcast
+      "q_ivf_topk", "q_ivf_audit")
 
   test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
     // a BNLJ is scale-safe in exactly one shape: the broadcast side is a
@@ -80,6 +83,19 @@ class PlanHygieneSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"non-scalar nested-loop joins in: ${offenders.sorted.mkString(", ")}")
+  }
+
+  test("loose-τ embedding queries plan no B²-tile stage (r9: the last scale-killer)") {
+    // the demoted exact-audit form (Dedup.embeddingPairsExact) builds its
+    // tile space from a generated block-pair Range; the registered
+    // cluster-local queries must plan a plain hash equi join on the
+    // k-means cluster id with no generated-range tile source anywhere
+    for (name <- Seq("q_dedup_embedding", "q_embedding_clusters")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Range ("), s"$name plans a generated tile range:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
   }
 
   test("a representative iterative-loop round plans no nested loop") {

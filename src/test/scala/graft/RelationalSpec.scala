@@ -164,6 +164,41 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("banded range join equals the plain form on the corpus") {
+    val plain = Relational.rangeJoin(spark, sf).collect().toSeq
+    val banded = Relational.rangeJoinBanded(spark, sf).collect().toSeq
+    assert(plain == banded)
+  }
+
+  test("banded range join survives a planted hot-user: exact counts, equi-join plan") {
+    import spark.implicits._
+    // one user owning 50k events across ~30 days (the skew the per-user
+    // self-join serializes onto one task) plus two small control users
+    val rnd = new scala.util.Random(11)
+    val dayUs = 86400000000L
+    val hot = Seq.fill(50000)((7L, (rnd.nextDouble() * 30 * dayUs).toLong))
+    val cold = Seq.tabulate(100)(i => (8L + i % 2, i.toLong * 1800000000L))
+    val ev = (hot ++ cold).toDF("user_id", "us")
+    val got = Relational.rangeJoinBandedFrom(ev)
+      .as[(Long, Long)].collect().toMap
+    // independent recompute: per-user sort + two-pointer window count
+    val want = (hot ++ cold).groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted.toArray
+      var j = 0; var n = 0L
+      for (i <- ts.indices) {
+        if (j < i + 1) j = i + 1
+        while (j < ts.length && ts(j) <= ts(i) + 3600000000L) j += 1
+        // partners strictly after ts(i): equal timestamps don't pair (b > a)
+        n += ts.view.slice(i + 1, j).count(_ > ts(i))
+      }
+      if (n > 0) Some(u -> n) else None
+    }
+    assert(got == want)
+    val plan = Relational.rangeJoinBandedFrom(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("banded interval join equals the naive inequality join, no cross product") {
     import org.apache.spark.sql.functions._
     val W = 18000L
