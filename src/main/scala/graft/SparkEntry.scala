@@ -1494,6 +1494,19 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  md5(text) AS checksum, ascii(substr(text,1,1))::BIGINT AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // FULL oracle since r9 (bracket pattern): text-payload features are
+    // exact SQL (the corpus is pure ASCII, so the byte mean is the mean
+    // of per-char codepoints — TablesContractSpec pins the ASCII
+    // invariant); the three in-plan decode verdicts are pinned TRUE
+    "q_media_features" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  md5(text) AS checksum,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(range(1, length(text)+1), i -> ascii(text[i])))::DOUBLE
+        |         / length(text) END, 6) AS feat_mean,
+        |  TRUE AS img_decode_ok, TRUE AS img_resize_ok, TRUE AS wav_rms_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // per-language embedding centroids; 0-based dim to match posexplode
     "q_lang_centroids" ->
       """WITH j AS (SELECT lang, embedding FROM documents JOIN embeddings ON doc_id = vec_id)

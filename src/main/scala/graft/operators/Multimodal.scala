@@ -284,12 +284,120 @@ object Multimodal {
     }
   }
 
+  // ---- deterministic decode fixtures (r9: the q_media_features oracle) ----
+
+  /** Deterministic gradient fixture image (pixel (x,y): r=(x*16+y)&255,
+    * g=(y*16+x)&255, b=7), PNG-encoded by the JDK's own lossless writer —
+    * reproducible bytes, exactly recomputable expected luminance. */
+  private[graft] def fixtureImagePayload(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 16 + y) & 0xff
+      val g = (y * 16 + x) & 0xff
+      img.setRGB(x, y, (r << 16) | (g << 8) | 7)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Independently computed expected mean luminance of the gradient
+    * fixture — same integer-sum/(3wh) arithmetic the decoder uses, fed
+    * from the DEFINITION of the gradient rather than decoded pixels. */
+  private[graft] def fixtureImageMean(w: Int, h: Int): Double = {
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sum += ((x * 16 + y) & 0xff) + ((y * 16 + x) & 0xff) + 7
+    sum.toDouble / (3.0 * w * h)
+  }
+
+  /** Solid-color fixture (every pixel the same RGB): bilinear resampling
+    * of a constant field is constant on ANY correct implementation, so a
+    * resize of this image must decode to the same per-pixel luminance —
+    * the one resize postcondition that is exact by mathematics rather
+    * than by blessing a particular interpolator's kernel. */
+  private[graft] def solidImagePayload(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 16-bit PCM mono WAV fixture, [[FixtureWavSamples]]
+    * samples of `s(i) = ((i % 17) - 8) * 1024`, written by the JDK's own
+    * WAV encoder. 600 samples → frames of 256/256/88, every 2nd kept. */
+  val FixtureWavSamples = 600
+  private[graft] def fixtureWavSample(i: Int): Short = (((i % 17) - 8) * 1024).toShort
+  private[graft] def fixtureWavPayload(): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Array.tabulate(FixtureWavSamples)(fixtureWavSample)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Expected frame-RMS mean of the WAV fixture, recomputed from the
+    * SAMPLE DEFINITION (never from the decoder): v_i = s_i/32768,
+    * RMS per [[AudioFrameLen]] frame, every [[AudioFrameEvery]]-th kept. */
+  private[graft] def fixtureWavExpected(): Double = {
+    val v = Array.tabulate(FixtureWavSamples)(i => fixtureWavSample(i).toDouble / 32768.0)
+    val frames = audioFrameRms(v, AudioFrameLen, AudioFrameEvery)
+    frames.sum / frames.length
+  }
+
+  /** One-row verdict frame, decoded IN-PLAN (the fixtures travel through
+    * a 3-row Dataset into the same decode kernels the operator uses):
+    * gradient-PNG luminance against its definition, WAV frame-RMS mean
+    * against its definition, and a solid-color resize postcondition. The
+    * groupless aggregate makes the row a scalar — the broadcast-safe
+    * shape PlanHygieneSpec allows.
+    */
+  private def fixtureVerdicts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val expImg = fixtureImageMean(8, 6)
+    val expWav = fixtureWavExpected()
+    val solidLum = (200.0 + 120.0 + 40.0) / 3.0
+    val rows = Seq(
+      ("img", fixtureImagePayload(8, 6)),
+      ("wav", fixtureWavPayload()),
+      ("resize", solidImagePayload(2, 2, (200 << 16) | (120 << 8) | 40))).toDS()
+    val verd = rows.map { case (kind, payload) =>
+      val ok = kind match {
+        case "img" => decodeImage(payload).exists { case (w, h, m) =>
+          w == 8 && h == 6 && math.abs(m - expImg) < 1e-12 }
+        case "wav" => decodeWavSamples(payload).exists { s =>
+          val f = audioFrameRms(s, AudioFrameLen, AudioFrameEvery)
+          f.nonEmpty && math.abs(f.sum / f.length - expWav) < 1e-12 }
+        case _ => resizeImage(payload, 4, 4).flatMap(decodeImage).exists {
+          case (w, h, m) => w == 4 && h == 4 && math.abs(m - solidLum) < 1e-12 }
+      }
+      (kind, ok)
+    }.toDF("kind", "ok")
+    verd.agg(
+      min(when(col("kind") === "img", col("ok"))).as("img_decode_ok"),
+      min(when(col("kind") === "resize", col("ok"))).as("img_resize_ok"),
+      min(when(col("kind") === "wav", col("ok"))).as("wav_rms_ok"))
+  }
+
   /** End-to-end media pipeline over the documents table: text → binary
     * payload → typed MediaRecord → partition-batched feature extraction
-    * (text payloads take the byte-histogram fallback; real PNG/BMP pixel
-    * decode and real WAV/PCM frame RMS are asserted on handcrafted
-    * fixtures in MultimodalSpec). Rows-only check (the typed Dataset
-    * round-trip is not SQL); exact values asserted in MultimodalSpec.
+    * (text payloads take the byte-histogram fallback; real PNG pixel
+    * decode, solid-color resize and real WAV/PCM frame RMS run in-plan on
+    * handcrafted fixtures whose expected features are recomputed from the
+    * fixture DEFINITIONS). FULL oracle since r9 (VERDICT r8 ask #4, the
+    * HLL bracket pattern): the text-payload feature columns are exact SQL
+    * (byte mean over ASCII text, octet length, md5) the DuckDB twin
+    * recomputes, and the three decode verdict booleans are pinned TRUE —
+    * a decoder regression flips a verdict and fails the hash gate.
     */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -300,8 +408,10 @@ object Multimodal {
       .as[MediaRecord]
     extractFeatures(media)
       .toDF()
+      .crossJoin(broadcast(fixtureVerdicts(spark)))
       .select(col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
-        round(col("feat_mean"), 6).as("feat_mean"))
+        round(col("feat_mean"), 6).as("feat_mean"),
+        col("img_decode_ok"), col("img_resize_ok"), col("wav_rms_ok"))
       .orderBy("doc_id")
   }
 }

@@ -44,20 +44,67 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  /** Count the partition directories a scan actually selected — the
+    * mechanical proof of pruning (a plan-string grep can't distinguish
+    * "filter present" from "files skipped"). */
+  private def selectedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.selectedPartitions.partitionCount
+    }.sum
+
   test("partitioned layout prunes non-matching partitions at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val nTypes = Tables.events(spark, sf).select("event_type").distinct().count().toInt
     val one = spark.read.parquet(dir).filter(col("event_type") === "click")
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
-    // the scan must read only the click partition's files
-    val scanned = one.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString
-    assert(scanned.contains("event_type=click") || plan.contains("isnotnull(event_type"), plan)
+    // STATIC pruning, counted: exactly one of the partition directories
+    // survives into the scan
+    assert(nTypes > 1)
+    assert(selectedPartitions(one) == 1,
+      s"static pruning read ${selectedPartitions(one)} of $nTypes partitions:\n$plan")
     val want = Tables.events(spark, sf).filter(col("event_type") === "click").count()
     assert(one.count() == want)
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the date-partitioned fact at runtime") {
+    // the 100 TB layout: the fact table date-partitioned by event day, a
+    // filter arriving only through a joined dim — static pruning can't see
+    // it, Spark's DPP injects the dim's day set into the fact scan's
+    // partition filters at runtime (VERDICT r8 ask #3: the date-partitioned
+    // + dynamic half SURVEY §4.2 had no end-to-end exercise for)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts div 86400000000000").as("day"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+    val nDays = ev.select("day").distinct().count().toInt
+    assert(nDays > 2, s"fixture needs multiple day partitions, got $nDays")
+    val days = ev.select("day").distinct().as[Long].collect().sorted
+    // dim: one tagged row per day, only 2 days carry the wanted tag. Two
+    // DPP preconditions shape the fixture: the dim key must be INT (the
+    // partition directories read back type-inferred as int; a cast on the
+    // fact's join key opts the scan out of the PartitionPruning rule), and
+    // the dim must be a real SCAN with a Filter node above it — a local
+    // relation would have its filter constant-folded away, leaving no
+    // selective predicate for the rule to find.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    days.map(d => (d.toInt, if (d <= days(1)) "wanted" else "other"))
+      .toSeq.toDF("day", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val j = fact.join(dim.filter(col("tag") === "wanted"), "day")
+    val n = j.count()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning expression in the fact scan:\n${plan.linesIterator.take(40).mkString("\n")}")
+    // correctness: exactly the two wanted days' events survive
+    val want = ev.filter(col("day") <= days(1)).count()
+    assert(n == want)
   }
 
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {

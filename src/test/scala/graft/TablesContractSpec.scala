@@ -70,6 +70,18 @@ class TablesContractSpec extends SparkSpec {
       "n_chars" -> isIntegral)
   }
 
+  test("documents text is pure ASCII — the q_media_features byte-mean oracle keys on it") {
+    // the oracle recomputes the UTF-8 byte mean as the mean of per-char
+    // codepoints, which only coincide when every char is single-byte; a
+    // regenerated corpus with non-ASCII text must fail HERE by name
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text — the q_media_features oracle's " +
+        "codepoint-as-byte identity no longer holds; switch it to a binary-side recompute")
+  }
+
   test("embeddings: 64-dim float vectors — the ANN plane family is sized to this") {
     checkCols("embeddings", "vec_id" -> isIntegral,
       "embedding" -> {
