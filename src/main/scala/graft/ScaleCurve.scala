@@ -4,17 +4,25 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Measured scaling curve for the dedup family (VERDICT r6 ask #3 / r7 #6):
-  * runs jaccard / ppjoin / minhash / containment / incremental at n and 10n
-  * documents and reports wall seconds plus total shuffle-write RECORDS (the
-  * partition-count-independent data-movement measure), backing SCALE.md's
-  * O(index) growth claims with numbers.
+/** Measured scaling curve for the dedup family (VERDICT r6 ask #3 / r7 #6)
+  * and, since r9, the EMBEDDING family (r8 ask #7): runs each operator at
+  * n and 10n rows and reports wall seconds plus total shuffle-write
+  * RECORDS (the partition-count-independent data-movement measure),
+  * backing SCALE.md's growth claims with numbers.
   *
-  * The 10n corpus is the sf0.1 documents table replicated 10x with every
-  * token suffixed by the replica index — replicas share NO shingles, so
-  * true near-dup density (and the verified pair count) scales exactly
-  * linearly and any super-linear cost growth is the engine's, not the
-  * data's.
+  * Text corpus: the sf0.1 documents table replicated 10x with every token
+  * suffixed by the replica index — replicas share NO shingles, so true
+  * near-dup density (and the verified pair count) scales exactly linearly
+  * and any super-linear cost growth is the engine's, not the data's.
+  *
+  * Embedding corpus: the sf0.1 embeddings table replicated 10x where
+  * replica r applies a deterministic per-replica SIGN PATTERN to the
+  * components (md5(r,dim) parity; r=0 keeps the original). Sign flips
+  * preserve norms and within-replica geometry exactly — each replica is
+  * an isometric copy, so per-replica pair structure is identical — while
+  * cross-replica cosines are sign-scrambled away from 1.0 (no artificial
+  * exact-duplicate families that would make pair OUTPUT itself grow
+  * super-linearly and pollute the engine-cost measurement).
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
@@ -23,6 +31,17 @@ object ScaleCurve {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 32)
+      // events NTZ normalization is timezone-sensitive: pin UTC like
+      // Verify/Bench (ADVICE r8)
+      .config("spark.sql.session.timeZone", "UTC")
+      // measure the AT-SCALE plan at BOTH factors: auto-broadcast at toy
+      // scale short-circuits the index shuffle on one factor but not the
+      // other (observed r9: ppjoin's inverted index broadcast at n and
+      // shuffled at 10n, making the growth ratio meaningless), so shuffle
+      // rows would compare a broadcast plan against a shuffle plan.
+      // DELIBERATE broadcasts (bounded query panels via broadcast()/hint)
+      // are unaffected by the threshold.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -50,16 +69,48 @@ object ScaleCurve {
     }
     val dirs = Seq(1 -> corpusDir(1), 10 -> corpusDir(10))
 
-    import graft.operators.Dedup
+    // embedding corpora: isometric sign-flipped replicas (see scaladoc)
+    val emb = Tables.embeddings(spark, srcSf)
+    def embDir(factor: Int): String = {
+      val dir = s"$outBase/emb_x$factor"
+      val n = emb.count()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(r: Int, d: Int): Float =
+        if (r == 0) 1f
+        else if ((md.digest(s"scale_${r}_$d".getBytes("UTF-8"))(0) & 1) == 0) 1f else -1f
+      val replicated = (0 until factor).map { r =>
+        val signs = Seq.tabulate(64)(d => sign(r, d))
+        emb.select(
+          (col("vec_id") + lit(r * n)).as("vec_id"),
+          zip_with(col("embedding"), typedlit(signs), (x, s) => x * s).as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val embDirs = Seq(1 -> embDir(1), 10 -> embDir(10))
+
+    import graft.operators.{Dedup, Similarity}
     val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "jaccard"     -> (d => Dedup.jaccardPairs(spark, d)),
       "ppjoin"      -> (d => Dedup.ppjoinPairs(spark, d)),
       "minhash"     -> (d => Dedup.minhashPairs(spark, d)),
       "containment" -> (d => Dedup.containmentPairs(spark, d)),
       "incremental" -> (d => Dedup.incrementalSurvivors(spark, d)))
+    // embedding family (r9): kmeans runs FIRST per dir so the memoized
+    // trainer cost lands in its row; semdedup/cluster rows then measure
+    // the post-training increment — consistently at both factors, so the
+    // growth ratios compare like with like
+    val embQueries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "kmeans"        -> (d => Similarity.kmeans(spark, d)),
+      "semdedup"      -> (d => Similarity.semDedup(spark, d)),
+      "emb_clusters"  -> (d => Dedup.embeddingClusters(spark, d)),
+      "tight_clusters" -> (d => Dedup.embeddingClustersTight(spark, d)),
+      "ann_topk"      -> (d => Similarity.annTopK(spark, d)))
 
-    println(f"${"query"}%-12s ${"factor"}%6s ${"rows"}%10s ${"wall_s"}%8s ${"shuffle_rows"}%13s")
-    val results = for ((name, fn) <- queries; (factor, dir) <- dirs) yield {
+    println(f"${"query"}%-14s ${"factor"}%6s ${"rows"}%10s ${"wall_s"}%8s ${"shuffle_rows"}%13s")
+    val work = queries.map((_, dirs)) ++ embQueries.map((_, embDirs))
+    val results = for (((name, fn), ds) <- work; (factor, dir) <- ds) yield {
       spark.catalog.clearCache(); System.gc()
       shuffleRecords.set(0)
       val t0 = System.nanoTime()
@@ -74,15 +125,15 @@ object ScaleCurve {
         settled = now == sr
         sr = now
       }
-      println(f"$name%-12s $factor%6d $rows%10d $wall%8.2f $sr%13d")
+      println(f"$name%-14s $factor%6d $rows%10d $wall%8.2f $sr%13d")
       (name, factor, rows, wall, sr)
     }
     // growth summary: a 10x corpus must cost ~10x, nowhere near 100x
-    println(f"${"query"}%-12s ${"wall_x"}%7s ${"shuffle_x"}%10s ${"rows_x"}%7s")
+    println(f"${"query"}%-14s ${"wall_x"}%7s ${"shuffle_x"}%10s ${"rows_x"}%7s")
     results.groupBy(_._1).foreach { case (name, rs) =>
       val r1 = rs.find(_._2 == 1).get
       val r10 = rs.find(_._2 == 10).get
-      println(f"$name%-12s ${r10._4 / r1._4}%7.1f ${r10._5.toDouble / r1._5}%10.1f " +
+      println(f"$name%-14s ${r10._4 / r1._4}%7.1f ${r10._5.toDouble / r1._5}%10.1f " +
         f"${r10._3.toDouble / r1._3}%7.1f")
     }
     spark.stop()

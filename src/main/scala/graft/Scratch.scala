@@ -3,11 +3,8 @@ import org.apache.spark.sql.SparkSession
 /** Dev scratchpad — intentionally empty between investigations; see
   * Explain/ExplainOnly for the standing plan/timing tools. Probe results
   * worth keeping move into the docstring of the operator they informed
-  * (e.g. the candidate counts in Dedup.ppjoinPairs).
-  *
-  * Current probe: cold-cache wall time of the dedup family queries at the
-  * bench's sf0.1, matching the Bench isolation protocol (clearCache + gc
-  * between queries) to localize q_dedup_incremental's r6 7 s.
+  * (e.g. the candidate counts in Dedup.ppjoinPairs, the r9 plan-growth
+  * OOM fix in Dedup.connectedComponents).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -15,6 +12,7 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t(label: String)(f: => Long): Unit = {
@@ -23,13 +21,8 @@ object Scratch {
       spark.catalog.clearCache(); System.gc()
     }
     t("warmup entry")(SparkEntry.entry(spark).count())
-    for (_ <- 1 to 2) {
-      t("q_neardup_minhash")(SparkEntry.queries("q_neardup_minhash")(spark, sfDir).count())
-      t("q_dedup_incremental")(SparkEntry.queries("q_dedup_incremental")(spark, sfDir).count())
-      t("q_dup_ngrams")(SparkEntry.queries("q_dup_ngrams")(spark, sfDir).count())
-      t("q_embedding_clusters")(SparkEntry.queries("q_embedding_clusters")(spark, sfDir).count())
-      t("q_pipeline_keep_neardup")(SparkEntry.queries("q_pipeline_keep_neardup")(spark, sfDir).count())
-    }
+    t("q_dedup_embedding")(SparkEntry.queries("q_dedup_embedding")(spark, sfDir).count())
+    t("q_embedding_clusters")(SparkEntry.queries("q_embedding_clusters")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -509,15 +509,17 @@ object Dedup {
     *    strictly smaller iff any label changed — no per-round compare
     *    join, no second action (sum is carried as decimal(38,0), exact for
     *    any node count × id range);
-    *  - each round's labels persist and the previous round's unpersist, so
-    *    lineage stays one round deep; the returned frame is checkpointed so
-    *    every intermediate (including the last round's labels) can be
-    *    unpersisted before returning — callers never inherit cached state
-    *    (the checkpoint blocks themselves are reclaimed by the
-    *    ContextCleaner once the result frame is unreferenced).
+    *  - each round's labels are CHECKPOINT-TRUNCATED, not merely persisted
+    *    (r9 fix): `step`+`shortcut` reference the previous labels four
+    *    times, so under persist alone the analyzed LOGICAL plan still
+    *    nests and grows ~4× per round — driver-side analysis and the
+    *    per-action explain-string work go exponential long before any
+    *    data does (observed: a 20k-vector corpus whose label graph needed
+    *    ~12 rounds OOM'd the DRIVER building the plan description).
+    *    Per-round truncation is the GraphX/Pregel discipline; blocks are
+    *    reclaimed by the ContextCleaner once unreferenced.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // Materialize the pair list once, truncating upstream lineage (without
     // truncation the iterative loop's plan grows per round and analysis
     // cost compounds). RELIABLE checkpoint when the session has a
@@ -547,20 +549,21 @@ object Dedup {
       val s = lbl.agg(sum(col("cluster").cast("decimal(38,0)"))).first().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty node set
     }
-    var labels = edges
+    var labels = truncate(edges
       .select(col("doc_a").as("doc_id"), col("doc_b").as("lbl"))
       .union(edges.select(col("doc_a").as("doc_id"), col("doc_a").as("lbl")))
-      .groupBy("doc_id").agg(min("lbl").as("cluster"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .groupBy("doc_id").agg(min("lbl").as("cluster")))
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) { // 32 = safety valve (log2-bound)
-      val next = shortcut(step(labels)).persist(StorageLevel.MEMORY_AND_DISK)
+      // truncate, don't just persist: the next round's plan references
+      // `labels` four times, so an untruncated tree grows ~4x per round
+      // (see the iteration-mechanics scaladoc)
+      val next = truncate(shortcut(step(labels)))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
       labels = next
       rounds += 1
     }
@@ -568,11 +571,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $rounds rounds — " +
           "unconverged labels must never be mistaken for components")
-    val out = truncate(labels
+    truncate(labels
       .select(col("doc_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("is_survivor")))
-    labels.unpersist()
-    out
   }
 
   /** First 8 MinHash signature values per doc as columns — the direct

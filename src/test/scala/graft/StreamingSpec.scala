@@ -299,6 +299,95 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 9L -> 1L, 7L -> 1L, 4L -> 1L), s"got $got")
   }
 
+  /** Write each slice as ONE parquet file with increasing mtimes — the
+    * generic (any-schema) sibling of [[writeFixture]] for slicing the
+    * real corpus into chronological micro-batches. */
+  private def writeSlices(slices: Seq[DataFrame]): String = {
+    val dir = Files.createTempDirectory("graft-slices").toString
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("graft-slices-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = java.nio.file.Paths.get(dir, f"b$i%02d.parquet")
+      Files.move(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    dir
+  }
+
+  test("real recurring trigger: watermarked agg drops late rows across >=4 micro-batches") {
+    // VERDICT r8 ask #9: the late-drop fixture above runs under
+    // Trigger.AvailableNow; here the SAME fixture and hand-computed answer
+    // run under a real recurring ProcessingTime trigger, so the watermark
+    // advances between genuine trigger firings. maxFilesPerTrigger=1 over
+    // four chronological files → four data-carrying micro-batches.
+    val dir = writeFixture(Seq(
+      Seq(FxEv(1, "click", at(0, 10)), FxEv(2, "click", at(0, 20)), FxEv(3, "click", at(5, 30))),
+      Seq(FxEv(5, "click", at(6, 30))),
+      Seq(FxEv(4, "click", at(0, 40))),
+      Seq(FxEv(6, "click", at(8, 0)))))
+    val q = StreamingOps.tumblingWithWatermark(fixtureStream(dir))
+      .writeStream.format("memory").queryName("t_late_rt")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"expected >=4 data-carrying micro-batches under the recurring trigger, got $dataBatches")
+    } finally q.stop()
+    val got = spark.table("t_late_rt")
+      .select("bucket_sec", "event_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (FxBase, "click", 2L),
+      (FxBase + 5 * 3600L, "click", 1L)), s"got $got")
+  }
+
+  test("real recurring trigger: funnel stream over 3 chronological corpus slices") {
+    import spark.implicits._
+    import graft.operators.Funnels
+    // the full events corpus in three chronological slices (ts terciles),
+    // one micro-batch each under a recurring trigger; chunk-ordered
+    // per-user arrival, so GroupState folding across REAL trigger firings
+    // must land on the oracle-checked batch funnel's stage counts
+    val evs = Tables.events(spark, sf).select("user_id", "ts", "event_type")
+    val Array(t1, t2) = evs.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val slices = Seq(
+      evs.filter(col("ts") <= t1),
+      evs.filter(col("ts") > t1 && col("ts") <= t2),
+      evs.filter(col("ts") > t2))
+    slices.foreach(s => assert(s.count() > 0))
+    val dir = writeSlices(slices)
+    val state = scala.collection.concurrent.TrieMap.empty[Long, (Boolean, Boolean, Boolean)]
+    val q = StreamingOps.funnelStates(
+        spark.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .as[StreamingOps.FEv])
+      .toDF()
+      .writeStream
+      .foreachBatch { (snap: DataFrame, _: Long) =>
+        snap.collect().foreach { r =>
+          state(r.getLong(0)) = (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+        }
+        ()
+      }
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"expected >=3 data-carrying micro-batches under the recurring trigger, got $dataBatches")
+    } finally q.stop()
+    val counts = (state.values.count(_._1).toLong,
+      state.values.count(_._2).toLong, state.values.count(_._3).toLong)
+    val want = Funnels.funnel(spark, sf)
+      .select("stage", "n_users").as[(String, Long)].collect().toMap
+    assert(counts == ((want("view"), want("click"), want("purchase"))))
+  }
+
   test("streaming tumbling window equals the batch twin") {
     val got = runToTable(StreamingOps.tumbling1h(eventsStream), "t_tumbling", "complete")
       .orderBy("bucket_sec", "event_type").collect().toSeq
