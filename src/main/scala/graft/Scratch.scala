@@ -21,8 +21,8 @@ object Scratch {
       spark.catalog.clearCache(); System.gc()
     }
     t("warmup entry")(SparkEntry.entry(spark).count())
-    t("q_dedup_embedding")(SparkEntry.queries("q_dedup_embedding")(spark, sfDir).count())
-    t("q_embedding_clusters")(SparkEntry.queries("q_embedding_clusters")(spark, sfDir).count())
+    t("q_bm25_topk")(SparkEntry.queries("q_bm25_topk")(spark, sfDir).count())
+    t("q_rrf_fusion")(SparkEntry.queries("q_rrf_fusion")(spark, sfDir).count())
     spark.stop()
   }
 }

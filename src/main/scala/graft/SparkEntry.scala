@@ -199,6 +199,9 @@ object SparkEntry {
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
     "q_textrank"          -> ((s, d) => TextAnalysis.textrank(s, d)),
     "q_triangles"         -> ((s, d) => TextAnalysis.triangles(s, d)),
+    // ---- B9 ranked retrieval (lexical + hybrid) ----
+    "q_bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "q_rrf_fusion"        -> ((s, d) => TextAnalysis.rrfFusion(s, d)),
     // ---- B9 tokenizer training + apply ----
     "q_bpe_merges"        -> ((s, d) => Curation.bpeMerges(s, d)),
     "q_bpe_encode"        -> ((s, d) => Curation.bpeEncode(s, d)),
@@ -1655,6 +1658,77 @@ object SparkEntry {
     // constant is written as the same IEEE expression (1.0 - d) Catalyst
     // constant-folds, not its shortest-string rendering.
     "q_textrank" -> textrankOracleSql,
+    // BM25 ranked retrieval: idf rounded once into DECIMAL(18,8) (the
+    // lmPerplexity discipline); the tf normalization is cleared to exact
+    // integers (k1=6/5, b=3/4 → 22·tf·T / (10·tf·T + 3·T + 9·dl·N)), so
+    // per-term weights are identical decimals in both engines and the
+    // per-(query, doc) score is an order-independent decimal sum
+    "q_bm25_topk" ->
+      """WITH q(q_id, term) AS (VALUES (1,'spark'),(1,'table'),(1,'join'),
+        |    (2,'window'),(2,'agg'),(2,'stream'),(3,'fast'),(3,'scan'),(3,'filter'),
+        |    (4,'customer'),(4,'order'),(4,'query'),(5,'vector'),(5,'hash'),(5,'merge')),
+        |st AS (SELECT count(*)::BIGINT AS n,
+        |         sum(len(string_split(text,' ')))::BIGINT AS t FROM documents),
+        |tok AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS dl,
+        |          unnest(string_split(text,' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf, min(dl) AS dl FROM tok
+        |       WHERE word IN (SELECT term FROM q) GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        |sc AS (SELECT q.q_id, tf.doc_id,
+        |        round(round(ln((n - df + 0.5)/(df + 0.5) + 1), 8)::DECIMAL(18,8)::DOUBLE
+        |          * (22*tf.tf*t)::DOUBLE / (10*tf.tf*t + 3*t + 9*tf.dl*n)::DOUBLE, 6)::DECIMAL(18,6) AS w
+        |       FROM tf JOIN df USING (word) JOIN q ON q.term = tf.word CROSS JOIN st),
+        |agg AS (SELECT q_id, doc_id, sum(w) AS s FROM sc GROUP BY q_id, doc_id)
+        |SELECT q_id::BIGINT AS q_id, rn::BIGINT AS rn, doc_id, round(s::DOUBLE, 6) AS score FROM (
+        |  SELECT q_id, doc_id, s,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rn FROM agg)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // hybrid retrieval: the BM25 chain above with per-query-doc term sets
+    // (doc_id ≡ 0 mod 25 — the cosine family's panel), the cosine_topk
+    // chain at pool depth 20, fused by reciprocal-rank with each 1/(60+r)
+    // discount rounded once into DECIMAL(18,8) before the two-term sum
+    "q_rrf_fusion" ->
+      """WITH st AS (SELECT count(*)::BIGINT AS n,
+        |         sum(len(string_split(text,' ')))::BIGINT AS t FROM documents),
+        |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(string_split(text,' '))) AS term
+        |       FROM documents WHERE doc_id % 25 = 0),
+        |tok AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS dl,
+        |          unnest(string_split(text,' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf, min(dl) AS dl FROM tok
+        |       WHERE word IN (SELECT term FROM qt) GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        |sc AS (SELECT qt.q_id, tf.doc_id,
+        |        round(round(ln((n - df + 0.5)/(df + 0.5) + 1), 8)::DECIMAL(18,8)::DOUBLE
+        |          * (22*tf.tf*t)::DOUBLE / (10*tf.tf*t + 3*t + 9*tf.dl*n)::DOUBLE, 6)::DECIMAL(18,6) AS w
+        |       FROM tf JOIN df USING (word)
+        |       JOIN qt ON qt.term = tf.word AND qt.q_id <> tf.doc_id CROSS JOIN st),
+        |lexagg AS (SELECT q_id, doc_id, sum(w) AS s FROM sc GROUP BY q_id, doc_id),
+        |lex AS (SELECT q_id, doc_id, rn AS r_lex FROM (
+        |  SELECT q_id, doc_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rn
+        |  FROM lexagg) WHERE rn <= 20),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |nv AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
+        |qv AS (SELECT vec_id AS q_id, v AS vq, nn AS nq FROM nv WHERE vec_id % 25 = 0),
+        |cs AS (SELECT qv.q_id, c.vec_id AS doc_id,
+        |         list_reduce(list_transform(range(1, len(qv.vq)+1), i -> qv.vq[i]*c.v[i]), (a,b) -> a+b)
+        |         / (sqrt(qv.nq)*sqrt(c.nn)) AS cos
+        |       FROM qv JOIN nv c ON c.vec_id <> qv.q_id),
+        |sem AS (SELECT q_id, doc_id, rn AS r_sem FROM (
+        |  SELECT q_id, doc_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rn
+        |  FROM cs) WHERE rn <= 20),
+        |fused AS (SELECT coalesce(lex.q_id, sem.q_id) AS q_id,
+        |        coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+        |        coalesce(round(1.0::DOUBLE/(60 + r_lex), 8)::DECIMAL(18,8), 0::DECIMAL(18,8))
+        |      + coalesce(round(1.0::DOUBLE/(60 + r_sem), 8)::DECIMAL(18,8), 0::DECIMAL(18,8)) AS rrf
+        |      FROM lex FULL OUTER JOIN sem ON lex.q_id = sem.q_id AND lex.doc_id = sem.doc_id)
+        |SELECT q_id, rn::BIGINT AS rn, doc_id, r_lex::BIGINT AS r_lex,
+        |       r_sem::BIGINT AS r_sem, round(rrf::DOUBLE, 8) AS rrf FROM (
+        |  SELECT q_id, doc_id, r_lex, r_sem, rrf,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rn
+        |  FROM fused)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     // banded interval-overlap join's exact twin: plain inequality join
     "q_interval_join" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec,

@@ -351,4 +351,216 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("n_tri"))
       .orderBy("word")
   }
+
+  /** Fixed keyword-query panel for [[bm25TopK]]: a handful of 3-term
+    * queries over the corpus vocabulary — the literal, engine-portable
+    * query model (a production system would feed these from a query log).
+    */
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "table", 1L -> "join",
+    2L -> "window", 2L -> "agg", 2L -> "stream",
+    3L -> "fast", 3L -> "scan", 3L -> "filter",
+    4L -> "customer", 4L -> "order", 4L -> "query",
+    5L -> "vector", 5L -> "hash", 5L -> "merge")
+
+  /** BM25 parameters (Robertson & Zaragoza 2009): k1 = 1.2 = 6/5,
+    * b = 0.75 = 3/4. Both are small rationals ON PURPOSE — the tf
+    * normalization below clears denominators with them, so the per-term
+    * weight's numerator and denominator are exact integers in ANY engine:
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))     with avgdl = T/N
+    *   = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)       (×10T num and den)
+    *
+    * The only transcendental is the idf, rounded once into decimal(18,8)
+    * (the [[Curation.lmPerplexity]] discipline); per-term weights round
+    * into decimal(18,6) so the per-(query, doc) score is an exact,
+    * order-independent decimal sum and the ranking is engine-portable.
+    */
+  val Bm25K = 10
+
+  /** Exact per-term BM25 weights (doc_id, word, w6) for the given term
+    * vocabulary — the query-INDEPENDENT half of the scorer, computed
+    * BEFORE any query fan-out on purpose: w depends only on (doc, word),
+    * so evaluating the transcendental idf and the decimal rounding here
+    * (|vocab ∩ corpus| × docs rows) instead of after the query join
+    * (× queries-per-term more rows) keeps the expensive expressions off
+    * the widest frame. w6 is the scale-6 decimal weight in exact integer
+    * MICRO-UNITS (decimal×10⁶ → long, an exact decimal-domain multiply on
+    * this narrow frame): the (q_id, doc_id) score aggregate downstream is
+    * then a plain long sum — same exact values, same ordering, but the
+    * wide post-fan-out hash-agg adds 8-byte integers instead of carrying
+    * Int128 decimal state. Measured at sf0.1 with the corpus-slice panel
+    * (17.6M fan-out rows): lexical arm 21 s → decimal-weight hoist + long
+    * micro-units ≈ 5 s.
+    */
+  private[graft] def termWeights(spark: SparkSession, sfDir: String, vocab: DataFrame): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // scalar corpus stats: N docs, T total tokens
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    // single scan: token stream with per-doc length riding along; the
+    // broadcast semi join prunes to query vocabulary BEFORE the shuffle
+    val tok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      explode(split(col("text"), " ")).as("word"))
+    val tf = tok
+      .join(broadcast(vocab), Seq("word"), "left_semi")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+    // idf on the vocabulary-sized df frame — one log + decimal round per
+    // TERM, not per (doc, term) row
+    val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("word"),
+        round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 8)
+          .cast("decimal(18,8)").as("idf"))
+    tf.join(broadcast(idf), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("word"),
+        (round(col("idf").cast("double")
+            * (lit(22L) * col("tf") * col("t")).cast("double")
+            / (lit(10L) * col("tf") * col("t") + lit(3L) * col("t")
+               + lit(9L) * col("dl") * col("n")).cast("double"), 6)
+          .cast("decimal(18,6)") * lit(1000000L)).cast("long").as("w6"))
+  }
+
+  /** s6 micro-unit score sum → the emitted 6-decimal double (exact: s6 is
+    * an integer < 2⁵³ and 10⁶ is a power-of-ten double, so the division
+    * is correctly rounded and the half-up 6-digit round recovers the
+    * exact decimal the oracle's decimal sum converts to). */
+  private def scoreCol = round(col("s6").cast("double") / lit(1e6), 6)
+
+  /** (q_id, doc_id, s6) exact BM25 scores for a query-term panel, scored
+    * with the [[Similarity.cosineTopK]] KERNEL SHAPE rather than a
+    * join-aggregate: per-doc weights pivot into a V-slot micro-unit vector
+    * in deterministic sorted-vocab coordinates, per-query 0/1 masks
+    * broadcast in the same coordinates, and each (query, doc) score is ONE
+    * codegen'd DotProduct over primitive doubles. The join-agg form this
+    * replaces fanned every (doc, term) weight out per matching query
+    * (panel × corpus × shared-vocab rows — 17.6M at sf0.1 with the
+    * corpus-slice panel) and hash-aggregated 10⁶ groups; here nothing
+    * wider than panel × corpus narrow rows ever exists. Exactness is
+    * unchanged: the dot over 0-filled slots IS the sum over the shared
+    * vocabulary, micro-unit products are 0/1 × w6 < 2⁵³ so the double sum
+    * is an exact integer, and s6 casts back to the same long the decimal
+    * sum would give. Pairs sharing NO query term are dropped by a
+    * presence-mask dot (not by `s6 > 0`) so a legitimately zero-weight
+    * shared term can never change membership vs the join formulation —
+    * the oracle keeps that formulation.
+    */
+  private def bm25Scores(spark: SparkSession, sfDir: String, qterms: DataFrame,
+                         excludeSelf: Boolean): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val vocab = qterms.select(col("term").as("word")).distinct()
+    // deterministic vocab coordinates: ≤ |query vocab| rows, one tiny
+    // partition — the single-partition sort is bounded by the panel
+    val vidx = vocab.withColumn("idx", row_number().over(Window.orderBy("word")))
+    val nv = vidx.agg(max("idx").as("v"))
+    val dvec = termWeights(spark, sfDir, vocab)
+      .join(broadcast(vidx), "word")
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("w6")))).as("m"))
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        expr("transform(sequence(1, v), i -> cast(coalesce(m[i], 0L) as double))").as("dv"),
+        expr("transform(sequence(1, v), i -> IF(m[i] IS NULL, cast(0 as double), cast(1 as double)))").as("pv"))
+    val qvec = qterms.join(broadcast(vidx), col("term") === col("word"))
+      .groupBy("q_id").agg(collect_set(col("idx")).as("qi"))
+      .crossJoin(broadcast(nv))
+      .select(col("q_id"),
+        expr("transform(sequence(1, v), i -> IF(array_contains(qi, i), cast(1 as double), cast(0 as double)))").as("qv"))
+    val pairs =
+      if (excludeSelf) dvec.join(broadcast(qvec), col("q_id") =!= col("doc_id"))
+      else dvec.crossJoin(broadcast(qvec))
+    pairs
+      .filter(dot(col("qv"), col("pv")) > lit(0.0))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("qv"), col("dv")).cast("long").as("s6"))
+  }
+
+  /** BM25 ranked retrieval: top-[[Bm25K]] documents per keyword query.
+    *
+    * Scale shape: the query panel is a literal broadcast; a LEFT SEMI join
+    * against it prunes the token stream to query vocabulary BEFORE the
+    * only corpus-sized shuffle (the (doc, word) tf hash-agg inside
+    * [[termWeights]], which also carries dl as a constant-per-group min).
+    * df and the corpus totals (N docs, T tokens) are
+    * query-vocabulary-sized / scalar aggregates joined back broadcast;
+    * scoring is one more (q_id, doc_id) long-sum hash-agg. One documents
+    * scan, no all-pairs, no driver state.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String, k: Int = Bm25K): DataFrame = {
+    import spark.implicits._
+    val qterms = Bm25Queries.toDF("q_id", "term")
+    bm25Scores(spark, sfDir, qterms, excludeSelf = false)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("s6"), asc("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("doc_id"),
+        scoreCol.as("score"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Per-query-document BM25 ranking for [[rrfFusion]]: the query panel is
+    * the [[Similarity]] family's deterministic corpus slice (doc_id ≡ 0
+    * mod 25 — same docs whose embeddings drive the cosine ranking), and
+    * each query's terms are that document's DISTINCT tokens. Returns the
+    * top-`kPool` lexical matches per query doc (query doc excluded), exact
+    * decimal scoring as in [[bm25TopK]]. Panel rows are (q_id, term) pairs
+    * — corpus/25 docs × a vocabulary-bounded term set — broadcast-sized
+    * under the same allowance as the cosine query panel.
+    */
+  private[graft] def bm25PerDocQueries(spark: SparkSession, sfDir: String,
+                                       kPool: Int): DataFrame = {
+    val qterms = Tables.documents(spark, sfDir).filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    bm25Scores(spark, sfDir, qterms, excludeSelf = true)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("s6"), asc("doc_id"))))
+      .filter(col("rn") <= kPool)
+      .select(col("q_id"), col("doc_id"), col("rn"))
+  }
+
+  /** Candidate-pool depth each retriever contributes to [[rrfFusion]]. */
+  val RrfPool = 20
+  /** The RRF rank-discount constant (Cormack, Clarke & Buettcher 2009). */
+  val RrfC = 60
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion: for each query document
+    * (the deterministic doc_id ≡ 0 mod 25 panel), fuse the top-[[RrfPool]]
+    * LEXICAL ranking (BM25 over the query doc's tokens,
+    * [[bm25PerDocQueries]]) with the top-[[RrfPool]] SEMANTIC ranking
+    * (exact cosine over the aligned embedding, [[Similarity.cosineTopK]])
+    * by rrf(d) = Σ_lists 1/([[RrfC]] + rank_list(d)), then keep the fused
+    * top-k. Each 1/(c+r) term is rounded once into decimal(18,8), so the
+    * fused score is an exact two-term decimal sum and the final ranking is
+    * engine-portable — the standard production shape for "vector search +
+    * keyword search" retrieval.
+    *
+    * Scale shape: both inputs are already top-kPool-per-query frames
+    * (corpus/25 × kPool narrow rows); the fusion itself is a full outer
+    * join on (q_id, doc_id) plus a window rank — nothing corpus-sized
+    * moves after the two retrievers' own (documented) plans.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String, k: Int = Bm25K): DataFrame = {
+    def disc(r: org.apache.spark.sql.Column) =
+      round(lit(1.0) / (lit(RrfC) + r), 8).cast("decimal(18,8)")
+    val zero = lit(0).cast("decimal(18,8)")
+    val lex = bm25PerDocQueries(spark, sfDir, RrfPool)
+      .select(col("q_id"), col("doc_id"), col("rn").as("r_lex"))
+    val sem = Similarity.cosineTopK(spark, sfDir, RrfPool)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rn").as("r_sem"))
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(disc(col("r_lex")), zero) + coalesce(disc(col("r_sem")), zero))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("rrf"), asc("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("doc_id"),
+        col("r_lex").cast("long").as("r_lex"), col("r_sem").cast("long").as("r_sem"),
+        round(col("rrf").cast("double"), 8).as("rrf"))
+      .orderBy("q_id", "rn")
+  }
 }

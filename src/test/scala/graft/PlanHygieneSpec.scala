@@ -48,7 +48,14 @@ class PlanHygieneSpec extends SparkSpec {
       // table (n/CentroidStride rows — the coarse quantizer, not the
       // corpus); its bracket audit additionally embeds q_cosine_topk's
       // exact companion with the same bounded query-panel broadcast
-      "q_ivf_topk", "q_ivf_audit")
+      "q_ivf_topk", "q_ivf_audit",
+      // the BM25 scorer shares the cosine family's kernel shape: per-query
+      // 0/1 vocab masks broadcast against per-doc weight vectors, one
+      // codegen'd dot per (query, doc) pair — the broadcast side is the
+      // bounded query panel; hybrid retrieval additionally fuses the SAME
+      // bounded-panel cosine ranking (its semantic arm IS q_cosine_topk
+      // at pool depth 20)
+      "q_bm25_topk", "q_rrf_fusion")
 
   test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
     // a BNLJ is scale-safe in exactly one shape: the broadcast side is a

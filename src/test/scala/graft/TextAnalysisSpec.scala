@@ -123,4 +123,88 @@ class TextAnalysisSpec extends SparkSpec {
     // the graph genuinely has triangles at this sf
     assert(got.map(_._2).sum > 0)
   }
+
+  /** Driver-side BM25 with the engine's exact rounding discipline: idf
+    * rounded HALF_UP to 8 decimals, per-term weight to 6, scores summed
+    * and SORTED as exact BigDecimals (never compared as doubles). */
+  private def bm25InMemory(queries: Seq[(Long, String)], kPool: Int,
+                           excludeSelf: Boolean): Map[Long, Seq[(Long, BigDecimal)]] = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().map { case (id, t) => (id, t.split(" ", -1)) }
+    val n = docs.length.toLong
+    val t = docs.map(_._2.length.toLong).sum
+    val qvocab = queries.map(_._2).toSet
+    val tf = docs.map { case (id, w) =>
+      (id, w.length.toLong, w.filter(qvocab).groupBy(identity).map { case (k, v) => k -> v.length.toLong })
+    }
+    val df = tf.flatMap(_._3.keys).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def idf(word: String): Double =
+      BigDecimal(math.log((n - df(word) + 0.5) / (df(word) + 0.5) + 1.0))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byQ = queries.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    byQ.map { case (q, terms) =>
+      val scored = tf.flatMap { case (id, dl, tfd) =>
+        if (excludeSelf && id == q) None
+        else {
+          val ws = terms.flatMap { term =>
+            tfd.get(term).map { f =>
+              val w = idf(term) * (22L * f * t).toDouble / (10L * f * t + 3L * t + 9L * dl * n).toDouble
+              BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            }
+          }
+          if (ws.isEmpty) None else Some((id, ws.sum))
+        }
+      }
+      q -> scored.sortBy { case (id, s) => (s.unary_-, id) }.take(kPool).toSeq
+    }
+  }
+
+  test("bm25 top-k matches an independent in-memory scorer") {
+    import spark.implicits._
+    val got = TextAnalysis.bm25TopK(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = bm25InMemory(TextAnalysis.Bm25Queries, TextAnalysis.Bm25K, excludeSelf = false)
+      .toSeq.sortBy(_._1).flatMap { case (q, ranked) =>
+        ranked.zipWithIndex.map { case ((id, s), i) => (q, (i + 1).toLong, id, s.toDouble) }
+      }
+    assert(got == want)
+    // every query retrieves a full panel at this sf (the corpus has 50 docs)
+    assert(got.groupBy(_._1).forall(_._2.size == TextAnalysis.Bm25K))
+  }
+
+  test("rrf fusion: scores are exactly the reported ranks' discount sum, ranks dense") {
+    import spark.implicits._
+    val rows = TextAnalysis.rrfFusion(spark, sf)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    def disc(r: Option[Long]): BigDecimal = r.map(x =>
+      BigDecimal(1.0 / (TextAnalysis.RrfC + x)).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      .getOrElse(BigDecimal(0))
+    for ((q, rn, d, rl, rs, rrf) <- rows) {
+      assert((disc(rl) + disc(rs)).toDouble == rrf, s"rrf mismatch at ($q, $d)")
+      assert(rl.forall(r => r >= 1 && r <= TextAnalysis.RrfPool))
+      assert(rs.forall(r => r >= 1 && r <= TextAnalysis.RrfPool))
+      assert(rl.isDefined || rs.isDefined)
+      assert(d != q, "a query must not retrieve itself")
+    }
+    // ranks are dense 1..k per query and ordered by (rrf desc, doc_id)
+    for ((q, qr) <- rows.groupBy(_._1)) {
+      val sorted = qr.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.size.toLong))
+      val keys = sorted.map(r => ((disc(r._4) + disc(r._5)).unary_-, r._3))
+      assert(keys == keys.sorted, s"query $q not rank-ordered")
+    }
+    // the lexical arm agrees with the in-memory BM25 ranking
+    val queries = Tables.documents(spark, sf).select("doc_id")
+      .filter(col("doc_id") % 25 === 0).as[Long].collect().toSeq
+    val qterms = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") % 25 === 0).as[(Long, String)].collect()
+      .flatMap { case (q, t) => t.split(" ", -1).distinct.map(q -> _) }.toSeq
+    val lex = bm25InMemory(qterms, TextAnalysis.RrfPool, excludeSelf = true)
+    for ((q, rn, d, Some(rl), _, _) <- rows) {
+      assert(lex(q)(rl.toInt - 1)._1 == d, s"lexical rank mismatch at ($q, $d)")
+    }
+    assert(queries.nonEmpty && rows.exists(_._4.isDefined) && rows.exists(_._5.isDefined))
+  }
 }
