@@ -202,6 +202,7 @@ object SparkEntry {
     // ---- B9 ranked retrieval (lexical + hybrid) ----
     "q_bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "q_rrf_fusion"        -> ((s, d) => TextAnalysis.rrfFusion(s, d)),
+    "q_semantic_decontaminate" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
     // ---- B9 tokenizer training + apply ----
     "q_bpe_merges"        -> ((s, d) => Curation.bpeMerges(s, d)),
     "q_bpe_encode"        -> ((s, d) => Curation.bpeEncode(s, d)),
@@ -1729,6 +1730,24 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rn
         |  FROM fused)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // embedding-space decontamination: exact brute-force twin of the
+    // broadcast-benchmark scan; argmax on raw doubles (cosineTopK's
+    // discipline), cosine rounded only at emit
+    "q_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
+        |bm AS (SELECT vec_id AS b_id, v AS vb, nn AS nb FROM n WHERE vec_id % 10 = 7),
+        |h AS (SELECT c.vec_id, bm.b_id,
+        |        list_reduce(list_transform(range(1, len(bm.vb)+1), i -> bm.vb[i]*c.v[i]), (s,x) -> s+x)
+        |        / (sqrt(bm.nb)*sqrt(c.nn)) AS cos
+        |      FROM n c CROSS JOIN bm WHERE c.vec_id % 10 <> 7),
+        |f AS (SELECT * FROM h WHERE cos >= 0.45)
+        |SELECT vec_id AS doc_id, n_hits, b_id AS nn_id, round(cos, 6) AS max_cos FROM (
+        |  SELECT vec_id, b_id, cos,
+        |         count(*) OVER (PARTITION BY vec_id) AS n_hits,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, b_id) AS rn
+        |  FROM f)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // banded interval-overlap join's exact twin: plain inequality join
     "q_interval_join" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec,

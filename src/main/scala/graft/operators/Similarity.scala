@@ -104,6 +104,46 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** The deterministic "benchmark" slice for [[semanticDecontaminate]]:
+    * every 10th-with-remainder-7 vector plays the held-out eval set. */
+  private[graft] def isBenchmark(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    id % 10 === 7
+
+  /** SEMANTIC decontamination: flag corpus documents whose embedding has a
+    * near-neighbor in the benchmark (eval) slice at cosine ≥
+    * [[Dedup.CosineTau]] — the embedding-space sibling of the n-gram
+    * `q_decontaminate` (paraphrased eval leakage that shares no 3-gram
+    * passes the lexical probe but not this one). Emits the deletion-list
+    * view: each flagged doc with its hit count, strongest benchmark
+    * neighbor and that neighbor's cosine.
+    *
+    * Scale shape: the benchmark set is FIXED-SIZE in production (a few
+    * thousand eval docs) while the corpus grows without bound, so
+    * broadcast-the-benchmark + one codegen-dot corpus scan is the correct
+    * 100 TB plan — O(corpus × |bench|) map-side work, no corpus shuffle at
+    * all until the per-doc aggregate over hits (hit rows only). The argmax
+    * neighbor uses the same raw-double ranking discipline as
+    * [[cosineTopK]] (desc cos, asc id), with cos rounded only at emit.
+    */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = vectors(spark, sfDir, "vec_id", "vc", "nc")
+    val bench = c.filter(isBenchmark(col("vec_id")))
+      .select(col("vec_id").as("b_id"), col("vc").as("vb"), col("nc").as("nb"))
+    val hits = c.filter(!isBenchmark(col("vec_id")))
+      .crossJoin(broadcast(bench))
+      .withColumn("cos", graft.functions.VectorFunctions.dot(col("vb"), col("vc"))
+        / (sqrt(col("nb")) * sqrt(col("nc"))))
+      .filter(col("cos") >= Dedup.CosineTau)
+    hits
+      .withColumn("n_hits", count(lit(1)).over(Window.partitionBy("vec_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("b_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("doc_id"), col("n_hits"),
+        col("b_id").as("nn_id"), round(col("cos"), 6).as("max_cos"))
+      .orderBy("doc_id")
+  }
+
   /** Coarse-quantizer seed stride: every 128th vector is a centroid, so the
     * centroid count scales with the corpus (n/128 lists of ~128 vectors)
     * with NO driver-side count — the stride is a plan-time constant and

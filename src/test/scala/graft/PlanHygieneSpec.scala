@@ -55,7 +55,11 @@ class PlanHygieneSpec extends SparkSpec {
       // bounded query panel; hybrid retrieval additionally fuses the SAME
       // bounded-panel cosine ranking (its semantic arm IS q_cosine_topk
       // at pool depth 20)
-      "q_bm25_topk", "q_rrf_fusion")
+      "q_bm25_topk", "q_rrf_fusion",
+      // semantic decontamination broadcasts the BENCHMARK slice — in
+      // production a fixed-size eval set while the corpus grows, so the
+      // broadcast side does not scale with the input
+      "q_semantic_decontaminate")
 
   test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
     // a BNLJ is scale-safe in exactly one shape: the broadcast side is a

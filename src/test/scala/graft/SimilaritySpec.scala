@@ -249,4 +249,33 @@ class SimilaritySpec extends SparkSpec {
     // live signal both ways at this sf
     assert(got.exists(_._3) && got.exists(!_._3))
   }
+
+  test("semantic decontamination matches a brute-force benchmark-scan recompute") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val got = Similarity.semanticDecontaminate(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == got.map(_._1).sorted)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val bench = vecs.keys.filter(_ % 10 == 7).toSeq.sorted
+    val want = vecs.keys.filter(_ % 10 != 7).toSeq.sorted.flatMap { id =>
+      val hits = bench.map(b => (b, cos(vecs(b), vecs(id))))
+        .filter(_._2 >= Dedup.CosineTau)
+      if (hits.isEmpty) None
+      else {
+        val (nn, c) = hits.minBy { case (b, c) => (-c, b) }
+        Some((id, hits.size.toLong, nn,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    assert(got == want)
+    // the fixture genuinely flags something, and not everything
+    assert(want.nonEmpty && want.size < vecs.size)
+  }
 }
