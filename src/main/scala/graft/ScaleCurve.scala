@@ -90,13 +90,17 @@ object ScaleCurve {
     }
     val embDirs = Seq(1 -> embDir(1), 10 -> embDir(10))
 
-    import graft.operators.{Dedup, Similarity}
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
     val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "jaccard"     -> (d => Dedup.jaccardPairs(spark, d)),
       "ppjoin"      -> (d => Dedup.ppjoinPairs(spark, d)),
       "minhash"     -> (d => Dedup.minhashPairs(spark, d)),
       "containment" -> (d => Dedup.containmentPairs(spark, d)),
-      "incremental" -> (d => Dedup.incrementalSurvivors(spark, d)))
+      "incremental" -> (d => Dedup.incrementalSurvivors(spark, d)),
+      // retrieval (r9): the query panel is the FIXED literal keyword set,
+      // so this is the clean linear claim — tf index, df, and scoring all
+      // scale with the corpus only
+      "bm25"        -> (d => TextAnalysis.bm25TopK(spark, d)))
     // embedding family (r9): kmeans runs FIRST per dir so the memoized
     // trainer cost lands in its row; semdedup/cluster rows then measure
     // the post-training increment — consistently at both factors, so the
@@ -106,7 +110,14 @@ object ScaleCurve {
       "semdedup"      -> (d => Similarity.semDedup(spark, d)),
       "emb_clusters"  -> (d => Dedup.embeddingClusters(spark, d)),
       "tight_clusters" -> (d => Dedup.embeddingClustersTight(spark, d)),
-      "ann_topk"      -> (d => Similarity.annTopK(spark, d)))
+      "ann_topk"      -> (d => Similarity.annTopK(spark, d)),
+      // r9: the benchmark slice grows WITH this replica fixture (vec_id
+      // mod 10), so map-side dot compute is corpus x bench here — in
+      // production the bench side is fixed and the scan is linear. The
+      // row to watch is SHUFFLE rows: only threshold hits shuffle, and
+      // cross-replica cosines are sign-scrambled, so hits (and shuffle)
+      // must stay ~linear even as pair compute grows 100x
+      "semantic_decon" -> (d => Similarity.semanticDecontaminate(spark, d)))
 
     println(f"${"query"}%-14s ${"factor"}%6s ${"rows"}%10s ${"wall_s"}%8s ${"shuffle_rows"}%13s")
     val work = queries.map((_, dirs)) ++ embQueries.map((_, embDirs))

@@ -48,26 +48,49 @@ object Curation {
     * (c2 + k) / (c_hist + k·V), V = corpus vocabulary size (tiny global
     * agg, broadcast by the cross join).
     */
+  /** Session-scoped memo for the TRAINED bigram-LM probability table,
+    * keyed on (session identity, sfDir) — the third member of the
+    * trained-artifact sharing family (`Similarity.centroidMemo`,
+    * `Dedup.clusterMemo`; VERDICT r8 ask #8's contract): the model is a
+    * deterministic vocabulary-bounded (b, nlp) table, so memoizing changes
+    * no score, only stops `q_lm_perplexity` and `q_pipeline_curated` from
+    * re-running the count aggregates in one session — exactly CCNet's
+    * operational shape (the KenLM is trained once; every filtering pass
+    * reads it). localCheckpoint truncates lineage so the memoized frame is
+    * served from its own (V²-bounded, tiny) blocks, immune to
+    * `catalog.clearCache()`. Per-doc SCORING still runs per call — only
+    * the model is shared.
+    */
+  private val lmMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def lmModel(spark: SparkSession, sfDir: String): DataFrame =
+    lmMemo.computeIfAbsent((spark, sfDir), _ => {
+      val db = Dedup.fence(docBigrams(spark, sfDir), "doc_id")
+      val c2 = db.groupBy("b").agg(sum("nb").as("c2"))
+      val ch = c2.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+        .agg(sum("c2").as("ch"))
+      val v = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct("w").as("v"))
+      // nlp is the ONLY transcendental: rounded into an exact decimal at
+      // the bigram level so the per-doc sum in the scorer is
+      // ordering-independent. Widths are pinned so decimal(18,8) ×
+      // decimal(10,0) = decimal(29,8) stays under the 38-digit cap in BOTH
+      // engines (Spark would silently shrink the scale past the cap;
+      // DuckDB would flip to double — either way the exactness guarantee
+      // dies).
+      c2.join(ch, substring_index(col("b"), " ", 1) === col("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("b"),
+          round(-log((col("c2") + lit(SmoothK)) / (col("ch") + lit(SmoothK) * col("v"))), 8)
+            .cast("decimal(18,8)").as("nlp"))
+        .localCheckpoint()
+    })
+
   def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
     val db = Dedup.fence(docBigrams(spark, sfDir), "doc_id")
-    val c2 = db.groupBy("b").agg(sum("nb").as("c2"))
-    val ch = c2.groupBy(substring_index(col("b"), " ", 1).as("w1"))
-      .agg(sum("c2").as("ch"))
-    val v = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .agg(countDistinct("w").as("v"))
-    // nlp is the ONLY transcendental: rounded into an exact decimal at the
-    // bigram level so the per-doc sum below is ordering-independent. Widths
-    // are pinned so decimal(18,8) × decimal(10,0) = decimal(29,8) stays
-    // under the 38-digit cap in BOTH engines (Spark would silently shrink
-    // the scale past the cap; DuckDB would flip to double — either way the
-    // exactness guarantee dies).
-    val prob = c2
-      .join(ch, substring_index(col("b"), " ", 1) === col("w1"))
-      .crossJoin(broadcast(v))
-      .select(col("b"),
-        round(-log((col("c2") + lit(SmoothK)) / (col("ch") + lit(SmoothK) * col("v"))), 8)
-          .cast("decimal(18,8)").as("nlp"))
+    val prob = lmModel(spark, sfDir)
     db.join(prob, "b")
       .groupBy("doc_id")
       .agg(sum("nb").as("n_bigrams"),
