@@ -171,6 +171,7 @@ object SparkEntry {
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
+    "q_ann_recall"        -> ((s, d) => Similarity.annRecall(s, d)),
     // the raw IVF operator benches as itself (rows-only: probabilistic
     // recall, floor-asserted in SimilaritySpec); its bracket audit is the
     // separately registered q_ivf_audit, so round-over-round bench
@@ -1481,6 +1482,10 @@ object SparkEntry {
     // SQL re-runs bucketing + multi-probe + rerank (plane-weight literals
     // interpolated from the same generator the engine compiles in)
     "q_ann_topk" -> Similarity.annOracleSql,
+    // recall@10 + MRR of the LSH ANN vs the exact ranking, per query —
+    // both pipelines replayed in SQL (deterministic end-to-end), so the
+    // hash gate checks the recall VALUES, not a floor
+    "q_ann_recall" -> Similarity.annRecallOracleSql,
     // BRACKET oracle (HLL recipe): float Lloyd training is not bit-portable,
     // so the oracle recomputes the EXACT companions and expects the
     // recall/slack verdicts TRUE. Registered as its own query (r9) so the

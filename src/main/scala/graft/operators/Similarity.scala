@@ -352,6 +352,73 @@ object Similarity {
        |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Registered recall audit for the LSH ANN path: per query, how many of
+    * the EXACT top-k neighbors the ANN ranking recovered (recall@k) and
+    * the reciprocal rank of the exact best neighbor inside the ANN list
+    * (MRR contribution; 0 when missed). This moves the quality contract
+    * of the approximate path from a test-only floor (SimilaritySpec) into
+    * the driver's hash gate: BOTH rankings are deterministic end-to-end
+    * (md5 plane literals, ascending-index IEEE sums, vec_id tie-breaks),
+    * so the oracle replays the two pipelines in SQL and the per-query
+    * recall values — not just a floor — must match exactly.
+    *
+    * Scale shape: composes two already-documented operators (bounded-panel
+    * exact scan + bucketed ANN) and joins their top-k frames on narrow
+    * (q_id, vec_id) keys — panel × k rows; nothing corpus-sized moves in
+    * the audit itself.
+    */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val exact = cosineTopK(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"), col("rn").as("er"))
+    val ann = annTopK(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"), col("rn").as("ar"))
+    exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("ar")).as("n_hits"),
+        sum(when(col("er") === 1,
+          coalesce(round(lit(1.0) / col("ar"), 8), lit(0.0)))).as("rr0"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k), 6).as("recall"),
+        round(col("rr0"), 8).as("rr"))
+      .orderBy("q_id")
+  }
+
+  /** Oracle for [[annRecall]]: the [[annOracleSql]] pipeline and the
+    * brute-force exact ranking composed in one statement, joined and
+    * aggregated exactly like the engine form. */
+  def annRecallOracleSql: String = {
+    val lits = planeWeights(64).map(_.mkString("[", ",", "]"))
+    val bucket = lits.zipWithIndex.map { case (l, p) =>
+      s"(CASE WHEN list_inner_product(v, CAST($l AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, list_inner_product(v, v) AS nrm, $bucket AS bucket FROM vv),
+       |q AS (SELECT vec_id AS q_id, v AS vq, nrm AS nq, bucket AS qb FROM nn WHERE vec_id % 25 = 0),
+       |probes AS (SELECT q_id, vq, nq, p.b AS bucket FROM q,
+       |           (SELECT unnest(range(${1 << NumPlanes})) AS b) p
+       |           WHERE bit_count(xor(CAST(qb AS BIGINT), p.b)) <= $ProbeRadius),
+       |cand AS (SELECT q_id, nn.vec_id AS vec_id,
+       |           list_inner_product(vq, nn.v) / (sqrt(nq) * sqrt(nn.nrm)) AS cos
+       |         FROM probes JOIN nn USING (bucket) WHERE nn.vec_id <> q_id),
+       |ann AS (SELECT q_id, vec_id, rn AS ar FROM (
+       |          SELECT q_id, vec_id,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |          FROM cand) WHERE rn <= 10),
+       |ex AS (SELECT q.q_id, nn.vec_id AS vec_id,
+       |         list_inner_product(q.vq, nn.v) / (sqrt(q.nq) * sqrt(nn.nrm)) AS cos
+       |       FROM q, nn WHERE nn.vec_id <> q.q_id),
+       |exr AS (SELECT q_id, vec_id, rn AS er FROM (
+       |          SELECT q_id, vec_id,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |          FROM ex) WHERE rn <= 10),
+       |j AS (SELECT e.q_id, e.er, a.ar FROM exr e
+       |      LEFT JOIN ann a ON a.q_id = e.q_id AND a.vec_id = e.vec_id)
+       |SELECT q_id, count(ar)::BIGINT AS n_hits,
+       |       round(count(ar)::DOUBLE / 10, 6) AS recall,
+       |       round(sum(CASE WHEN er = 1 THEN coalesce(round(1.0::DOUBLE / ar, 8), 0.0) END), 8) AS rr
+       |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
+  }
+
   /** Per-query slack for the IVF bracket verdicts: measured gap at every
     * SF is 0.0 (sf0.01 has ≤ nProbe lists, so recall is exactly 1);
     * 0.1 of cosine headroom keeps the verdict TRUE across testdata

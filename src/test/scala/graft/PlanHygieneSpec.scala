@@ -59,7 +59,10 @@ class PlanHygieneSpec extends SparkSpec {
       // semantic decontamination broadcasts the BENCHMARK slice — in
       // production a fixed-size eval set while the corpus grows, so the
       // broadcast side does not scale with the input
-      "q_semantic_decontaminate")
+      "q_semantic_decontaminate",
+      // the recall audit composes q_cosine_topk (bounded panel) with the
+      // bucketed ANN — same allowance as q_ivf_audit's exact companion
+      "q_ann_recall")
 
   test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
     // a BNLJ is scale-safe in exactly one shape: the broadcast side is a

@@ -250,6 +250,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3))
   }
 
+  test("ann recall audit: one row per query, recall/rr in range, floor holds") {
+    import spark.implicits._
+    val got = Similarity.annRecall(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val nQueries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 25 === 0).count()
+    assert(got.size == nQueries)
+    got.foreach { case (q, hits, recall, rr) =>
+      assert(hits >= 0 && hits <= 10, s"query $q")
+      assert(recall == BigDecimal(hits / 10.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"query $q")
+      assert(rr >= 0.0 && rr <= 1.0, s"query $q")
+      // rr can only be 1 when the exact best was recovered at ANN rank 1,
+      // which implies at least one hit
+      assert(rr == 0.0 || hits >= 1, s"query $q")
+    }
+    // the same floor SimilaritySpec pins for the raw operator
+    assert(got.map(_._3).sum / got.size >= 0.9)
+  }
+
   test("semantic decontamination matches a brute-force benchmark-scan recompute") {
     import spark.implicits._
     import graft.operators.Dedup
