@@ -180,4 +180,44 @@ class StorageLayoutSpec extends SparkSpec {
       assert(j.count() == want)
     }
   }
+
+  test("stored term-partitioned inverted index serves BM25 with a pruned probe") {
+    // SCALE.md's production BM25 shape, executed: the per-(doc, word)
+    // weight index is built ONCE over the full corpus vocabulary and
+    // stored partitioned by term; a query then reads ONLY its terms'
+    // partitions (plan-time pruning) and ranks from stored weights —
+    // identical results to the scan-time q_bm25_topk, because w6 depends
+    // only on (doc, word) + corpus stats, not on which vocabulary subset
+    // was indexed.
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    val fullVocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word")).distinct()
+    TextAnalysis.termWeights(spark, sf, fullVocab)
+      .write.partitionBy("word").mode("overwrite").parquet(dir)
+    val qterms = TextAnalysis.Bm25Queries.toDF("q_id", "term")
+    val panelTerms = TextAnalysis.Bm25Queries.map(_._2).distinct
+    val probe = spark.read.parquet(dir)
+      .filter(col("word").isin(panelTerms: _*))
+    // plan-time proof: the scan selects exactly the panel's partitions
+    val nVocab = fullVocab.count().toInt
+    assert(selectedPartitions(probe) == panelTerms.size,
+      "probe did not prune to the query terms' partitions")
+    assert(panelTerms.size < nVocab, "fixture vacuous: panel covers the vocabulary")
+    val served = probe
+      .join(broadcast(qterms), col("word") === col("term"))
+      .groupBy("q_id", "doc_id").agg(sum("w6").as("s6"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("s6"), asc("doc_id"))))
+      .filter(col("rn") <= TextAnalysis.Bm25K)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("doc_id"),
+        round(col("s6").cast("double") / lit(1e6), 6).as("score"))
+      .orderBy("q_id", "rn")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val scanTime = TextAnalysis.bm25TopK(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served == scanTime, "stored-index ranking diverges from the scan-time form")
+  }
 }
