@@ -493,7 +493,14 @@ object TextAnalysis {
   def bm25TopK(spark: SparkSession, sfDir: String, k: Int = Bm25K): DataFrame = {
     import spark.implicits._
     val qterms = Bm25Queries.toDF("q_id", "term")
-    bm25Scores(spark, sfDir, qterms, excludeSelf = false)
+    // literal HANDFUL-of-queries panel: the plain posting-list join-agg is
+    // the cheaper plan here (fan-out ≈ |matching postings|, no pivot
+    // stages); the vector kernel in [[bm25Scores]] wins only when the
+    // panel is corpus-sliced and queries-per-term is large (rrfFusion's
+    // arm). Both compute the identical exact micro-unit sums.
+    val w = termWeights(spark, sfDir, qterms.select(col("term").as("word")).distinct())
+    w.join(broadcast(qterms), col("word") === col("term"))
+      .groupBy("q_id", "doc_id").agg(sum("w6").as("s6"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("s6"), asc("doc_id"))))
       .filter(col("rn") <= k)

@@ -49,13 +49,13 @@ class PlanHygieneSpec extends SparkSpec {
       // corpus); its bracket audit additionally embeds q_cosine_topk's
       // exact companion with the same bounded query-panel broadcast
       "q_ivf_topk", "q_ivf_audit",
-      // the BM25 scorer shares the cosine family's kernel shape: per-query
-      // 0/1 vocab masks broadcast against per-doc weight vectors, one
-      // codegen'd dot per (query, doc) pair — the broadcast side is the
-      // bounded query panel; hybrid retrieval additionally fuses the SAME
-      // bounded-panel cosine ranking (its semantic arm IS q_cosine_topk
-      // at pool depth 20)
-      "q_bm25_topk", "q_rrf_fusion",
+      // hybrid retrieval's lexical arm shares the cosine family's kernel
+      // shape (per-query 0/1 vocab masks broadcast against per-doc weight
+      // vectors, one codegen'd dot per pair — the broadcast side is the
+      // bounded query panel), and its semantic arm IS q_cosine_topk at
+      // pool depth 20 (q_bm25_topk's literal panel uses the plain
+      // posting-list equi-join and needs no allowance)
+      "q_rrf_fusion",
       // semantic decontamination broadcasts the BENCHMARK slice — in
       // production a fixed-size eval set while the corpus grows, so the
       // broadcast side does not scale with the input
