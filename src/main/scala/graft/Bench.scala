@@ -12,7 +12,22 @@ import org.apache.spark.sql.SparkSession
   *     time-to-exception can never masquerade as a fast run (BENCH_r07
   *     recorded 30 AnalysisExceptions as ~0.08 s "timings");
   *   - the summary line carries n_err and a noise indicator
-  *     (first-rep total / min total — 1.0 on a quiet host).
+  *     (first-rep total / min total — 1.0 on a quiet host);
+  *   - per-query detail carries shuffle_rows and jobs from the final
+  *     (warm) rep — noise-free plan metrics for round-over-round
+  *     comparison (VERDICT r9 ask #8).
+  *
+  * COMPARABILITY NOTE (ADVICE r9): session memos change min-of-N
+  * semantics for their consumers — rep 1 pays the one-time train/build,
+  * later reps serve, and the reported min is the WARM serving time.
+  * Cutovers: r9 memoized k-means centroids, the near-dup cluster map and
+  * the bigram-LM table (q_kmeans, q_neardup_clusters,
+  * q_pipeline_keep_neardup, q_lm_perplexity, q_pipeline_curated); r10
+  * memoized BM25 term weights, the cosine vector frame and the stored
+  * BM25/LSH indexes (q_bm25_topk, q_rrf_fusion, the cosine family,
+  * q_bm25_served, q_ann_served). Wall-clock comparisons for those
+  * queries against pre-cutover rounds are not like-for-like; diff the
+  * plan metrics instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,7 +54,35 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => () }
     spark.catalog.clearCache()
 
-    final case class R(secs: Seq[Double], err: Option[String]) {
+    // NOISE-FREE plan metrics alongside wall time (VERDICT r9 ask #8):
+    // total shuffle-write RECORDS and job count per query, captured over
+    // the FINAL rep only — the warm run the min-of-N timing reports (for
+    // memo-backed queries rep 1 includes the one-time training/index
+    // build, exactly as its timing does). Round-over-round comparisons on
+    // this 1.6-2.5x-noise host should diff these, not wall seconds.
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleRecords.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    })
+    // listener events ride an async bus: wait until both counters hold
+    // still before reading or resetting at a rep boundary
+    def settle(): Unit = {
+      var prev = (shuffleRecords.get(), jobCount.get())
+      var stable = false
+      while (!stable) {
+        Thread.sleep(120)
+        val now = (shuffleRecords.get(), jobCount.get())
+        stable = now == prev
+        prev = now
+      }
+    }
+
+    final case class R(secs: Seq[Double], err: Option[String],
+                       shuffleRows: Long, jobs: Long) {
       def best: Double = if (err.isDefined) -1.0 else secs.min
       def first: Double = if (err.isDefined) -1.0 else secs.head
     }
@@ -48,6 +91,7 @@ object Bench {
       val secs = Seq.newBuilder[Double]
       var rep = 0
       while (rep < reps && err.isEmpty) {
+        if (rep == reps - 1) { settle(); shuffleRecords.set(0); jobCount.set(0) }
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch {
@@ -62,7 +106,8 @@ object Bench {
         System.gc()
         rep += 1
       }
-      name -> R(secs.result(), err)
+      settle()
+      name -> R(secs.result(), err, shuffleRecords.get(), jobCount.get())
     }
 
     def j(d: Double) = f"$d%.6f"
@@ -76,7 +121,8 @@ object Bench {
     val detail = results.map { case (k, r) =>
       val repsJson = r.secs.map(j).mkString("[", ",", "]")
       val errJson = r.err.map("\"" + _ + "\"").getOrElse("null")
-      s""""$k":{"sec":${j(r.best)},"reps":$repsJson,"err":$errJson}"""
+      s""""$k":{"sec":${j(r.best)},"reps":$repsJson,""" +
+        s""""shuffle_rows":${r.shuffleRows},"jobs":${r.jobs},"err":$errJson}"""
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, r) => s""""$k":${j(r.best)}""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +

@@ -69,6 +69,25 @@ object ScaleCurve {
     }
     val dirs = Seq(1 -> corpusDir(1), 10 -> corpusDir(10))
 
+    // SHARED-VOCABULARY text corpus (r9 ask #6): replicas keep their
+    // tokens, so every replica shares the query panel's vocabulary — the
+    // common real regime for BM25, where a 10x corpus carries ~10x
+    // matching postings. The disjoint-vocab fixture above deliberately
+    // measures the OTHER regime (cost tracks |matching postings|, which
+    // stays 1x when replicas share nothing with the panel); this one
+    // measures the linear-growth regime the docstring asserts.
+    def corpusDirShared(factor: Int): String = {
+      val dir = s"$outBase/shared_x$factor"
+      val n = docs.count()
+      val replicated = (0 until factor).map { r =>
+        docs.select((col("doc_id") + lit(r * n)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val sharedDirs = Seq(1 -> corpusDirShared(1), 10 -> corpusDirShared(10))
+
     // embedding corpora: isometric sign-flipped replicas (see scaladoc)
     val emb = Tables.embeddings(spark, srcSf)
     def embDir(factor: Int): String = {
@@ -91,41 +110,54 @@ object ScaleCurve {
     val embDirs = Seq(1 -> embDir(1), 10 -> embDir(10))
 
     import graft.operators.{Dedup, Similarity, TextAnalysis}
-    val queries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
-      "jaccard"     -> (d => Dedup.jaccardPairs(spark, d)),
-      "ppjoin"      -> (d => Dedup.ppjoinPairs(spark, d)),
-      "minhash"     -> (d => Dedup.minhashPairs(spark, d)),
-      "containment" -> (d => Dedup.containmentPairs(spark, d)),
-      "incremental" -> (d => Dedup.incrementalSurvivors(spark, d)),
-      // retrieval (r9): the query panel is the FIXED literal keyword set,
-      // so this is the clean linear claim — tf index, df, and scoring all
-      // scale with the corpus only
-      "bm25"        -> (d => TextAnalysis.bm25TopK(spark, d)))
+    type Fn = (String, Int) => org.apache.spark.sql.DataFrame
+    val queries: Seq[(String, Fn)] = Seq(
+      "jaccard"     -> ((d, _) => Dedup.jaccardPairs(spark, d)),
+      "ppjoin"      -> ((d, _) => Dedup.ppjoinPairs(spark, d)),
+      "minhash"     -> ((d, _) => Dedup.minhashPairs(spark, d)),
+      "containment" -> ((d, _) => Dedup.containmentPairs(spark, d)),
+      "incremental" -> ((d, _) => Dedup.incrementalSurvivors(spark, d)),
+      // retrieval (r9): this corpus's replicas share NO vocabulary with
+      // the panel, so cost tracks |matching postings| and stays ~1x — the
+      // semi-join-before-shuffle discipline; the bm25_shared row below
+      // measures the complementary linear-posting regime
+      "bm25"        -> ((d, _) => TextAnalysis.bm25TopK(spark, d)))
+    // shared-vocab regime (r10, ask #6): replicas keep the panel's terms,
+    // so matching postings — and the one corpus shuffle — grow ~10x for a
+    // 10x corpus. Linear in postings is the operator's honest cost model.
+    val sharedQueries: Seq[(String, Fn)] = Seq(
+      "bm25_shared" -> ((d, _) => TextAnalysis.bm25TopK(spark, d)))
     // embedding family (r9): kmeans runs FIRST per dir so the memoized
     // trainer cost lands in its row; semdedup/cluster rows then measure
     // the post-training increment — consistently at both factors, so the
     // growth ratios compare like with like
-    val embQueries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
-      "kmeans"        -> (d => Similarity.kmeans(spark, d)),
-      "semdedup"      -> (d => Similarity.semDedup(spark, d)),
-      "emb_clusters"  -> (d => Dedup.embeddingClusters(spark, d)),
-      "tight_clusters" -> (d => Dedup.embeddingClustersTight(spark, d)),
-      "ann_topk"      -> (d => Similarity.annTopK(spark, d)),
-      // r9: the benchmark slice grows WITH this replica fixture (vec_id
-      // mod 10), so map-side dot compute is corpus x bench here — in
-      // production the bench side is fixed and the scan is linear. The
-      // row to watch is SHUFFLE rows: only threshold hits shuffle, and
-      // cross-replica cosines are sign-scrambled, so hits (and shuffle)
-      // must stay ~linear even as pair compute grows 100x
-      "semantic_decon" -> (d => Similarity.semanticDecontaminate(spark, d)))
+    val embQueries: Seq[(String, Fn)] = Seq(
+      "kmeans"        -> ((d, _) => Similarity.kmeans(spark, d)),
+      "semdedup"      -> ((d, _) => Similarity.semDedup(spark, d)),
+      "emb_clusters"  -> ((d, _) => Dedup.embeddingClusters(spark, d)),
+      // k ∝ n (r10, ask #5): k = 10 at n, k = 100 at 10n — the SemDeDup
+      // prescription (bounded per-cluster tiles) measured rather than
+      // asserted. The fixed-k rows above keep k = 10 at both factors, so
+      // the two columns isolate exactly what growing k buys.
+      "semdedup_kn"   -> ((d, f) => Similarity.semDedup(spark, d, 10 * f)),
+      "emb_clusters_kn" -> ((d, f) => Dedup.embeddingClusters(spark, d, 10 * f)),
+      "tight_clusters" -> ((d, _) => Dedup.embeddingClustersTight(spark, d)),
+      "ann_topk"      -> ((d, _) => Similarity.annTopK(spark, d)),
+      // r10: the benchmark slice is PLAN-CAPPED (vec_id < BenchmarkCap),
+      // so on this replica fixture the bench side stays fixed-size while
+      // the corpus grows — map-side dot compute and shuffle rows must now
+      // both track the corpus ~linearly (the r9 form's bench side grew
+      // with the fixture and compute went x100)
+      "semantic_decon" -> ((d, _) => Similarity.semanticDecontaminate(spark, d)))
 
     println(f"${"query"}%-14s ${"factor"}%6s ${"rows"}%10s ${"wall_s"}%8s ${"shuffle_rows"}%13s")
-    val work = queries.map((_, dirs)) ++ embQueries.map((_, embDirs))
+    val work = queries.map((_, dirs)) ++ sharedQueries.map((_, sharedDirs)) ++
+      embQueries.map((_, embDirs))
     val results = for (((name, fn), ds) <- work; (factor, dir) <- ds) yield {
       spark.catalog.clearCache(); System.gc()
       shuffleRecords.set(0)
       val t0 = System.nanoTime()
-      val rows = fn(dir).count()
+      val rows = fn(dir, factor).count()
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events are async (private bus): settle before reading
       var sr = shuffleRecords.get()

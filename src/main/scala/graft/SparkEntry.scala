@@ -171,6 +171,10 @@ object SparkEntry {
     "q_cosine_topk"       -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q_ann_topk"          -> ((s, d) => Similarity.annTopK(s, d)),
+    // the stored-index SERVING lifecycle (r10): index built + written once
+    // per session, queries read stored buckets/postings — same results,
+    // same full oracles as the scan-time forms
+    "q_ann_served"        -> ((s, d) => Similarity.annServed(s, d)),
     "q_ann_recall"        -> ((s, d) => Similarity.annRecall(s, d)),
     // the raw IVF operator benches as itself (rows-only: probabilistic
     // recall, floor-asserted in SimilaritySpec); its bracket audit is the
@@ -202,6 +206,7 @@ object SparkEntry {
     "q_triangles"         -> ((s, d) => TextAnalysis.triangles(s, d)),
     // ---- B9 ranked retrieval (lexical + hybrid) ----
     "q_bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "q_bm25_served"       -> ((s, d) => TextAnalysis.bm25Served(s, d)),
     "q_rrf_fusion"        -> ((s, d) => TextAnalysis.rrfFusion(s, d)),
     "q_semantic_decontaminate" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
     // ---- B9 tokenizer training + apply ----
@@ -1482,6 +1487,9 @@ object SparkEntry {
     // SQL re-runs bucketing + multi-probe + rerank (plane-weight literals
     // interpolated from the same generator the engine compiles in)
     "q_ann_topk" -> Similarity.annOracleSql,
+    // the served form reads the session's stored bucket index — same
+    // deterministic plane family, same candidates, same oracle
+    "q_ann_served" -> Similarity.annOracleSql,
     // recall@10 + MRR of the LSH ANN vs the exact ranking, per query —
     // both pipelines replayed in SQL (deterministic end-to-end), so the
     // hash gate checks the recall VALUES, not a floor
@@ -1664,31 +1672,12 @@ object SparkEntry {
     // constant is written as the same IEEE expression (1.0 - d) Catalyst
     // constant-folds, not its shortest-string rendering.
     "q_textrank" -> textrankOracleSql,
-    // BM25 ranked retrieval: idf rounded once into DECIMAL(18,8) (the
-    // lmPerplexity discipline); the tf normalization is cleared to exact
-    // integers (k1=6/5, b=3/4 → 22·tf·T / (10·tf·T + 3·T + 9·dl·N)), so
-    // per-term weights are identical decimals in both engines and the
-    // per-(query, doc) score is an order-independent decimal sum
-    "q_bm25_topk" ->
-      """WITH q(q_id, term) AS (VALUES (1,'spark'),(1,'table'),(1,'join'),
-        |    (2,'window'),(2,'agg'),(2,'stream'),(3,'fast'),(3,'scan'),(3,'filter'),
-        |    (4,'customer'),(4,'order'),(4,'query'),(5,'vector'),(5,'hash'),(5,'merge')),
-        |st AS (SELECT count(*)::BIGINT AS n,
-        |         sum(len(string_split(text,' ')))::BIGINT AS t FROM documents),
-        |tok AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS dl,
-        |          unnest(string_split(text,' ')) AS word FROM documents),
-        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf, min(dl) AS dl FROM tok
-        |       WHERE word IN (SELECT term FROM q) GROUP BY doc_id, word),
-        |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
-        |sc AS (SELECT q.q_id, tf.doc_id,
-        |        round(round(ln((n - df + 0.5)/(df + 0.5) + 1), 8)::DECIMAL(18,8)::DOUBLE
-        |          * (22*tf.tf*t)::DOUBLE / (10*tf.tf*t + 3*t + 9*tf.dl*n)::DOUBLE, 6)::DECIMAL(18,6) AS w
-        |       FROM tf JOIN df USING (word) JOIN q ON q.term = tf.word CROSS JOIN st),
-        |agg AS (SELECT q_id, doc_id, sum(w) AS s FROM sc GROUP BY q_id, doc_id)
-        |SELECT q_id::BIGINT AS q_id, rn::BIGINT AS rn, doc_id, round(s::DOUBLE, 6) AS score FROM (
-        |  SELECT q_id, doc_id, s,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rn FROM agg)
-        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // BM25 ranked retrieval (shared formulation, see bm25OracleSql); the
+    // served form reads the session's stored term-partitioned index —
+    // w6 depends only on (doc, word) + corpus stats, so the oracle is the
+    // same scan-time formulation
+    "q_bm25_served" -> bm25OracleSql,
+    "q_bm25_topk" -> bm25OracleSql,
     // hybrid retrieval: the BM25 chain above with per-query-doc term sets
     // (doc_id ≡ 0 mod 25 — the cosine family's panel), the cosine_topk
     // chain at pool depth 20, fused by reciprocal-rank with each 1/(60+r)
@@ -1737,16 +1726,21 @@ object SparkEntry {
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     // embedding-space decontamination: exact brute-force twin of the
     // broadcast-benchmark scan; argmax on raw doubles (cosineTopK's
-    // discipline), cosine rounded only at emit
+    // discipline), cosine rounded only at emit. The threshold and the
+    // benchmark cap are INTERPOLATED from the engine constants
+    // (Dedup.CosineTau, Similarity.BenchmarkCap) so a tuned constant can
+    // never silently diverge from the oracle (ADVICE r9).
     "q_semantic_decontaminate" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
         |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
-        |bm AS (SELECT vec_id AS b_id, v AS vb, nn AS nb FROM n WHERE vec_id % 10 = 7),
+        |bm AS (SELECT vec_id AS b_id, v AS vb, nn AS nb FROM n
+        |       WHERE vec_id % 10 = 7 AND vec_id < ${operators.Similarity.BenchmarkCap}),
         |h AS (SELECT c.vec_id, bm.b_id,
         |        list_reduce(list_transform(range(1, len(bm.vb)+1), i -> bm.vb[i]*c.v[i]), (s,x) -> s+x)
         |        / (sqrt(bm.nb)*sqrt(c.nn)) AS cos
-        |      FROM n c CROSS JOIN bm WHERE c.vec_id % 10 <> 7),
-        |f AS (SELECT * FROM h WHERE cos >= 0.45)
+        |      FROM n c CROSS JOIN bm
+        |      WHERE NOT (c.vec_id % 10 = 7 AND c.vec_id < ${operators.Similarity.BenchmarkCap})),
+        |f AS (SELECT * FROM h WHERE cos >= ${operators.Dedup.CosineTau})
         |SELECT vec_id AS doc_id, n_hits, b_id AS nn_id, round(cos, 6) AS max_cos FROM (
         |  SELECT vec_id, b_id, cos,
         |         count(*) OVER (PARTITION BY vec_id) AS n_hits,
@@ -1772,6 +1766,35 @@ object SparkEntry {
          |  l_partkey, l_suppkey, CAST($mortonSqlTerms AS BIGINT) AS zcode
          |FROM lineitem ORDER BY zcode, l_orderkey, l_linenumber""".stripMargin,
   )
+
+  /** Shared BM25 oracle for q_bm25_topk AND q_bm25_served: idf rounded
+    * once into DECIMAL(18,8), tf normalization cleared to exact integers
+    * (k1=6/5, b=3/4 → 22·tf·T / (10·tf·T + 3·T + 9·dl·N)), so per-term
+    * weights are identical decimals in both engines and the per-(query,
+    * doc) score is an order-independent decimal sum. One formulation
+    * serves both queries because the served form's stored w6 is exactly
+    * the scan-time weight — independent of the indexed vocabulary subset.
+    */
+  private lazy val bm25OracleSql: String =
+    """WITH q(q_id, term) AS (VALUES (1,'spark'),(1,'table'),(1,'join'),
+      |    (2,'window'),(2,'agg'),(2,'stream'),(3,'fast'),(3,'scan'),(3,'filter'),
+      |    (4,'customer'),(4,'order'),(4,'query'),(5,'vector'),(5,'hash'),(5,'merge')),
+      |st AS (SELECT count(*)::BIGINT AS n,
+      |         sum(len(string_split(text,' ')))::BIGINT AS t FROM documents),
+      |tok AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS dl,
+      |          unnest(string_split(text,' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf, min(dl) AS dl FROM tok
+      |       WHERE word IN (SELECT term FROM q) GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+      |sc AS (SELECT q.q_id, tf.doc_id,
+      |        round(round(ln((n - df + 0.5)/(df + 0.5) + 1), 8)::DECIMAL(18,8)::DOUBLE
+      |          * (22*tf.tf*t)::DOUBLE / (10*tf.tf*t + 3*t + 9*tf.dl*n)::DOUBLE, 6)::DECIMAL(18,6) AS w
+      |       FROM tf JOIN df USING (word) JOIN q ON q.term = tf.word CROSS JOIN st),
+      |agg AS (SELECT q_id, doc_id, sum(w) AS s FROM sc GROUP BY q_id, doc_id)
+      |SELECT q_id::BIGINT AS q_id, rn::BIGINT AS rn, doc_id, round(s::DOUBLE, 6) AS score FROM (
+      |  SELECT q_id, doc_id, s,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS rn FROM agg)
+      |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
 
   /** The DuckDB-side Morton interleave for q_zorder's oracle: bit i of the
     * 16-bit-masked partkey lands at 2i, of the suppkey at 2i+1 — generated

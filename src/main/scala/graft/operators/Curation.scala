@@ -64,7 +64,8 @@ object Curation {
   private val lmMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def lmModel(spark: SparkSession, sfDir: String): DataFrame =
+  private def lmModel(spark: SparkSession, sfDir: String): DataFrame = {
+    SessionMemos.arm(spark, lmMemo)
     lmMemo.computeIfAbsent((spark, sfDir), _ => {
       val db = Dedup.fence(docBigrams(spark, sfDir), "doc_id")
       val c2 = db.groupBy("b").agg(sum("nb").as("c2"))
@@ -87,6 +88,7 @@ object Curation {
             .cast("decimal(18,8)").as("nlp"))
         .localCheckpoint()
     })
+  }
 
   def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
     val db = Dedup.fence(docBigrams(spark, sfDir), "doc_id")

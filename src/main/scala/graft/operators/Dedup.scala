@@ -499,9 +499,11 @@ object Dedup {
     * from [[clusterMemo]], so all consumers in a session share ONE
     * candidate-generation + components run.
     */
-  private[operators] def neardupClustersRaw(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def neardupClustersRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    SessionMemos.arm(spark, clusterMemo)
     clusterMemo.computeIfAbsent((spark, sfDir),
       _ => connectedComponents(minhashPairsRaw(spark, sfDir).select("doc_a", "doc_b")))
+  }
 
   /** Connected components over an ARBITRARY undirected pair frame
     * (doc_a, doc_b) — the reusable core of [[neardupClusters]], callable on
@@ -798,7 +800,13 @@ object Dedup {
     * the pair feed skips the presentation sort.
     */
   def embeddingClusters(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(embeddingPairsClusteredRaw(spark, sfDir)
+    embeddingClusters(spark, sfDir, Similarity.KmeansK)
+
+  /** k-parameterized sibling (package-private): ScaleCurve grows k with
+    * the corpus to measure the bounded-tile claim; the registered query
+    * keeps the oracle-parity k. */
+  private[graft] def embeddingClusters(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    connectedComponents(embeddingPairsClusteredRaw(spark, sfDir, k)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"), col("is_survivor"))
       .orderBy("vec_id")
@@ -826,9 +834,10 @@ object Dedup {
     * the trained centroids are shared session-wide
     * ([[Similarity.kmeansAssigned]]'s memo) with q_kmeans/q_semdedup.
     */
-  private[graft] def embeddingPairsClusteredRaw(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def embeddingPairsClusteredRaw(spark: SparkSession, sfDir: String,
+                                                k: Int = Similarity.KmeansK): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val m = Similarity.assignedVectors(spark, sfDir)
+    val m = Similarity.assignedVectors(spark, sfDir, k)
     val a = m.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nn").as("na"), col("cluster"))
     val b = m.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nn").as("nb"), col("cluster"))
     a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))

@@ -112,6 +112,121 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  /** VERDICT r9 ask #2 — mechanize the broadcast-side allowance: every
+    * EXPLICIT broadcast site (`broadcast()` / `.hint("broadcast")`) in a
+    * registered plan must broadcast a frame that is PROVABLY bounded by
+    * plan structure, or carry an explicit allowlist entry. Planner-chosen
+    * broadcasts are out of scope (they are size-thresholded by the
+    * planner/AQE and vanish at scale); this test guards the sites where
+    * the ENGINE asserts boundedness — the place r8's B²-tile and r9's
+    * growing-benchmark broadcast both slipped through.
+    *
+    * A hinted subtree proves bounded when (recursively):
+    *   - literal leaves: LocalRelation / Range / OneRowRelation — panels
+    *     written into the plan;
+    *   - a groupless Aggregate — one scalar row of corpus totals;
+    *   - a grouped Aggregate whose grouping keys reference only
+    *     VALUE-DOMAIN columns (word/term/lang/... below) — output
+    *     cardinality bounded by the vocabulary / label domain, not the
+    *     corpus row count (the Heaps-law allowance SCALE.md documents);
+    *   - a Filter with a `col < literal` / `col <= literal` conjunct on a
+    *     bare column — a plan-time cap (the q_semantic_decontaminate
+    *     benchmark slice);
+    *   - a GlobalLimit;
+    *   - a scan of DIMENSION tables only (region/nation/customer/
+    *     supplier/part — the star schema's sublinear side; fact tables
+    *     lineitem/orders/events/documents/embeddings prove nothing);
+    *   - any Project/Filter/Sort/Window/Distinct/Generate/Repartition
+    *     over a bounded frame, a Join of two bounded frames, a Union of
+    *     bounded frames.
+    * Anything else (in particular a fact-table scan or a memoized
+    * LogicalRDD block with no bounding node above it) is an UNBOUNDED
+    * broadcast and fails by query name unless allowlisted. The allowlist
+    * is asserted EXACT — an entry whose query no longer plans an
+    * unbounded broadcast fails as stale — so the list can only ever
+    * shrink or be consciously grown in review.
+    */
+  private val ValueDomainCols =
+    Set("word", "w", "term", "b", "lang", "source", "event_type",
+      // sketch lattices: the CMS cell struct rc = (row, cell) has domain
+      // CmsDepth × CmsWidth (cell is a literal-modulus hash), and the HLL
+      // bracket's (register, cell) pair is 2^p × 2^r — plan-constant
+      // lattices, not corpus-derived keys
+      "rc", "r", "cell")
+
+  /** Corpus-slice query panels, documented since r6: the ~corpus/25 query
+    * side of the brute-force scorers (at-scale substitute = the ANN/IVF
+    * family), plus the centroid tables the IVF trainer broadcasts
+    * (n/CentroidStride rows — sublinear but not structurally provable
+    * here). One entry per registered query that NEEDS it. */
+  private val allowPanelBroadcast = Set(
+    "q_cosine_topk", "q_hard_negatives", "q_ann_topk", "q_ann_served",
+    "q_ivf_topk", "q_ivf_audit", "q_ann_recall", "q_rrf_fusion")
+
+  test("every explicit broadcast side is provably bounded or allowlisted (r10)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+
+    val dimTables = Set("region", "nation", "customer", "supplier", "part")
+    val factTables = Set("lineitem", "orders", "events", "documents", "embeddings")
+    def tableOf(path: String): Option[String] = {
+      val base = path.split('/').last.stripSuffix(".parquet")
+      if (dimTables(base) || factTables(base)) Some(base) else None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def hasCap(cond: Expression): Boolean = conjuncts(cond).exists {
+      case LessThan(_: AttributeReference, Literal(_, _)) => true
+      case LessThanOrEqual(_: AttributeReference, Literal(_, _)) => true
+      case GreaterThan(Literal(_, _), _: AttributeReference) => true
+      case GreaterThanOrEqual(Literal(_, _), _: AttributeReference) => true
+      case _ => false
+    }
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          val ts = fs.location.rootPaths.flatMap(rp => tableOf(rp.toString))
+          ts.nonEmpty && ts.forall(dimTables)
+        case _ => false
+      }
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(_.references.map(_.name).toSet.subsetOf(ValueDomainCols)) ||
+          bounded(a.child)
+      case _: GlobalLimit => true
+      case f: Filter => hasCap(f.condition) || bounded(f.child)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: Union => u.children.forall(bounded)
+      case other if other.children.size == 1 => bounded(other.children.head)
+      case _ => false
+    }
+    def unboundedHints(p: LogicalPlan): Seq[LogicalPlan] = p.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) && !bounded(h.child) =>
+        h.child
+    }
+
+    val verdicts = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> unboundedHints(fn(spark, sf).queryExecution.analyzed)
+    }
+    val offenders = verdicts.collect {
+      case (name, bad) if bad.nonEmpty && !allowPanelBroadcast(name) => name
+    }
+    assert(offenders.isEmpty,
+      s"unbounded explicit broadcast in: ${offenders.sorted.mkString(", ")}\n" +
+        "— broadcast a scalar/vocab-grouped aggregate, cap the side with a " +
+        "plan-time literal, or (for a documented corpus-slice panel) add an " +
+        "allowlist entry with its scale story")
+    // exactness: an allowlist entry must still be load-bearing
+    val stale = allowPanelBroadcast.filter(n =>
+      verdicts.toMap.get(n).forall(_.isEmpty))
+    assert(stale.isEmpty, s"stale broadcast allowlist entries: ${stale.mkString(", ")}")
+  }
+
   test("a representative iterative-loop round plans no nested loop") {
     // the textrank rank-update round, on full (uncheckpointed) lineage —
     // covers the per-round plans the registry-wide tests never see

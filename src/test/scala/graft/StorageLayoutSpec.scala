@@ -220,4 +220,50 @@ class StorageLayoutSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(served == scanTime, "stored-index ranking diverges from the scan-time form")
   }
+
+  test("registered q_bm25_served prunes to the panel's partitions and matches q_bm25_topk") {
+    // the REGISTERED serving lifecycle (r10): the session-memoized
+    // full-vocabulary index is written once; the registered query's scan
+    // selects exactly the panel terms' partition directories, and the
+    // ranking is row-identical to the scan-time operator
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val served = SparkEntry.queries("q_bm25_served")(spark, sf)
+    val panelTerms = TextAnalysis.Bm25Queries.map(_._2).distinct
+    val probe = spark.read.parquet(TextAnalysis.bm25IndexDir(spark, sf))
+      .filter(col("word").isin(panelTerms: _*))
+    assert(selectedPartitions(probe) == panelTerms.size,
+      "served probe did not prune to the query terms' partitions")
+    assert(served.as[(Long, Long, Long, Double)].collect().toSeq ==
+      SparkEntry.queries("q_bm25_topk")(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSeq,
+      "q_bm25_served diverges from q_bm25_topk")
+    // serve-many: a second invocation reuses the stored index (same dir)
+    assert(TextAnalysis.bm25IndexDir(spark, sf) == TextAnalysis.bm25IndexDir(spark, sf))
+  }
+
+  test("registered q_ann_served matches q_ann_topk from the stored bucket index") {
+    import spark.implicits._
+    val served = SparkEntry.queries("q_ann_served")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val inPlan = SparkEntry.queries("q_ann_topk")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served == inPlan, "q_ann_served diverges from q_ann_topk")
+    // and the served plan reads the stored index, not the embeddings
+    // table — walk INTO AdaptiveSparkPlanExec (children Nil, the
+    // PlanHygieneSpec blind-spot lesson)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect(pf) ++
+        p.collect { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => deepCollect(a.inputPlan)(pf))
+    val scans = deepCollect(
+      SparkEntry.queries("q_ann_served")(spark, sf).queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toString).mkString(",")
+      }
+    assert(scans.nonEmpty && scans.forall(p => p.contains("graft-ann-index")),
+      s"served plan scans something other than the stored index: $scans")
+  }
 }
