@@ -207,6 +207,7 @@ object SparkEntry {
     // ---- B9 ranked retrieval (lexical + hybrid) ----
     "q_bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "q_bm25_served"       -> ((s, d) => TextAnalysis.bm25Served(s, d)),
+    "q_bm25_incremental"  -> ((s, d) => TextAnalysis.bm25Incremental(s, d)),
     "q_rrf_fusion"        -> ((s, d) => TextAnalysis.rrfFusion(s, d)),
     "q_semantic_decontaminate" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
     // ---- B9 tokenizer training + apply ----
@@ -1677,6 +1678,10 @@ object SparkEntry {
     // w6 depends only on (doc, word) + corpus stats, so the oracle is the
     // same scan-time formulation
     "q_bm25_served" -> bm25OracleSql,
+    // the incremental form serves from append-only raw postings + batch
+    // stats; df/idf recomputed from current global facts at serve time,
+    // so the merged-index ranking is exactly the full-corpus ranking
+    "q_bm25_incremental" -> bm25OracleSql,
     "q_bm25_topk" -> bm25OracleSql,
     // hybrid retrieval: the BM25 chain above with per-query-doc term sets
     // (doc_id ≡ 0 mod 25 — the cosine family's panel), the cosine_topk

@@ -608,6 +608,103 @@ object TextAnalysis {
       .orderBy("q_id", "rn")
   }
 
+  /** Incremental postings index for [[bm25Incremental]]: raw
+    * (doc_id, tf, dl, batch) postings partitioned by term, appended one
+    * BATCH at a time, plus a per-batch (batch, n, t) stats table. The
+    * load-bearing design point vs [[bm25IndexDir]]'s weight index: w6
+    * depends on GLOBAL df/N/T, which change with every appended crawl
+    * batch — so an index that must absorb appends stores batch-local
+    * FACTS (term frequencies and doc lengths, which never change once
+    * written) and computes weights at serve time from current global
+    * stats. Appending batch B touches only B's postings and one stats
+    * row; nothing already written is read or rewritten. df for a term
+    * is the row count of its partition — available post-pruning.
+    * No-rewrite assumption: [[SessionMemos]].
+    */
+  private val postingsIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def postingsIndexDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, postingsIndexMemo)
+    postingsIndexMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-postings").toString
+      // two deterministic "crawl batches" (even / odd doc ids): the first
+      // write creates the index, the second is a pure append
+      appendPostingsBatch(spark, sfDir, dir, 0)
+      appendPostingsBatch(spark, sfDir, dir, 1)
+      dir
+    })
+  }
+
+  /** Append one crawl batch's postings + stats row to the standing index
+    * at `dir`. Package-private so StorageLayoutSpec can drive the
+    * batch-at-a-time lifecycle explicitly. */
+  private[graft] def appendPostingsBatch(spark: SparkSession, sfDir: String,
+                                         dir: String, batchId: Int): Unit = {
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === batchId)
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+      .withColumn("batch", lit(batchId))
+      .write.partitionBy("word").mode("append").parquet(s"$dir/postings")
+    docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("t"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("append").parquet(s"$dir/stats")
+  }
+
+  /** BM25 over the INCREMENTALLY-built postings index — the index
+    * MAINTENANCE half of the production lifecycle ([[bm25Served]] is the
+    * serving half): the corpus arrives as appended batches, each writing
+    * only its own postings partitions and one stats row, and serving
+    * computes df/idf/weights from the CURRENT global facts — so the
+    * ranking over the merged index is exactly the full-corpus ranking
+    * (hash-checked against the same oracle as [[bm25TopK]]). The weight
+    * arithmetic mirrors [[termWeights]] expression-for-expression (idf
+    * rounded once into DECIMAL(18,8), integer-cleared tf normalization,
+    * micro-unit longs), so scores are bit-identical to the scan-time and
+    * stored-weight forms.
+    *
+    * Scale shape: serving reads ONLY the panel terms' partitions (static
+    * pruning) — df comes from the pruned rows themselves, the stats
+    * table is batch-count-sized, and the one shuffle is the
+    * (q_id, doc_id) long-sum over matching postings. Appends never
+    * rescan the standing index; the recompute-on-serve of df/idf is the
+    * price of append-only facts, paid on vocabulary-sized frames.
+    */
+  def bm25Incremental(spark: SparkSession, sfDir: String, k: Int = Bm25K): DataFrame = {
+    import spark.implicits._
+    val qterms = Bm25Queries.toDF("q_id", "term")
+    val panelTerms = Bm25Queries.map(_._2).distinct
+    val dir = postingsIndexDir(spark, sfDir)
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("word").isin(panelTerms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n").as("n"), sum("t").as("t"))
+    val idf = post.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("word"),
+        round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 8)
+          .cast("decimal(18,8)").as("idf"))
+    post.join(broadcast(idf), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("word"),
+        (round(col("idf").cast("double")
+            * (lit(22L) * col("tf") * col("t")).cast("double")
+            / (lit(10L) * col("tf") * col("t") + lit(3L) * col("t")
+               + lit(9L) * col("dl") * col("n")).cast("double"), 6)
+          .cast("decimal(18,6)") * lit(1000000L)).cast("long").as("w6"))
+      .join(broadcast(qterms), col("word") === col("term"))
+      .groupBy("q_id", "doc_id").agg(sum("w6").as("s6"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("s6"), asc("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("doc_id"),
+        scoreCol.as("score"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Per-query-document BM25 ranking for [[rrfFusion]]: the query panel is
     * the [[Similarity]] family's deterministic corpus slice (doc_id ≡ 0
     * mod 25 — same docs whose embeddings drive the cosine ranking), and

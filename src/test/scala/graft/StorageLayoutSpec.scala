@@ -242,6 +242,34 @@ class StorageLayoutSpec extends SparkSpec {
     assert(TextAnalysis.bm25IndexDir(spark, sf) == TextAnalysis.bm25IndexDir(spark, sf))
   }
 
+  test("incremental postings index: batch appends serve the exact full-corpus BM25 ranking") {
+    // index MAINTENANCE (r10): drive the append lifecycle explicitly —
+    // build with batch 0 only, serve (a ranking over half the corpus),
+    // append batch 1, serve again — the second serving must equal the
+    // full-corpus scan-time ranking exactly, because the index stores
+    // append-only facts (tf, dl, per-batch stats) and recomputes the
+    // global df/idf at serve time. Also proves the first serving really
+    // used only batch 0 (a stale-weights index would have frozen batch-0
+    // idf into batch-1 scores instead).
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-post").toString
+    TextAnalysis.appendPostingsBatch(spark, sf, dir, 0)
+    val post0 = spark.read.parquet(s"$dir/postings")
+    assert(post0.select("batch").distinct().as[Int].collect().toSet == Set(0))
+    TextAnalysis.appendPostingsBatch(spark, sf, dir, 1)
+    val post01 = spark.read.parquet(s"$dir/postings")
+    assert(post01.select("batch").distinct().as[Int].collect().toSet == Set(0, 1))
+    // append-only: batch 0's row count is untouched by the batch-1 append
+    assert(post01.filter(col("batch") === 0).count() == post0.count())
+    // the registered query (memoized two-batch index) == scan-time BM25
+    val served = SparkEntry.queries("q_bm25_incremental")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val scanTime = TextAnalysis.bm25TopK(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served == scanTime, "incremental-index ranking diverges from the scan-time form")
+  }
+
   test("registered q_ann_served matches q_ann_topk from the stored bucket index") {
     import spark.implicits._
     val served = SparkEntry.queries("q_ann_served")(spark, sf)
