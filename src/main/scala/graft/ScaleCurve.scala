@@ -138,7 +138,12 @@ object ScaleCurve {
       // k ∝ n (r10, ask #5): k = 10 at n, k = 100 at 10n — the SemDeDup
       // prescription (bounded per-cluster tiles) measured rather than
       // asserted. The fixed-k rows above keep k = 10 at both factors, so
-      // the two columns isolate exactly what growing k buys.
+      // the two columns isolate exactly what growing k buys. kmeans_kn
+      // runs FIRST (same protocol as the fixed-k kmeans row) so the
+      // k-proportional trainer cost — per-round shuffle k x 64 x
+      // partitions, corpus-INDEPENDENT — lands in its own row and the
+      // dedup rows measure the post-training tile movement.
+      "kmeans_kn"     -> ((d, f) => Similarity.kmeansK(spark, d, 10 * f)),
       "semdedup_kn"   -> ((d, f) => Similarity.semDedup(spark, d, 10 * f)),
       "emb_clusters_kn" -> ((d, f) => Dedup.embeddingClusters(spark, d, 10 * f)),
       "tight_clusters" -> ((d, _) => Dedup.embeddingClustersTight(spark, d)),

@@ -175,6 +175,7 @@ object SparkEntry {
     // per session, queries read stored buckets/postings — same results,
     // same full oracles as the scan-time forms
     "q_ann_served"        -> ((s, d) => Similarity.annServed(s, d)),
+    "q_ann_incremental"   -> ((s, d) => Similarity.annIncremental(s, d)),
     "q_ann_recall"        -> ((s, d) => Similarity.annRecall(s, d)),
     // the raw IVF operator benches as itself (rows-only: probabilistic
     // recall, floor-asserted in SimilaritySpec); its bracket audit is the
@@ -1489,8 +1490,11 @@ object SparkEntry {
     // interpolated from the same generator the engine compiles in)
     "q_ann_topk" -> Similarity.annOracleSql,
     // the served form reads the session's stored bucket index — same
-    // deterministic plane family, same candidates, same oracle
+    // deterministic plane family, same candidates, same oracle; the
+    // incremental form appends per-batch signature segments (per-row
+    // facts — no serve-time recompute) and serves identically
     "q_ann_served" -> Similarity.annOracleSql,
+    "q_ann_incremental" -> Similarity.annOracleSql,
     // recall@10 + MRR of the LSH ANN vs the exact ranking, per query —
     // both pipelines replayed in SQL (deterministic end-to-end), so the
     // hash gate checks the recall VALUES, not a floor

@@ -161,7 +161,8 @@ class PlanHygieneSpec extends SparkSpec {
     * here). One entry per registered query that NEEDS it. */
   private val allowPanelBroadcast = Set(
     "q_cosine_topk", "q_hard_negatives", "q_ann_topk", "q_ann_served",
-    "q_ivf_topk", "q_ivf_audit", "q_ann_recall", "q_rrf_fusion")
+    "q_ann_incremental", "q_ivf_topk", "q_ivf_audit", "q_ann_recall",
+    "q_rrf_fusion")
 
   test("every explicit broadcast side is provably bounded or allowlisted (r10)") {
     import org.apache.spark.sql.catalyst.expressions._

@@ -270,6 +270,28 @@ class StorageLayoutSpec extends SparkSpec {
     assert(served == scanTime, "incremental-index ranking diverges from the scan-time form")
   }
 
+  test("incremental LSH index: batch appends serve the exact in-plan ANN ranking") {
+    // the ANN twin of the postings lifecycle — and the instructive
+    // contrast: signatures are PER-ROW facts, so appended segments are
+    // servable with zero recompute (no stats fold). Build with batch 0,
+    // append batch 1 (batch-0 rows untouched), serve == q_ann_topk.
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-incr-spec").toString
+    Similarity.appendAnnBatch(spark, sf, dir, 0)
+    val seg0 = spark.read.parquet(dir)
+    assert(seg0.select("batch").distinct().as[Int].collect().toSet == Set(0))
+    Similarity.appendAnnBatch(spark, sf, dir, 1)
+    val seg01 = spark.read.parquet(dir)
+    assert(seg01.select("batch").distinct().as[Int].collect().toSet == Set(0, 1))
+    assert(seg01.filter(col("batch") === 0).count() == seg0.count())
+    val served = SparkEntry.queries("q_ann_incremental")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val inPlan = SparkEntry.queries("q_ann_topk")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served == inPlan, "incremental-index ANN ranking diverges from q_ann_topk")
+  }
+
   test("registered q_ann_served matches q_ann_topk from the stored bucket index") {
     import spark.implicits._
     val served = SparkEntry.queries("q_ann_served")(spark, sf)
