@@ -372,16 +372,23 @@ object Similarity {
   private def annIndexDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, annIndexMemo)
     annIndexMemo.computeIfAbsent((spark, sfDir), _ => {
-      import graft.functions.VectorFunctions.dot
       val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
-      val bucket = planeWeights(64).zipWithIndex.map { case (w, p) =>
-        when(dot(col("v"), typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
       vectors(spark, sfDir, "vec_id", "v", "nn")
-        .withColumn("bucket", bucket)
+        .withColumn("bucket", signBucket(col("v")))
         .write.partitionBy("bucket").mode("overwrite").parquet(dir)
       dir
     })
+  }
+
+  /** The 4-plane sign bucket of a 64-d double vector column — the ONE
+    * bucket definition every LSH surface (in-plan, stored, incremental,
+    * streaming-ingest test) derives from, so buckets can never diverge
+    * between the index builder and the prober. */
+  private[graft] def signBucket(vCol: Column): Column = {
+    import graft.functions.VectorFunctions.dot
+    planeWeights(64).zipWithIndex.map { case (w, p) =>
+      when(dot(vCol, typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Incremental LSH index: the bucket-partitioned signature index built
@@ -412,28 +419,34 @@ object Similarity {
     * buckets. Package-private so StorageLayoutSpec drives the lifecycle
     * explicitly. */
   private[graft] def appendAnnBatch(spark: SparkSession, sfDir: String,
-                                    dir: String, batchId: Int): Unit = {
-    import graft.functions.VectorFunctions.dot
-    val bucket = planeWeights(64).zipWithIndex.map { case (w, p) =>
-      when(dot(col("v"), typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+                                    dir: String, batchId: Int): Unit =
     vectors(spark, sfDir, "vec_id", "v", "nn")
       .filter(col("vec_id") % 2 === batchId)
       .withColumn("batch", lit(batchId))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", signBucket(col("v")))
+      .write.partitionBy("bucket").mode("append").parquet(dir)
+
+  /** Append an arbitrary (vec_id, embedding) frame to a bucket index —
+    * the per-micro-batch writer of a STREAMING index-ingest pipeline
+    * (exercised in StreamingSpec via foreachBatch); identical row shape
+    * to [[appendAnnBatch]]'s segments. */
+  private[graft] def appendAnnFrame(embeddings: DataFrame, dir: String,
+                                    batchId: Long): Unit = {
+    import graft.functions.VectorFunctions.dot
+    val v = expr("transform(embedding, x -> cast(x as double))")
+    embeddings
+      .select(col("vec_id"), v.as("v"), dot(v, v).as("nn"))
+      .withColumn("batch", lit(batchId))
+      .withColumn("bucket", signBucket(col("v")))
       .write.partitionBy("bucket").mode("append").parquet(dir)
   }
 
-  /** [[annTopK]] over the INCREMENTALLY-appended bucket index — index
-    * MAINTENANCE for the ANN side: batches append their signature
-    * segments and serving is the unchanged multi-probe bucket equi-join
-    * over all segments, with zero serve-time recompute (signatures are
-    * batch-local facts — see [[annIncrIndexDir]]). Results identical to
-    * [[annTopK]]/[[annServed]], same full oracle.
-    */
-  def annIncremental(spark: SparkSession, sfDir: String, k: Int = 10,
-                     probeRadius: Int = ProbeRadius): DataFrame = {
-    val idx = spark.read.parquet(annIncrIndexDir(spark, sfDir))
+  /** [[annTopK]]'s probe/rerank over an arbitrary stored bucket index
+    * directory — shared by [[annServed]], [[annIncremental]] and the
+    * streaming-ingest test, so every serving surface runs ONE plan. */
+  private[graft] def annServeFrom(spark: SparkSession, dir: String, k: Int = 10,
+                                  probeRadius: Int = ProbeRadius): DataFrame = {
+    val idx = spark.read.parquet(dir)
       .select(col("vec_id"), col("v").as("vc"), col("nn").as("nc"),
         col("bucket").cast("long").as("bucket"))
     val q = idx.filter(col("vec_id") % 25 === 0)
@@ -452,6 +465,17 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rn")
   }
+
+  /** [[annTopK]] over the INCREMENTALLY-appended bucket index — index
+    * MAINTENANCE for the ANN side: batches append their signature
+    * segments and serving is the unchanged multi-probe bucket equi-join
+    * over all segments, with zero serve-time recompute (signatures are
+    * batch-local facts — see [[annIncrIndexDir]]). Results identical to
+    * [[annTopK]]/[[annServed]], same full oracle.
+    */
+  def annIncremental(spark: SparkSession, sfDir: String, k: Int = 10,
+                     probeRadius: Int = ProbeRadius): DataFrame =
+    annServeFrom(spark, annIncrIndexDir(spark, sfDir), k, probeRadius)
 
   /** [[annTopK]] SERVED from the stored bucket-partitioned index — the
     * LSH analogue of [[TextAnalysis.bm25Served]] (VERDICT r9 ask #3):
@@ -474,26 +498,8 @@ object Similarity {
     * (corpus/25 — the documented panel allowance).
     */
   def annServed(spark: SparkSession, sfDir: String, k: Int = 10,
-                probeRadius: Int = ProbeRadius): DataFrame = {
-    val idx = spark.read.parquet(annIndexDir(spark, sfDir))
-      .select(col("vec_id"), col("v").as("vc"), col("nn").as("nc"),
-        col("bucket").cast("long").as("bucket"))
-    val q = idx.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("q_id"), col("vc").as("vq"), col("nc").as("nq"), col("bucket"))
-      .withColumn("probe", explode(sequence(lit(0L), lit(((1 << NumPlanes) - 1).toLong))))
-      .filter(expr(s"bit_count(bucket ^ probe) <= $probeRadius"))
-      .drop("bucket").withColumnRenamed("probe", "bucket")
-    idx.join(q.hint("broadcast"), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", graft.functions.VectorFunctions.dot(col("vq"), col("vc"))
-        / (sqrt(col("nq")) * sqrt(col("nc"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy("q_id", "rn")
-  }
+                probeRadius: Int = ProbeRadius): DataFrame =
+    annServeFrom(spark, annIndexDir(spark, sfDir), k, probeRadius)
 
   /** FULL DuckDB oracle for [[annTopK]] — possible because every moving
     * part of the LSH pipeline is deterministic plan-time math: the plane

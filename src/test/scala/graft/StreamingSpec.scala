@@ -388,6 +388,40 @@ class StreamingSpec extends SparkSpec {
     assert(counts == ((want("view"), want("click"), want("purchase"))))
   }
 
+  test("streaming ANN index ingest: foreachBatch appends signature segments, serving stays exact") {
+    // the streaming face of q_ann_incremental: vector micro-batches
+    // arrive on a file stream and each one appends its own bucket-
+    // partitioned signature segment (per-row facts — zero serve-time
+    // recompute, the property SCALE.md documents); after the stream
+    // drains, serving from the accumulated index must equal the in-plan
+    // ANN ranking over the same corpus. This is how a production vector
+    // store absorbs a crawl feed: hash on arrival, land in buckets,
+    // immediately servable.
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val idxDir = Files.createTempDirectory("graft-annstream-idx").toString
+    val srcDir = writeSlices((0 until 3).map(i => emb.filter(col("vec_id") % 3 === i)))
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Similarity.appendAnnFrame(batch, idxDir, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val segments = spark.read.parquet(idxDir)
+    assert(segments.select("batch").distinct().count() == 3,
+      "expected one index segment per micro-batch")
+    assert(segments.count() == emb.count())
+    val served = Similarity.annServeFrom(spark, idxDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val inPlan = SparkEntry.queries("q_ann_topk")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(served == inPlan, "stream-ingested index ranking diverges from the in-plan ANN")
+  }
+
   test("ProcessingTime trigger with an ASYNC feeder: files landing mid-run curate to the batch result") {
     // VERDICT r9 ask #7: the other trigger tests pre-write every file
     // before start() — the trigger recurs but the source is static. Here
