@@ -121,12 +121,21 @@ object ScaleCurve {
       // the panel, so cost tracks |matching postings| and stays ~1x — the
       // semi-join-before-shuffle discipline; the bm25_shared row below
       // measures the complementary linear-posting regime
-      "bm25"        -> ((d, _) => TextAnalysis.bm25TopK(spark, d)))
+      "bm25"        -> ((d, _) => TextAnalysis.bm25TopK(spark, d)),
+      // r10: Apriori k=2 — replicas carry disjoint vocabularies, so the
+      // frequent set grows 10x but baskets stay the same size; item
+      // stream, pair fan-out and pair-support aggregate should all track
+      // the corpus ~linearly (the prune keeps fan-out per-doc-bounded)
+      "assoc"       -> ((d, _) => graft.operators.Curation.assocRules(spark, d)))
     // shared-vocab regime (r10, ask #6): replicas keep the panel's terms,
     // so matching postings — and the one corpus shuffle — grow ~10x for a
     // 10x corpus. Linear in postings is the operator's honest cost model.
     val sharedQueries: Seq[(String, Fn)] = Seq(
-      "bm25_shared" -> ((d, _) => TextAnalysis.bm25TopK(spark, d)))
+      "bm25_shared" -> ((d, _) => TextAnalysis.bm25TopK(spark, d)),
+      // complementary regime: vocabulary fixed, 10x docs — the frequent
+      // set is constant, the item stream and pair supports grow with the
+      // corpus; still linear if the prune-before-pairs discipline holds
+      "assoc_shared" -> ((d, _) => graft.operators.Curation.assocRules(spark, d)))
     // embedding family (r9): kmeans runs FIRST per dir so the memoized
     // trainer cost lands in its row; semdedup/cluster rows then measure
     // the post-training increment — consistently at both factors, so the

@@ -59,6 +59,10 @@ object SparkEntry {
     "q_lateral_topk"      -> ((s, d) => Relational.lateralTopCustomers(s, d)),
     "q_not_exists"        -> ((s, d) => Relational.notExistsCustomers(s, d)),
     "q_recursive_cte"     -> ((s, d) => Relational.recursiveAncestors(s, d)),
+    "q_scd2"              -> ((s, d) => Relational.scd2Build(s, d)),
+    "q_csv_source"        -> ((s, d) => Sources.csvCustomerSegments(s, d)),
+    "q_jsonl_source"      -> ((s, d) => Sources.jsonlDocsPerLang(s, d)),
+    "q_orc_source"        -> ((s, d) => Sources.orcOrderPriorities(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
     "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
     "q_asof_join_tolerance" -> ((s, d) => Relational.asOfJoinTolerance(s, d)),
@@ -71,6 +75,7 @@ object SparkEntry {
     "q_global_agg"        -> ((s, d) => Aggregates.globalAgg(s, d)),
     "q_count_distinct"    -> ((s, d) => Aggregates.countDistinctUsers(s, d)),
     "q_approx_distinct"   -> ((s, d) => Aggregates.approxDistinctUsers(s, d)),
+    "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_rollup"            -> ((s, d) => Aggregates.rollupRevenue(s, d)),
     "q_cube"              -> ((s, d) => Aggregates.cubeOrders(s, d)),
     "q_collect"           -> ((s, d) => Aggregates.collectEventTypes(s, d)),
@@ -81,6 +86,7 @@ object SparkEntry {
     "q_mode_hist"         -> ((s, d) => Aggregates.modeHist(s, d)),
     "q_approx_percentile" -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_cms_counts"        -> ((s, d) => Aggregates.cmsWordCounts(s, d)),
+    "q_cms_cube"          -> ((s, d) => Aggregates.cmsCubeServed(s, d)),
     "q_pivot"             -> ((s, d) => Aggregates.pivotEventCounts(s, d)),
     "q_grouping_sets"     -> ((s, d) => Aggregates.groupingSetsOrders(s, d)),
     // ---- B5 windows ----
@@ -186,6 +192,8 @@ object SparkEntry {
     "q_ivf_audit"         -> ((s, d) => Similarity.ivfAudit(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
+    "q_pq_topk"           -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q_ivfpq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
@@ -215,6 +223,8 @@ object SparkEntry {
     "q_bpe_merges"        -> ((s, d) => Curation.bpeMerges(s, d)),
     "q_bpe_encode"        -> ((s, d) => Curation.bpeEncode(s, d)),
     "q_drift_audit"       -> ((s, d) => Curation.driftAudit(s, d)),
+    "q_expectations"      -> ((s, d) => Curation.expectations(s, d)),
+    "q_assoc_rules"       -> ((s, d) => Curation.assocRules(s, d)),
     // ---- B6/B10 storage layout ----
     "q_zorder"            -> ((s, d) => Layout.zorderLayout(s, d)),
   )
@@ -392,6 +402,44 @@ object SparkEntry {
         |SELECT doc_id, CAST(max(depth) AS BIGINT) AS chain_len,
         |  count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
         |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // SCD2 replayed with the same window algebra: null-safe change flag
+    // (IS DISTINCT FROM == Spark's !(a <=> b)), running-sum versions,
+    // per-run stats, lead() closing each interval
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) AS tns, epoch_ns(ts) // 1000000000 AS tsec FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY tns, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+        |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS ver FROM c),
+        |s AS (SELECT user_id, ver AS version, min(event_type) AS event_type,
+        |      min(tsec) AS valid_from_sec, count(*) AS n_events
+        |      FROM g GROUP BY user_id, ver)
+        |SELECT user_id, version, event_type, valid_from_sec,
+        |  lead(valid_from_sec) OVER w AS valid_to_sec,
+        |  (lead(valid_from_sec) OVER w IS NULL) AS is_current, n_events
+        |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+    // the text-source queries aggregate a session-written CSV/JSONL copy;
+    // the oracle aggregates the parquet original — any parse/encode
+    // round-trip loss hash-mismatches by name
+    "q_csv_source" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_acctbal,
+        |  min(c_name) AS first_name, max(c_name) AS last_name
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_jsonl_source" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_orc_source" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs_1h
         |FROM events a JOIN events b ON a.user_id = b.user_id
@@ -538,6 +586,15 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS hll_within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the sketch-cube serving shape: exact companions + the cube grain
+    // (distinct days) are portable; the merged-union estimate is the
+    // bracket verdict, like q_approx_distinct
+    "q_hll_cube" ->
+      """SELECT event_type,
+        |  count(DISTINCT date_trunc('day', ts))::BIGINT AS n_days,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merged_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_approx_percentile" ->
       """SELECT event_type,
@@ -1181,6 +1238,26 @@ object SparkEntry {
         |FROM probes p JOIN cells c ON p.r = c.r AND p.cell = c.cell
         |GROUP BY p.w, p.cnt
         |ORDER BY p.w""".stripMargin,
+    // the stored per-source cube merges to the IDENTICAL sketch (cells
+    // are additive), so the oracle is the q_cms_counts replay + the grain
+    "q_cms_cube" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        |  SELECT r, ('0x'||substr(md5(r||':'||w),1,15))::BIGINT % 16 AS cell,
+        |         count(*)::BIGINT AS c
+        |  FROM tok, rows_ GROUP BY 1, 2),
+        |exact AS (SELECT w, count(*)::BIGINT AS cnt FROM tok GROUP BY w),
+        |probes AS (
+        |  SELECT w, cnt, r,
+        |         ('0x'||substr(md5(r||':'||w),1,15))::BIGINT % 16 AS cell
+        |  FROM exact, rows_),
+        |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents)
+        |SELECT p.w, min(c.c) AS est, p.cnt, min(c.c) - p.cnt AS overcount,
+        |  (SELECT n_sources FROM ns) AS n_sources
+        |FROM probes p JOIN cells c ON p.r = c.r AND p.cell = c.cell
+        |GROUP BY p.w, p.cnt
+        |ORDER BY p.w""".stripMargin,
     // fuzzy pairs: exact brute-force ground truth over the (tiny) distinct
     // vocabulary — the engine's deletion-neighborhood join must reproduce
     // it exactly (recall-complete for levenshtein <= 2, then verified)
@@ -1242,6 +1319,53 @@ object SparkEntry {
         |  n_batch * 1000 // t_batch - n_index * 1000 // t_index AS delta_pm,
         |  abs(n_batch * 1000 // t_batch - n_index * 1000 // t_index) > 20 AS drifted
         |FROM wide w JOIN tot t ON w.dim = t.dim ORDER BY dim, seg""".stripMargin,
+    // expectations suite: the same seven conditional counts folded in one
+    // aggregate, unpivoted via UNION ALL (DuckDB regexp_matches == rlike)
+    "q_expectations" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(DISTINCT doc_id) AS n_ids,
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_chars,
+        |  sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS v_lang,
+        |  sum(CASE WHEN NOT regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END) AS v_charset,
+        |  sum(CASE WHEN len(string_split(text,' ')) < 1
+        |        OR len(string_split(text,' ')) > 200 THEN 1 ELSE 0 END) AS v_len,
+        |  sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]{1,2}$') THEN 1 ELSE 0 END) AS v_source
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'doc_id_unique' AS check_name, n - n_ids AS violations, n AS checked FROM a
+        |  UNION ALL SELECT 'doc_id_not_null', v_null, n FROM a
+        |  UNION ALL SELECT 'n_chars_consistent', v_chars, n FROM a
+        |  UNION ALL SELECT 'lang_in_domain', v_lang, n FROM a
+        |  UNION ALL SELECT 'text_charset_az', v_charset, n FROM a
+        |  UNION ALL SELECT 'token_len_1_200', v_len, n FROM a
+        |  UNION ALL SELECT 'source_id_format', v_source, n FROM a)
+        |SELECT check_name, violations::BIGINT AS violations, checked::BIGINT AS checked,
+        |  violations = 0 AS passed
+        |FROM r ORDER BY check_name""".stripMargin,
+    // Apriori k=2 replay; thresholds are integer ratios (supp*20 >= n,
+    // supp_pair*2 >= supp_ante) so no float literal crosses engines, and
+    // the conf/lift division groupings mirror the Spark expressions
+    "q_assoc_rules" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |items AS (SELECT DISTINCT doc_id, word FROM t WHERE word <> ''),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |f0 AS (SELECT word, count(*) AS supp FROM items GROUP BY word),
+        |freq AS (SELECT word, supp FROM f0, nd
+        |         WHERE supp * ${operators.Curation.AssocSupDenom} >= n_docs),
+        |pairs AS (SELECT a.word AS ante, b.word AS cons, count(*) AS supp_pair
+        |  FROM items a JOIN items b ON a.doc_id = b.doc_id AND a.word < b.word
+        |  JOIN freq fa ON fa.word = a.word JOIN freq fb ON fb.word = b.word
+        |  GROUP BY 1, 2),
+        |rules AS (SELECT ante, cons, supp_pair FROM pairs
+        |  UNION ALL SELECT cons, ante, supp_pair FROM pairs)
+        |SELECT r.ante, r.cons, r.supp_pair, fa.supp AS supp_ante, fb.supp AS supp_cons,
+        |  round(r.supp_pair / fa.supp, 6) AS confidence,
+        |  round((r.supp_pair * n_docs) / (fa.supp::DOUBLE * fb.supp), 6) AS lift
+        |FROM rules r JOIN freq fa ON fa.word = r.ante
+        |  JOIN freq fb ON fb.word = r.cons, nd
+        |WHERE r.supp_pair * ${operators.Curation.AssocConfDenom} >= fa.supp
+        |ORDER BY ante, cons""".stripMargin,
     "q_pipeline_keep" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
@@ -1438,6 +1562,33 @@ object SparkEntry {
       s"""WITH $KmeansCtes
          |SELECT q.vec_id, q.label, af.cid::BIGINT AS cluster, af.dist::BIGINT AS dist
          |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin,
+    // full PQ replay: subspace Lloyd training, encode, LUT, ADC ranking
+    "q_pq_topk" -> operators.Similarity.pqOracleSql,
+    // IVFADC = KmeansCtes (coarse lists) ∘ pqCtes (codes + LUTs): probe
+    // the nprobe nearest final centroids per panel query, candidates from
+    // the cluster assignment, ADC-rank from the PQ replay's enc/lut
+    "q_ivfpq_topk" ->
+      s"""WITH $KmeansCtes,
+         |${operators.Similarity.pqCtes("pq")},
+         |probe AS (SELECT vec_id AS q_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cid) AS rn
+         |    FROM q CROSS JOIN c${operators.Similarity.KmeansRounds} c
+         |    WHERE q.vec_id % 25 = 0)
+         |  WHERE rn <= ${operators.Similarity.IvfPqNProbe}),
+         |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probe p
+         |         JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |scpq AS (SELECT c.q_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+         |        FROM cand c JOIN pqenc e ON e.vec_id = c.vec_id
+         |          JOIN pqlut l ON l.q_id = c.q_id AND l.sub = e.sub AND l.code = e.code
+         |        GROUP BY 1, 2)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, adist FROM (
+         |  SELECT q_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+         |  FROM scpq)
+         |WHERE rn <= ${operators.Similarity.PqTopK} ORDER BY q_id, rn""".stripMargin,
     // SemDeDup: within each k-means cluster, drop every vector with a
     // lower-id neighbor at cosine >= 0.45 (greedy lowest-id keep);
     // cross-cluster near-dups survive by design.

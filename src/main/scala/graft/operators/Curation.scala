@@ -212,6 +212,63 @@ object Curation {
       .limit(20)
   }
 
+  /** Association-rule floors for [[assocRules]], held as exact integer
+    * ratios (support ≥ docs/20 = 5%, confidence ≥ 1/2) so the threshold
+    * compare is integer arithmetic in both engines — a float literal like
+    * 0.05 parses as DOUBLE in Spark but DECIMAL in DuckDB, and
+    * `ceil(n*0.05)` then disagrees at any n where the binary double
+    * rounds up (n=5000 → 250.00000000000003 → 251 vs the decimal 250). */
+  val AssocSupDenom = 20L
+  val AssocConfDenom = 2L
+
+  /** Association-rule mining (Agrawal & Srikant's Apriori at k=2): which
+    * word's presence in a document predicts another's — support /
+    * confidence / lift over per-document DISTINCT item sets, the other
+    * classical co-occurrence statistic next to [[pmiBigrams]] (PMI reads
+    * ADJACENT positions; rules read whole-document baskets).
+    *
+    * Scale shape, in Apriori order: (1) the item pass reduces the corpus
+    * to per-doc distinct items; (2) frequent-1-itemsets are a
+    * vocabulary-bounded aggregate, FILTERED BEFORE pair expansion (the
+    * Apriori prune — a candidate pair of infrequent items can never be
+    * frequent) and broadcast both as the semi-join pruner and as the
+    * marginal lookup; (3) the pair self-join is an equi-join on doc_id
+    * whose fan-out is bounded by (frequent items per doc)², never
+    * corpus²; (4) supports aggregate on the pair key (vocab²-bounded
+    * output). Confidence and lift are single IEEE divisions of exact
+    * integer-valued doubles, written in the same order in both engines,
+    * rounded once.
+    */
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val items = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+      .filter(col("word") =!= "")
+    val freq = items.groupBy("word").agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
+      .filter(col("supp") * AssocSupDenom >= col("nd"))
+      .select("word", "supp")
+    val fitems = items.join(broadcast(freq.select("word")), "word")
+    val pairs = fitems.select(col("doc_id"), col("word").as("ante"))
+      .join(fitems.select(col("doc_id"), col("word").as("cons")), "doc_id")
+      .filter(col("ante") < col("cons"))
+      .groupBy("ante", "cons").agg(count(lit(1)).as("supp_pair"))
+    val rules = pairs.union(pairs.select(col("cons"), col("ante"), col("supp_pair")))
+      .join(broadcast(freq.select(col("word").as("ante"), col("supp").as("supp_ante"))), "ante")
+      .join(broadcast(freq.select(col("word").as("cons"), col("supp").as("supp_cons"))), "cons")
+      .crossJoin(broadcast(nDocs))
+    rules
+      .filter(col("supp_pair") * AssocConfDenom >= col("supp_ante"))
+      .withColumn("confidence",
+        round(col("supp_pair").cast("double") / col("supp_ante"), 6))
+      .withColumn("lift",
+        round(col("supp_pair").cast("double") * col("n_docs")
+          / (col("supp_ante").cast("double") * col("supp_cons")), 6))
+      .select("ante", "cons", "supp_pair", "supp_ante", "supp_cons", "confidence", "lift")
+      .orderBy("ante", "cons")
+  }
+
   /** Token-length histogram in 10-token bins: the sequence-length
     * distribution a packing/truncation decision reads (how much of the
     * corpus a max_len cut drops). One map-side bucket compute + a hash-agg
@@ -599,6 +656,51 @@ object Curation {
     * + length buckets, value-domain-bounded, corpus-independent). The
     * full corpus shuffles nothing wider than the group keys.
     */
+  /** Data-quality EXPECTATIONS suite (Great-Expectations-style contract
+    * validation, the admission gate a training-data pipeline runs before a
+    * corpus drop is accepted): seven declarative constraints over the
+    * documents table — key uniqueness, non-null key, derived-column
+    * consistency (n_chars == length(text)), categorical domain membership,
+    * charset conformance by regex, token-length bounds, and source-id
+    * format — each emitted as one (constraint, violations, checked,
+    * passed) row.
+    *
+    * Scale shape: ONE corpus scan. Every constraint folds to a
+    * conditional-count inside a single global hash-aggregate (plus the
+    * exact distinct-count for uniqueness, a second pass over doc_id only);
+    * the per-constraint rows are then unpivoted from the one aggregate row
+    * with a literal `stack` — driver state is the 1-row aggregate, output
+    * is exactly 7 rows at any corpus size. At 100 TB this is the cheapest
+    * full-corpus pass the pipeline owns; constraints are added as columns,
+    * never as extra scans.
+    */
+  def expectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def violations(bad: Column): Column = sum(when(bad, 1L).otherwise(0L))
+    val agg = docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      violations(col("doc_id").isNull).as("v_null"),
+      violations(col("n_chars") =!= length(col("text"))).as("v_chars"),
+      violations(!col("lang").isin("de", "en", "es", "fr", "zh")).as("v_lang"),
+      violations(!col("text").rlike("^[a-z ]+$")).as("v_charset"),
+      violations(size(split(col("text"), " ")) < 1
+        || size(split(col("text"), " ")) > 200).as("v_len"),
+      violations(!col("source").rlike("^src[0-9]{1,2}$")).as("v_source"))
+    agg.select(expr(
+      """stack(7,
+        |  'doc_id_unique',     n - n_ids, n,
+        |  'doc_id_not_null',   v_null,    n,
+        |  'n_chars_consistent',v_chars,   n,
+        |  'lang_in_domain',    v_lang,    n,
+        |  'text_charset_az',   v_charset, n,
+        |  'token_len_1_200',   v_len,     n,
+        |  'source_id_format',  v_source,  n
+        |) AS (check_name, violations, checked)""".stripMargin))
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("check_name")
+  }
+
   def driftAudit(spark: SparkSession, sfDir: String): DataFrame =
     driftAuditFrom(Tables.documents(spark, sfDir))
 

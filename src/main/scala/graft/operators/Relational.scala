@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -580,5 +581,43 @@ object Relational {
         |SELECT doc_id, CAST(max(depth) AS BIGINT) AS chain_len,
         |  count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
         |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  /** SCD TYPE 2 dimension build (Kimball slowly-changing-dimension): the
+    * events stream is the change feed and `event_type` the tracked
+    * attribute — consecutive equal values per user collapse into one
+    * versioned validity interval [valid_from, valid_to), the last version
+    * open-ended (`is_current`). Change points come from a null-safe
+    * lag-compare (`<=>`), versions from a running sum over the same
+    * ordering, run stats from a group-by on (user, version), the closing
+    * edge from `lead` over versions.
+    *
+    * Scale shape: ONE shuffle. Every stage — both windows and the
+    * aggregation — clusters on `user_id` or a superset of it, and
+    * HashPartitioning(user_id) satisfies ClusteredDistribution(user_id,
+    * ver), so Catalyst plans the lag-window, running-sum, hash-agg, and
+    * lead-window over a single exchange (RelationalSpec asserts exactly
+    * one). Window state is bounded per user; at 100 TB this is the
+    * standard warehouse nightly-dimension build and shuffles each change
+    * row once.
+    */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runSum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val changed = when(!(lag(col("event_type"), 1).over(byTime) <=> col("event_type")), 1L)
+      .otherwise(0L)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("ts_sec"))
+      .withColumn("ver", sum(changed).over(runSum))
+      .groupBy(col("user_id"), col("ver").as("version"))
+      .agg(min(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts_sec")).as("valid_from_sec"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_sec",
+        lead(col("valid_from_sec"), 1).over(Window.partitionBy("user_id").orderBy("version")))
+      .withColumn("is_current", col("valid_to_sec").isNull)
+      .select("user_id", "version", "event_type", "valid_from_sec", "valid_to_sec",
+        "is_current", "n_events")
+      .orderBy("user_id", "version")
   }
 }

@@ -689,6 +689,259 @@ object Similarity {
           .as("max_err"))
       .orderBy("vec_id")
 
+  /** Product-quantization configuration (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the 64-dim
+    * vector splits into [[PqM]] subspaces of [[PqSubDim]] dims, each with
+    * its own [[PqKs]]-entry codebook trained by [[PqRounds]] deterministic
+    * Lloyd rounds on the SAME micro-unit integer lattice as [[kmeans]] —
+    * so codes, LUTs and ADC distances are all exact int64 arithmetic and
+    * the whole pipeline replays in DuckDB. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqKs = 16
+  val PqRounds = 4
+  val PqTopK = 10
+
+  /** Session memo for the trained PQ codebook matrix — M×Ks subvector
+    * centroids, indexed sub·Ks+code (8×16×8 longs: bounded driver
+    * state). Deterministic trainer → memoizing changes no result. */
+  private val pqCodebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IndexedSeq[Array[Long]]]()
+
+  private[graft] def pqCodebooks(spark: SparkSession, sfDir: String): IndexedSeq[Array[Long]] = {
+    SessionMemos.arm(spark, pqCodebookMemo)
+    pqCodebookMemo.computeIfAbsent((spark, sfDir),
+      _ => trainPqCodebooks(quantizedVectors(Tables.embeddings(spark, sfDir))))
+  }
+
+  /** Squared L2 between a subvector column and one literal codebook row. */
+  private def pqSqDist(v8: Column, cent: Column): Column =
+    aggregate(zip_with(v8, cent, (x, y) => (x - y) * (x - y)), lit(0L), (s, x) => s + x)
+
+  /** The 16 candidate distances of one subvector against its subspace's
+    * codebook (sub may be a column; the codebook is the plan literal). */
+  private def pqDists(cbLit: Column, v8: Column, sub: Column): Column =
+    transform(sequence(lit(0), lit(PqKs - 1)),
+      j => pqSqDist(v8, element_at(cbLit, (sub * PqKs + j + 1).cast("int"))))
+
+  /** Joint Lloyd trainer for all [[PqM]] subspace codebooks: ONE corpus
+    * pass per round over the exploded (vec_id, sub, v8) view — per-row
+    * distances against the 2·Ks·M-cell literal codebook, argmin with
+    * lowest-code tie-break (`array_position` finds the first minimum),
+    * then an (M·Ks·subdim)-cell aggregate; the driver holds only the
+    * codebook longs between rounds (the [[trainCentroids]] pattern at
+    * k=M·Ks). Seeds: the [[PqKs]] lowest vec_ids' subvectors per
+    * subspace — no RNG, oracle-replayable. Centroid update is the same
+    * half-up integer mean `(2s+n) div (2n)`; an empty cell keeps its
+    * centroid. At 100 TB the trainer runs on a corpus SAMPLE (codebooks
+    * are statistics, not per-row state) — the serving path below never
+    * retrains.
+    */
+  private[graft] def trainPqCodebooks(qv: DataFrame): IndexedSeq[Array[Long]] = {
+    val qs = qv.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("qv"))
+      .withColumn("v8", slice(col("qv"), col("sub") * PqSubDim + 1, lit(PqSubDim)))
+      .select("vec_id", "sub", "v8")
+    val seedRows = qv.orderBy("vec_id").limit(PqKs)
+      .select("qv").collect().map(_.getSeq[Long](0))
+    var cb: IndexedSeq[Array[Long]] = IndexedSeq.tabulate(PqM * PqKs) { i =>
+      val (s, j) = (i / PqKs, i % PqKs)
+      seedRows(j).slice(s * PqSubDim, (s + 1) * PqSubDim).toArray
+    }
+    for (_ <- 1 to PqRounds) {
+      val cbLit = typedlit(cb.map(_.toSeq))
+      val cells = qs
+        .withColumn("dists", pqDists(cbLit, col("v8"), col("sub")))
+        .withColumn("code", array_position(col("dists"), array_min(col("dists"))) - 1)
+        .select(col("sub"), col("code"), posexplode(col("v8")).as(Seq("pos", "v")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect() // M×Ks×subdim rows — the only driver state between rounds
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+      cb = IndexedSeq.tabulate(PqM * PqKs) { i =>
+        val (s, j) = (i / PqKs, i % PqKs)
+        cells.get((s, j.toLong)).fold(cb(i)) { rows =>
+          val next = cb(i).clone()
+          rows.foreach { r =>
+            val (pos, sv, n) = (r.getInt(2), r.getLong(3), r.getLong(4))
+            next(pos) = (2 * sv + n) / (2 * n)
+          }
+          next
+        }
+      }
+    }
+    cb
+  }
+
+  /** PQ-ADC approximate nearest neighbors (`q_pq_topk`): encode every
+    * corpus vector as [[PqM]] one-byte codes (map-side argmin against the
+    * literal codebook — NO shuffle, no join), build each query's
+    * asymmetric-distance LUT (M×Ks integer cells from the query's REAL
+    * subvectors — Jégou's ADC, more accurate than code-vs-code), then
+    * score candidates by summing M LUT lookups per pair and take the
+    * top-[[PqTopK]] by (adist, vec_id).
+    *
+    * This is the third ANN family next to sign-LSH ([[annTopK]]) and IVF
+    * ([[ivfTopK]]), and the one production vector stores pair with IVF at
+    * billion scale (IVF prunes candidates, PQ compresses residuals —
+    * FAISS's IVFADC): the corpus state per vector is M bytes of codes,
+    * the per-query work is an M·Ks-cell LUT plus M adds per candidate —
+    * no floats, no 64-dim arithmetic after encode.
+    *
+    * Scale shape: encode is embarrassingly parallel; the broadcast side
+    * is the query panel (corpus/25 — the family's documented allowance,
+    * at-scale substitute: restrict to an IVF candidate list); the only
+    * shuffle is the per-query top-k window on q_id. Integer-exact
+    * end-to-end → full DuckDB oracle replaying training, encode, LUT and
+    * ADC ([[SparkEntry.oracleSql]]).
+    */
+  def pqTopK(spark: SparkSession, sfDir: String, k: Int = PqTopK): DataFrame = {
+    val cbLit = typedlit(pqCodebooks(spark, sfDir).map(_.toSeq))
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
+    val codesExpr = transform(sequence(lit(0), lit(PqM - 1)), s => {
+      def d = pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)
+      array_position(d, array_min(d)) - 1
+    })
+    val lutExpr = flatten(transform(sequence(lit(0), lit(PqM - 1)),
+      s => pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)))
+    val codes = qv.select(col("vec_id"), codesExpr.as("codes"))
+    val panel = qv.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), lutExpr.as("lut"))
+    val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, s) => acc + element_at(col("lut"),
+        (s * PqKs + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+    codes.join(broadcast(panel), col("vec_id") =!= col("q_id"))
+      .withColumn("adist", adist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("adist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Full-pipeline DuckDB oracle for [[pqTopK]]: replays subspace
+    * quantization, seeding, every Lloyd round, corpus encode, per-query
+    * LUTs and the ADC ranking in SQL — the [[SparkEntry]] KmeansCtes
+    * discipline extended to the product structure (one extra `sub`
+    * partition key everywhere). Integer-exact end to end, so the compare
+    * is a plain hash match, no brackets. */
+  /** Probe width for [[ivfPqTopK]] — clusters searched per query. */
+  val IvfPqNProbe = 2
+
+  /** IVFADC (`q_ivfpq_topk`): the FAISS billion-scale composition of the
+    * two ANN halves this engine already owns — the deterministic-k-means
+    * coarse quantizer ([[trainedCentroids]], shared with `q_kmeans`)
+    * PRUNES candidates to the query's [[IvfPqNProbe]] nearest clusters,
+    * and PQ codes ([[pqCodebooks]], shared with `q_pq_topk`) SCORE them
+    * via the asymmetric-distance LUT. Codes are over raw vectors, not
+    * residuals (FAISS `by_residual=false`): the codebook stays
+    * cluster-independent, so it is literally the `q_pq_topk` artifact and
+    * one corpus encode serves both queries.
+    *
+    * Scale shape — and the reason this query needs NO nested loop: the
+    * candidate generator is a hash EQUI-join on the cluster id (corpus
+    * rows carry map-side-computed (cluster, codes); the broadcast side is
+    * the panel × nprobe probe list), so per-query work is the probed
+    * clusters' population × 8 LUT adds, never the corpus. That is the
+    * serving shape a billion-vector index runs: coarse lists bound the
+    * candidates, byte codes make each candidate O(M). Everything is the
+    * same micro-unit integer lattice as its two parents → full DuckDB
+    * oracle composing the KmeansCtes and pqCtes replays.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, k: Int = PqTopK,
+                nprobe: Int = IvfPqNProbe): DataFrame = {
+    val cbLit = typedlit(pqCodebooks(spark, sfDir).map(_.toSeq))
+    val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
+    val cdists = transform(sequence(lit(0), lit(KmeansK - 1)),
+      c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int"))))
+    val codesExpr = transform(sequence(lit(0), lit(PqM - 1)), s => {
+      def d = pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)
+      array_position(d, array_min(d)) - 1
+    })
+    val lutExpr = flatten(transform(sequence(lit(0), lit(PqM - 1)),
+      s => pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)))
+    val corpus = qv
+      .withColumn("cdists", cdists)
+      .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .withColumn("codes", codesExpr)
+      .select("vec_id", "cluster", "codes")
+    // nprobe nearest clusters per panel query: sort (dist, cid) structs —
+    // lexicographic struct order IS the engine's (dist, lowest-cid) rule
+    val probes = qv.filter(col("vec_id") % 25 === 0)
+      .withColumn("cdists", cdists)
+      .withColumn("probes", slice(array_sort(transform(
+        sequence(lit(0), lit(KmeansK - 1)),
+        c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
+          c.cast("long").as("cid")))), 1, nprobe))
+      .select(col("vec_id").as("q_id"), lutExpr.as("lut"),
+        explode(col("probes")).as("probe"))
+      .select(col("q_id"), col("lut"), col("probe.cid").as("cluster"))
+    val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, s) => acc + element_at(col("lut"),
+        (s * PqKs + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+    corpus.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", adist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("adist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** CTE block (no WITH keyword) replaying PQ training → encode → LUT in
+    * DuckDB, every CTE name prefixed with `p` so the block composes with
+    * other CTE families (the IVFADC oracle joins it to SparkEntry's
+    * KmeansCtes). Exposes `${p}enc` (vec_id, sub, code) and `${p}lut`
+    * (q_id, sub, code, d) for downstream ranking. */
+  private[graft] def pqCtes(p: String): String = {
+    val (m, ks, sd, rounds) = (PqM, PqKs, PqSubDim, PqRounds)
+    val sums = (1 to sd).map(i => s"sum(v8[$i])").mkString("list_value(", ", ", ")")
+    def assignCte(name: String, cbName: String) =
+      s"""$name AS (SELECT vec_id, sub, v8, cid, dist,
+         |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+         |  FROM (SELECT qs.vec_id, qs.sub, qs.v8, c.cid,
+         |          list_sum([(qs.v8[i]-c.cv[i])*(qs.v8[i]-c.cv[i]) for i in range(1,${sd + 1})]) AS dist
+         |        FROM ${p}qs qs JOIN $cbName c ON c.sub = qs.sub))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${assignCte(s"${p}a$r", s"${p}p${r - 1}")},
+         |${p}g$r AS (SELECT sub, cid, count(*) AS n, $sums AS sv
+         |        FROM ${p}a$r WHERE rn = 1 GROUP BY sub, cid),
+         |${p}p$r AS (SELECT c.sub, c.cid, CASE WHEN g.cid IS NULL THEN c.cv
+         |          ELSE [CAST((2*g.sv[i] + g.n) // (2*g.n) AS BIGINT) for i in range(1,${sd + 1})] END AS cv
+         |        FROM ${p}p${r - 1} c LEFT JOIN ${p}g$r g ON g.sub = c.sub AND g.cid = c.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}q AS (SELECT vec_id,
+       |    [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
+       |  FROM embeddings),
+       |${p}qs AS (SELECT vec_id, s AS sub, qv[s*$sd+1:s*$sd+$sd] AS v8
+       |       FROM ${p}q, range(0, $m) t(s)),
+       |${p}p0 AS (SELECT qs.sub, sr.cid, qs.v8 AS cv
+       |       FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |             FROM ${p}q ORDER BY vec_id LIMIT $ks) sr
+       |       JOIN ${p}qs qs ON qs.vec_id = sr.vec_id),
+       |$roundCtes,
+       |${assignCte(s"${p}af", s"${p}p$rounds")},
+       |${p}enc AS (SELECT vec_id, sub, cid AS code FROM ${p}af WHERE rn = 1),
+       |${p}lut AS (SELECT qs.vec_id AS q_id, c.sub, c.cid AS code,
+       |          list_sum([(qs.v8[i]-c.cv[i])*(qs.v8[i]-c.cv[i]) for i in range(1,${sd + 1})]) AS d
+       |        FROM ${p}qs qs JOIN ${p}p$rounds c ON c.sub = qs.sub
+       |        WHERE qs.vec_id % 25 = 0)""".stripMargin
+  }
+
+  def pqOracleSql: String =
+    s"""WITH ${pqCtes("")},
+       |sc AS (SELECT l.q_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+       |       FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |         AND e.vec_id <> l.q_id
+       |       GROUP BY 1, 2)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+       |  FROM sc)
+       |WHERE rn <= $PqTopK ORDER BY q_id, rn""".stripMargin
+
   /** k-means configuration (SemDeDup-style semantic clustering): k
     * clusters, a fixed number of Lloyd rounds, and the integer
     * quantization that makes the whole computation engine-exact. */
@@ -780,12 +1033,18 @@ object Similarity {
     * session share ONE training run. */
   private[operators] def kmeansAssigned(spark: SparkSession, sfDir: String,
                              seeding: String = KmeansSeedLowestId,
-                             k: Int = KmeansK): DataFrame = {
-    val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
+                             k: Int = KmeansK): DataFrame =
+    withAssignment(quantizedVectors(Tables.embeddings(spark, sfDir)),
+      trainedCentroids(spark, sfDir, seeding, k))
+
+  /** The memoized k×64 trained centroid matrix itself — shared by every
+    * k-means consumer and (r10) the IVFADC coarse quantizer. */
+  private[operators] def trainedCentroids(spark: SparkSession, sfDir: String,
+                                          seeding: String = KmeansSeedLowestId,
+                                          k: Int = KmeansK): IndexedSeq[Array[Long]] = {
     SessionMemos.arm(spark, centroidMemo)
-    val cents = centroidMemo.computeIfAbsent((spark, sfDir, s"$seeding#k=$k"),
-      _ => trainCentroids(qv, seeding, k))
-    withAssignment(qv, cents)
+    centroidMemo.computeIfAbsent((spark, sfDir, s"$seeding#k=$k"),
+      _ => trainCentroids(quantizedVectors(Tables.embeddings(spark, sfDir)), seeding, k))
   }
 
   /** The (vec_id, v, nn, cluster) frame every embedding-cluster consumer

@@ -240,6 +240,51 @@ object StreamingOps {
       }
   }
 
+  /** One change-feed event for the streaming SCD2 twin. */
+  case class DEv(user_id: Long, ts: Long, event_id: Long, event_type: String,
+                 ts_sec: Long)
+
+  /** Per-user CURRENT dimension version held in [[GroupState]]. */
+  case class Scd2St(version: Long, event_type: String, valid_from_sec: Long,
+                    n_events: Long)
+
+  /** Snapshot of a user's current SCD2 row after the latest arrival. */
+  case class Scd2Cur(user_id: Long, version: Long, event_type: String,
+                     valid_from_sec: Long, n_events: Long)
+
+  /** STREAMING SCD2: the `q_scd2` dimension build as a continuously-
+    * maintained state machine — per user, [[GroupState]] holds only the
+    * CURRENT version (type, version number, valid_from, run length); each
+    * fire folds the batch's events in (ts, event_id) order, opening a new
+    * version on every type change, and emits the updated current row.
+    * Keep-latest per user (the foreachBatch upsert pattern) reproduces the
+    * batch build's `is_current` rows exactly; closed versions are exactly
+    * the rows a `foreachBatch` upsert sink would have written on each
+    * supersession. Same chunk-ordered per-user arrival assumption as
+    * [[funnelStates]].
+    *
+    * Scale shape: state is ONE narrow row per user — the streaming face
+    * of the batch build's bounded-per-key window, with the same single
+    * user_id clustering (groupByKey shuffles each change row once).
+    */
+  def scd2Current(events: Dataset[DEv]): Dataset[Scd2Cur] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Scd2St, Scd2Cur](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[DEv], state: GroupState[Scd2St]) =>
+          var st = if (state.exists) state.get else null
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            st =
+              if (st == null) Scd2St(1L, e.event_type, e.ts_sec, 1L)
+              else if (st.event_type == e.event_type) st.copy(n_events = st.n_events + 1)
+              else Scd2St(st.version + 1, e.event_type, e.ts_sec, 1L)
+          }
+          state.update(st)
+          Scd2Cur(user, st.version, st.event_type, st.valid_from_sec, st.n_events)
+      }
+  }
+
   /** Split event-time-sorted events into sessions: a gap >= gapMs (ms
     * precision — the 10-minute session gap dwarfs sub-ms effects) starts a
     * new session. Returned oldest-first.

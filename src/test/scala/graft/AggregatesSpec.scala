@@ -144,4 +144,51 @@ class AggregatesSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(gotMode == wantMode)
   }
+
+  test("hll sketch cube: merged daily sketches estimate within tolerance over a multi-day grain") {
+    val rows = Aggregates.hllCubeServed(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1, s"${r.getString(0)}: cube grain must span multiple days")
+      assert(r.getBoolean(3), s"${r.getString(0)}: merged estimate off by >10%")
+    }
+    // the grain matches the raw table's distinct days per type — the cube
+    // is complete, not a sample
+    val wantDays = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(to_date(col("ts_us"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == wantDays(r.getString(0))))
+  }
+
+  test("cms cube: per-source stored sketches merge to the scan-time sketch EXACTLY") {
+    // cells are additive, so the cube-served estimates must be
+    // bit-identical to q_cms_counts — the executed form of the
+    // mergeability the CMS spec below asserts driver-side
+    val served = Aggregates.cmsCubeServed(spark, sf)
+      .select("w", "est", "cnt", "overcount").collect().toSeq
+    val scan = Aggregates.cmsWordCounts(spark, sf).collect().toSeq
+    assert(served == scan && served.nonEmpty)
+    val grain = Aggregates.cmsCubeServed(spark, sf)
+      .select("n_sources").head.getLong(0)
+    assert(grain == Tables.documents(spark, sf)
+      .select("source").distinct().count())
+  }
+
+  test("hll sketch cube serving arm scans only the stored artifact, never the fact table") {
+    // the serving arm (sketch read + union) must resolve to the cube dir;
+    // the fact scan in the registered query belongs to the exact-audit
+    // companion only
+    val dir = Aggregates.hllCubeDir(spark, sf)
+    val serving = spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+    assert(serving.count() > 0)
+    val paths = serving.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(paths.nonEmpty && paths.forall(_.contains("graft-hll-cube")))
+  }
 }

@@ -400,4 +400,72 @@ class CurationSpec extends SparkSpec {
     assert(!out(("source", "web"))._2)
     assert(!out(("len", "b0002"))._2)
   }
+
+  test("expectations: the testdata corpus passes all seven contracts with zero violations") {
+    val rows = Curation.expectations(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L, s"${r.getString(0)} has violations")
+      assert(r.getLong(2) == n && r.getBoolean(3), r.getString(0))
+    }
+  }
+
+  test("expectations: planted violations are counted per constraint, not just flagged") {
+    // can't register a broken fixture as a query, so drive the same agg
+    // shape through a view-swapped frame: break one row per constraint
+    import spark.implicits._
+    val good = (0L until 50L).map(i => (i, "aa bb cc", "en", "src1", 8L))
+    val broken = Seq(
+      (0L, "aa bb", "en", "src2", 5L),            // duplicate doc_id
+      (100L, "aa bb", "en", "src3", 99L),         // n_chars wrong
+      (101L, "aa bb", "xx", "src4", 5L),          // lang out of domain
+      (102L, "AA!!", "en", "src5", 4L),           // charset violation
+      (103L, "Y z", "fr", "srcXY", 3L))           // source format (charset too)
+    val df = (good ++ broken).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-expect").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.expectations(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out("doc_id_unique") == ((1L, false)))
+    assert(out("n_chars_consistent") == ((1L, false)))
+    assert(out("lang_in_domain") == ((1L, false)))
+    assert(out("text_charset_az") == ((2L, false))) // "AA!!" and "Y z"
+    assert(out("source_id_format") == ((1L, false)))
+    assert(out("doc_id_not_null") == ((0L, true)))
+    assert(out("token_len_1_200") == ((0L, true)))
+  }
+
+  test("assoc rules match a driver-side Apriori replay") {
+    import spark.implicits._
+    val got = Curation.assocRules(spark, sf)
+      .select("ante", "cons", "supp_pair", "supp_ante", "supp_cons")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val baskets = Tables.documents(spark, sf).select("text").as[String].collect()
+      .map(_.split(" ").filter(_.nonEmpty).toSet)
+    val n = baskets.length.toLong
+    val supp = baskets.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .filter { case (_, s) => s * Curation.AssocSupDenom >= n }
+    val pairSupp = baskets.flatMap { b =>
+      val f = b.filter(supp.contains).toSeq.sorted
+      for (i <- f.indices; j <- i + 1 until f.length) yield (f(i), f(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = pairSupp.toSeq.flatMap { case ((a, b), sp) =>
+      Seq((a, b, sp, supp(a), supp(b)), (b, a, sp, supp(b), supp(a)))
+    }.filter { case (_, _, sp, sa, _) => sp * Curation.AssocConfDenom >= sa }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("assoc rules: confidence and lift honor their definitions on every row") {
+    val rows = Curation.assocRules(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val (sp, sa, sc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.abs(r.getDouble(5) - sp.toDouble / sa) < 1e-6)
+      assert(math.abs(r.getDouble(6) - sp.toDouble * n / (sa.toDouble * sc)) < 1e-6)
+      assert(sp * Curation.AssocConfDenom >= sa && sp <= sa && sp <= sc)
+    }
+  }
 }

@@ -62,7 +62,12 @@ class PlanHygieneSpec extends SparkSpec {
       "q_semantic_decontaminate",
       // the recall audit composes q_cosine_topk (bounded panel) with the
       // bucketed ANN — same allowance as q_ivf_audit's exact companion
-      "q_ann_recall")
+      "q_ann_recall",
+      // PQ-ADC scores M LUT lookups per (query, candidate) pair against
+      // the broadcast query-panel LUTs — the cosine family's panel
+      // allowance; at scale the candidate side is an IVF list (FAISS
+      // IVFADC), not the whole corpus
+      "q_pq_topk")
 
   test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
     // a BNLJ is scale-safe in exactly one shape: the broadcast side is a
@@ -162,7 +167,13 @@ class PlanHygieneSpec extends SparkSpec {
   private val allowPanelBroadcast = Set(
     "q_cosine_topk", "q_hard_negatives", "q_ann_topk", "q_ann_served",
     "q_ann_incremental", "q_ivf_topk", "q_ivf_audit", "q_ann_recall",
-    "q_rrf_fusion")
+    "q_rrf_fusion", "q_pq_topk",
+    // IVFADC's probe list (panel × nprobe rows) broadcasts into a hash
+    // EQUI-join on cluster id — candidate generation is list-pruned, so
+    // unlike its PQ parent this query plans no nested loop at all (the
+    // BNLJ test above verifies that for free); only the panel-derived
+    // broadcast side needs the family allowance
+    "q_ivfpq_topk")
 
   test("every explicit broadcast side is provably bounded or allowlisted (r10)") {
     import org.apache.spark.sql.catalyst.expressions._

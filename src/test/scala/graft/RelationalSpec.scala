@@ -279,4 +279,44 @@ class RelationalSpec extends SparkSpec {
       assert(len == d && n == d + 1 && sum == s, s"doc $id")
     }
   }
+
+  test("scd2: intervals tile each user's timeline, one current version, driver replay agrees") {
+    import spark.implicits._
+    val dim = Relational.scd2Build(spark, sf)
+      .select("user_id", "version", "event_type", "valid_from_sec", "valid_to_sec",
+        "is_current", "n_events")
+      .as[(Long, Long, String, Long, Option[Long], Boolean, Long)]
+      .collect().groupBy(_._1)
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("ts_sec"))
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (u, rows) => u -> rows.sortBy(r => (r._2, r._3)) }
+    assert(dim.keySet == events.keySet)
+    dim.foreach { case (u, versions) =>
+      val vs = versions.sortBy(_._2)
+      // exactly one open-ended current version, and it is the last one
+      assert(vs.count(_._6) == 1 && vs.last._6 && vs.last._5.isEmpty)
+      // versions are 1..n and intervals tile: valid_to == next valid_from
+      assert(vs.map(_._2).toSeq == (1L to vs.length).toSeq)
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u: interval gap at version ${a._2}")
+          assert(a._3 != b._3, s"user $u: adjacent versions share event_type")
+        case _ =>
+      }
+      // driver replay: run-length encode the user's event_type sequence
+      val runs = events(u).map(_._4).foldLeft(Vector.empty[(String, Long)]) {
+        case (acc, t) if acc.nonEmpty && acc.last._1 == t =>
+          acc.init :+ (t, acc.last._2 + 1)
+        case (acc, t) => acc :+ (t, 1L)
+      }
+      assert(vs.map(v => (v._3, v._7)).toSeq == runs, s"user $u: run mismatch")
+    }
+  }
+
+  test("scd2 plans with a single exchange (every stage reuses the user_id clustering)") {
+    val plan = Relational.scd2Build(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
 }

@@ -298,4 +298,62 @@ class SimilaritySpec extends SparkSpec {
     // the fixture genuinely flags something, and not everything
     assert(want.nonEmpty && want.size < vecs.size)
   }
+
+  test("PQ-ADC ranking equals a driver replay of encode + LUT over the trained codebook") {
+    import spark.implicits._
+    val cb = Similarity.pqCodebooks(spark, sf)
+    val (m, ks, sd) = (Similarity.PqM, Similarity.PqKs, Similarity.PqSubDim)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.round((x.toDouble + 1.0) * 1000000)).map(_.toLong)
+      }.toMap
+    def sq(v: Array[Long], c: Array[Long]): Long =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    def subv(v: Array[Long], s: Int): Array[Long] = v.slice(s * sd, (s + 1) * sd)
+    val codes = vecs.map { case (id, v) =>
+      id -> Array.tabulate(m) { s =>
+        val d = (0 until ks).map(j => sq(subv(v, s), cb(s * ks + j)))
+        d.indexOf(d.min) // first minimum = lowest code, the engine tie-break
+      }
+    }
+    val queries = vecs.keys.filter(_ % 25 == 0).toSeq.sorted
+    val want = queries.flatMap { q =>
+      val lut = Array.tabulate(m, ks)((s, j) => sq(subv(vecs(q), s), cb(s * ks + j)))
+      vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, (0 until m).map(s => lut(s)(codes(id)(s))).sum))
+        .sortBy { case (id, d) => (d, id) }.take(Similarity.PqTopK)
+        .zipWithIndex.map { case ((id, d), i) => (q, i + 1L, id, d) }
+    }
+    val got = Similarity.pqTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(queries.nonEmpty && got.size == queries.size * Similarity.PqTopK)
+  }
+
+  test("IVFADC prunes to the probed clusters and scores exactly like its PQ parent there") {
+    import spark.implicits._
+    val got = Similarity.ivfPqTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // ADC distances must agree with the UNPRUNED PQ scorer on every
+    // surviving (query, candidate) pair — the composition changes which
+    // candidates are scored, never how
+    val pqAll = Similarity.pqTopK(spark, sf, k = Int.MaxValue)
+      .select("q_id", "vec_id", "adist")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, v, d) => (q, v) -> d }.toMap
+    got.foreach { case (q, _, v, d) =>
+      assert(pqAll((q, v)) == d, s"ADC mismatch for ($q, $v)")
+    }
+    // pruning is real: every query's candidates span at most nprobe of
+    // the oracle-checked q_kmeans clusters
+    val km = Similarity.kmeans(spark, sf)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val clusters = rows.map(r => km(r._3)).toSet
+      assert(clusters.size <= Similarity.IvfPqNProbe,
+        s"query $q drew candidates from ${clusters.size} clusters")
+    }
+  }
 }

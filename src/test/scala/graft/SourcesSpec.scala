@@ -79,4 +79,55 @@ class SourcesSpec extends SparkSpec {
     val salted = Relational.joinFactFactSalted(spark, sf).collect().toSeq
     assert(plain == salted)
   }
+
+  test("registered CSV-source rollup equals the parquet-side twin row for row") {
+    import graft.operators.{Relational => R, Sources}
+    val got = Sources.csvCustomerSegments(spark, sf).collect().toSeq
+    val want = Tables.customer(spark, sf)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        round(R.dsum(col("c_acctbal")), 4).as("sum_acctbal"),
+        min(col("c_name")).as("first_name"),
+        max(col("c_name")).as("last_name"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("registered JSONL-source rollup equals the parquet-side twin and reads multiple files") {
+    import graft.operators.Sources
+    val got = Sources.jsonlDocsPerLang(spark, sf).collect().toSeq
+    val want = Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .orderBy("lang").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the splittable-ingest claim is real: the copy is multi-file
+    val files = new java.io.File(Sources.jsonlDir(spark, sf))
+      .listFiles().count(_.getName.endsWith(".json"))
+    assert(files > 1)
+  }
+
+  test("registered ORC-source rollup equals the parquet twin and pushes its filter to the scan") {
+    import graft.operators.{Relational => R, Sources}
+    val got = Sources.orcOrderPriorities(spark, sf).collect().toSeq
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(R.dsum(col("o_totalprice")), 4).as("sum_total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // columnar-format advantage over the text sources: the status filter
+    // reaches the ORC scan as a pushed filter, and only the 4 referenced
+    // columns are read
+    val plan = Sources.orcOrderPriorities(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,P))]")
+      || plan.contains("Not(EqualTo(o_orderstatus,P))"), s"filter not pushed:\n$plan")
+    assert(!plan.contains("o_custkey"), "column pruning lost: o_custkey read")
+  }
 }

@@ -388,6 +388,46 @@ class StreamingSpec extends SparkSpec {
     assert(counts == ((want("view"), want("click"), want("purchase"))))
   }
 
+  test("streaming SCD2 keeps the batch build's current versions across 3 chronological slices") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // the change feed in three chronological micro-batches: GroupState
+    // version-folding across real batch boundaries must land on the
+    // oracle-checked batch q_scd2's is_current rows exactly
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "ts_sec")
+    val Array(t1, t2) = evs.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val slices = Seq(
+      evs.filter(col("ts") <= t1),
+      evs.filter(col("ts") > t1 && col("ts") <= t2),
+      evs.filter(col("ts") > t2))
+    slices.foreach(s => assert(s.count() > 0))
+    val dir = writeSlices(slices)
+    val current = scala.collection.concurrent.TrieMap.empty[Long, (Long, String, Long, Long)]
+    val q = StreamingOps.scd2Current(
+        spark.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .as[StreamingOps.DEv])
+      .toDF()
+      .writeStream
+      .foreachBatch { (snap: DataFrame, _: Long) =>
+        snap.collect().foreach { r =>
+          current(r.getLong(0)) = (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+        }
+        ()
+      }
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val want = Relational.scd2Build(spark, sf)
+      .filter(col("is_current"))
+      .select("user_id", "version", "event_type", "valid_from_sec", "n_events")
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(current.toMap == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming ANN index ingest: foreachBatch appends signature segments, serving stays exact") {
     // the streaming face of q_ann_incremental: vector micro-batches
     // arrive on a file stream and each one appends its own bucket-
