@@ -23,11 +23,14 @@ import org.apache.spark.sql.SparkSession
   * Cutovers: r9 memoized k-means centroids, the near-dup cluster map and
   * the bigram-LM table (q_kmeans, q_neardup_clusters,
   * q_pipeline_keep_neardup, q_lm_perplexity, q_pipeline_curated); r10
-  * memoized BM25 term weights, the cosine vector frame and the stored
+  * memoized BM25 term weights, the cosine vector frame, the stored
   * BM25/LSH indexes (q_bm25_topk, q_rrf_fusion, the cosine family,
-  * q_bm25_served, q_ann_served). Wall-clock comparisons for those
-  * queries against pre-cutover rounds are not like-for-like; diff the
-  * plan metrics instead.
+  * q_bm25_served, q_ann_served), and — late r10 — the PQ codebooks
+  * (q_pq_topk, q_ivfpq_topk, q_pq_recall), the HLL/CMS sketch cubes
+  * (q_hll_cube, q_cms_cube) and the CSV/JSONL/ORC source copies
+  * (q_*_source: rep 1 pays the one-time text/columnar write).
+  * Wall-clock comparisons for those queries against pre-cutover rounds
+  * are not like-for-like; diff the plan metrics instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

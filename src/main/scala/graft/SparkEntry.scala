@@ -194,6 +194,7 @@ object SparkEntry {
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_pq_topk"           -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ivfpq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "q_pq_recall"         -> ((s, d) => Similarity.pqRecall(s, d)),
     "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
@@ -1564,6 +1565,11 @@ object SparkEntry {
          |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin,
     // full PQ replay: subspace Lloyd training, encode, LUT, ADC ranking
     "q_pq_topk" -> operators.Similarity.pqOracleSql,
+    // exact-L2 + PQ + IVFADC rankings replayed and joined in one statement
+    "q_pq_recall" ->
+      s"""WITH $KmeansCtes,
+         |${operators.Similarity.pqCtes("pq")},
+         |${operators.Similarity.pqRecallOracleTail}""".stripMargin,
     // IVFADC = KmeansCtes (coarse lists) ∘ pqCtes (codes + LUTs): probe
     // the nprobe nearest final centroids per panel query, candidates from
     // the cluster assignment, ADC-rank from the PQ replay's enc/lut

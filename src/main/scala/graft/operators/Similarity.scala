@@ -890,6 +890,96 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Exact integer-L2 top-k on the micro-unit lattice — the ground truth
+    * the PQ family approximates (PQ quantizes L2 on exactly this
+    * lattice, so THIS is the honest recall reference, not cosine). Same
+    * broadcast-panel scan shape as [[cosineTopK]]. */
+  private[graft] def l2TopK(spark: SparkSession, sfDir: String, k: Int = PqTopK): DataFrame = {
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
+    val panel = qv.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    qv.join(broadcast(panel), col("vec_id") =!= col("q_id"))
+      .withColumn("dist", pqSqDist(col("qv"), col("qq")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("dist"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("dist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Recall audit for the PQ family (`q_pq_recall`) — the eval harness a
+    * vector store ships with its compressed index, mirroring
+    * [[annRecall]]: per query, how many of the exact integer-L2 top-k
+    * survive in (a) the unpruned PQ-ADC ranking and (b) the composed
+    * IVFADC ranking. Both arms and the exact reference are
+    * integer-deterministic, so the recall VALUES are hash-checked by a
+    * DuckDB oracle that replays all three pipelines in one statement.
+    * (No fixed ordering between the two arms is asserted anywhere:
+    * IVFADC re-ranks within probed clusters, so it can beat or trail
+    * plain PQ per query — exactly the trade the audit exists to show.)
+    */
+  def pqRecall(spark: SparkSession, sfDir: String, k: Int = PqTopK): DataFrame = {
+    val ex = l2TopK(spark, sfDir, k).select(col("q_id"), col("vec_id"))
+    val p = pqTopK(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"), col("rn").as("pr"))
+    val i = ivfPqTopK(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"), col("rn").as("ir"))
+    ex.join(p, Seq("q_id", "vec_id"), "left")
+      .join(i, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("pr")).as("n_pq"), count(col("ir")).as("n_ivfpq"))
+      .select(col("q_id"),
+        col("n_pq"), round(col("n_pq").cast("double") / k, 6).as("recall_pq"),
+        col("n_ivfpq"), round(col("n_ivfpq").cast("double") / k, 6).as("recall_ivfpq"))
+      .orderBy("q_id")
+  }
+
+  /** Oracle for [[pqRecall]]: exact L2, PQ and IVFADC rankings replayed
+    * and joined in ONE DuckDB statement (KmeansCtes supplied by the
+    * caller — [[SparkEntry]] prepends it like the IVFADC oracle). */
+  def pqRecallOracleTail: String =
+    s"""exr AS (SELECT q_id, vec_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i]) for i in range(1,65)]),
+       |        b.vec_id) AS rn
+       |    FROM pqq a JOIN pqq b ON b.vec_id <> a.vec_id WHERE a.vec_id % 25 = 0)
+       |  WHERE rn <= $PqTopK),
+       |pqsc AS (SELECT l.q_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+       |        FROM pqenc e JOIN pqlut l ON l.sub = e.sub AND l.code = e.code
+       |          AND e.vec_id <> l.q_id
+       |        GROUP BY 1, 2),
+       |pqr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+       |    FROM pqsc) WHERE rn <= $PqTopK),
+       |probe AS (SELECT vec_id AS q_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansRounds c
+       |    WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= $IvfPqNProbe),
+       |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |cand AS (SELECT p.q_id, a.vec_id FROM probe p
+       |         JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+       |scpq AS (SELECT c.q_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+       |        FROM cand c JOIN pqenc e ON e.vec_id = c.vec_id
+       |          JOIN pqlut l ON l.q_id = c.q_id AND l.sub = e.sub AND l.code = e.code
+       |        GROUP BY 1, 2),
+       |ivr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+       |    FROM scpq) WHERE rn <= $PqTopK),
+       |j AS (SELECT e.q_id, p.vec_id AS pv, i.vec_id AS iv FROM exr e
+       |      LEFT JOIN pqr p ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+       |      LEFT JOIN ivr i ON i.q_id = e.q_id AND i.vec_id = e.vec_id)
+       |SELECT q_id, count(pv)::BIGINT AS n_pq,
+       |  round(count(pv)::DOUBLE / $PqTopK, 6) AS recall_pq,
+       |  count(iv)::BIGINT AS n_ivfpq,
+       |  round(count(iv)::DOUBLE / $PqTopK, 6) AS recall_ivfpq
+       |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
+
   /** CTE block (no WITH keyword) replaying PQ training → encode → LUT in
     * DuckDB, every CTE name prefixed with `p` so the block composes with
     * other CTE families (the IVFADC oracle joins it to SparkEntry's

@@ -67,7 +67,11 @@ class PlanHygieneSpec extends SparkSpec {
       // the broadcast query-panel LUTs — the cosine family's panel
       // allowance; at scale the candidate side is an IVF list (FAISS
       // IVFADC), not the whole corpus
-      "q_pq_topk")
+      "q_pq_topk",
+      // the PQ recall audit embeds the exact integer-L2 companion scan
+      // (broadcast panel) alongside both approximate arms — the same
+      // exact-companion allowance as q_ivf_audit / q_ann_recall
+      "q_pq_recall")
 
   test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
     // a BNLJ is scale-safe in exactly one shape: the broadcast side is a
@@ -173,7 +177,7 @@ class PlanHygieneSpec extends SparkSpec {
     // unlike its PQ parent this query plans no nested loop at all (the
     // BNLJ test above verifies that for free); only the panel-derived
     // broadcast side needs the family allowance
-    "q_ivfpq_topk")
+    "q_ivfpq_topk", "q_pq_recall")
 
   test("every explicit broadcast side is provably bounded or allowlisted (r10)") {
     import org.apache.spark.sql.catalyst.expressions._

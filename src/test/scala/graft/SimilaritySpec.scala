@@ -356,4 +356,23 @@ class SimilaritySpec extends SparkSpec {
         s"query $q drew candidates from ${clusters.size} clusters")
     }
   }
+
+  test("PQ recall audit counts agree with driver-side joins of the three rankings") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val ex = pairs(Similarity.l2TopK(spark, sf))
+    val pq = pairs(Similarity.pqTopK(spark, sf))
+    val iv = pairs(Similarity.ivfPqTopK(spark, sf))
+    val got = Similarity.pqRecall(spark, sf)
+      .select("q_id", "n_pq", "n_ivfpq").as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == ex.keySet && got.nonEmpty)
+    got.foreach { case (q, nPq, nIv) =>
+      assert(nPq == (ex(q) & pq(q)).size.toLong, s"query $q pq overlap")
+      assert(nIv == (ex(q) & iv.getOrElse(q, Set.empty)).size.toLong, s"query $q ivfpq overlap")
+    }
+    // the audit is not vacuous on the testdata: some true neighbors found
+    assert(got.map(_._2).sum >= 1)
+  }
 }
