@@ -242,9 +242,12 @@ object Curation {
   def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val items = docs.select(col("doc_id"),
+    // fenced: the per-doc distinct item stream feeds the frequent-set
+    // aggregate AND both self-join sides — one corpus tokenize pass, and
+    // the doc_id repartition co-partitions the pair join's inputs
+    val items = Dedup.fence(docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("word"))
-      .filter(col("word") =!= "")
+      .filter(col("word") =!= ""), "doc_id")
     val freq = items.groupBy("word").agg(count(lit(1)).as("supp"))
       .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
       .filter(col("supp") * AssocSupDenom >= col("nd"))
