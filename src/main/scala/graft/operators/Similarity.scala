@@ -724,6 +724,27 @@ object Similarity {
     transform(sequence(lit(0), lit(PqKs - 1)),
       j => pqSqDist(v8, element_at(cbLit, (sub * PqKs + j + 1).cast("int"))))
 
+  /** Map-side corpus encode: 8 argmin codes per row of `qv` (first
+    * minimum = lowest code, the trainer's tie-break). Shared by
+    * [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqCodesExpr(cbLit: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), s => {
+      def d = pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)
+      array_position(d, array_min(d)) - 1
+    })
+
+  /** Per-query flattened M×Ks ADC lookup table over the REAL query
+    * subvectors (s-major, code-minor). */
+  private def pqLutExpr(cbLit: Column): Column =
+    flatten(transform(sequence(lit(0), lit(PqM - 1)),
+      s => pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)))
+
+  /** ADC score: sum of M LUT lookups selected by the candidate's codes. */
+  private def pqAdistExpr: Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, s) => acc + element_at(col("lut"),
+        (s * PqKs + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+
   /** Joint Lloyd trainer for all [[PqM]] subspace codebooks: ONE corpus
     * pass per round over the exploded (vec_id, sub, v8) view — per-row
     * distances against the 2·Ks·M-cell literal codebook, argmin with
@@ -798,20 +819,11 @@ object Similarity {
   def pqTopK(spark: SparkSession, sfDir: String, k: Int = PqTopK): DataFrame = {
     val cbLit = typedlit(pqCodebooks(spark, sfDir).map(_.toSeq))
     val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
-    val codesExpr = transform(sequence(lit(0), lit(PqM - 1)), s => {
-      def d = pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)
-      array_position(d, array_min(d)) - 1
-    })
-    val lutExpr = flatten(transform(sequence(lit(0), lit(PqM - 1)),
-      s => pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)))
-    val codes = qv.select(col("vec_id"), codesExpr.as("codes"))
+    val codes = qv.select(col("vec_id"), pqCodesExpr(cbLit).as("codes"))
     val panel = qv.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("q_id"), lutExpr.as("lut"))
-    val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
-      (acc, s) => acc + element_at(col("lut"),
-        (s * PqKs + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+      .select(col("vec_id").as("q_id"), pqLutExpr(cbLit).as("lut"))
     codes.join(broadcast(panel), col("vec_id") =!= col("q_id"))
-      .withColumn("adist", adist)
+      .withColumn("adist", pqAdistExpr)
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))))
       .filter(col("rn") <= k)
@@ -855,16 +867,10 @@ object Similarity {
     val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
     val cdists = transform(sequence(lit(0), lit(KmeansK - 1)),
       c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int"))))
-    val codesExpr = transform(sequence(lit(0), lit(PqM - 1)), s => {
-      def d = pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)
-      array_position(d, array_min(d)) - 1
-    })
-    val lutExpr = flatten(transform(sequence(lit(0), lit(PqM - 1)),
-      s => pqDists(cbLit, slice(col("qv"), s * PqSubDim + 1, lit(PqSubDim)), s)))
     val corpus = qv
       .withColumn("cdists", cdists)
       .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
-      .withColumn("codes", codesExpr)
+      .withColumn("codes", pqCodesExpr(cbLit))
       .select("vec_id", "cluster", "codes")
     // nprobe nearest clusters per panel query: sort (dist, cid) structs —
     // lexicographic struct order IS the engine's (dist, lowest-cid) rule
@@ -874,15 +880,12 @@ object Similarity {
         sequence(lit(0), lit(KmeansK - 1)),
         c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
           c.cast("long").as("cid")))), 1, nprobe))
-      .select(col("vec_id").as("q_id"), lutExpr.as("lut"),
+      .select(col("vec_id").as("q_id"), pqLutExpr(cbLit).as("lut"),
         explode(col("probes")).as("probe"))
       .select(col("q_id"), col("lut"), col("probe.cid").as("cluster"))
-    val adist = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
-      (acc, s) => acc + element_at(col("lut"),
-        (s * PqKs + element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
     corpus.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adist", adist)
+      .withColumn("adist", pqAdistExpr)
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(asc("adist"), asc("vec_id"))))
       .filter(col("rn") <= k)
