@@ -60,6 +60,8 @@ object SparkEntry {
     "q_not_exists"        -> ((s, d) => Relational.notExistsCustomers(s, d)),
     "q_recursive_cte"     -> ((s, d) => Relational.recursiveAncestors(s, d)),
     "q_scd2"              -> ((s, d) => Relational.scd2Build(s, d)),
+    "q_skyline"           -> ((s, d) => Relational.skylineParts(s, d)),
+    "q_table_diff"        -> ((s, d) => Relational.tableDiff(s, d)),
     "q_csv_source"        -> ((s, d) => Sources.csvCustomerSegments(s, d)),
     "q_jsonl_source"      -> ((s, d) => Sources.jsonlDocsPerLang(s, d)),
     "q_orc_source"        -> ((s, d) => Sources.orcOrderPriorities(s, d)),
@@ -81,6 +83,7 @@ object SparkEntry {
     "q_collect"           -> ((s, d) => Aggregates.collectEventTypes(s, d)),
     "q_percentile_stats"  -> ((s, d) => Aggregates.percentileStats(s, d)),
     "q_corr_stats"        -> ((s, d) => Aggregates.corrStats(s, d)),
+    "q_ols_trend"         -> ((s, d) => Aggregates.olsTrend(s, d)),
     "q_minmax_by"         -> ((s, d) => Aggregates.minMaxBy(s, d)),
     "q_median_hist"       -> ((s, d) => Aggregates.medianHist(s, d)),
     "q_mode_hist"         -> ((s, d) => Aggregates.modeHist(s, d)),
@@ -98,6 +101,7 @@ object SparkEntry {
     "q_window_nav"        -> ((s, d) => Windows.navFunctions(s, d)),
     "q_ntile"             -> ((s, d) => Windows.ntileBalance(s, d)),
     "q_ntile_dist"        -> ((s, d) => Windows.ntileBalanceDist(s, d)),
+    "q_gapfill"           -> ((s, d) => Windows.gapfillHourly(s, d)),
     // ---- B6 sorts / limits / set ops ----
     "q_top20_orders"      -> ((s, d) => SetOps.topOrders(s, d)),
     "q_union_all"         -> ((s, d) => SetOps.unionAll(s, d)),
@@ -425,6 +429,35 @@ object SparkEntry {
     // the text-source queries aggregate a session-written CSV/JSONL copy;
     // the oracle aggregates the parquet original — any parse/encode
     // round-trip loss hash-mismatches by name
+    // independent formulation: quadratic NOT-EXISTS dominance (the
+    // textbook definition) vs the engine's linear grouped sweep
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part d
+        |  WHERE d.p_retailprice >= p.p_retailprice AND d.p_size <= p.p_size
+        |    AND (d.p_retailprice > p.p_retailprice OR d.p_size < p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    // independent formulation: direct column-by-column comparison vs the
+    // engine's md5 row-signature compare — the hash match proves the
+    // signature technique classifies identically
+    "q_table_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderkey % 97 <> 3),
+        |b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN cents + 500 ELSE cents END AS cents
+        |  FROM o WHERE o_orderkey % 89 <> 7)
+        |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |       WHEN b.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type
+        |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |   OR a.o_orderstatus <> b.o_orderstatus
+        |   OR a.o_orderpriority <> b.o_orderpriority
+        |   OR a.cents <> b.cents
+        |ORDER BY o_orderkey""".stripMargin,
     "q_csv_source" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_acctbal,
@@ -610,6 +643,29 @@ object SparkEntry {
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact integer sufficient statistics (HUGEINT == the engine's
+    // DECIMAL(38,0)); one decimal->double cast per term and a fixed IEEE
+    // op order make the emitted doubles bit-deterministic cross-engine.
+    // The independent check vs naive least squares lives in AggregatesSpec.
+    "q_ols_trend" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS HUGEINT) AS x,
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS y
+        |  FROM orders),
+        |s AS (SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT o_orderpriority, n,
+        |    CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+        |    CAST(n*sxx - sx*sx AS DOUBLE) AS den,
+        |    CAST(sy*sxx - sx*sxy AS DOUBLE) AS inum,
+        |    CAST(n*syy - sy*sy AS DOUBLE) AS dyy
+        |  FROM s)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  round(num/den, 6) AS slope_cents_per_day,
+        |  round(inum/den, 6) AS intercept_cents,
+        |  round((num*num)/(den*dyy), 6) AS r2
+        |FROM t ORDER BY o_orderpriority""".stripMargin,
     "q_minmax_by" ->
       """SELECT user_id,
         |  (max(struct_pack(value := value, event_id := event_id))).value AS top_value,
@@ -692,6 +748,33 @@ object SparkEntry {
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // interpolation expression mirrored token-for-token from the engine
+    // (ap + (an-ap) * ((h-hp)/(hn-hp)) over exact inputs), rounded once
+    "q_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts)//3600000000000 AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS a
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS h FROM bounds),
+        |j AS (SELECT g.event_type, g.h, hr.a FROM grid g
+        |  LEFT JOIN hourly hr ON g.event_type = hr.event_type AND g.h = hr.h),
+        |f AS (SELECT event_type, h, a,
+        |    last_value(a IGNORE NULLS) OVER wp AS ap,
+        |    last_value(CASE WHEN a IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS hp,
+        |    first_value(a IGNORE NULLS) OVER wn AS an,
+        |    first_value(CASE WHEN a IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS hn
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h*3600 AS hour_sec, a IS NULL AS interpolated,
+        |  round(coalesce(a,
+        |    ap + (an - ap) * (CAST(h - hp AS DOUBLE) / CAST(hn - hp AS DOUBLE))), 6)
+        |    AS avg_value
+        |FROM f ORDER BY event_type, hour_sec""".stripMargin,
 
     "q_top20_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders

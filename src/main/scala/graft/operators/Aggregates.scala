@@ -429,4 +429,50 @@ object Aggregates {
           <= col("exact_users").cast("double") * 0.10).as("merged_within_10pct"))
       .orderBy("event_type")
   }
+
+  /** Per-group ordinary-least-squares trend (slope/intercept/R²) of order
+    * value over time, computed from EXACT integer sufficient statistics:
+    * x = epoch-day of o_orderdate, y = price cents, and the five sums
+    * (Σx, Σy, Σx², Σxy, Σy²) accumulate as DECIMAL(38,0) — products are
+    * formed in decimal BEFORE the sum, so nothing ever wraps a long
+    * (an overflow would surface as NULL, not a wrong answer). The closed
+    * forms then take ONE decimal→double cast per term and a fixed IEEE
+    * op order, so the emitted doubles are bit-deterministic cross-engine:
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+    *   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * This beats `regr_slope` et al. for portability (their streaming float
+    * accumulation is engine-specific); AggregatesSpec cross-checks against
+    * an independent driver-side least squares. One hash-agg over the fact
+    * scan (map-side partial → 5 final rows); everything after the shuffle
+    * is per-group scalar arithmetic. 100 TB shape: the shuffle carries
+    * |groups|×7 cells per task — same contract as q1_agg.
+    */
+  def olsTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderpriority"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast(dec).as("x"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast(dec).as("y"))
+    val s = base.groupBy("o_orderpriority").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"),
+      sum(col("y")).cast(dec).as("sy"),
+      sum(col("x") * col("x")).cast(dec).as("sxx"),
+      sum(col("x") * col("y")).cast(dec).as("sxy"),
+      sum(col("y") * col("y")).cast(dec).as("syy"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    s.select(
+        col("o_orderpriority"), col("n").cast("long").as("n"),
+        d(col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        d(col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        d(col("sy") * col("sxx") - col("sx") * col("sxy")).as("inum"),
+        d(col("n") * col("syy") - col("sy") * col("sy")).as("dyy"))
+      .select(
+        col("o_orderpriority"), col("n"),
+        round(col("num") / col("den"), 6).as("slope_cents_per_day"),
+        round(col("inum") / col("den"), 6).as("intercept_cents"),
+        round((col("num") * col("num")) / (col("den") * col("dyy")), 6).as("r2"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -583,6 +583,38 @@ object Relational {
         |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** SKYLINE / Pareto frontier (Börzsönyi et al., ICDE 2001): parts not
+    * dominated on (maximize p_retailprice, minimize p_size) — the
+    * multi-criteria shortlist operator ("best trade-offs") classical OLAP
+    * engines ship as SKYLINE OF. A part is dominated iff some other part
+    * is ≥ on price and ≤ on size with at least one strict.
+    *
+    * Plan: the dominance test collapses to per-DISTINCT-price group
+    * minima — row r is dominated iff min(size) over strictly-higher
+    * price groups ≤ r.size, or its own price group's min < r.size. So:
+    * one vocabulary-style aggregate to (price, gmin) (output bounded by
+    * DISTINCT prices, not rows), one running-min window over that
+    * grouped frame, one join back. No pairwise comparison anywhere —
+    * the naive NOT EXISTS self-join (the oracle's formulation) is
+    * O(n²); this is O(n) + a distinct-value-sized sort. At 100 TB the
+    * windowed frame is the price domain (Heaps-bounded like every
+    * vocab aggregate here), and the join back is an equi-join on price.
+    */
+  def skylineParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val groups = parts.groupBy("p_retailprice")
+      .agg(min(col("p_size")).as("gmin"))
+    val sweep = Window.orderBy(desc("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mins = groups.withColumn("rmin", min(col("gmin")).over(sweep))
+    parts.join(mins, "p_retailprice")
+      .filter((col("rmin").isNull || col("rmin") > col("p_size"))
+        && col("gmin") >= col("p_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+      .orderBy("p_partkey")
+  }
+
   /** SCD TYPE 2 dimension build (Kimball slowly-changing-dimension): the
     * events stream is the change feed and `event_type` the tracked
     * attribute — consecutive equal values per user collapse into one
@@ -619,5 +651,46 @@ object Relational {
       .select("user_id", "version", "event_type", "valid_from_sec", "valid_to_sec",
         "is_current", "n_events")
       .orderBy("user_id", "version")
+  }
+
+  /** SNAPSHOT DIFF / data reconciliation: classify every key across two
+    * table snapshots as added / removed / changed — the audit primitive
+    * behind CDC validation, replication checks and migration sign-off.
+    * The two snapshots are derived deterministically from `orders` (A
+    * drops keys ≡3 mod 97; B drops keys ≡7 mod 89 and bumps price cents
+    * by 500 on keys ≡0 mod 13), so adds, removes AND in-place changes
+    * are all present.
+    *
+    * The engine compares md5 ROW SIGNATURES over a canonical rendering
+    * (`status|priority|cents` — integers and strings render identically
+    * across engines), so the full-outer join carries one 32-char digest
+    * per row instead of every payload column; the oracle deliberately
+    * compares the COLUMNS directly, so the hash match proves the
+    * signature technique misses nothing. 100 TB shape: signatures are
+    * map-side projections; the only shuffle is the co-partitioned
+    * full-outer SMJ on the key, and unchanged rows (the overwhelming
+    * majority in a real reconciliation) are dropped immediately after
+    * the join — nothing wide survives.
+    */
+  def tableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def sig(df: DataFrame): Column =
+      md5(concat_ws("|", df("o_orderstatus"), df("o_orderpriority"), df("cents")))
+    val snapA = base.filter(col("o_orderkey") % 97 =!= 3)
+    val snapB = base.filter(col("o_orderkey") % 89 =!= 7)
+      .withColumn("cents",
+        when(col("o_orderkey") % 13 === 0, col("cents") + 500).otherwise(col("cents")))
+    val a = snapA.select(col("o_orderkey"), sig(snapA).as("sig_a"))
+    val b = snapB.select(col("o_orderkey"), sig(snapB).as("sig_b"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("sig_a").isNull, lit("added"))
+          .when(col("sig_b").isNull, lit("removed"))
+          .when(col("sig_a") =!= col("sig_b"), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select("o_orderkey", "change_type")
+      .orderBy("o_orderkey")
   }
 }

@@ -150,6 +150,55 @@ object Windows {
     }
     quartiled.toDF("c_custkey", "quartile").orderBy("c_custkey")
   }
+
+  /** Time-series RESAMPLE + GAP-FILL: per event type, the hourly average
+    * value on a dense hour grid, missing hours linearly interpolated
+    * between their present neighbours (the `time_bucket GAPFILL` /
+    * `interpolate` operator of time-series engines, composed from
+    * built-ins: one hash-agg, a per-type `sequence` grid, and two
+    * IGNORE-NULLS window sweeps for the bracketing present hours).
+    *
+    * Exactness: the hourly average is one decimal-sum/long-count double
+    * division; the interpolation `ap + (an−ap)·((h−hp)/(hn−hp))` is a
+    * fixed IEEE op order over exact inputs, mirrored token-for-token in
+    * the oracle, then rounded once at emit. The grid spans each type's
+    * [min, max] present hour, so every interior gap has both neighbours
+    * (no edge extrapolation by construction).
+    *
+    * 100 TB shape: raw rows are touched ONLY by the map-side-combinable
+    * hash-agg; everything downstream (grid, join, windows) rides the
+    * (type × hour-domain) frame — time-bounded (10 years ≈ 88k hours per
+    * type), independent of corpus row count. The per-type window is a
+    * single partition of that domain frame, same stance as the skyline
+    * price-domain sweep.
+    */
+  def gapfillHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_sec div 3600").as("h"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("s"), count(lit(1)).as("c"))
+      .select(col("event_type"), col("h"),
+        (col("s").cast("double") / col("c").cast("double")).as("a"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val wPrev = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("ap", last(col("a"), ignoreNulls = true).over(wPrev))
+      .withColumn("hp", last(when(col("a").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+      .withColumn("an", first(col("a"), ignoreNulls = true).over(wNext))
+      .withColumn("hn", first(when(col("a").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+      .select(
+        col("event_type"), (col("h") * 3600).as("hour_sec"),
+        col("a").isNull.as("interpolated"),
+        round(coalesce(col("a"),
+          col("ap") + (col("an") - col("ap")) *
+            ((col("h") - col("hp")).cast("double") / (col("hn") - col("hp")).cast("double"))),
+          6).as("avg_value"))
+      .orderBy("event_type", "hour_sec")
+  }
 }
 
 /** Sort / limit / set-operation surface (SURVEY.md §2.B6). */

@@ -191,4 +191,31 @@ class AggregatesSpec extends SparkSpec {
     }.flatten
     assert(paths.nonEmpty && paths.forall(_.contains("graft-hll-cube")))
   }
+
+  test("ols trend matches an independent driver-side least squares") {
+    import spark.implicits._
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    val got = Aggregates.olsTrend(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == rows.map(_._1).distinct.sorted.toSeq)
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * (1 + math.abs(b))
+    for ((pri, n, slope, icept, r2) <- got) {
+      val g = rows.filter(_._1 == pri)
+      assert(n == g.length)
+      // independent formulation: centered double least squares
+      val xs = g.map(_._2.toDouble); val ys = g.map(_._3.toDouble)
+      val xm = xs.sum / n; val ym = ys.sum / n
+      val sxy = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+      val sxx = xs.map(x => (x - xm) * (x - xm)).sum
+      val syy = ys.map(y => (y - ym) * (y - ym)).sum
+      assert(close(slope, sxy / sxx), s"$pri slope $slope vs ${sxy / sxx}")
+      assert(close(icept, ym - (sxy / sxx) * xm), s"$pri intercept")
+      assert(close(r2, (sxy * sxy) / (sxx * syy)), s"$pri r2")
+      assert(r2 >= 0 && r2 <= 1)
+    }
+  }
 }

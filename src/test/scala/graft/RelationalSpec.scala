@@ -314,6 +314,44 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("skyline equals the quadratic dominance definition, recomputed driver-side") {
+    import spark.implicits._
+    val all = Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size")
+      .as[(Long, Double, Int)].collect()
+    val want = all.filter { p =>
+      !all.exists(d => d._2 >= p._2 && d._3 <= p._3 && (d._2 > p._2 || d._3 < p._3))
+    }.map(p => (p._1, p._2, p._3.toLong)).sortBy(_._1).toSeq
+    val got = Relational.skylineParts(spark, sf)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == want)
+    // the frontier is a genuine shortlist, not everything or nothing
+    assert(got.nonEmpty && got.size < all.length)
+  }
+
+  test("table diff classifies adds/removes/changes exactly (driver-side replay)") {
+    import spark.implicits._
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .as[(Long, String, String, Long)].collect()
+    val a = base.filter(_._1 % 97 != 3).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val b = base.filter(_._1 % 89 != 7)
+      .map(r => r._1 -> ((r._2, r._3, if (r._1 % 13 == 0) r._4 + 500 else r._4))).toMap
+    val want = (a.keySet ++ b.keySet).flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, Some(_))              => Some(k -> "added")
+        case (Some(_), None)              => Some(k -> "removed")
+        case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+        case _                            => None
+      }
+    }.toSeq.sorted
+    val got = Relational.tableDiff(spark, sf).as[(Long, String)].collect().toSeq
+    assert(got == want)
+    // all three classes genuinely exercised by the snapshot construction
+    assert(got.map(_._2).toSet == Set("added", "removed", "changed"))
+  }
+
   test("scd2 plans with a single exchange (every stage reuses the user_id clustering)") {
     val plan = Relational.scd2Build(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length

@@ -58,4 +58,30 @@ class WindowsSpec extends SparkSpec {
       assert((f, t, l) == byUser(u), s"event $id user $u")
     }
   }
+
+  test("gapfill emits a dense per-type hour grid with interior gaps interpolated") {
+    import spark.implicits._
+    val r = Windows.gapfillHourly(spark, sf)
+      .as[(String, Long, Boolean, Double)].collect()
+    assert(r.exists(_._3), "no gap was interpolated — fixture has no missing hours")
+    for ((_, rows) <- r.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      val hours = sorted.map(_._2)
+      // dense grid: every hour between the type's first and last, once
+      assert(hours.distinct.length == hours.length)
+      assert((hours.last - hours.head) / 3600 + 1 == hours.length)
+      // grid edges are present hours by construction, never extrapolated
+      assert(!sorted.head._3 && !sorted.last._3)
+      // every interpolated point lies on the segment between its
+      // bracketing present hours (recomputed from the emitted values)
+      val present = sorted.filter(!_._3)
+      for (g <- sorted.filter(_._3)) {
+        val prev = present.takeWhile(_._2 < g._2).last
+        val next = present.dropWhile(_._2 < g._2).head
+        val f = (g._2 - prev._2).toDouble / (next._2 - prev._2).toDouble
+        val want = prev._4 + (next._4 - prev._4) * f
+        assert(math.abs(g._4 - want) < 1e-4, s"interp at ${g._2}: ${g._4} vs $want")
+      }
+    }
+  }
 }
