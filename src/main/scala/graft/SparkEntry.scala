@@ -87,6 +87,7 @@ object SparkEntry {
     "q_minmax_by"         -> ((s, d) => Aggregates.minMaxBy(s, d)),
     "q_median_hist"       -> ((s, d) => Aggregates.medianHist(s, d)),
     "q_mode_hist"         -> ((s, d) => Aggregates.modeHist(s, d)),
+    "q_mad_hist"          -> ((s, d) => Aggregates.madHist(s, d)),
     "q_approx_percentile" -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_cms_counts"        -> ((s, d) => Aggregates.cmsWordCounts(s, d)),
     "q_cms_cube"          -> ((s, d) => Aggregates.cmsCubeServed(s, d)),
@@ -215,6 +216,7 @@ object SparkEntry {
     "q_funnel_fold"       -> ((s, d) => Funnels.funnelFold(s, d)),
     "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
+    "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
     "q_textrank"          -> ((s, d) => TextAnalysis.textrank(s, d)),
     "q_triangles"         -> ((s, d) => TextAnalysis.triangles(s, d)),
@@ -677,6 +679,16 @@ object SparkEntry {
     "q_median_hist" ->
       """SELECT l_returnflag AS k, median(l_quantity) AS med
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fully independent formulation: two native medians vs the engine's
+    // double histogram-cumulative pass (deviations step by 0.5 over the
+    // integral lattice, so every intermediate is exact in binary)
+    "q_mad_hist" ->
+      """WITH m AS (SELECT l_returnflag AS k, median(l_quantity) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT m.k AS k, m.med AS med,
+        |  median(abs(l.l_quantity - m.med)) AS mad
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.k
+        |GROUP BY m.k, m.med ORDER BY m.k""".stripMargin,
     "q_mode_hist" ->
       """WITH h AS (SELECT l_returnflag AS k, l_quantity AS v,
         |    count(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),
@@ -1877,6 +1889,38 @@ object SparkEntry {
         |  FROM events JOIN st ON event_type = t)
         |SELECT event_id, event_type, value, z FROM z
         |WHERE abs(z) >= 2.0 ORDER BY event_id""".stripMargin,
+    // Welch t from exact HUGEINT sufficient statistics (== the engine's
+    // DECIMAL(38,0)); one cast per term, same IEEE op order, and the
+    // significance boolean decided on the 4-dp-rounded t in both engines
+    "q_abtest_welch" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS va,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y FROM events),
+        |s AS (SELECT event_type,
+        |    sum(CASE WHEN va THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN NOT va THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN va THEN y ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN NOT va THEN y ELSE 0 END) AS s_b,
+        |    sum(CASE WHEN va THEN y*y ELSE 0 END) AS ss_a,
+        |    sum(CASE WHEN NOT va THEN y*y ELSE 0 END) AS ss_b
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT event_type, n_a, n_b,
+        |    CAST(s_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS m_a,
+        |    CAST(s_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS m_b,
+        |    (CAST(ss_a AS DOUBLE)
+        |       - CAST(s_a AS DOUBLE)*CAST(s_a AS DOUBLE)/CAST(n_a AS DOUBLE))
+        |      /CAST(n_a - 1 AS DOUBLE) AS v_a,
+        |    (CAST(ss_b AS DOUBLE)
+        |       - CAST(s_b AS DOUBLE)*CAST(s_b AS DOUBLE)/CAST(n_b AS DOUBLE))
+        |      /CAST(n_b - 1 AS DOUBLE) AS v_b
+        |  FROM s),
+        |r AS (SELECT event_type, n_a, n_b,
+        |    round(m_a, 4) AS mean_a_cents, round(m_b, 4) AS mean_b_cents,
+        |    round((m_a - m_b)
+        |      /sqrt(v_a/CAST(n_a AS DOUBLE) + v_b/CAST(n_b AS DOUBLE)), 4) AS t_welch
+        |  FROM t)
+        |SELECT event_type, n_a, n_b, mean_a_cents, mean_b_cents, t_welch,
+        |  abs(t_welch) >= 1.96 AS significant
+        |FROM r ORDER BY event_type""".stripMargin,
     // event_id tiebreak on BOTH engines: pair composition at equal ns
     // timestamps must be identical
     "q_transitions" ->

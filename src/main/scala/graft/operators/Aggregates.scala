@@ -364,6 +364,40 @@ object Aggregates {
       .select(col("k"), (-col("top.nv")).as("mode_v"), col("top.c").as("cnt"))
       .orderBy("k")
 
+  /** Robust dispersion: per-key MEDIAN ABSOLUTE DEVIATION, the outlier-
+    * insensitive spread statistic (mad = median(|v − median(v)|)), computed
+    * as TWO passes of the histogram-cumulative median rule above — value
+    * histogram → median, deviation histogram (|v − med| re-keyed, counts
+    * re-summed) → median again. `percentile`-style aggregates would
+    * concentrate each key's full value list in one buffer; here both
+    * medians read off keys×bins cumulative windows, so a hot key at 100 TB
+    * costs its histogram, never its rows. Deviations over an integral
+    * lattice step by 0.5, so every intermediate is exact in binary and the
+    * DuckDB oracle's native `median(abs(v − med))` — a fully independent
+    * formulation — matches bit-for-bit.
+    */
+  def madHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy("k").orderBy("v")
+    val totW = Window.partitionBy("k")
+    def histMedian(hist: DataFrame): DataFrame = hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .groupBy("k")
+      .agg(min(when(col("cum") >= floor((col("n") + 1) / 2), col("v"))).as("lo"),
+        min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))).as("hi"))
+      .select(col("k"), ((col("lo") + col("hi")) / 2).as("med"))
+    val hist = quantityHist(spark, sfDir)
+    val med = histMedian(hist)
+    val devHist = hist.join(med, "k")
+      .groupBy(col("k"), abs(col("v") - col("med")).as("v"))
+      .agg(sum("c").as("c"))
+    histMedian(devHist).withColumnRenamed("med", "mad")
+      .join(med, "k")
+      .select(col("k"), col("med"), col("mad"))
+      .orderBy("k")
+  }
+
   /** max_by / min_by semantics with deterministic struct tie-breaks: the
     * highest-value event and the first event per user in one pass.
     */

@@ -201,6 +201,55 @@ object Funnels {
       .orderBy("event_id")
   }
 
+  /** A/B experiment readout: Welch's unequal-variance t statistic per
+    * event type, comparing mean event value between the two assignment
+    * arms (variant = user_id parity — the deterministic hash-assignment
+    * every experimentation platform uses). ONE two-phase hash aggregate
+    * computes both arms' exact sufficient statistics via conditional
+    * sums (n, Σy, Σy² per arm, y = value cents as DECIMAL(38,0) — the
+    * q_ols_trend discipline: products formed in decimal, overflow
+    * surfaces as NULL, never a wrong answer); the Welch formula then
+    * runs in a fixed IEEE op order on one decimal→double cast per term,
+    * so t is bit-deterministic cross-engine. The significance verdict is
+    * made on the 4-dp-ROUNDED t (the anomalyZscore pattern) so both
+    * engines decide the boolean on identical values.
+    *
+    * Scale shape: identical to q1_agg — the fact scan partial-aggregates
+    * map-side to |event_types| × 7 cells per task; no join, no second
+    * pass. FunnelsSpec cross-checks an independent driver-side Welch.
+    */
+  def abtestWelch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val zero = lit(0).cast(dec)
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      (col("user_id") % 2 === 0).as("va"),
+      expr("CAST(round(value * 100) AS BIGINT)").cast(dec).as("y"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val s = ev.groupBy("event_type").agg(
+      sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("va"), col("y")).otherwise(zero)).as("s_a"),
+      sum(when(!col("va"), col("y")).otherwise(zero)).as("s_b"),
+      sum(when(col("va"), col("y") * col("y")).otherwise(zero)).as("ss_a"),
+      sum(when(!col("va"), col("y") * col("y")).otherwise(zero)).as("ss_b"))
+    s.select(col("event_type"), col("n_a"), col("n_b"),
+        (d(col("s_a")) / d(col("n_a"))).as("m_a"),
+        (d(col("s_b")) / d(col("n_b"))).as("m_b"),
+        ((d(col("ss_a")) - d(col("s_a")) * d(col("s_a")) / d(col("n_a")))
+          / d(col("n_a") - 1)).as("v_a"),
+        ((d(col("ss_b")) - d(col("s_b")) * d(col("s_b")) / d(col("n_b")))
+          / d(col("n_b") - 1)).as("v_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("m_a"), 4).as("mean_a_cents"),
+        round(col("m_b"), 4).as("mean_b_cents"),
+        round((col("m_a") - col("m_b"))
+          / sqrt(col("v_a") / d(col("n_a")) + col("v_b") / d(col("n_b"))), 4)
+          .as("t_welch"))
+      .withColumn("significant", abs(col("t_welch")) >= 1.96)
+      .orderBy("event_type")
+  }
+
   /** Classic cohort-retention grid: cohort = the epoch-day of a user's first
     * event; one row per (cohort_day, day_offset) with the count of distinct
     * cohort users active that day.

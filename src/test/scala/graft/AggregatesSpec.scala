@@ -192,6 +192,25 @@ class AggregatesSpec extends SparkSpec {
     assert(paths.nonEmpty && paths.forall(_.contains("graft-hll-cube")))
   }
 
+  test("mad equals the interpolated-median definition, recomputed driver-side") {
+    import spark.implicits._
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)].collect()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val want = vals.groupBy(_._1).map { case (k, g) =>
+      val vs = g.map(_._2).toSeq
+      val med = median(vs)
+      (k, med, median(vs.map(v => math.abs(v - med))))
+    }.toSeq.sortBy(_._1)
+    val got = Aggregates.madHist(spark, sf).as[(String, Double, Double)].collect().toSeq
+    assert(got == want) // exact: the 0.5-step lattice is binary-representable
+    assert(got.forall { case (_, med, mad) => mad >= 0 && mad <= med })
+  }
+
   test("ols trend matches an independent driver-side least squares") {
     import spark.implicits._
     val rows = Tables.orders(spark, sf)

@@ -125,4 +125,33 @@ class FunnelsSpec extends SparkSpec {
     // day-0 cohorts must cover every user exactly once
     assert(got.filter(_._2 == 0L).map(_._3).sum == cohort.size.toLong)
   }
+
+  test("abtest welch matches an independent driver-side computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    val got = Funnels.abtestWelch(spark, sf)
+      .as[(String, Long, Long, Double, Double, Double, Boolean)].collect()
+    // the engine emits 4-dp-rounded stats, so compare on the rounding grid
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-4 * (1 + math.abs(b))
+    for ((t, nA, nB, mA, mB, tw, sig) <- got) {
+      val g = rows.filter(_._1 == t)
+      val (a, b) = g.partition(_._2 % 2 == 0)
+      assert(nA == a.length && nB == b.length)
+      def stats(xs: Array[Long]) = {
+        val n = xs.length.toDouble
+        val m = xs.map(_.toDouble).sum / n
+        val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+        (n, m, v)
+      }
+      val (na, ma, va) = stats(a.map(_._3)); val (nb, mb, vb) = stats(b.map(_._3))
+      assert(close(mA, ma) && close(mB, mb), s"$t means")
+      val twWant = (ma - mb) / math.sqrt(va / na + vb / nb)
+      assert(close(tw, twWant), s"$t t=$tw vs $twWant")
+      assert(sig == (math.abs(tw) >= 1.96))
+    }
+    assert(got.nonEmpty)
+  }
 }
