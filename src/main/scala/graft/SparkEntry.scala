@@ -103,6 +103,8 @@ object SparkEntry {
     "q_ntile"             -> ((s, d) => Windows.ntileBalance(s, d)),
     "q_ntile_dist"        -> ((s, d) => Windows.ntileBalanceDist(s, d)),
     "q_gapfill"           -> ((s, d) => Windows.gapfillHourly(s, d)),
+    "q_twap"              -> ((s, d) => Windows.twapPerUser(s, d)),
+    "q_pareto_abc"        -> ((s, d) => Windows.paretoAbc(s, d)),
     // ---- B6 sorts / limits / set ops ----
     "q_top20_orders"      -> ((s, d) => SetOps.topOrders(s, d)),
     "q_union_all"         -> ((s, d) => SetOps.unionAll(s, d)),
@@ -217,6 +219,7 @@ object SparkEntry {
     "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
+    "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
     "q_textrank"          -> ((s, d) => TextAnalysis.textrank(s, d)),
     "q_triangles"         -> ((s, d) => TextAnalysis.triangles(s, d)),
@@ -787,6 +790,37 @@ object SparkEntry {
         |    ap + (an - ap) * (CAST(h - hp AS DOUBLE) / CAST(hn - hp AS DOUBLE))), 6)
         |    AS avg_value
         |FROM f ORDER BY event_type, hour_sec""".stripMargin,
+    // exact integer cents×ns weighted sums (HUGEINT == DECIMAL(38,0)),
+    // one division at emit; lead tie-broken by event_id in both engines
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |i AS (SELECT user_id, y,
+        |    lead(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) - tns AS dt
+        |  FROM e),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |    sum(CAST(y AS HUGEINT) * CAST(dt AS HUGEINT)) AS num,
+        |    sum(CAST(dt AS HUGEINT)) AS den
+        |  FROM i WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twap_cents
+        |FROM g WHERE den > 0 ORDER BY user_id""".stripMargin,
+    // share thresholds as exact integer products (cum*100 <= total*80) —
+    // a 0.8 float literal would diverge on boundary rows cross-engine
+    "q_pareto_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, revenue,
+        |    sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(revenue) OVER () AS total
+        |  FROM rev)
+        |SELECT l_partkey, CAST(revenue AS BIGINT) AS revenue_cents,
+        |  CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |       WHEN cum * 100 <= total * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY l_partkey""".stripMargin,
 
     "q_top20_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -1920,6 +1954,36 @@ object SparkEntry {
         |  FROM t)
         |SELECT event_type, n_a, n_b, mean_a_cents, mean_b_cents, t_welch,
         |  abs(t_welch) >= 1.96 AS significant
+        |FROM r ORDER BY event_type""".stripMargin,
+    // the ECDF gap is exact integer arithmetic (|cumA·nB − cumB·nA| over
+    // HUGEINT) with one division at emit; verdict decided on 6-dp-rounded
+    // statistic vs 6-dp-rounded critical value in both engines
+    "q_ks_test" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS va,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |h AS (SELECT event_type, y,
+        |    CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+        |    sum(ca) OVER t AS na, sum(cb) OVER t AS nb
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  t AS (PARTITION BY event_type)),
+        |g AS (SELECT event_type, max(na) AS nad, max(nb) AS nbd,
+        |    max(abs(cum_a * nb - cum_b * na)) AS dmax
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT event_type,
+        |    CAST(nad AS BIGINT) AS n_a, CAST(nbd AS BIGINT) AS n_b,
+        |    round(CAST(dmax AS DOUBLE)
+        |      / (CAST(nad AS DOUBLE) * CAST(nbd AS DOUBLE)), 6) AS ks,
+        |    round(CAST(1.36 AS DOUBLE)
+        |      * sqrt((CAST(nad AS DOUBLE) + CAST(nbd AS DOUBLE))
+        |             / (CAST(nad AS DOUBLE) * CAST(nbd AS DOUBLE))), 6) AS crit_05
+        |  FROM g)
+        |SELECT event_type, n_a, n_b, ks, crit_05, ks > crit_05 AS significant
         |FROM r ORDER BY event_type""".stripMargin,
     // event_id tiebreak on BOTH engines: pair composition at equal ns
     // timestamps must be identical

@@ -250,6 +250,55 @@ object Funnels {
       .orderBy("event_type")
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV test per event type between the same
+    * user-parity arms as [[abtestWelch]] — the distribution-shape
+    * companion to the mean test (an arm can shift shape without moving
+    * the mean; KS catches it). The statistic is computed EXACTLY in
+    * integers: on the per-(type, cents) value histogram with per-arm
+    * conditional counts, the ECDF gap at value v is
+    * |cumA·nB − cumB·nA| / (nA·nB) — numerator and denominator are exact
+    * DECIMAL(38,0) products, the max is taken over the integer
+    * numerators, and ONE decimal→double division emits the statistic.
+    * The α=0.05 verdict compares the 6-dp-rounded statistic against the
+    * 6-dp-rounded large-sample critical value 1.36·√((nA+nB)/(nA·nB)) so
+    * both engines decide the boolean on identical values.
+    *
+    * 100 TB shape: the raw scan collapses map-side to the
+    * (type × distinct-cents) histogram; the cumulative window and max
+    * ride that value-domain frame — the median-hist stance.
+    */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val hist = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("user_id") % 2 === 0).as("va"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .groupBy("event_type", "y")
+      .agg(sum(when(col("va"), 1L).otherwise(0L)).cast(dec).as("ca"),
+        sum(when(!col("va"), 1L).otherwise(0L)).cast(dec).as("cb"))
+    val cumW = Window.partitionBy("event_type").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy("event_type")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    hist
+      .withColumn("cum_a", sum(col("ca")).over(cumW))
+      .withColumn("cum_b", sum(col("cb")).over(cumW))
+      .withColumn("na", sum(col("ca")).over(totW))
+      .withColumn("nb", sum(col("cb")).over(totW))
+      .groupBy("event_type")
+      .agg(max(col("na")).as("n_a"), // constant per type
+        max(col("nb")).as("n_b"),
+        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("dmax"))
+      .select(col("event_type"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round(d(col("dmax")) / (d(col("n_a")) * d(col("n_b"))), 6).as("ks"),
+        round(lit(1.36) * sqrt((d(col("n_a")) + d(col("n_b")))
+          / (d(col("n_a")) * d(col("n_b")))), 6).as("crit_05"))
+      .withColumn("significant", col("ks") > col("crit_05"))
+      .orderBy("event_type")
+  }
+
   /** Classic cohort-retention grid: cohort = the epoch-day of a user's first
     * event; one row per (cohort_day, day_offset) with the count of distinct
     * cohort users active that day.

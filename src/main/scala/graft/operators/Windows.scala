@@ -172,6 +172,77 @@ object Windows {
     * single partition of that domain frame, same stance as the skyline
     * price-domain sweep.
     */
+  /** TIME-WEIGHTED AVERAGE (TWAP): per user, the mean event value weighted
+    * by how long each observation was "in force" (until the next event) —
+    * the standard irregular-sampling average for prices and telemetry
+    * gauges, where a plain mean over-counts bursts. dt comes from one
+    * `lead` over the per-user window (exact ns longs); the weighted sum
+    * Σ(value_cents·dt) accumulates as DECIMAL(38,0) (a cents×ns product
+    * reaches ~10¹⁸ per interval — long arithmetic would wrap silently at
+    * real scale, decimal overflow surfaces as NULL), and the average is
+    * ONE decimal→double division, so the emitted doubles are
+    * bit-deterministic cross-engine. The last event per user spans no
+    * interval and drops out (the standard observed-span TWAP); one-event
+    * users disappear with it. Zero-length intervals (equal-ts ties,
+    * event_id-broken identically in both engines) contribute zero weight.
+    *
+    * 100 TB shape: one per-user window (bounded state, streaming lead) and
+    * one user-keyed hash-agg that reuses the window's clustering — the
+    * fact shuffles once.
+    */
+  def twapPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .withColumn("dt", lead(col("ts"), 1).over(w) - col("ts"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("y").cast(dec) * col("dt").cast(dec)).as("num"),
+        sum(col("dt").cast(dec)).as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("twap_cents"))
+      .orderBy("user_id")
+  }
+
+  /** PARETO / ABC CLASSIFICATION: rank parts by revenue, classify by
+    * cumulative revenue share — A up to 80%, B up to 95%, C the tail (the
+    * warehouse inventory-analysis classic). The share thresholds are
+    * EXACT INTEGER comparisons (100·cum ≤ 80·total) — a 0.8 float literal
+    * would be DOUBLE in Spark but DECIMAL in DuckDB and diverge on
+    * boundary rows (the r10 assoc-rules lesson), while integer products
+    * of exact cent sums compare identically everywhere.
+    *
+    * 100 TB shape: revenue aggregates the fact down to the parts DIMENSION
+    * (sublinear side of the star schema) before anything global happens;
+    * the cumulative window then rides that dimension-sized frame. If the
+    * dimension itself outgrew one task, the exact two-phase trick
+    * q_ntile_dist demonstrates (range exchange + per-partition offsets)
+    * applies unchanged — same frame, same ordering key.
+    */
+  def paretoAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("l_partkey")
+      .agg(sum(col("cents").cast("decimal(38,0)")).as("revenue"))
+    val cum = Window.orderBy(desc("revenue"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .withColumn("c", sum(col("revenue")).over(cum))
+      .withColumn("t", sum(col("revenue")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("l_partkey"), col("revenue").cast("long").as("revenue_cents"),
+        when(col("c") * 100 <= col("t") * 80, "A")
+          .when(col("c") * 100 <= col("t") * 95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy("l_partkey")
+  }
+
   def gapfillHourly(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), expr("ts_sec div 3600").as("h"))

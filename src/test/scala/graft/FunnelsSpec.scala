@@ -126,6 +126,30 @@ class FunnelsSpec extends SparkSpec {
     assert(got.filter(_._2 == 0L).map(_._3).sum == cohort.size.toLong)
   }
 
+  test("ks statistic equals the max ECDF gap, recomputed driver-side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    val got = Funnels.ksTest(spark, sf)
+      .as[(String, Long, Long, Double, Double, Boolean)].collect()
+    for ((t, nA, nB, ks, crit, sig) <- got) {
+      val g = rows.filter(_._1 == t)
+      val (a, b) = g.partition(_._2 % 2 == 0)
+      assert(nA == a.length && nB == b.length)
+      val av = a.map(_._3); val bv = b.map(_._3)
+      val ksWant = (av ++ bv).distinct.map { v =>
+        math.abs(av.count(_ <= v).toDouble / nA - bv.count(_ <= v).toDouble / nB)
+      }.max
+      assert(math.abs(ks - ksWant) <= 1e-6 * (1 + ksWant), s"$t ks=$ks vs $ksWant")
+      val critWant = 1.36 * math.sqrt((nA + nB).toDouble / (nA.toDouble * nB))
+      assert(math.abs(crit - critWant) <= 1e-6 * (1 + critWant))
+      assert(sig == (ks > crit))
+    }
+    assert(got.nonEmpty)
+  }
+
   test("abtest welch matches an independent driver-side computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -59,6 +59,48 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("twap equals the duration-weighted mean, recomputed driver-side") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val s = g.sortBy(e => (e._2, e._3))
+      val iv = s.zip(s.tail).map { case (a, b) => (BigInt(a._4), BigInt(b._2 - a._2)) }
+      val den = iv.map(_._2).sum
+      if (iv.isEmpty || den == 0) None
+      else {
+        val num = iv.map { case (y, dt) => y * dt }.sum
+        Some((u, iv.length.toLong,
+          BigDecimal(num.toDouble / den.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Windows.twapPerUser(spark, sf).as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) == want.map(w => (w._1, w._2)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) <= 1e-6 * (1 + math.abs(w._3)), s"user ${g._1}")
+    }
+  }
+
+  test("pareto abc classes follow the cumulative revenue share, recomputed driver-side") {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, g) => k -> g.map(r => BigInt(r._2)).sum }
+    val total = rev.values.sum
+    var cum = BigInt(0)
+    val want = rev.toSeq.sortBy { case (k, r) => (-r, k) }.map { case (k, r) =>
+      cum += r
+      k -> (if (cum * 100 <= total * 80) "A" else if (cum * 100 <= total * 95) "B" else "C")
+    }.sortBy(_._1)
+    val got = Windows.paretoAbc(spark, sf)
+      .select("l_partkey", "abc_class").as[(Long, String)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._2).toSet == Set("A", "B", "C"))
+  }
+
   test("gapfill emits a dense per-type hour grid with interior gaps interpolated") {
     import spark.implicits._
     val r = Windows.gapfillHourly(spark, sf)
