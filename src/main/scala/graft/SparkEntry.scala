@@ -105,6 +105,7 @@ object SparkEntry {
     "q_gapfill"           -> ((s, d) => Windows.gapfillHourly(s, d)),
     "q_twap"              -> ((s, d) => Windows.twapPerUser(s, d)),
     "q_pareto_abc"        -> ((s, d) => Windows.paretoAbc(s, d)),
+    "q_gini"              -> ((s, d) => Windows.giniRevenue(s, d)),
     // ---- B6 sorts / limits / set ops ----
     "q_top20_orders"      -> ((s, d) => SetOps.topOrders(s, d)),
     "q_union_all"         -> ((s, d) => SetOps.unionAll(s, d)),
@@ -178,6 +179,7 @@ object SparkEntry {
     "q_mixture_temp"      -> ((s, d) => Sampling.mixtureTemperature(s, d)),
     "q_chunk_overlap"     -> ((s, d) => Curation.chunkOverlap(s, d)),
     "q_vocab_encode"      -> ((s, d) => Curation.vocabEncode(s, d)),
+    "q_feature_hash"      -> ((s, d) => Curation.featureHash(s, d)),
     "q_shuffle_det"       -> ((s, d) => Sampling.deterministicShuffle(s, d)),
     "q_shard_manifest"    -> ((s, d) => Sampling.shardManifest(s, d)),
     // ---- B9 similarity search ----
@@ -220,6 +222,7 @@ object SparkEntry {
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
+    "q_cusum"             -> ((s, d) => Funnels.cusumChangepoint(s, d)),
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
     "q_textrank"          -> ((s, d) => TextAnalysis.textrank(s, d)),
     "q_triangles"         -> ((s, d) => TextAnalysis.triangles(s, d)),
@@ -805,6 +808,21 @@ object SparkEntry {
         |SELECT user_id, n_intervals,
         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twap_cents
         |FROM g WHERE den > 0 ORDER BY user_id""".stripMargin,
+    // rank-weighted closed form over exact integers; two fixed-order
+    // IEEE divisions at emit
+    "q_gini" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |r AS (SELECT o_orderpriority, y, row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY y, o_orderkey) AS i FROM o),
+        |g AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |    sum(CAST(y AS HUGEINT)) AS s1,
+        |    sum(CAST(i AS HUGEINT) * CAST(y AS HUGEINT)) AS s2
+        |  FROM r GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  round(CAST(s2 * 2 AS DOUBLE) / CAST(s1 * n AS DOUBLE)
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
     // share thresholds as exact integer products (cum*100 <= total*80) —
     // a 0.8 float literal would diverge on boundary rows cross-engine
     "q_pareto_abc" ->
@@ -1301,6 +1319,14 @@ object SparkEntry {
         |FROM u WHERE start = 0 OR start + 16 < n
         |ORDER BY doc_id, chunk_id""".stripMargin,
     // id = global frequency rank; md5 over the ORDERED id sequence
+    // same md5-low-bits hash on both engines, so the whole hashing-trick
+    // vectorization is hash-checked end to end
+    "q_feature_hash" ->
+      """SELECT doc_id,
+        |  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS bucket,
+        |  count(*)::BIGINT AS cnt
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_vocab_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |u AS (SELECT doc_id, toks,
@@ -1955,6 +1981,29 @@ object SparkEntry {
         |SELECT event_type, n_a, n_b, mean_a_cents, mean_b_cents, t_welch,
         |  abs(t_welch) >= 1.96 AS significant
         |FROM r ORDER BY event_type""".stripMargin,
+    // scaled CUSUM deviation n·Pk − k·T is exact integer arithmetic, so
+    // the argmax (ties → earliest hour) carries no float at all
+    "q_cusum" ->
+      """WITH hr AS (SELECT event_type, epoch_ns(ts)//3600000000000 AS h,
+        |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, h, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS k,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(x) OVER (PARTITION BY event_type) AS t
+        |  FROM hr),
+        |d AS (SELECT event_type, h, n,
+        |    abs(CAST(n AS HUGEINT) * p - CAST(k AS HUGEINT) * t) AS dev
+        |  FROM c),
+        |r AS (SELECT event_type, n::BIGINT AS n_hours, h * 3600 AS cp_hour_sec,
+        |    dev::BIGINT AS dev_cents_hours,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev DESC, h ASC) AS rn
+        |  FROM d)
+        |SELECT event_type, n_hours, cp_hour_sec, dev_cents_hours
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // the ECDF gap is exact integer arithmetic (|cumA·nB − cumB·nA| over
     // HUGEINT) with one division at emit; verdict decided on 6-dp-rounded
     // statistic vs 6-dp-rounded critical value in both engines

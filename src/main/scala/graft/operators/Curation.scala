@@ -731,4 +731,30 @@ object Curation {
       .withColumn("drifted", abs(col("delta_pm")) > DriftPerMille)
       .orderBy("dim", "seg")
   }
+
+  /** FEATURE HASHING (the "hashing trick", Weinberger et al. ICML 2009):
+    * vectorize each document into a FIXED 64-dimension sparse count
+    * vector by hashing words to buckets instead of maintaining a
+    * vocabulary — the vocab-free alternative to [[vocabEncode]] when the
+    * term space is unbounded or the encoder must be stateless (streaming
+    * ingest, online learning). Bucket = low 32 bits of md5 mod 64, the
+    * house hash with an exact DuckDB twin, so the whole vectorization is
+    * oracle-checked. Collisions are the accepted cost (multiple words
+    * share a bucket; counts add) — CurationSpec quantifies them against
+    * the true vocabulary.
+    *
+    * 100 TB shape: explode → map-side-combinable hash-agg on
+    * (doc_id, bucket); output is ≤64 rows per document and the hash needs
+    * no trained state, so ingest parallelizes embarrassingly — no
+    * vocabulary broadcast, no OOV path.
+    */
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(w),1,8),16,10) as bigint) % 64").as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
 }

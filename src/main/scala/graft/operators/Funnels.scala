@@ -299,6 +299,48 @@ object Funnels {
       .orderBy("event_type")
   }
 
+  /** CUSUM CHANGEPOINT: per event type, the hour where the cumulative sum
+    * of hourly value departs furthest from the constant-mean line — the
+    * classic single-changepoint locator (Page 1954) every metrics monitor
+    * runs. The deviation at prefix k of n points with prefix sum Pₖ and
+    * total T is usually written Pₖ − k·T/n; scaled by n it becomes
+    * n·Pₖ − k·T — EXACT INTEGER arithmetic over DECIMAL(38,0), so the
+    * argmax (earliest hour on ties, via a struct max on (dev, −h)) is
+    * bit-deterministic cross-engine with no float anywhere. The emitted
+    * magnitude is that scaled deviation in cents·hours (fits a long
+    * comfortably here; a 100 TB deployment would emit it as decimal or
+    * normalize to mean-shift units).
+    *
+    * 100 TB shape: the raw scan collapses map-side to the (type × hour)
+    * frame (time-bounded, the q_gapfill stance); windows and argmax ride
+    * that domain frame only.
+    */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_sec div 3600").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .groupBy("event_type", "h")
+      .agg(sum(col("y").cast(dec)).as("x"))
+    val ord = Window.partitionBy("event_type").orderBy("h")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("event_type")
+    hourly
+      .withColumn("k", row_number().over(ord).cast("long").cast(dec))
+      .withColumn("p", sum(col("x")).over(cum))
+      .withColumn("n", count(lit(1)).over(tot).cast(dec))
+      .withColumn("t", sum(col("x")).over(tot))
+      .withColumn("dev", abs(col("n") * col("p") - col("k") * col("t")))
+      .groupBy("event_type")
+      .agg(max(col("n").cast("long")).as("n_hours"), // constant per type
+        max(struct(col("dev").as("d"), (-col("h")).as("nh"))).as("top"))
+      .select(col("event_type"), col("n_hours"),
+        (-col("top.nh") * 3600).as("cp_hour_sec"),
+        col("top.d").cast("long").as("dev_cents_hours"))
+      .orderBy("event_type")
+  }
+
   /** Classic cohort-retention grid: cohort = the epoch-day of a user's first
     * event; one row per (cohort_day, day_offset) with the count of distinct
     * cohort users active that day.

@@ -172,6 +172,38 @@ object Windows {
     * single partition of that domain frame, same stance as the skyline
     * price-domain sweep.
     */
+  /** GINI COEFFICIENT per group — the inequality measure of the order-value
+    * distribution (0 = equal, →1 = concentrated), from the rank-weighted
+    * closed form G = 2·Σᵢ i·yᵢ / (n·Σy) − (n+1)/n over ascending values.
+    * Both Σ terms accumulate as exact DECIMAL(38,0) (rank × cents products
+    * formed in decimal), so the emitted double is two fixed-order IEEE
+    * divisions over exact integers — bit-deterministic cross-engine. Equal
+    * values make the rank weighting invariant under tie order, but the
+    * window still tie-breaks on o_orderkey so BOTH engines rank
+    * identically row-for-row.
+    *
+    * 100 TB shape: one per-group ranking window (bounded per key) feeding
+    * one hash-agg that reuses its clustering — the fact shuffles once,
+    * same contract as q_twap.
+    */
+  def giniRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("o_orderpriority").orderBy(asc("y"), asc("o_orderkey"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast(dec)).as("s1"),
+        sum(col("i").cast(dec) * col("y").cast(dec)).as("s2"))
+      .select(col("o_orderpriority"), col("n"),
+        round(d(col("s2") * 2) / d(col("s1") * col("n"))
+          - d(col("n") + 1) / d(col("n")), 6).as("gini"))
+      .orderBy("o_orderpriority")
+  }
+
   /** TIME-WEIGHTED AVERAGE (TWAP): per user, the mean event value weighted
     * by how long each observation was "in force" (until the next event) —
     * the standard irregular-sampling average for prices and telemetry

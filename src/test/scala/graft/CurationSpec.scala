@@ -468,4 +468,28 @@ class CurationSpec extends SparkSpec {
       assert(sp * Curation.AssocConfDenom >= sa && sp <= sa && sp <= sc)
     }
   }
+
+  test("feature hashing matches a driver-side md5 replay and compresses the vocab") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 64
+    }
+    val want = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map(w => (id, bucket(w)))
+    }.groupBy(identity).map { case ((id, b), g) => (id, b, g.length.toLong) }
+      .toSeq.sorted
+    val got = Curation.featureHash(spark, sf).as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the bucket space is exactly the hashed image of the vocabulary
+    // (this corpus's 31 words under-fill the 64 dims; collisions are
+    // possible, not required) and every bucket is in [0, 64)
+    val vocab = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    val vocabBuckets = vocab.map(bucket).distinct.sorted.toSeq
+    assert(got.map(_._2).distinct.sorted.toSeq == vocabBuckets)
+    assert(vocabBuckets.forall(b => b >= 0 && b < 64))
+  }
 }

@@ -126,6 +126,33 @@ class FunnelsSpec extends SparkSpec {
     assert(got.filter(_._2 == 0L).map(_._3).sum == cohort.size.toLong)
   }
 
+  test("cusum changepoint equals the integer argmax, recomputed driver-side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts_sec div 3600"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    val got = Funnels.cusumChangepoint(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    for ((t, nHours, cpSec, dev) <- got) {
+      val hourly = rows.filter(_._1 == t).groupBy(_._2)
+        .map { case (h, g) => h -> g.map(r => BigInt(r._3)).sum }
+        .toSeq.sortBy(_._1)
+      assert(nHours == hourly.length)
+      val n = BigInt(hourly.length)
+      val total = hourly.map(_._2).sum
+      var p = BigInt(0)
+      val devs = hourly.zipWithIndex.map { case ((h, x), i) =>
+        p += x
+        (h, (n * p - BigInt(i + 1) * total).abs)
+      }
+      val (wantH, wantD) = devs.maxBy { case (h, d) => (d, -h) }
+      assert(cpSec == wantH * 3600 && BigInt(dev) == wantD, s"$t")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("ks statistic equals the max ECDF gap, recomputed driver-side") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -83,6 +83,25 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("gini equals the rank-weighted closed form, recomputed driver-side") {
+    import spark.implicits._
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    val got = Windows.giniRevenue(spark, sf).as[(String, Long, Double)].collect()
+    for ((pri, n, gini) <- got) {
+      val ys = rows.filter(_._1 == pri).map(r => BigInt(r._2)).sorted
+      assert(n == ys.length)
+      val s1 = ys.sum
+      val s2 = ys.zipWithIndex.map { case (y, i) => y * (i + 1) }.sum
+      val want = (BigDecimal(s2 * 2) / BigDecimal(s1 * n)
+        - BigDecimal(n + 1) / BigDecimal(n)).toDouble
+      assert(math.abs(gini - want) <= 1e-6 * (1 + math.abs(want)), s"$pri")
+      assert(gini >= 0 && gini < 1)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("pareto abc classes follow the cumulative revenue share, recomputed driver-side") {
     import spark.implicits._
     val rev = Tables.lineitem(spark, sf)
