@@ -28,6 +28,11 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val srcSf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outBase = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    // optional comma-separated row filter (dev loop: measure only the rows
+    // under study; fixtures are built lazily, so unneeded corpora are
+    // never written)
+    val rowFilter: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 32)
@@ -52,7 +57,7 @@ object ScaleCurve {
         shuffleRecords.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
     })
 
-    val docs = Tables.documents(spark, srcSf)
+    lazy val docs = Tables.documents(spark, srcSf)
     def corpusDir(factor: Int): String = {
       val dir = s"$outBase/x$factor"
       val n = docs.count()
@@ -67,7 +72,7 @@ object ScaleCurve {
       replicated.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir
     }
-    val dirs = Seq(1 -> corpusDir(1), 10 -> corpusDir(10))
+    lazy val dirs = Seq(1 -> corpusDir(1), 10 -> corpusDir(10))
 
     // SHARED-VOCABULARY text corpus (r9 ask #6): replicas keep their
     // tokens, so every replica shares the query panel's vocabulary — the
@@ -86,10 +91,10 @@ object ScaleCurve {
       replicated.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir
     }
-    val sharedDirs = Seq(1 -> corpusDirShared(1), 10 -> corpusDirShared(10))
+    lazy val sharedDirs = Seq(1 -> corpusDirShared(1), 10 -> corpusDirShared(10))
 
     // embedding corpora: isometric sign-flipped replicas (see scaladoc)
-    val emb = Tables.embeddings(spark, srcSf)
+    lazy val emb = Tables.embeddings(spark, srcSf)
     def embDir(factor: Int): String = {
       val dir = s"$outBase/emb_x$factor"
       val n = emb.count()
@@ -107,9 +112,47 @@ object ScaleCurve {
       replicated.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       dir
     }
-    val embDirs = Seq(1 -> embDir(1), 10 -> embDir(10))
+    lazy val embDirs = Seq(1 -> embDir(1), 10 -> embDir(10))
 
-    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    // events replicas (r10 late): user_id and event_id offset per replica —
+    // 10x users over the SAME time span, so per-user timelines and the
+    // per-type hour/value domains keep their shape while the row count
+    // scales; the domain-frame operators (ks/cusum/gapfill) should show
+    // ~flat post-agg shuffle while the per-user window ops (twap) track
+    // rows linearly
+    def eventsDir(factor: Int): String = {
+      val ev = Tables.events(spark, srcSf)
+      val dir = s"$outBase/ev_x$factor"
+      val n = ev.agg(max("event_id")).head.getLong(0) + 1
+      val u = ev.agg(max("user_id")).head.getLong(0) + 1
+      val replicated = (0 until factor).map { r =>
+        ev.select((col("event_id") + lit(r * n)).as("event_id"), col("ts"),
+          (col("user_id") + lit(r * u)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    lazy val eventsDirs = Seq(1 -> eventsDir(1), 10 -> eventsDir(10))
+
+    // orders replicas (r10 late): key-offset copies; the snapshot-diff mod
+    // classes (97/89/13) keep their density, so diff OUTPUT and both
+    // snapshot scans scale together — shuffle must track rows, never rows²
+    def ordersDir(factor: Int): String = {
+      val ord = Tables.orders(spark, srcSf)
+      val dir = s"$outBase/ord_x$factor"
+      val n = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+      val replicated = (0 until factor).map { r =>
+        ord.select((col("o_orderkey") + lit(r * n)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    lazy val ordersDirs = Seq(1 -> ordersDir(1), 10 -> ordersDir(10))
+
+    import graft.operators.{Dedup, Funnels, Relational, Similarity, TextAnalysis, Windows}
     type Fn = (String, Int) => org.apache.spark.sql.DataFrame
     val queries: Seq[(String, Fn)] = Seq(
       "jaccard"     -> ((d, _) => Dedup.jaccardPairs(spark, d)),
@@ -163,15 +206,45 @@ object ScaleCurve {
       // both track the corpus ~linearly (the r9 form's bench side grew
       // with the fixture and compute went x100)
       "semantic_decon" -> ((d, _) => Similarity.semanticDecontaminate(spark, d)))
+    // r10 late additions: per-user-window vs domain-frame cost shapes on
+    // the events fixture, snapshot diff on the orders fixture, and the
+    // stateless hashed vectorizer on both text regimes
+    val eventsQueries: Seq[(String, Fn)] = Seq(
+      "twap"    -> ((d, _) => Windows.twapPerUser(spark, d)),
+      "ks_hist" -> ((d, _) => Funnels.ksTest(spark, d)),
+      "cusum"   -> ((d, _) => Funnels.cusumChangepoint(spark, d)),
+      "gapfill" -> ((d, _) => Windows.gapfillHourly(spark, d)))
+    val ordersQueries: Seq[(String, Fn)] = Seq(
+      "table_diff" -> ((d, _) => Relational.tableDiff(spark, d)),
+      "gini"       -> ((d, _) => Windows.giniRevenue(spark, d)))
+    val featureQueries: Seq[(String, Fn)] = Seq(
+      "feature_hash" -> ((d, _) => graft.operators.Curation.featureHash(spark, d)))
+    val featureSharedQueries: Seq[(String, Fn)] = Seq(
+      "feature_hash_shared" -> ((d, _) => graft.operators.Curation.featureHash(spark, d)))
 
     println(f"${"query"}%-14s ${"factor"}%6s ${"rows"}%10s ${"wall_s"}%8s ${"shuffle_rows"}%13s")
-    val work = queries.map((_, dirs)) ++ sharedQueries.map((_, sharedDirs)) ++
-      embQueries.map((_, embDirs))
+    // thunked dir refs: a filtered run only materializes the corpora its
+    // rows actually read
+    val allWork: Seq[((String, Fn), () => Seq[(Int, String)])] =
+      queries.map((_, () => dirs)) ++ sharedQueries.map((_, () => sharedDirs)) ++
+        embQueries.map((_, () => embDirs)) ++
+        eventsQueries.map((_, () => eventsDirs)) ++
+        ordersQueries.map((_, () => ordersDirs)) ++
+        featureQueries.map((_, () => dirs)) ++
+        featureSharedQueries.map((_, () => sharedDirs))
+    val work = allWork.collect {
+      case ((name, fn), dsF) if rowFilter.forall(_.contains(name)) => ((name, fn), dsF())
+    }
     val results = for (((name, fn), ds) <- work; (factor, dir) <- ds) yield {
       spark.catalog.clearCache(); System.gc()
       shuffleRecords.set(0)
       val t0 = System.nanoTime()
-      val rows = fn(dir, factor).count()
+      // materialize the query's OWN physical plan: a `.count()` would let
+      // the optimizer prune un-referenced aggregate expressions — for the
+      // domain-frame rows (ks/cusum/gapfill/gini) that deletes the entire
+      // window pipeline and measures a distinct-keys query instead
+      // (observed: 6 shuffle rows for a 100k-event CUSUM)
+      val rows = fn(dir, factor).queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events are async (private bus): settle before reading
       var sr = shuffleRecords.get()

@@ -336,11 +336,17 @@ object Aggregates {
     * the midpoint arithmetic is IEEE-exact cross-engine. Oracle is DuckDB's
     * own `median()` — a fully independent formulation.
     */
-  def medianHist(spark: SparkSession, sfDir: String): DataFrame = {
+  def medianHist(spark: SparkSession, sfDir: String): DataFrame =
+    histMedian(quantityHist(spark, sfDir)).orderBy("k")
+
+  /** The histogram-cumulative interpolated median on any (k, v, c) frame —
+    * factored out so [[madHist]] can run it twice and PropertySpec can
+    * drive it over generated multisets against a sorted reference. */
+  private[graft] def histMedian(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cumW = Window.partitionBy("k").orderBy("v")
     val totW = Window.partitionBy("k")
-    quantityHist(spark, sfDir)
+    hist
       .withColumn("cum", sum("c").over(cumW))
       .withColumn("n", sum("c").over(totW))
       .groupBy("k")
@@ -348,7 +354,6 @@ object Aggregates {
         min(when(col("cum") >= floor((col("n") + 1) / 2), col("v"))).as("lo"),
         min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))).as("hi"))
       .select(col("k"), ((col("lo") + col("hi")) / 2).as("med"))
-      .orderBy("k")
   }
 
   /** Deterministic per-key mode from the same histogram: the most frequent
@@ -377,16 +382,6 @@ object Aggregates {
     * formulation — matches bit-for-bit.
     */
   def madHist(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cumW = Window.partitionBy("k").orderBy("v")
-    val totW = Window.partitionBy("k")
-    def histMedian(hist: DataFrame): DataFrame = hist
-      .withColumn("cum", sum("c").over(cumW))
-      .withColumn("n", sum("c").over(totW))
-      .groupBy("k")
-      .agg(min(when(col("cum") >= floor((col("n") + 1) / 2), col("v"))).as("lo"),
-        min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))).as("hi"))
-      .select(col("k"), ((col("lo") + col("hi")) / 2).as("med"))
     val hist = quantityHist(spark, sfDir)
     val med = histMedian(hist)
     val devHist = hist.join(med, "k")

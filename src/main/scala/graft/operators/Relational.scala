@@ -600,9 +600,16 @@ object Relational {
     * windowed frame is the price domain (Heaps-bounded like every
     * vocab aggregate here), and the join back is an equi-join on price.
     */
-  def skylineParts(spark: SparkSession, sfDir: String): DataFrame = {
-    val parts = Tables.part(spark, sfDir)
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  def skylineParts(spark: SparkSession, sfDir: String): DataFrame =
+    skylineOf(Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+      .orderBy("p_partkey")
+
+  /** The linear skyline plan on any (p_partkey, p_retailprice, p_size)
+    * frame — factored out so PropertySpec can drive it over generated
+    * frames against brute-force dominance. */
+  private[graft] def skylineOf(parts: DataFrame): DataFrame = {
     val groups = parts.groupBy("p_retailprice")
       .agg(min(col("p_size")).as("gmin"))
     val sweep = Window.orderBy(desc("p_retailprice"))
@@ -611,8 +618,6 @@ object Relational {
     parts.join(mins, "p_retailprice")
       .filter((col("rmin").isNull || col("rmin") > col("p_size"))
         && col("gmin") >= col("p_size"))
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size"))
-      .orderBy("p_partkey")
   }
 
   /** SCD TYPE 2 dimension build (Kimball slowly-changing-dimension): the

@@ -233,4 +233,44 @@ class PropertySpec extends SparkSpec {
         s"ed(${a}, ${b}) = ${ed(a, b)} but deletion neighborhoods are disjoint")
     }
   }
+
+  test("linear skyline equals brute-force dominance on generated frames") {
+    import spark.implicits._
+    // small value domains force heavy price ties, duplicate points, and
+    // single-point frontiers — the degenerate shapes the grouped sweep
+    // must survive
+    val pt = Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9))
+    val frame = Gen.nonEmptyListOf(pt).map(_.take(40))
+    samples(frame, 10).foreach { pts =>
+      val df = pts.zipWithIndex
+        .map { case ((p, s), i) => (i.toLong, p.toDouble, s) }
+        .toDF("p_partkey", "p_retailprice", "p_size")
+      val got = operators.Relational.skylineOf(df)
+        .select("p_partkey").as[Long].collect().toSet
+      val arr = pts.map { case (p, s) => (p.toDouble, s) }
+      val want = pts.indices.filter { i =>
+        val (p, s) = arr(i)
+        !arr.exists { case (dp, ds) => dp >= p && ds <= s && (dp > p || ds < s) }
+      }.map(_.toLong).toSet
+      assert(got == want, s"points=$pts")
+    }
+  }
+
+  test("histogram-cumulative median equals the sorted interpolated median") {
+    import spark.implicits._
+    val multiset = Gen.nonEmptyListOf(Gen.choose(0, 15)).map(_.take(30))
+    samples(Gen.zip(multiset, multiset), 10).foreach { case (xs, ys) =>
+      val rows = xs.map(("a", _)) ++ ys.map(("b", _))
+      val hist = rows.groupBy(identity).map { case ((k, v), g) =>
+        (k, v.toDouble, g.size.toLong)
+      }.toSeq.toDF("k", "v", "c")
+      val got = operators.Aggregates.histMedian(hist)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      def ref(vs: Seq[Int]): Double = {
+        val s = vs.sorted; val n = s.length
+        if (n % 2 == 1) s(n / 2).toDouble else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+      assert(got("a") == ref(xs) && got("b") == ref(ys), s"xs=$xs ys=$ys")
+    }
+  }
 }
