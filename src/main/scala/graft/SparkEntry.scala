@@ -164,6 +164,7 @@ object SparkEntry {
     "q_pipeline_keep"     -> ((s, d) => Pipeline.keepSet(s, d)),
     "q_pipeline_keep_neardup" -> ((s, d) => Pipeline.keepSetNearDup(s, d)),
     "q_pipeline_curated"  -> ((s, d) => Pipeline.curatedKeepSet(s, d)),
+    "q_dataset_card"      -> ((s, d) => Pipeline.datasetCard(s, d)),
     "q_split_leakage"     -> ((s, d) => Pipeline.splitLeakage(s, d)),
     "q_pack_texts"        -> ((s, d) => Pipeline.packTexts(s, d)),
     // ---- B9 deterministic sampling / data mixing ----
@@ -223,6 +224,7 @@ object SparkEntry {
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
     "q_cusum"             -> ((s, d) => Funnels.cusumChangepoint(s, d)),
+    "q_attribution"       -> ((s, d) => Funnels.attribution(s, d)),
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
     "q_textrank"          -> ((s, d) => TextAnalysis.textrank(s, d)),
     "q_triangles"         -> ((s, d) => TextAnalysis.triangles(s, d)),
@@ -1577,6 +1579,26 @@ object SparkEntry {
         |GROUP BY sh.doc_id, sh.split ORDER BY doc_id""".stripMargin,
     // the full five-stage curation pipeline: survivors ∧ quality ∧
     // fractional decontamination ∧ LM nll band ∧ length band
+    // every card metric is an exact integer (rates via integer div) —
+    // the UNION-ALL unpivot mirrors the engine's literal stack
+    "q_dataset_card" ->
+      """WITH s AS (SELECT count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |    count(DISTINCT lang)::BIGINT AS n_langs,
+        |    count(DISTINCT source)::BIGINT AS n_sources,
+        |    count(DISTINCT text)::BIGINT AS n_distinct_texts,
+        |    sum(n_chars)::BIGINT AS sum_chars
+        |  FROM documents)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM s
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM s
+        |  UNION ALL SELECT 'n_langs', n_langs FROM s
+        |  UNION ALL SELECT 'n_sources', n_sources FROM s
+        |  UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM s
+        |  UNION ALL SELECT 'exact_dup_per_mille',
+        |    (n_docs - n_distinct_texts) * 1000 // n_docs FROM s
+        |  UNION ALL SELECT 'mean_chars_ppm', sum_chars * 1000000 // n_docs FROM s)
+        |ORDER BY metric""".stripMargin,
     "q_pipeline_curated" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
@@ -1981,6 +2003,37 @@ object SparkEntry {
         |SELECT event_type, n_a, n_b, mean_a_cents, mean_b_cents, t_welch,
         |  abs(t_welch) >= 1.96 AS significant
         |FROM r ORDER BY event_type""".stripMargin,
+    // linear credit as integer ppm (1000000 // k, remainder dropped in
+    // both engines) — never a float 1/k whose sum is order-dependent;
+    // first/last ties break on (ts, event_id) struct order in both
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns
+        |  FROM events),
+        |conv AS (SELECT user_id, event_id AS conv_id, tns AS conv_ts
+        |  FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT e.event_type, e.tns, e.event_id, c.conv_id
+        |  FROM ev e JOIN conv c ON e.user_id = c.user_id
+        |  WHERE e.tns >= c.conv_ts - 604800000000000 AND e.tns < c.conv_ts),
+        |pc AS (SELECT conv_id, count(*)::BIGINT AS k,
+        |    (min(struct_pack(tns := tns, event_id := event_id,
+        |       event_type := event_type))).event_type AS first_type,
+        |    (max(struct_pack(tns := tns, event_id := event_id,
+        |       event_type := event_type))).event_type AS last_type
+        |  FROM t GROUP BY 1),
+        |lin AS (SELECT t.event_type AS touch_type,
+        |    sum(1000000 // pc.k)::BIGINT AS linear_ppm,
+        |    count(*)::BIGINT AS n_touches
+        |  FROM t JOIN pc USING (conv_id) GROUP BY 1),
+        |f AS (SELECT first_type AS touch_type, count(*)::BIGINT AS first_touch
+        |  FROM pc GROUP BY 1),
+        |l AS (SELECT last_type AS touch_type, count(*)::BIGINT AS last_touch
+        |  FROM pc GROUP BY 1)
+        |SELECT lin.touch_type, n_touches, linear_ppm,
+        |  coalesce(f.first_touch, 0)::BIGINT AS first_touch,
+        |  coalesce(l.last_touch, 0)::BIGINT AS last_touch
+        |FROM lin LEFT JOIN f ON lin.touch_type = f.touch_type
+        |LEFT JOIN l ON lin.touch_type = l.touch_type
+        |ORDER BY lin.touch_type""".stripMargin,
     // scaled CUSUM deviation n·Pk − k·T is exact integer arithmetic, so
     // the argmax (ties → earliest hour) carries no float at all
     "q_cusum" ->

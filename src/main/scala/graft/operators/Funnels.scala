@@ -299,6 +299,52 @@ object Funnels {
       .orderBy("event_type")
   }
 
+  /** MULTI-TOUCH ATTRIBUTION: credit each purchase ("conversion") to the
+    * user's touchpoint events in the 7-day lookback window, under the
+    * three standard models at once — first-touch, last-touch, and linear.
+    * Linear credit is kept EXACT as integer parts-per-million
+    * (1 000 000 div k for a k-touch conversion — the remainder is dropped
+    * identically in both engines, never a float 1/k whose sum is
+    * order-dependent), so every output cell is integer arithmetic.
+    * Ties inside a conversion's touch list break on (ts, event_id),
+    * mirrored in the oracle.
+    *
+    * Scale shape: conversions and touchpoints co-partition on user_id, so
+    * the lookback join is a hash equi-join with a range residual; fan-out
+    * per user is (conversions × events in window) — lookback-bounded per
+    * conversion, and a hot user's history splits across the banded
+    * range-join pattern (q_range_join_banded) if ever needed. The final
+    * aggregate is |touch types| × 3 models.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("conv_ts"))
+    val touches = ev.join(conv, "user_id")
+      .filter(col("ts") >= col("conv_ts") - lit(7L * 86400 * 1000000000L)
+        && col("ts") < col("conv_ts"))
+    val perConv = touches.groupBy("conv_id")
+      .agg(count(lit(1)).as("k"),
+        min(struct(col("ts"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+    val linear = touches.join(perConv.select("conv_id", "k"), "conv_id")
+      .groupBy(col("event_type").as("touch_type"))
+      .agg(sum(expr("1000000 div k")).as("linear_ppm"),
+        count(lit(1)).as("n_touches"))
+    val firsts = perConv.groupBy(col("first.event_type").as("touch_type"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lasts = perConv.groupBy(col("last.event_type").as("touch_type"))
+      .agg(count(lit(1)).as("last_touch"))
+    linear
+      .join(firsts, Seq("touch_type"), "left")
+      .join(lasts, Seq("touch_type"), "left")
+      .select(col("touch_type"), col("n_touches"), col("linear_ppm"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+      .orderBy("touch_type")
+  }
+
   /** CUSUM CHANGEPOINT: per event type, the hour where the cumulative sum
     * of hourly value departs furthest from the constant-mean line — the
     * classic single-changepoint locator (Page 1954) every metrics monitor

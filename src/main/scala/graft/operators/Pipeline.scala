@@ -244,4 +244,33 @@ object Pipeline {
       .join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** DATASET CARD: the datasheet a corpus release ships — corpus size,
+    * token mass, language/source diversity, exact-duplicate rate and
+    * mean document length, emitted as (metric, value) rows of EXACT
+    * integers only (rates as integer per-mille / ppm via `div`, so no
+    * float ever enters the artifact). ONE global aggregate over one
+    * corpus scan; the three distinct-counts ride Spark's Expand-based
+    * multi-distinct path, still a single pass. The |metrics|-sized
+    * `stack` unpivot mirrors q_expectations' shape.
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(expr(
+        """stack(7,
+          |  'n_docs', n_docs,
+          |  'n_tokens', n_tokens,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'n_distinct_texts', n_distinct_texts,
+          |  'exact_dup_per_mille', (n_docs - n_distinct_texts) * 1000 div n_docs,
+          |  'mean_chars_ppm', sum_chars * 1000000 div n_docs)
+          |AS (metric, value)""".stripMargin))
+      .orderBy("metric")
 }

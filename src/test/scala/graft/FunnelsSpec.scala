@@ -126,6 +126,39 @@ class FunnelsSpec extends SparkSpec {
     assert(got.filter(_._2 == 0L).map(_._3).sum == cohort.size.toLong)
   }
 
+  test("attribution models agree with a driver-side replay and conserve credit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, Long)].collect()
+    val look = 7L * 86400 * 1000000000L
+    val convs = ev.filter(_._3 == "purchase")
+    val touchLists = convs.map { c =>
+      c._2 -> ev.filter(e => e._1 == c._1 && e._4 >= c._4 - look && e._4 < c._4)
+        .sortBy(e => (e._4, e._2))
+    }.filter(_._2.nonEmpty)
+    val wantFirst = touchLists.groupBy(_._2.head._3).view.mapValues(_.size.toLong).toMap
+    val wantLast = touchLists.groupBy(_._2.last._3).view.mapValues(_.size.toLong).toMap
+    val wantLinear = touchLists.flatMap { case (_, ts) =>
+      ts.map(t => t._3 -> (1000000L / ts.length))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = Funnels.attribution(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    for ((t, nT, ppm, ft, lt) <- got) {
+      assert(ppm == wantLinear(t), s"$t linear")
+      assert(ft == wantFirst.getOrElse(t, 0L), s"$t first")
+      assert(lt == wantLast.getOrElse(t, 0L), s"$t last")
+      assert(nT == touchLists.map(_._2.count(_._3 == t)).sum)
+    }
+    // first/last conserve exactly one credit per attributed conversion;
+    // linear conserves up to the dropped ppm remainders
+    assert(got.map(_._4).sum == touchLists.size && got.map(_._5).sum == touchLists.size)
+    val totalPpm = got.map(_._3).sum
+    assert(totalPpm <= 1000000L * touchLists.size
+      && totalPpm > 1000000L * touchLists.size - touchLists.map(_._2.size.toLong).sum)
+  }
+
   test("cusum changepoint equals the integer argmax, recomputed driver-side") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

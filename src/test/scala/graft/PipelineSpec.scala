@@ -140,4 +140,22 @@ class PipelineSpec extends SparkSpec {
       assert(packs.zip(packs.tail).forall { case (a, b) => b >= a }, s"$lang not monotone")
     }
   }
+
+  test("dataset card metrics equal a driver-side recount") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("text", "lang", "source", "n_chars")
+      .as[(String, String, String, Long)].collect()
+    val card = Pipeline.datasetCard(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(card("n_docs") == docs.length)
+    assert(card("n_tokens") == docs.map(_._1.split(" ", -1).length.toLong).sum)
+    assert(card("n_langs") == docs.map(_._2).distinct.length)
+    assert(card("n_sources") == docs.map(_._3).distinct.length)
+    assert(card("n_distinct_texts") == docs.map(_._1).distinct.length)
+    assert(card("exact_dup_per_mille") ==
+      (docs.length - docs.map(_._1).distinct.length) * 1000L / docs.length)
+    assert(card("mean_chars_ppm") == docs.map(_._4).sum * 1000000L / docs.length)
+    assert(card.size == 7)
+  }
 }
