@@ -152,6 +152,44 @@ object ScaleCurve {
     }
     lazy val ordersDirs = Seq(1 -> ordersDir(1), 10 -> ordersDir(10))
 
+    // part replicas (r10 late): key-offset copies KEEP the price/size
+    // domains, so the skyline's grouped sweep frame is constant while the
+    // row count scales — the domain-frame claim, measurable
+    def partDir(factor: Int): String = {
+      val p = Tables.part(spark, srcSf)
+      val dir = s"$outBase/part_x$factor"
+      val n = p.agg(max("p_partkey")).head.getLong(0) + 1
+      val replicated = (0 until factor).map { r =>
+        p.select((col("p_partkey") + lit(r * n)).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$dir/part.parquet")
+      dir
+    }
+    lazy val partDirs = Seq(1 -> partDir(1), 10 -> partDir(10))
+
+    // lineitem replicas (r10 late): order-key offset; quantity/price
+    // domains constant → the median/MAD histograms stay fixed while rows
+    // scale, and pareto's part dimension is key-offset so it scales with
+    // the fact
+    def lineitemDir(factor: Int): String = {
+      val li = Tables.lineitem(spark, srcSf)
+      val dir = s"$outBase/li_x$factor"
+      val n = li.agg(max("l_orderkey")).head.getLong(0) + 1
+      val p = li.agg(max("l_partkey")).head.getLong(0) + 1
+      val replicated = (0 until factor).map { r =>
+        li.select((col("l_orderkey") + lit(r * n)).as("l_orderkey"),
+          (col("l_partkey") + lit(r * p)).as("l_partkey"),
+          col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    lazy val lineitemDirs = Seq(1 -> lineitemDir(1), 10 -> lineitemDir(10))
+
     import graft.operators.{Dedup, Funnels, Relational, Similarity, TextAnalysis, Windows}
     type Fn = (String, Int) => org.apache.spark.sql.DataFrame
     val queries: Seq[(String, Fn)] = Seq(
@@ -213,10 +251,18 @@ object ScaleCurve {
       "twap"    -> ((d, _) => Windows.twapPerUser(spark, d)),
       "ks_hist" -> ((d, _) => Funnels.ksTest(spark, d)),
       "cusum"   -> ((d, _) => Funnels.cusumChangepoint(spark, d)),
-      "gapfill" -> ((d, _) => Windows.gapfillHourly(spark, d)))
+      "gapfill" -> ((d, _) => Windows.gapfillHourly(spark, d)),
+      "welch"   -> ((d, _) => Funnels.abtestWelch(spark, d)),
+      "attribution" -> ((d, _) => Funnels.attribution(spark, d)))
     val ordersQueries: Seq[(String, Fn)] = Seq(
       "table_diff" -> ((d, _) => Relational.tableDiff(spark, d)),
-      "gini"       -> ((d, _) => Windows.giniRevenue(spark, d)))
+      "gini"       -> ((d, _) => Windows.giniRevenue(spark, d)),
+      "ols_trend"  -> ((d, _) => graft.operators.Aggregates.olsTrend(spark, d)))
+    val partQueries: Seq[(String, Fn)] = Seq(
+      "skyline" -> ((d, _) => Relational.skylineParts(spark, d)))
+    val lineitemQueries: Seq[(String, Fn)] = Seq(
+      "mad_hist"   -> ((d, _) => graft.operators.Aggregates.madHist(spark, d)),
+      "pareto_abc" -> ((d, _) => Windows.paretoAbc(spark, d)))
     val featureQueries: Seq[(String, Fn)] = Seq(
       "feature_hash" -> ((d, _) => graft.operators.Curation.featureHash(spark, d)))
     val featureSharedQueries: Seq[(String, Fn)] = Seq(
@@ -230,6 +276,8 @@ object ScaleCurve {
         embQueries.map((_, () => embDirs)) ++
         eventsQueries.map((_, () => eventsDirs)) ++
         ordersQueries.map((_, () => ordersDirs)) ++
+        partQueries.map((_, () => partDirs)) ++
+        lineitemQueries.map((_, () => lineitemDirs)) ++
         featureQueries.map((_, () => dirs)) ++
         featureSharedQueries.map((_, () => sharedDirs))
     val work = allWork.collect {
