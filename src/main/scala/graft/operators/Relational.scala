@@ -689,13 +689,19 @@ object Relational {
         when(col("o_orderkey") % 13 === 0, col("cents") + 500).otherwise(col("cents")))
     val a = snapA.select(col("o_orderkey"), sig(snapA).as("sig_a"))
     val b = snapB.select(col("o_orderkey"), sig(snapB).as("sig_b"))
+    diffOf(a, b)
+      .select("o_orderkey", "change_type")
+      .orderBy("o_orderkey")
+  }
+
+  /** The signature-compare diff core on any (o_orderkey, sig_a) /
+    * (o_orderkey, sig_b) pair of frames — factored out so PropertySpec
+    * can drive it over generated snapshots against a map-based reference. */
+  private[graft] def diffOf(a: DataFrame, b: DataFrame): DataFrame =
     a.join(b, Seq("o_orderkey"), "full_outer")
       .withColumn("change_type",
         when(col("sig_a").isNull, lit("added"))
           .when(col("sig_b").isNull, lit("removed"))
           .when(col("sig_a") =!= col("sig_b"), lit("changed")))
       .filter(col("change_type").isNotNull)
-      .select("o_orderkey", "change_type")
-      .orderBy("o_orderkey")
-  }
 }

@@ -275,12 +275,18 @@ object Windows {
       .orderBy("l_partkey")
   }
 
-  def gapfillHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables.events(spark, sfDir)
+  def gapfillHourly(spark: SparkSession, sfDir: String): DataFrame =
+    gapfillOf(Tables.events(spark, sfDir)
       .groupBy(col("event_type"), expr("ts_sec div 3600").as("h"))
       .agg(sum(col("value").cast("decimal(18,6)")).as("s"), count(lit(1)).as("c"))
       .select(col("event_type"), col("h"),
-        (col("s").cast("double") / col("c").cast("double")).as("a"))
+        (col("s").cast("double") / col("c").cast("double")).as("a")))
+      .orderBy("event_type", "hour_sec")
+
+  /** The grid + interpolation core on any (event_type, h, a) series frame —
+    * factored out so PropertySpec can drive it over generated sparse
+    * series against a linear-interpolation reference. */
+  private[graft] def gapfillOf(hourly: DataFrame): DataFrame = {
     val grid = hourly.groupBy("event_type")
       .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
@@ -300,7 +306,6 @@ object Windows {
           col("ap") + (col("an") - col("ap")) *
             ((col("h") - col("hp")).cast("double") / (col("hn") - col("hp")).cast("double"))),
           6).as("avg_value"))
-      .orderBy("event_type", "hour_sec")
   }
 }
 

@@ -256,6 +256,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("signature diff classifies generated snapshot pairs like a map diff") {
+    import spark.implicits._
+    // keys 0..19, values 0..3: heavy key overlap and frequent value
+    // collisions exercise every branch (same-sig, changed, one-sided)
+    val snap = Gen.listOf(Gen.zip(Gen.choose(0L, 19L), Gen.choose(0, 3)))
+      .map(_.take(25).toMap)
+    samples(Gen.zip(snap, snap), 10).foreach { case (ma, mb) =>
+      def sig(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.select(col("k").as("o_orderkey"), md5(col("v").cast("string")).as(out))
+      val a = sig(ma.toSeq.toDF("k", "v"), "sig_a")
+      val b = sig(mb.toSeq.toDF("k", "v"), "sig_b")
+      val got = operators.Relational.diffOf(a, b)
+        .select("o_orderkey", "change_type").as[(Long, String)]
+        .collect().toSeq.sorted
+      val want = (ma.keySet ++ mb.keySet).toSeq.flatMap { k =>
+        (ma.get(k), mb.get(k)) match {
+          case (None, Some(_))              => Some(k -> "added")
+          case (Some(_), None)              => Some(k -> "removed")
+          case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+          case _                            => None
+        }
+      }.sorted
+      assert(got == want, s"a=$ma b=$mb")
+    }
+  }
+
+  test("gapfill densifies generated sparse series with exact linear interpolation") {
+    import spark.implicits._
+    // strictly increasing hour sets with integer values: interpolation
+    // lands on exact rationals, so the reference comparison is exact
+    // modulo the 6-dp emit rounding
+    val series = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0, 100)))
+      .map(_.toMap.toSeq.sortBy(_._1).take(12))
+    samples(series, 10).filter(_.size >= 2).foreach { pts =>
+      val hourly = pts.map { case (h, v) => ("k", h, v.toDouble) }.toDF("event_type", "h", "a")
+      val got = operators.Windows.gapfillOf(hourly)
+        .select("hour_sec", "interpolated", "avg_value")
+        .as[(Long, Boolean, Double)].collect().sortBy(_._1)
+      val hours = pts.map(_._1)
+      assert(got.map(_._1).toSeq == (hours.min to hours.max).map(_ * 3600))
+      val present = pts.toMap
+      got.foreach { case (sec, interp, v) =>
+        val h = sec / 3600
+        present.get(h) match {
+          case Some(x) =>
+            assert(!interp && v == x.toDouble)
+          case None =>
+            assert(interp)
+            val (hp, vp) = pts.filter(_._1 < h).last
+            val (hn, vn) = pts.filter(_._1 > h).head
+            val want = vp + (vn - vp) * ((h - hp).toDouble / (hn - hp).toDouble)
+            assert(math.abs(v - want) <= 5e-7, s"h=$h v=$v want=$want pts=$pts")
+        }
+      }
+    }
+  }
+
   test("histogram-cumulative median equals the sorted interpolated median") {
     import spark.implicits._
     val multiset = Gen.nonEmptyListOf(Gen.choose(0, 15)).map(_.take(30))

@@ -120,6 +120,20 @@ class WindowsSpec extends SparkSpec {
     assert(got.map(_._2).toSet == Set("A", "B", "C"))
   }
 
+  test("twap and gini plan a single fact exchange (agg reuses the window clustering)") {
+    // the 10.0x-at-rows+output shuffle measurement in SCALE.md, as a
+    // mechanical plan assertion: HashPartitioning(user/priority) from the
+    // window satisfies the following aggregate's distribution, so the
+    // fact crosses the wire exactly once
+    for ((name, df) <- Seq(
+        "twap" -> Windows.twapPerUser(spark, sf),
+        "gini" -> Windows.giniRevenue(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"$name: expected 1 shuffle, got $exchanges:\n$plan")
+    }
+  }
+
   test("gapfill emits a dense per-type hour grid with interior gaps interpolated") {
     import spark.implicits._
     val r = Windows.gapfillHourly(spark, sf)
