@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions._
-import graft.plans.{AsOfJoinStrategy, GroupTopKStrategy, SimJoinRewriteRule, TopKRewriteRule}
+import graft.plans.{AsOfJoinStrategy, GroupTopKStrategy, SimJoinRewriteRule, SkylineStrategy, TopKRewriteRule}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
   * (spark-submit / SparkSession.builder config): injects every graft
@@ -39,5 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => SimJoinRewriteRule)
     e.injectPlannerStrategy(_ => GroupTopKStrategy)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => SkylineStrategy)
   }
 }

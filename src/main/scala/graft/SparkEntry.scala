@@ -61,6 +61,7 @@ object SparkEntry {
     "q_recursive_cte"     -> ((s, d) => Relational.recursiveAncestors(s, d)),
     "q_scd2"              -> ((s, d) => Relational.scd2Build(s, d)),
     "q_skyline"           -> ((s, d) => Relational.skylineParts(s, d)),
+    "q_skyline_custom"    -> ((s, d) => Relational.skylinePartsCustom(s, d)),
     "q_table_diff"        -> ((s, d) => Relational.tableDiff(s, d)),
     "q_csv_source"        -> ((s, d) => Sources.csvCustomerSegments(s, d)),
     "q_jsonl_source"      -> ((s, d) => Sources.jsonlDocsPerLang(s, d)),
@@ -442,6 +443,14 @@ object SparkEntry {
     // independent formulation: quadratic NOT-EXISTS dominance (the
     // textbook definition) vs the engine's linear grouped sweep
     "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part d
+        |  WHERE d.p_retailprice >= p.p_retailprice AND d.p_size <= p.p_size
+        |    AND (d.p_retailprice > p.p_retailprice OR d.p_size < p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    // the native plan node form — same quadratic dominance oracle
+    "q_skyline_custom" ->
       """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
         |FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM part d

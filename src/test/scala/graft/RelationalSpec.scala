@@ -329,6 +329,22 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < all.length)
   }
 
+  test("native skyline node equals the composed sweep and plans partial->final") {
+    import spark.implicits._
+    val composed = Relational.skylineParts(spark, sf)
+      .as[(Long, Double, Long)].collect().toSeq
+    val native = Relational.skylinePartsCustom(spark, sf)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(native == composed)
+    val plan = Relational.skylinePartsCustom(spark, sf)
+      .queryExecution.executedPlan.toString
+    // per-partition dominance prune BEFORE the exchange, one global gather
+    // (SparkPlan.nodeName strips the Exec suffix in the rendered tree)
+    assert("- Skyline ".r.findAllIn(plan).length == 2, plan)
+    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("table diff classifies adds/removes/changes exactly (driver-side replay)") {
     import spark.implicits._
     val base = Tables.orders(spark, sf)
