@@ -259,7 +259,11 @@ object ScaleCurve {
       "gini"       -> ((d, _) => Windows.giniRevenue(spark, d)),
       "ols_trend"  -> ((d, _) => graft.operators.Aggregates.olsTrend(spark, d)))
     val partQueries: Seq[(String, Fn)] = Seq(
-      "skyline" -> ((d, _) => Relational.skylineParts(spark, d)))
+      "skyline" -> ((d, _) => Relational.skylineParts(spark, d)),
+      // the native node's exchange carries per-task LOCAL FRONTIERS, so
+      // its shuffle should sit orders of magnitude under the composed
+      // sweep's row-linear join at any factor
+      "skyline_native" -> ((d, _) => Relational.skylinePartsCustom(spark, d)))
     val lineitemQueries: Seq[(String, Fn)] = Seq(
       "mad_hist"   -> ((d, _) => graft.operators.Aggregates.madHist(spark, d)),
       "pareto_abc" -> ((d, _) => Windows.paretoAbc(spark, d)))

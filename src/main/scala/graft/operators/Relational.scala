@@ -613,20 +613,25 @@ object Relational {
     * RelationalSpec pins the two equal and asserts the partial→final
     * shape with a single gather exchange.
     */
-  def skylinePartsCustom(spark: SparkSession, sfDir: String): DataFrame = {
+  def skylinePartsCustom(spark: SparkSession, sfDir: String): DataFrame =
+    skylineNativeOf(spark, Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+      .orderBy("p_partkey")
+
+  /** The native Skyline node on any (p_partkey, p_retailprice, p_size)
+    * frame — factored out so PropertySpec can drive the custom operator
+    * itself over generated frames against brute-force dominance. */
+  private[graft] def skylineNativeOf(spark: SparkSession, parts: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.plans.{Skyline, SkylineStrategy}
     if (!spark.experimental.extraStrategies.contains(SkylineStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ SkylineStrategy
-    val parts = Tables.part(spark, sfDir)
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     val analyzed = parts.queryExecution.analyzed
     val Seq(_, price, size) = analyzed.output
-    val plan = Skyline(price, Cast(size, org.apache.spark.sql.types.LongType), analyzed)
-    ColumnShim.ofRows(spark, plan)
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size"))
-      .orderBy("p_partkey")
+    ColumnShim.ofRows(spark,
+      Skyline(price, Cast(size, org.apache.spark.sql.types.LongType), analyzed))
   }
 
   /** The linear skyline plan on any (p_partkey, p_retailprice, p_size)

@@ -247,12 +247,15 @@ class PropertySpec extends SparkSpec {
         .toDF("p_partkey", "p_retailprice", "p_size")
       val got = operators.Relational.skylineOf(df)
         .select("p_partkey").as[Long].collect().toSet
+      val gotNative = operators.Relational.skylineNativeOf(spark, df)
+        .select("p_partkey").as[Long].collect().toSet
       val arr = pts.map { case (p, s) => (p.toDouble, s) }
       val want = pts.indices.filter { i =>
         val (p, s) = arr(i)
         !arr.exists { case (dp, ds) => dp >= p && ds <= s && (dp > p || ds < s) }
       }.map(_.toLong).toSet
       assert(got == want, s"points=$pts")
+      assert(gotNative == want, s"native node: points=$pts")
     }
   }
 
