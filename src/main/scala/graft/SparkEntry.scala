@@ -221,6 +221,8 @@ object SparkEntry {
     "q_funnel"            -> ((s, d) => Funnels.funnel(s, d)),
     "q_funnel_fold"       -> ((s, d) => Funnels.funnelFold(s, d)),
     "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
+    "q_new_returning"     -> ((s, d) => Funnels.newVsReturning(s, d)),
+    "q_period_over_period" -> ((s, d) => Windows.periodOverPeriod(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
@@ -1964,6 +1966,29 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_users
         |FROM d JOIN f ON d.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_new_returning" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             epoch_ns(ts)//86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY 1)
+        |SELECT d.day,
+        |  sum(CASE WHEN d.day = f.d0 THEN 1 ELSE 0 END)::BIGINT AS new_users,
+        |  sum(CASE WHEN d.day <> f.d0 THEN 1 ELSE 0 END)::BIGINT AS returning_users
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer daily sums and deltas; one fixed-order double division for
+    // the growth percent; the first day per type emits NULLs in both
+    "q_period_over_period" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts)//86400000000000 AS d,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, d, cents,
+        |    lag(cents) OVER (PARTITION BY event_type ORDER BY d) AS prev
+        |  FROM daily)
+        |SELECT event_type, d * 86400 AS day_sec, cents,
+        |  cents - prev AS delta_cents,
+        |  round(CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 6)
+        |    AS growth_pct
+        |FROM l ORDER BY event_type, day_sec""".stripMargin,
     // z-score from exact decimal sums; same left-associated scalar
     // arithmetic as the Spark side so the doubles are bit-identical, and
     // the >= 2 cut is applied to the 4-dp-rounded score in both engines

@@ -399,6 +399,25 @@ object Funnels {
     * (user, day) — that distinct partial-aggregates map-side, unlike a
     * countDistinct pushed into the grid aggregate.
     */
+  /** NEW vs RETURNING users per day — the daily product-health split
+    * ([[retention]]'s companion: that grid follows cohorts forward, this
+    * classifies each active day's users by whether it is their first).
+    * Same scale shape as retention: first-day aggregate and activity
+    * join both key on user_id (one logical fact shuffle), final frame is
+    * day-domain sized, all counts exact integers.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))
+      .distinct()
+    val first = active.groupBy("user_id").agg(min("day").as("d0"))
+    active.join(first, "user_id")
+      .groupBy("day")
+      .agg(sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") =!= col("d0"), 1L).otherwise(0L)).as("returning_users"))
+      .orderBy("day")
+  }
+
   def retention(spark: SparkSession, sfDir: String): DataFrame = {
     val active = Tables.events(spark, sfDir)
       .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))

@@ -172,6 +172,30 @@ object Windows {
     * single partition of that domain frame, same stance as the skyline
     * price-domain sweep.
     */
+  /** PERIOD-OVER-PERIOD: the daily revenue series per event type with
+    * day-over-day delta and growth percent — the standard BI reporting
+    * shape (this-period vs last-period on an AGGREGATED series, unlike
+    * q_window_lag's per-row delta). Daily cents are exact long sums, the
+    * delta stays integer, and the growth percent is one fixed-order
+    * double division ((delta/prev)·100) rounded at emit; the first day
+    * per type has no predecessor and emits NULLs, mirrored in the oracle.
+    * Scale: the lag window rides the (type × day-domain) frame — the
+    * gap-fill stance.
+    */
+  def periodOverPeriod(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    daily
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("event_type"), (col("d") * 86400).as("day_sec"), col("cents"),
+        (col("cents") - col("prev")).as("delta_cents"),
+        round((col("cents") - col("prev")).cast("double")
+          / col("prev").cast("double") * 100, 6).as("growth_pct"))
+      .orderBy("event_type", "day_sec")
+  }
+
   /** GINI COEFFICIENT per group — the inequality measure of the order-value
     * distribution (0 = equal, →1 = concentrated), from the rank-weighted
     * closed form G = 2·Σᵢ i·yᵢ / (n·Σy) − (n+1)/n over ascending values.

@@ -126,6 +126,23 @@ class FunnelsSpec extends SparkSpec {
     assert(got.filter(_._2 == 0L).map(_._3).sum == cohort.size.toLong)
   }
 
+  test("new vs returning split conserves daily actives and cohort totals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val active = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 86400000000000"))
+      .distinct().as[(Long, Long)].collect()
+    val first = active.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val got = Funnels.newVsReturning(spark, sf).as[(Long, Long, Long)].collect()
+    for ((day, nu, ru) <- got) {
+      val dayUsers = active.filter(_._2 == day).map(_._1)
+      assert(nu == dayUsers.count(u => first(u) == day), s"day $day new")
+      assert(ru == dayUsers.count(u => first(u) != day), s"day $day returning")
+    }
+    // every user is new exactly once
+    assert(got.map(_._2).sum == first.size)
+  }
+
   test("attribution models agree with a driver-side replay and conserve credit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -83,6 +83,23 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("period-over-period deltas telescope back to the daily series") {
+    import spark.implicits._
+    val got = Windows.periodOverPeriod(spark, sf)
+      .as[(String, Long, Long, Option[Long], Option[Double])].collect()
+    for ((_, rows) <- got.groupBy(_._1)) {
+      val s = rows.sortBy(_._2)
+      // first day has no predecessor; every later delta is exact
+      assert(s.head._4.isEmpty && s.head._5.isEmpty)
+      s.zip(s.tail).foreach { case (prev, cur) =>
+        assert(cur._4.contains(cur._3 - prev._3))
+        val want = (cur._3 - prev._3).toDouble / prev._3.toDouble * 100
+        assert(math.abs(cur._5.get - want) <= 5e-7 + 1e-9 * math.abs(want))
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("gini equals the rank-weighted closed form, recomputed driver-side") {
     import spark.implicits._
     val rows = Tables.orders(spark, sf)
