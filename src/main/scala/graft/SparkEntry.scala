@@ -253,6 +253,16 @@ object SparkEntry {
     * queries are genuinely unobservable by a row oracle (partition layout,
     * ANN recall floors, typed-Dataset round-trips).
     */
+  /** Shared by q_skyline and q_skyline_custom (both plans must verify
+    * against the SAME textbook quadratic dominance formulation). */
+  private val skylineOracleSql: String =
+    """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM part d
+      |  WHERE d.p_retailprice >= p.p_retailprice AND d.p_size <= p.p_size
+      |    AND (d.p_retailprice > p.p_retailprice OR d.p_size < p.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "wordcount" ->
       """SELECT w AS word, count(*) AS cnt
@@ -444,21 +454,9 @@ object SparkEntry {
     // round-trip loss hash-mismatches by name
     // independent formulation: quadratic NOT-EXISTS dominance (the
     // textbook definition) vs the engine's linear grouped sweep
-    "q_skyline" ->
-      """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
-        |FROM part p
-        |WHERE NOT EXISTS (SELECT 1 FROM part d
-        |  WHERE d.p_retailprice >= p.p_retailprice AND d.p_size <= p.p_size
-        |    AND (d.p_retailprice > p.p_retailprice OR d.p_size < p.p_size))
-        |ORDER BY p_partkey""".stripMargin,
+    "q_skyline" -> skylineOracleSql,
     // the native plan node form — same quadratic dominance oracle
-    "q_skyline_custom" ->
-      """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
-        |FROM part p
-        |WHERE NOT EXISTS (SELECT 1 FROM part d
-        |  WHERE d.p_retailprice >= p.p_retailprice AND d.p_size <= p.p_size
-        |    AND (d.p_retailprice > p.p_retailprice OR d.p_size < p.p_size))
-        |ORDER BY p_partkey""".stripMargin,
+    "q_skyline_custom" -> skylineOracleSql,
     // independent formulation: direct column-by-column comparison vs the
     // engine's md5 row-signature compare — the hash match proves the
     // signature technique classifies identically
@@ -475,9 +473,9 @@ object SparkEntry {
         |       ELSE 'changed' END AS change_type
         |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
-        |   OR a.o_orderstatus <> b.o_orderstatus
-        |   OR a.o_orderpriority <> b.o_orderpriority
-        |   OR a.cents <> b.cents
+        |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |   OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |   OR a.cents IS DISTINCT FROM b.cents
         |ORDER BY o_orderkey""".stripMargin,
     "q_csv_source" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
@@ -1986,7 +1984,8 @@ object SparkEntry {
         |  FROM daily)
         |SELECT event_type, d * 86400 AS day_sec, cents,
         |  cents - prev AS delta_cents,
-        |  round(CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 6)
+        |  round(CASE WHEN prev <> 0 THEN
+        |    CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100 END, 6)
         |    AS growth_pct
         |FROM l ORDER BY event_type, day_sec""".stripMargin,
     // z-score from exact decimal sums; same left-associated scalar
@@ -2030,9 +2029,13 @@ object SparkEntry {
         |      /CAST(n_b - 1 AS DOUBLE) AS v_b
         |  FROM s),
         |r AS (SELECT event_type, n_a, n_b,
-        |    round(m_a, 4) AS mean_a_cents, round(m_b, 4) AS mean_b_cents,
-        |    round((m_a - m_b)
-        |      /sqrt(v_a/CAST(n_a AS DOUBLE) + v_b/CAST(n_b AS DOUBLE)), 4) AS t_welch
+        |    round(CASE WHEN n_a > 0 THEN m_a END, 4) AS mean_a_cents,
+        |    round(CASE WHEN n_b > 0 THEN m_b END, 4) AS mean_b_cents,
+        |    round(CASE WHEN n_a > 1 AND n_b > 1
+        |        AND (v_a/CAST(n_a AS DOUBLE) + v_b/CAST(n_b AS DOUBLE)) > 0 THEN
+        |      (m_a - m_b)
+        |        /sqrt(v_a/CAST(n_a AS DOUBLE) + v_b/CAST(n_b AS DOUBLE)) END, 4)
+        |      AS t_welch
         |  FROM t)
         |SELECT event_type, n_a, n_b, mean_a_cents, mean_b_cents, t_welch,
         |  abs(t_welch) >= 1.96 AS significant
@@ -2113,11 +2116,12 @@ object SparkEntry {
         |  FROM c GROUP BY 1),
         |r AS (SELECT event_type,
         |    CAST(nad AS BIGINT) AS n_a, CAST(nbd AS BIGINT) AS n_b,
-        |    round(CAST(dmax AS DOUBLE)
-        |      / (CAST(nad AS DOUBLE) * CAST(nbd AS DOUBLE)), 6) AS ks,
-        |    round(CAST(1.36 AS DOUBLE)
+        |    round(CASE WHEN nad > 0 AND nbd > 0 THEN CAST(dmax AS DOUBLE)
+        |      / (CAST(nad AS DOUBLE) * CAST(nbd AS DOUBLE)) END, 6) AS ks,
+        |    round(CASE WHEN nad > 0 AND nbd > 0 THEN CAST(1.36 AS DOUBLE)
         |      * sqrt((CAST(nad AS DOUBLE) + CAST(nbd AS DOUBLE))
-        |             / (CAST(nad AS DOUBLE) * CAST(nbd AS DOUBLE))), 6) AS crit_05
+        |             / (CAST(nad AS DOUBLE) * CAST(nbd AS DOUBLE))) END, 6)
+        |      AS crit_05
         |  FROM g)
         |SELECT event_type, n_a, n_b, ks, crit_05, ks > crit_05 AS significant
         |FROM r ORDER BY event_type""".stripMargin,

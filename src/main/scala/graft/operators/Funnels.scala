@@ -241,10 +241,16 @@ object Funnels {
         ((d(col("ss_b")) - d(col("s_b")) * d(col("s_b")) / d(col("n_b")))
           / d(col("n_b") - 1)).as("v_b"))
       .select(col("event_type"), col("n_a"), col("n_b"),
-        round(col("m_a"), 4).as("mean_a_cents"),
-        round(col("m_b"), 4).as("mean_b_cents"),
-        round((col("m_a") - col("m_b"))
-          / sqrt(col("v_a") / d(col("n_a")) + col("v_b") / d(col("n_b"))), 4)
+        // degenerate arms (empty, single-sample, or zero pooled
+        // variance) yield NULL in BOTH engines: Spark's non-ANSI divide
+        // NULLs a zero divisor while DuckDB emits NaN/inf, so the
+        // guards are the portability fix; `significant` inherits NULL
+        round(when(col("n_a") > 0, col("m_a")), 4).as("mean_a_cents"),
+        round(when(col("n_b") > 0, col("m_b")), 4).as("mean_b_cents"),
+        round(when(col("n_a") > 1 && col("n_b") > 1
+            && (col("v_a") / d(col("n_a")) + col("v_b") / d(col("n_b"))) > 0,
+          (col("m_a") - col("m_b"))
+            / sqrt(col("v_a") / d(col("n_a")) + col("v_b") / d(col("n_b")))), 4)
           .as("t_welch"))
       .withColumn("significant", abs(col("t_welch")) >= 1.96)
       .orderBy("event_type")
@@ -292,9 +298,13 @@ object Funnels {
         max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("dmax"))
       .select(col("event_type"),
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
-        round(d(col("dmax")) / (d(col("n_a")) * d(col("n_b"))), 6).as("ks"),
-        round(lit(1.36) * sqrt((d(col("n_a")) + d(col("n_b")))
-          / (d(col("n_a")) * d(col("n_b")))), 6).as("crit_05"))
+        // an empty arm makes the statistic undefined — NULL in both
+        // engines (the abtestWelch degenerate-arm discipline)
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          d(col("dmax")) / (d(col("n_a")) * d(col("n_b")))), 6).as("ks"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          lit(1.36) * sqrt((d(col("n_a")) + d(col("n_b")))
+            / (d(col("n_a")) * d(col("n_b"))))), 6).as("crit_05"))
       .withColumn("significant", col("ks") > col("crit_05"))
       .orderBy("event_type")
   }
@@ -322,7 +332,7 @@ object Funnels {
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("conv_ts"))
     val touches = ev.join(conv, "user_id")
-      .filter(col("ts") >= col("conv_ts") - lit(7L * 86400 * 1000000000L)
+      .filter(col("ts") >= col("conv_ts") - lit(7 * NsPerDay)
         && col("ts") < col("conv_ts"))
     val perConv = touches.groupBy("conv_id")
       .agg(count(lit(1)).as("k"),
@@ -387,18 +397,6 @@ object Funnels {
       .orderBy("event_type")
   }
 
-  /** Classic cohort-retention grid: cohort = the epoch-day of a user's first
-    * event; one row per (cohort_day, day_offset) with the count of distinct
-    * cohort users active that day.
-    *
-    * Scale shape: both the first-event aggregate and the activity join key
-    * on user_id, so the join reuses the groupBy's hash partitioning (one
-    * logical shuffle of the fact, AQE-coalesced); the final grid aggregate
-    * is over (days × offsets) — tiny. The distinct-user count is exact with
-    * a plain count() because activity is pre-deduplicated to one row per
-    * (user, day) — that distinct partial-aggregates map-side, unlike a
-    * countDistinct pushed into the grid aggregate.
-    */
   /** NEW vs RETURNING users per day — the daily product-health split
     * ([[retention]]'s companion: that grid follows cohorts forward, this
     * classifies each active day's users by whether it is their first).
@@ -418,6 +416,18 @@ object Funnels {
       .orderBy("day")
   }
 
+  /** Classic cohort-retention grid: cohort = the epoch-day of a user's first
+    * event; one row per (cohort_day, day_offset) with the count of distinct
+    * cohort users active that day.
+    *
+    * Scale shape: both the first-event aggregate and the activity join key
+    * on user_id, so the join reuses the groupBy's hash partitioning (one
+    * logical shuffle of the fact, AQE-coalesced); the final grid aggregate
+    * is over (days × offsets) — tiny. The distinct-user count is exact with
+    * a plain count() because activity is pre-deduplicated to one row per
+    * (user, day) — that distinct partial-aggregates map-side, unlike a
+    * countDistinct pushed into the grid aggregate.
+    */
   def retention(spark: SparkSession, sfDir: String): DataFrame = {
     val active = Tables.events(spark, sfDir)
       .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"))

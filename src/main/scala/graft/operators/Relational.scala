@@ -630,8 +630,11 @@ object Relational {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ SkylineStrategy
     val analyzed = parts.queryExecution.analyzed
     val Seq(_, price, size) = analyzed.output
+    // both criteria explicitly cast: the exec contract is Double/Long
+    // (a decimal price column would otherwise CCE inside the node)
     ColumnShim.ofRows(spark,
-      Skyline(price, Cast(size, org.apache.spark.sql.types.LongType), analyzed))
+      Skyline(Cast(price, org.apache.spark.sql.types.DoubleType),
+        Cast(size, org.apache.spark.sql.types.LongType), analyzed))
   }
 
   /** The linear skyline plan on any (p_partkey, p_retailprice, p_size)
@@ -709,8 +712,15 @@ object Relational {
     val base = Tables.orders(spark, sfDir).select(
       col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    // concat_ws silently SKIPS null fields (('A', NULL, 5) and (NULL,
+    // 'A', 5) would both render "A|5"), so every field is null-coalesced
+    // to an explicit sentinel before signing — the oracle's null-safe
+    // IS DISTINCT FROM comparison is the direct-compare twin
     def sig(df: DataFrame): Column =
-      md5(concat_ws("|", df("o_orderstatus"), df("o_orderpriority"), df("cents")))
+      md5(concat_ws("|",
+        coalesce(df("o_orderstatus"), lit("<NULL>")),
+        coalesce(df("o_orderpriority"), lit("<NULL>")),
+        coalesce(df("cents").cast("string"), lit("<NULL>"))))
     val snapA = base.filter(col("o_orderkey") % 97 =!= 3)
     val snapB = base.filter(col("o_orderkey") % 89 =!= 7)
       .withColumn("cents",

@@ -151,27 +151,6 @@ object Windows {
     quartiled.toDF("c_custkey", "quartile").orderBy("c_custkey")
   }
 
-  /** Time-series RESAMPLE + GAP-FILL: per event type, the hourly average
-    * value on a dense hour grid, missing hours linearly interpolated
-    * between their present neighbours (the `time_bucket GAPFILL` /
-    * `interpolate` operator of time-series engines, composed from
-    * built-ins: one hash-agg, a per-type `sequence` grid, and two
-    * IGNORE-NULLS window sweeps for the bracketing present hours).
-    *
-    * Exactness: the hourly average is one decimal-sum/long-count double
-    * division; the interpolation `ap + (an−ap)·((h−hp)/(hn−hp))` is a
-    * fixed IEEE op order over exact inputs, mirrored token-for-token in
-    * the oracle, then rounded once at emit. The grid spans each type's
-    * [min, max] present hour, so every interior gap has both neighbours
-    * (no edge extrapolation by construction).
-    *
-    * 100 TB shape: raw rows are touched ONLY by the map-side-combinable
-    * hash-agg; everything downstream (grid, join, windows) rides the
-    * (type × hour-domain) frame — time-bounded (10 years ≈ 88k hours per
-    * type), independent of corpus row count. The per-type window is a
-    * single partition of that domain frame, same stance as the skyline
-    * price-domain sweep.
-    */
   /** PERIOD-OVER-PERIOD: the daily revenue series per event type with
     * day-over-day delta and growth percent — the standard BI reporting
     * shape (this-period vs last-period on an AGGREGATED series, unlike
@@ -191,8 +170,12 @@ object Windows {
       .withColumn("prev", lag(col("cents"), 1).over(w))
       .select(col("event_type"), (col("d") * 86400).as("day_sec"), col("cents"),
         (col("cents") - col("prev")).as("delta_cents"),
-        round((col("cents") - col("prev")).cast("double")
-          / col("prev").cast("double") * 100, 6).as("growth_pct"))
+        // prev = 0 must yield NULL in BOTH engines (Spark's non-ANSI
+        // double divide returns NULL on a zero divisor, DuckDB returns
+        // inf — so the guard is the portability fix, not just hygiene)
+        round(when(col("prev") =!= 0,
+          (col("cents") - col("prev")).cast("double")
+            / col("prev").cast("double") * 100), 6).as("growth_pct"))
       .orderBy("event_type", "day_sec")
   }
 
@@ -299,6 +282,27 @@ object Windows {
       .orderBy("l_partkey")
   }
 
+  /** Time-series RESAMPLE + GAP-FILL: per event type, the hourly average
+    * value on a dense hour grid, missing hours linearly interpolated
+    * between their present neighbours (the `time_bucket GAPFILL` /
+    * `interpolate` operator of time-series engines, composed from
+    * built-ins: one hash-agg, a per-type `sequence` grid, and two
+    * IGNORE-NULLS window sweeps for the bracketing present hours).
+    *
+    * Exactness: the hourly average is one decimal-sum/long-count double
+    * division; the interpolation `ap + (an−ap)·((h−hp)/(hn−hp))` is a
+    * fixed IEEE op order over exact inputs, mirrored token-for-token in
+    * the oracle, then rounded once at emit. The grid spans each type's
+    * [min, max] present hour, so every interior gap has both neighbours
+    * (no edge extrapolation by construction).
+    *
+    * 100 TB shape: raw rows are touched ONLY by the map-side-combinable
+    * hash-agg; everything downstream (grid, join, windows) rides the
+    * (type × hour-domain) frame — time-bounded (10 years ≈ 88k hours per
+    * type), independent of corpus row count. The per-type window is a
+    * single partition of that domain frame, same stance as the skyline
+    * price-domain sweep.
+    */
   def gapfillHourly(spark: SparkSession, sfDir: String): DataFrame =
     gapfillOf(Tables.events(spark, sfDir)
       .groupBy(col("event_type"), expr("ts_sec div 3600").as("h"))

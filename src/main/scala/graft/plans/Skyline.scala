@@ -27,9 +27,13 @@ import scala.collection.mutable
   * shape built-ins can't express — dominance pruning BEFORE any exchange,
   * with no distinct-value aggregate at all.
   *
-  * Dominance is evaluated on two bound expressions: `maxExpr` (maximize,
-  * evaluated as Double) and `minExpr` (minimize, evaluated as Long) —
-  * d dominates p iff d.max ≥ p.max ∧ d.min ≤ p.min with one strict.
+  * Dominance is evaluated on two bound expressions: `maxExpr` (maximize)
+  * MUST evaluate to DoubleType and `minExpr` (minimize) to LongType —
+  * callers wrap other numeric types in `Cast` (skylineNativeOf does;
+  * Spark's Decimal is not a java.lang.Number, so an unchecked numeric
+  * eval would CCE on decimal columns). Rows with a NULL criterion are
+  * incomparable and drop out. d dominates p iff d.max ≥ p.max ∧
+  * d.min ≤ p.min with one strict.
   */
 case class Skyline(maxExpr: Expression, minExpr: Expression, child: LogicalPlan)
     extends UnaryNode {
@@ -74,11 +78,18 @@ case class SkylineExec(maxExpr: Expression, minExpr: Expression,
       val mnB = BindReferences.bindReference(mn, childOutput)
       val frontier = mutable.ArrayBuffer.empty[(Double, Long, InternalRow)]
       rows.foreach { row =>
-        val p = mxB.eval(row).asInstanceOf[Number].doubleValue()
-        val s = mnB.eval(row).asInstanceOf[Number].longValue()
-        if (!frontier.exists { case (cp, cs, _) => dominates(cp, cs, p, s) }) {
-          frontier.filterInPlace { case (cp, cs, _) => !dominates(p, s, cp, cs) }
-          frontier += ((p, s, row.copy()))
+        val pv = mxB.eval(row)
+        val sv = mnB.eval(row)
+        // rows with a NULL criterion are incomparable under dominance and
+        // drop out (the SQL NOT-EXISTS oracle's three-valued logic agrees:
+        // a NULL-keyed row never survives its own comparison)
+        if (pv != null && sv != null) {
+          val p = pv.asInstanceOf[Double]
+          val s = sv.asInstanceOf[Long]
+          if (!frontier.exists { case (cp, cs, _) => dominates(cp, cs, p, s) }) {
+            frontier.filterInPlace { case (cp, cs, _) => !dominates(p, s, cp, cs) }
+            frontier += ((p, s, row.copy()))
+          }
         }
       }
       frontier.iterator.map(_._3)

@@ -93,8 +93,11 @@ class WindowsSpec extends SparkSpec {
       assert(s.head._4.isEmpty && s.head._5.isEmpty)
       s.zip(s.tail).foreach { case (prev, cur) =>
         assert(cur._4.contains(cur._3 - prev._3))
-        val want = (cur._3 - prev._3).toDouble / prev._3.toDouble * 100
-        assert(math.abs(cur._5.get - want) <= 5e-7 + 1e-9 * math.abs(want))
+        if (prev._3 == 0) assert(cur._5.isEmpty) // zero divisor → NULL
+        else {
+          val want = (cur._3 - prev._3).toDouble / prev._3.toDouble * 100
+          assert(math.abs(cur._5.get - want) <= 5e-7 + 1e-9 * math.abs(want))
+        }
       }
     }
     assert(got.nonEmpty)
