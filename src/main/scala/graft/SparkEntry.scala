@@ -681,9 +681,10 @@ object SparkEntry {
         |    CAST(n*syy - sy*sy AS DOUBLE) AS dyy
         |  FROM s)
         |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
-        |  round(num/den, 6) AS slope_cents_per_day,
-        |  round(inum/den, 6) AS intercept_cents,
-        |  round((num*num)/(den*dyy), 6) AS r2
+        |  round(CASE WHEN den <> 0 THEN num/den END, 6) AS slope_cents_per_day,
+        |  round(CASE WHEN den <> 0 THEN inum/den END, 6) AS intercept_cents,
+        |  round(CASE WHEN den <> 0 AND dyy <> 0 THEN (num*num)/(den*dyy) END, 6)
+        |    AS r2
         |FROM t ORDER BY o_orderpriority""".stripMargin,
     "q_minmax_by" ->
       """SELECT user_id,
@@ -831,8 +832,9 @@ object SparkEntry {
         |    sum(CAST(i AS HUGEINT) * CAST(y AS HUGEINT)) AS s2
         |  FROM r GROUP BY 1)
         |SELECT o_orderpriority, n,
-        |  round(CAST(s2 * 2 AS DOUBLE) / CAST(s1 * n AS DOUBLE)
-        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |  round(CASE WHEN s1 <> 0 THEN
+        |    CAST(s2 * 2 AS DOUBLE) / CAST(s1 * n AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END, 6) AS gini
         |FROM g ORDER BY o_orderpriority""".stripMargin,
     // share thresholds as exact integer products (cum*100 <= total*80) —
     // a 0.8 float literal would diverge on boundary rows cross-engine

@@ -499,9 +499,15 @@ object Aggregates {
         d(col("n") * col("syy") - col("sy") * col("sy")).as("dyy"))
       .select(
         col("o_orderpriority"), col("n"),
-        round(col("num") / col("den"), 6).as("slope_cents_per_day"),
-        round(col("inum") / col("den"), 6).as("intercept_cents"),
-        round((col("num") * col("num")) / (col("den") * col("dyy")), 6).as("r2"))
+        // a constant-x group (den = 0) has no defined trend — NULL in
+        // BOTH engines (Spark's non-ANSI divide NULLs a zero divisor,
+        // DuckDB emits inf/NaN, so the guard is the portability fix)
+        round(when(col("den") =!= 0, col("num") / col("den")), 6)
+          .as("slope_cents_per_day"),
+        round(when(col("den") =!= 0, col("inum") / col("den")), 6)
+          .as("intercept_cents"),
+        round(when(col("den") =!= 0 && col("dyy") =!= 0,
+          (col("num") * col("num")) / (col("den") * col("dyy"))), 6).as("r2"))
       .orderBy("o_orderpriority")
   }
 }

@@ -206,8 +206,11 @@ object Windows {
         sum(col("y").cast(dec)).as("s1"),
         sum(col("i").cast(dec) * col("y").cast(dec)).as("s2"))
       .select(col("o_orderpriority"), col("n"),
-        round(d(col("s2") * 2) / d(col("s1") * col("n"))
-          - d(col("n") + 1) / d(col("n")), 6).as("gini"))
+        // all-zero revenue (s1 = 0) leaves inequality undefined — NULL
+        // in both engines (the q_ols_trend zero-denominator discipline)
+        round(when(col("s1") =!= 0,
+          d(col("s2") * 2) / d(col("s1") * col("n"))
+            - d(col("n") + 1) / d(col("n"))), 6).as("gini"))
       .orderBy("o_orderpriority")
   }
 
