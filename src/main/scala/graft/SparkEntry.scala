@@ -2021,18 +2021,20 @@ object SparkEntry {
         |    sum(CASE WHEN NOT va THEN y*y ELSE 0 END) AS ss_b
         |  FROM e GROUP BY 1),
         |t AS (SELECT event_type, n_a, n_b,
-        |    CAST(s_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS m_a,
-        |    CAST(s_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS m_b,
-        |    (CAST(ss_a AS DOUBLE)
+        |    CASE WHEN n_a > 0 THEN
+        |      CAST(s_a AS DOUBLE)/CAST(n_a AS DOUBLE) END AS m_a,
+        |    CASE WHEN n_b > 0 THEN
+        |      CAST(s_b AS DOUBLE)/CAST(n_b AS DOUBLE) END AS m_b,
+        |    CASE WHEN n_a > 1 THEN (CAST(ss_a AS DOUBLE)
         |       - CAST(s_a AS DOUBLE)*CAST(s_a AS DOUBLE)/CAST(n_a AS DOUBLE))
-        |      /CAST(n_a - 1 AS DOUBLE) AS v_a,
-        |    (CAST(ss_b AS DOUBLE)
+        |      /CAST(n_a - 1 AS DOUBLE) END AS v_a,
+        |    CASE WHEN n_b > 1 THEN (CAST(ss_b AS DOUBLE)
         |       - CAST(s_b AS DOUBLE)*CAST(s_b AS DOUBLE)/CAST(n_b AS DOUBLE))
-        |      /CAST(n_b - 1 AS DOUBLE) AS v_b
+        |      /CAST(n_b - 1 AS DOUBLE) END AS v_b
         |  FROM s),
         |r AS (SELECT event_type, n_a, n_b,
-        |    round(CASE WHEN n_a > 0 THEN m_a END, 4) AS mean_a_cents,
-        |    round(CASE WHEN n_b > 0 THEN m_b END, 4) AS mean_b_cents,
+        |    round(m_a, 4) AS mean_a_cents,
+        |    round(m_b, 4) AS mean_b_cents,
         |    round(CASE WHEN n_a > 1 AND n_b > 1
         |        AND (v_a/CAST(n_a AS DOUBLE) + v_b/CAST(n_b AS DOUBLE)) > 0 THEN
         |      (m_a - m_b)

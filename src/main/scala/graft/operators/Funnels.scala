@@ -218,13 +218,18 @@ object Funnels {
     * map-side to |event_types| × 7 cells per task; no join, no second
     * pass. FunnelsSpec cross-checks an independent driver-side Welch.
     */
-  def abtestWelch(spark: SparkSession, sfDir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val zero = lit(0).cast(dec)
-    val ev = Tables.events(spark, sfDir).select(
+  def abtestWelch(spark: SparkSession, sfDir: String): DataFrame =
+    welchOf(Tables.events(spark, sfDir).select(
       col("event_type"),
       (col("user_id") % 2 === 0).as("va"),
-      expr("CAST(round(value * 100) AS BIGINT)").cast(dec).as("y"))
+      expr("CAST(round(value * 100) AS BIGINT)").cast("decimal(38,0)").as("y")))
+
+  /** The Welch readout on any (event_type, va, y) observation frame —
+    * factored out so FunnelsSpec can plant degenerate arms (empty,
+    * single-sample, zero-variance) and assert the NULL guards directly. */
+  private[graft] def welchOf(ev: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val zero = lit(0).cast(dec)
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
     val s = ev.groupBy("event_type").agg(
       sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
@@ -233,20 +238,24 @@ object Funnels {
       sum(when(!col("va"), col("y")).otherwise(zero)).as("s_b"),
       sum(when(col("va"), col("y") * col("y")).otherwise(zero)).as("ss_a"),
       sum(when(!col("va"), col("y") * col("y")).otherwise(zero)).as("ss_b"))
+    // every division sits INSIDE a lazily-evaluated `when` branch: a
+    // degenerate arm (empty, single-sample, zero pooled variance) must
+    // yield NULL without the division ever running — under Spark's
+    // default ANSI mode a zero divisor THROWS (non-ANSI NULLs it, DuckDB
+    // emits NaN/inf; the guard is identical in the oracle so all modes
+    // agree on NULL). `significant` inherits NULL from t.
     s.select(col("event_type"), col("n_a"), col("n_b"),
-        (d(col("s_a")) / d(col("n_a"))).as("m_a"),
-        (d(col("s_b")) / d(col("n_b"))).as("m_b"),
-        ((d(col("ss_a")) - d(col("s_a")) * d(col("s_a")) / d(col("n_a")))
-          / d(col("n_a") - 1)).as("v_a"),
-        ((d(col("ss_b")) - d(col("s_b")) * d(col("s_b")) / d(col("n_b")))
-          / d(col("n_b") - 1)).as("v_b"))
+        when(col("n_a") > 0, d(col("s_a")) / d(col("n_a"))).as("m_a"),
+        when(col("n_b") > 0, d(col("s_b")) / d(col("n_b"))).as("m_b"),
+        when(col("n_a") > 1,
+          (d(col("ss_a")) - d(col("s_a")) * d(col("s_a")) / d(col("n_a")))
+            / d(col("n_a") - 1)).as("v_a"),
+        when(col("n_b") > 1,
+          (d(col("ss_b")) - d(col("s_b")) * d(col("s_b")) / d(col("n_b")))
+            / d(col("n_b") - 1)).as("v_b"))
       .select(col("event_type"), col("n_a"), col("n_b"),
-        // degenerate arms (empty, single-sample, or zero pooled
-        // variance) yield NULL in BOTH engines: Spark's non-ANSI divide
-        // NULLs a zero divisor while DuckDB emits NaN/inf, so the
-        // guards are the portability fix; `significant` inherits NULL
-        round(when(col("n_a") > 0, col("m_a")), 4).as("mean_a_cents"),
-        round(when(col("n_b") > 0, col("m_b")), 4).as("mean_b_cents"),
+        round(col("m_a"), 4).as("mean_a_cents"),
+        round(col("m_b"), 4).as("mean_b_cents"),
         round(when(col("n_a") > 1 && col("n_b") > 1
             && (col("v_a") / d(col("n_a")) + col("v_b") / d(col("n_b"))) > 0,
           (col("m_a") - col("m_b"))

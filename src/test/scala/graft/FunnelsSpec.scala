@@ -143,6 +143,31 @@ class FunnelsSpec extends SparkSpec {
     assert(got.map(_._2).sum == first.size)
   }
 
+  test("welch guards yield NULL on empty, single-sample and zero-variance arms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows =
+      // empty B arm
+      Seq(("only_a", true, 100L), ("only_a", true, 200L), ("only_a", true, 300L)) ++
+      // single-sample B arm (variance undefined)
+      Seq(("one_b", true, 100L), ("one_b", true, 200L), ("one_b", false, 150L)) ++
+      // both arms constant: pooled variance exactly zero
+      Seq(("flat", true, 100L), ("flat", true, 100L),
+        ("flat", false, 100L), ("flat", false, 100L)) ++
+      // healthy control
+      Seq(("ok", true, 100L), ("ok", true, 300L), ("ok", false, 150L), ("ok", false, 250L))
+    val ev = rows.toDF("event_type", "va", "y")
+      .select(col("event_type"), col("va"), col("y").cast("decimal(38,0)").as("y"))
+    val got = operators.Funnels.welchOf(ev)
+      .as[(String, Long, Long, Option[Double], Option[Double], Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("only_a")._5.isEmpty && got("only_a")._6.isEmpty && got("only_a")._7.isEmpty)
+    assert(got("only_a")._4.contains(200.0)) // the populated arm's mean survives
+    assert(got("one_b")._6.isEmpty, "n=1 arm must not produce a t statistic")
+    assert(got("flat")._6.isEmpty, "zero pooled variance must not produce a t statistic")
+    assert(got("ok")._6.nonEmpty && got("ok")._7.nonEmpty)
+  }
+
   test("attribution models agree with a driver-side replay and conserve credit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
