@@ -272,6 +272,74 @@ object Curation {
       .orderBy("ante", "cons")
   }
 
+  /** Apriori at k=3 (VERDICT r10 ask #4): frequent triples and their
+    * {A,B}→C rules, one more prune-then-join level over [[assocRules]].
+    *
+    * Scale shape, in Apriori order: (1-3) identical to k=2 up to the
+    * frequent-pair supports; (4) the TRIPLE expansion only ever extends a
+    * doc-level occurrence of a FREQUENT pair (the frequent-pair broadcast
+    * prunes before the third self-join level), and a candidate (a,b,c)
+    * must have ALL THREE 2-subsets frequent before it is counted — the
+    * full Apriori closure prune, applied as two more broadcast equi-joins
+    * BEFORE the count aggregate; (5) triple supports aggregate on the
+    * (a,b,c) key. Fan-out per document is (frequent items per doc)³/6 at
+    * worst but only over pairs that survived the floor — measured linear
+    * in both vocabulary regimes by ScaleCurve's assoc3/assoc3_shared
+    * rows. Confidence and lift are the same exact-integer-valued IEEE
+    * divisions as k=2, written in the same order in both engines.
+    */
+  def assocRules3(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val items = Dedup.fence(docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+      .filter(col("word") =!= ""), "doc_id")
+    val freq = items.groupBy("word").agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
+      .filter(col("supp") * AssocSupDenom >= col("nd"))
+      .select("word", "supp")
+    val fitems = items.join(broadcast(freq.select("word")), "word")
+    val docPairs = fitems.select(col("doc_id"), col("word").as("a"))
+      .join(fitems.select(col("doc_id"), col("word").as("b")), "doc_id")
+      .filter(col("a") < col("b"))
+    val fpairs = docPairs.groupBy("a", "b").agg(count(lit(1)).as("supp_pair"))
+      .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
+      .filter(col("supp_pair") * AssocSupDenom >= col("nd"))
+      .select("a", "b", "supp_pair")
+    // expand only doc-occurrences of FREQUENT pairs, then require the two
+    // other 2-subsets frequent too — all before the count
+    val ftriples = docPairs.join(broadcast(fpairs.select("a", "b")), Seq("a", "b"))
+      .join(fitems.select(col("doc_id"), col("word").as("c")), "doc_id")
+      .filter(col("b") < col("c"))
+      .join(broadcast(fpairs.select(col("a"), col("b").as("c"))), Seq("a", "c"))
+      .join(broadcast(fpairs.select(col("a").as("b"), col("b").as("c"))), Seq("b", "c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("supp_tri"))
+      .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
+      .filter(col("supp_tri") * AssocSupDenom >= col("nd"))
+      .select("a", "b", "c", "supp_tri")
+    // the three {antecedent pair} → consequent rotations; each antecedent
+    // pair is itself frequent (Apriori closure), so the support lookup is
+    // the frequent-pair broadcast again
+    val rotations = ftriples.select(col("a").as("ante1"), col("b").as("ante2"),
+        col("c").as("cons"), col("supp_tri"))
+      .union(ftriples.select(col("a"), col("c"), col("b"), col("supp_tri")))
+      .union(ftriples.select(col("b"), col("c"), col("a"), col("supp_tri")))
+    rotations
+      .join(broadcast(fpairs.select(col("a").as("ante1"), col("b").as("ante2"),
+        col("supp_pair").as("supp_ante"))), Seq("ante1", "ante2"))
+      .join(broadcast(freq.select(col("word").as("cons"), col("supp").as("supp_cons"))), "cons")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("supp_tri") * AssocConfDenom >= col("supp_ante"))
+      .withColumn("confidence",
+        round(col("supp_tri").cast("double") / col("supp_ante"), 6))
+      .withColumn("lift",
+        round(col("supp_tri").cast("double") * col("n_docs")
+          / (col("supp_ante").cast("double") * col("supp_cons")), 6))
+      .select("ante1", "ante2", "cons", "supp_tri", "supp_ante", "supp_cons",
+        "confidence", "lift")
+      .orderBy("ante1", "ante2", "cons")
+  }
+
   /** Token-length histogram in 10-token bins: the sequence-length
     * distribution a packing/truncation decision reads (how much of the
     * corpus a max_len cut drops). One map-side bucket compute + a hash-agg

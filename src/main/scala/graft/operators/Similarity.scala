@@ -1087,9 +1087,17 @@ object Similarity {
   /** k-parameterized assignment feed (package-private): ScaleCurve's k∝n
     * rows train k = 10·factor centroids in their own row so the trainer's
     * k-proportional (corpus-independent) shuffle is priced separately
-    * from the dedup tiles. */
-  private[graft] def kmeansK(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    kmeansAssigned(spark, sfDir, KmeansSeedLowestId, k)
+    * from the dedup tiles. `memoTag` namespaces the centroid memo
+    * (ADVICE r10): at factor 1 the kn row's k = 10 otherwise collides
+    * with the fixed-k row's warm memo — same dir, seeding and k — and
+    * its x1 cell silently measures serve-only while x10 includes the
+    * k = 100 training, turning the n→10n comparison into build-vs-serve.
+    * The trainer is deterministic, so a tag changes no values, only
+    * which ScaleCurve row pays the training. */
+  private[graft] def kmeansK(spark: SparkSession, sfDir: String, k: Int,
+                             memoTag: String = ""): DataFrame =
+    withAssignment(quantizedVectors(Tables.embeddings(spark, sfDir)),
+      trainedCentroids(spark, sfDir, KmeansSeedLowestId, k, memoTag))
       .select(col("vec_id"), col("cluster"))
 
   /** k-means&#124;&#124; seeding stops oversampling once the candidate set
@@ -1134,9 +1142,10 @@ object Similarity {
     * k-means consumer and (r10) the IVFADC coarse quantizer. */
   private[operators] def trainedCentroids(spark: SparkSession, sfDir: String,
                                           seeding: String = KmeansSeedLowestId,
-                                          k: Int = KmeansK): IndexedSeq[Array[Long]] = {
+                                          k: Int = KmeansK,
+                                          memoTag: String = ""): IndexedSeq[Array[Long]] = {
     SessionMemos.arm(spark, centroidMemo)
-    centroidMemo.computeIfAbsent((spark, sfDir, s"$seeding#k=$k"),
+    centroidMemo.computeIfAbsent((spark, sfDir, s"$seeding#k=$k$memoTag"),
       _ => trainCentroids(quantizedVectors(Tables.embeddings(spark, sfDir)), seeding, k))
   }
 

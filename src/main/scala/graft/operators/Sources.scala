@@ -119,4 +119,73 @@ object Sources {
         sum(col("n_chars")).as("total_chars"),
         sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
       .orderBy("lang")
+
+  // ---- events through the text formats (r11, VERDICT ask #6) ----------
+  // THE ENCODING RULE: neither CSV nor JSON has a 64-bit-nanosecond
+  // timestamp type, and Spark's timestamp formatters top out at
+  // microseconds — so the engine encodes the NORMALIZED bigint-ns `ts`
+  // column (Tables.events' canonical form) as a plain int64 field.
+  // That round-trip is lossless by construction; a formatted-string
+  // encoding would silently truncate to µs and the sub-second checksums
+  // below would hash-mismatch by name.
+
+  private val csvEventsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val jsonlEventsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Session-scoped CSV copy of `events` with `ts` as int64 ns (4 files). */
+  private[graft] def csvEventsDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, csvEventsMemo)
+    csvEventsMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-csv-events").toString
+      Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      dir
+    })
+  }
+
+  /** Session-scoped JSON-lines copy of `events` with `ts` as int64 ns. */
+  private[graft] def jsonlEventsDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, jsonlEventsMemo)
+    jsonlEventsMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-events").toString
+      Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite").json(dir)
+      dir
+    })
+  }
+
+  /** Per-type event rollup over the parsed frame: min/max raw ns, a
+    * SUB-SECOND checksum (`sum(ts % 1e9)` — any µs truncation anywhere in
+    * the encode/parse chain shifts it), and the value sum. Shared by both
+    * text-format queries; the oracle runs the identical rollup on the
+    * parquet original via epoch_ns. */
+  private def eventsNsRollup(parsed: DataFrame): DataFrame =
+    parsed.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("min_ts_ns"),
+        max(col("ts")).as("max_ts_ns"),
+        sum(col("ts") % 1000000000L).as("subsec_sum"),
+        round(dsum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type")
+
+  /** ns-timestamp survival through CSV: events → int64-ns CSV → parse →
+    * rollup whose hash moves on any sub-µs loss. */
+  def csvEventsNs(spark: SparkSession, sfDir: String): DataFrame =
+    eventsNsRollup(spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true")
+      .csv(csvEventsDir(spark, sfDir)))
+
+  /** ns-timestamp survival through JSON-lines — same rollup, same oracle
+    * shape, JSON writer/parser pair instead of CSV. */
+  def jsonlEventsNs(spark: SparkSession, sfDir: String): DataFrame =
+    eventsNsRollup(spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(jsonlEventsDir(spark, sfDir)))
 }
