@@ -60,12 +60,15 @@ object SparkEntry {
     "q_not_exists"        -> ((s, d) => Relational.notExistsCustomers(s, d)),
     "q_recursive_cte"     -> ((s, d) => Relational.recursiveAncestors(s, d)),
     "q_scd2"              -> ((s, d) => Relational.scd2Build(s, d)),
+    "q_scd2_incremental"  -> ((s, d) => Relational.scd2Incremental(s, d)),
     "q_skyline"           -> ((s, d) => Relational.skylineParts(s, d)),
     "q_skyline_custom"    -> ((s, d) => Relational.skylinePartsCustom(s, d)),
     "q_table_diff"        -> ((s, d) => Relational.tableDiff(s, d)),
     "q_csv_source"        -> ((s, d) => Sources.csvCustomerSegments(s, d)),
     "q_jsonl_source"      -> ((s, d) => Sources.jsonlDocsPerLang(s, d)),
     "q_orc_source"        -> ((s, d) => Sources.orcOrderPriorities(s, d)),
+    "q_csv_events"        -> ((s, d) => Sources.csvEventsNs(s, d)),
+    "q_jsonl_events"      -> ((s, d) => Sources.jsonlEventsNs(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
     "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
     "q_asof_join_tolerance" -> ((s, d) => Relational.asOfJoinTolerance(s, d)),
@@ -243,6 +246,7 @@ object SparkEntry {
     "q_drift_audit"       -> ((s, d) => Curation.driftAudit(s, d)),
     "q_expectations"      -> ((s, d) => Curation.expectations(s, d)),
     "q_assoc_rules"       -> ((s, d) => Curation.assocRules(s, d)),
+    "q_assoc_rules3"      -> ((s, d) => Curation.assocRules3(s, d)),
     // ---- B6/B10 storage layout ----
     "q_zorder"            -> ((s, d) => Layout.zorderLayout(s, d)),
   )
@@ -255,10 +259,41 @@ object SparkEntry {
     */
   /** Shared by q_skyline and q_skyline_custom (both plans must verify
     * against the SAME textbook quadratic dominance formulation). */
+  // NULL-criterion rows are EXCLUDED by declared semantics (ADVICE r10):
+  // the engine treats them as incomparable and drops them, while a bare
+  // NOT EXISTS would EMIT them (their dominance subquery is vacuously
+  // empty under three-valued logic) — so the oracle states the exclusion
+  // explicitly. part carries no NULLs, so this changes no current hash;
+  // PropertySpec pins the null-bearing case against both engine forms.
+  // SCD2 replayed with the same window algebra: null-safe change flag
+  // (IS DISTINCT FROM == Spark's !(a <=> b)), running-sum versions,
+  // per-run stats, lead() closing each interval. `ver` is a windowed sum
+  // → HUGEINT in DuckDB, so the output column MUST cast to BIGINT (the
+  // round-10 hash failure; OracleHygieneSpec now sweeps the whole map).
+  // Shared by q_scd2 (scan-time build) and q_scd2_incremental (stored
+  // dimension + one-day append) — the merge must equal the full rebuild.
+  private val scd2OracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) AS tns, epoch_ns(ts) // 1000000000 AS tsec FROM events),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY tns, event_id)
+      |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+      |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS ver FROM c),
+      |s AS (SELECT user_id, CAST(ver AS BIGINT) AS version, min(event_type) AS event_type,
+      |      min(tsec) AS valid_from_sec, count(*) AS n_events
+      |      FROM g GROUP BY user_id, ver)
+      |SELECT user_id, version, event_type, valid_from_sec,
+      |  lead(valid_from_sec) OVER w AS valid_to_sec,
+      |  (lead(valid_from_sec) OVER w IS NULL) AS is_current, n_events
+      |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY version)
+      |ORDER BY user_id, version""".stripMargin
+
   private val skylineOracleSql: String =
     """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
       |FROM part p
-      |WHERE NOT EXISTS (SELECT 1 FROM part d
+      |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM part d
       |  WHERE d.p_retailprice >= p.p_retailprice AND d.p_size <= p.p_size
       |    AND (d.p_retailprice > p.p_retailprice OR d.p_size < p.p_size))
       |ORDER BY p_partkey""".stripMargin
@@ -430,25 +465,11 @@ object SparkEntry {
         |SELECT doc_id, CAST(max(depth) AS BIGINT) AS chain_len,
         |  count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
         |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // SCD2 replayed with the same window algebra: null-safe change flag
-    // (IS DISTINCT FROM == Spark's !(a <=> b)), running-sum versions,
-    // per-run stats, lead() closing each interval
-    "q_scd2" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |    epoch_ns(ts) AS tns, epoch_ns(ts) // 1000000000 AS tsec FROM events),
-        |c AS (SELECT *, CASE WHEN lag(event_type) OVER
-        |      (PARTITION BY user_id ORDER BY tns, event_id)
-        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
-        |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS ver FROM c),
-        |s AS (SELECT user_id, ver AS version, min(event_type) AS event_type,
-        |      min(tsec) AS valid_from_sec, count(*) AS n_events
-        |      FROM g GROUP BY user_id, ver)
-        |SELECT user_id, version, event_type, valid_from_sec,
-        |  lead(valid_from_sec) OVER w AS valid_to_sec,
-        |  (lead(valid_from_sec) OVER w IS NULL) AS is_current, n_events
-        |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY version)
-        |ORDER BY user_id, version""".stripMargin,
+    "q_scd2" -> scd2OracleSql,
+    // incremental maintenance (r11): stored dimension + one-day append,
+    // hash-checked against the SAME full-rebuild oracle — the merge must
+    // reproduce the from-scratch fold exactly
+    "q_scd2_incremental" -> scd2OracleSql,
     // the text-source queries aggregate a session-written CSV/JSONL copy;
     // the oracle aggregates the parquet original — any parse/encode
     // round-trip loss hash-mismatches by name
@@ -493,6 +514,23 @@ object SparkEntry {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // events through the text formats (r11): the oracle reads the PARQUET
+    // original via epoch_ns, the engine reads its int64-ns text copy —
+    // subsec_sum moves on any µs truncation in the encode/parse chain.
+    // Both sum casts are mandatory: sum(BIGINT) is HUGEINT in DuckDB
+    // (the exact q_scd2 hazard class OracleHygieneSpec now sweeps for).
+    "q_csv_events" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  min(epoch_ns(ts)) AS min_ts_ns, max(epoch_ns(ts)) AS max_ts_ns,
+        |  CAST(sum(epoch_ns(ts) % 1000000000) AS BIGINT) AS subsec_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_jsonl_events" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  min(epoch_ns(ts)) AS min_ts_ns, max(epoch_ns(ts)) AS max_ts_ns,
+        |  CAST(sum(epoch_ns(ts) % 1000000000) AS BIGINT) AS subsec_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs_1h
         |FROM events a JOIN events b ON a.user_id = b.user_id
@@ -1535,6 +1573,42 @@ object SparkEntry {
         |  JOIN freq fb ON fb.word = r.cons, nd
         |WHERE r.supp_pair * ${operators.Curation.AssocConfDenom} >= fa.supp
         |ORDER BY ante, cons""".stripMargin,
+    // Apriori k=3 replay (r11): the same integer thresholds one level up —
+    // triples only counted where ALL three 2-subsets are frequent (the
+    // closure prune, mirrored from the engine's broadcast equi-joins)
+    "q_assoc_rules3" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |items AS (SELECT DISTINCT doc_id, word FROM t WHERE word <> ''),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |f0 AS (SELECT word, count(*) AS supp FROM items GROUP BY word),
+        |freq AS (SELECT word, supp FROM f0, nd
+        |         WHERE supp * ${operators.Curation.AssocSupDenom} >= n_docs),
+        |dp AS (SELECT a.doc_id, a.word AS a, b.word AS b
+        |  FROM items a JOIN items b ON a.doc_id = b.doc_id AND a.word < b.word
+        |  JOIN freq fa ON fa.word = a.word JOIN freq fb ON fb.word = b.word),
+        |p0 AS (SELECT a, b, count(*) AS supp_pair FROM dp GROUP BY 1, 2),
+        |fpairs AS (SELECT a, b, supp_pair FROM p0, nd
+        |           WHERE supp_pair * ${operators.Curation.AssocSupDenom} >= n_docs),
+        |tri AS (SELECT dp.a, dp.b, c.word AS c
+        |  FROM dp JOIN fpairs fp ON fp.a = dp.a AND fp.b = dp.b
+        |  JOIN items c ON c.doc_id = dp.doc_id AND dp.b < c.word
+        |  JOIN freq fc ON fc.word = c.word
+        |  JOIN fpairs pac ON pac.a = dp.a AND pac.b = c.word
+        |  JOIN fpairs pbc ON pbc.a = dp.b AND pbc.b = c.word),
+        |t0 AS (SELECT a, b, c, count(*) AS supp_tri FROM tri GROUP BY 1, 2, 3),
+        |ftri AS (SELECT a, b, c, supp_tri FROM t0, nd
+        |         WHERE supp_tri * ${operators.Curation.AssocSupDenom} >= n_docs),
+        |rot AS (SELECT a AS ante1, b AS ante2, c AS cons, supp_tri FROM ftri
+        |  UNION ALL SELECT a, c, b, supp_tri FROM ftri
+        |  UNION ALL SELECT b, c, a, supp_tri FROM ftri)
+        |SELECT r.ante1, r.ante2, r.cons, r.supp_tri, fp.supp_pair AS supp_ante,
+        |  fc.supp AS supp_cons,
+        |  round(r.supp_tri / fp.supp_pair, 6) AS confidence,
+        |  round((r.supp_tri * n_docs) / (fp.supp_pair::DOUBLE * fc.supp), 6) AS lift
+        |FROM rot r JOIN fpairs fp ON fp.a = r.ante1 AND fp.b = r.ante2
+        |  JOIN freq fc ON fc.word = r.cons, nd
+        |WHERE r.supp_tri * ${operators.Curation.AssocConfDenom} >= fp.supp_pair
+        |ORDER BY ante1, ante2, cons""".stripMargin,
     "q_pipeline_keep" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3

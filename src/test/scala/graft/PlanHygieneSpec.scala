@@ -156,7 +156,11 @@ class PlanHygieneSpec extends SparkSpec {
     * shrink or be consciously grown in review.
     */
   private val ValueDomainCols =
-    Set("word", "w", "term", "b", "lang", "source", "event_type",
+    Set("word", "w", "term", "lang", "source", "event_type",
+      // the association/PMI item aliases: a/b/c are words (the k=2 pair
+      // and k=3 triple keys), so aggregates grouped on them are vocab²/
+      // vocab³-bounded — the same Heaps-law allowance as "word" itself
+      "a", "b", "c",
       // sketch lattices: the CMS cell struct rc = (row, cell) has domain
       // CmsDepth × CmsWidth (cell is a literal-modulus hash), and the HLL
       // bracket's (register, cell) pair is 2^p × 2^r — plan-constant

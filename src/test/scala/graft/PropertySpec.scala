@@ -259,6 +259,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skyline DROPS null-criterion rows in both engine forms (declared semantics, ADVICE r10)") {
+    import spark.implicits._
+    // a bare SQL NOT EXISTS would EMIT a null-keyed row (its dominance
+    // subquery is vacuously empty under three-valued logic); this engine
+    // declares null criteria INCOMPARABLE and excludes them, and the
+    // registered oracle carries a matching IS NOT NULL pre-filter. This
+    // pins the divergence-prone case the part data never exercises.
+    val pt = Gen.zip(Gen.option(Gen.choose(0, 9)), Gen.option(Gen.choose(0, 9)))
+    val frame = Gen.nonEmptyListOf(pt).map(_.take(40))
+    samples(frame, 10).foreach { pts =>
+      val df = pts.zipWithIndex
+        .map { case ((p, s), i) => (i.toLong, p.map(_.toDouble), s) }
+        .toDF("p_partkey", "p_retailprice", "p_size")
+      val got = operators.Relational.skylineOf(df)
+        .select("p_partkey").as[Long].collect().toSet
+      val gotNative = operators.Relational.skylineNativeOf(spark, df)
+        .select("p_partkey").as[Long].collect().toSet
+      // brute force over the NON-NULL points only; null rows never appear
+      val full = pts.zipWithIndex.collect {
+        case ((Some(p), Some(s)), i) => (i.toLong, p.toDouble, s)
+      }
+      val want = full.filter { case (_, p, s) =>
+        !full.exists { case (_, dp, ds) => dp >= p && ds <= s && (dp > p || ds < s) }
+      }.map(_._1).toSet
+      assert(got == want, s"points=$pts")
+      assert(gotNative == want, s"native node: points=$pts")
+    }
+  }
+
   test("signature diff classifies generated snapshot pairs like a map diff") {
     import spark.implicits._
     // keys 0..19, values 0..3: heavy key overlap and frequent value
