@@ -73,15 +73,25 @@ object Bench {
     })
     // listener events ride an async bus: wait until both counters hold
     // still before reading or resetting at a rep boundary
+    // Bounded (ADVICE r10): a concurrent job in the same SparkContext —
+    // e.g. a stray streaming query — would otherwise keep the counters
+    // moving and hang the benchmark forever. 50 × 120 ms ≈ 6 s is far
+    // beyond the listener bus's drain time on an idle context; on
+    // timeout proceed with a stderr warning (the plan metrics for that
+    // query may include the intruder's stages, the timings do not).
     def settle(): Unit = {
       var prev = (shuffleRecords.get(), jobCount.get())
       var stable = false
-      while (!stable) {
+      var iters = 0
+      while (!stable && iters < 50) {
         Thread.sleep(120)
         val now = (shuffleRecords.get(), jobCount.get())
         stable = now == prev
         prev = now
+        iters += 1
       }
+      if (!stable)
+        System.err.println("bench: listener counters still moving after 6s; proceeding (plan metrics may be contaminated)")
     }
 
     final case class R(secs: Seq[Double], err: Option[String],
@@ -110,7 +120,12 @@ object Bench {
         rep += 1
       }
       settle()
-      name -> R(secs.result(), err, shuffleRecords.get(), jobCount.get())
+      // err-gated (ADVICE r10): a query that dies before its final rep
+      // never reaches the rep-boundary counter reset, so the counters
+      // still hold the PREVIOUS query's final rep plus this query's
+      // partial reps — record -1 like the timing does, never stale data
+      val (sr, jc) = if (err.isDefined) (-1L, -1L) else (shuffleRecords.get(), jobCount.get())
+      name -> R(secs.result(), err, sr, jc)
     }
 
     def j(d: Double) = f"$d%.6f"
@@ -143,9 +158,16 @@ object Bench {
       "q_pipeline_curated")
     val hq = headline.flatMap(k => results.get(k).map(r => f""""$k":${r.best}%.3f"""))
       .mkString("{", ",", "}")
+    // noise-free companion to the wall-clock headline (VERDICT r10 ask
+    // #8): shuffle-write records for the same headline queries, so the
+    // baseline comparison can be checked on plan metrics this 1.6-2.6x-
+    // noise host cannot wobble
+    val hs = headline.flatMap(k => results.get(k).map(r => s""""$k":${r.shuffleRows}"""))
+      .mkString("{", ",", "}")
     val errNames = results.collect { case (k, r) if r.err.isDefined => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
+      s""""headline_shuffle_rows":$hs,""" +
       s""""n_queries":${results.size},"n_err":$nErr,"err_queries":$errNames,""" +
       s""""reps":$reps,"noise_first_over_min":${j(noise)},"detail":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()

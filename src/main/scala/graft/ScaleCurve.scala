@@ -169,6 +169,29 @@ object ScaleCurve {
     }
     lazy val partDirs = Seq(1 -> partDir(1), 10 -> partDir(10))
 
+    // ANTI-CORRELATED part fixture (r11, VERDICT ask #5): every point is
+    // good on exactly one criterion — price scattered over the key domain
+    // by a prime stride and size EQUAL to price, so a higher price always
+    // costs a strictly larger size and no point dominates any other:
+    // the frontier IS the whole input (Börzsönyi et al.'s anti-correlated
+    // worst case, taken to its limit). This is the honest boundary for
+    // both skyline forms: the composed sweep's "domain-bounded" grouped
+    // frame becomes n distinct prices, and the native node's final gather
+    // receives all n rows as candidates (the measured gather count is
+    // what the node's scaladoc cites). The staircase frontier keeps the
+    // final pass O(n log n); the r10 candidate list was O(n²) here.
+    def partAntiDir(factor: Int): String = {
+      val dir = s"$outBase/part_anti_x$factor"
+      val n = 20000L * factor
+      spark.range(n).select(
+        col("id").as("p_partkey"),
+        pmod(col("id") * 7919L, lit(n)).cast("double").as("p_retailprice"),
+        (pmod(col("id") * 7919L, lit(n)) + 1L).cast("int").as("p_size"))
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      dir
+    }
+    lazy val partAntiDirs = Seq(1 -> partAntiDir(1), 10 -> partAntiDir(10))
+
     // lineitem replicas (r10 late): order-key offset; quantity/price
     // domains constant → the median/MAD histograms stay fixed while rows
     // scale, and pareto's part dimension is key-offset so it scales with
@@ -207,7 +230,11 @@ object ScaleCurve {
       // frequent set grows 10x but baskets stay the same size; item
       // stream, pair fan-out and pair-support aggregate should all track
       // the corpus ~linearly (the prune keeps fan-out per-doc-bounded)
-      "assoc"       -> ((d, _) => graft.operators.Curation.assocRules(spark, d)))
+      "assoc"       -> ((d, _) => graft.operators.Curation.assocRules(spark, d)),
+      // r11 (VERDICT ask #4): one more prune-then-join level — growth must
+      // stay ~linear if the closure prune (all 2-subsets frequent, joined
+      // BEFORE the triple count) holds in the 10x-vocab regime
+      "assoc3"      -> ((d, _) => graft.operators.Curation.assocRules3(spark, d)))
     // shared-vocab regime (r10, ask #6): replicas keep the panel's terms,
     // so matching postings — and the one corpus shuffle — grow ~10x for a
     // 10x corpus. Linear in postings is the operator's honest cost model.
@@ -216,7 +243,10 @@ object ScaleCurve {
       // complementary regime: vocabulary fixed, 10x docs — the frequent
       // set is constant, the item stream and pair supports grow with the
       // corpus; still linear if the prune-before-pairs discipline holds
-      "assoc_shared" -> ((d, _) => graft.operators.Curation.assocRules(spark, d)))
+      "assoc_shared" -> ((d, _) => graft.operators.Curation.assocRules(spark, d)),
+      // fixed vocabulary, 10x docs: frequent triples constant, the item
+      // stream and triple supports grow with the corpus
+      "assoc3_shared" -> ((d, _) => graft.operators.Curation.assocRules3(spark, d)))
     // embedding family (r9): kmeans runs FIRST per dir so the memoized
     // trainer cost lands in its row; semdedup/cluster rows then measure
     // the post-training increment — consistently at both factors, so the
@@ -233,7 +263,10 @@ object ScaleCurve {
       // k-proportional trainer cost — per-round shuffle k x 64 x
       // partitions, corpus-INDEPENDENT — lands in its own row and the
       // dedup rows measure the post-training tile movement.
-      "kmeans_kn"     -> ((d, f) => Similarity.kmeansK(spark, d, 10 * f)),
+      // distinct memo namespace (ADVICE r10): without it the x1 cell's
+      // k=10 hits the fixed-k row's warm memo and measures serve-only
+      // while x10 trains k=100 — build-vs-serve, not n-vs-10n
+      "kmeans_kn"     -> ((d, f) => Similarity.kmeansK(spark, d, 10 * f, memoTag = "#kn")),
       "semdedup_kn"   -> ((d, f) => Similarity.semDedup(spark, d, 10 * f)),
       "emb_clusters_kn" -> ((d, f) => Dedup.embeddingClusters(spark, d, 10 * f)),
       "tight_clusters" -> ((d, _) => Dedup.embeddingClustersTight(spark, d)),
@@ -264,6 +297,10 @@ object ScaleCurve {
       // its shuffle should sit orders of magnitude under the composed
       // sweep's row-linear join at any factor
       "skyline_native" -> ((d, _) => Relational.skylinePartsCustom(spark, d)))
+    // the same two forms at their adversarial boundary: frontier = input
+    val partAntiQueries: Seq[(String, Fn)] = Seq(
+      "skyline_anti"        -> ((d, _) => Relational.skylineParts(spark, d)),
+      "skyline_native_anti" -> ((d, _) => Relational.skylinePartsCustom(spark, d)))
     val lineitemQueries: Seq[(String, Fn)] = Seq(
       "mad_hist"   -> ((d, _) => graft.operators.Aggregates.madHist(spark, d)),
       "pareto_abc" -> ((d, _) => Windows.paretoAbc(spark, d)))
@@ -281,6 +318,7 @@ object ScaleCurve {
         eventsQueries.map((_, () => eventsDirs)) ++
         ordersQueries.map((_, () => ordersDirs)) ++
         partQueries.map((_, () => partDirs)) ++
+        partAntiQueries.map((_, () => partAntiDirs)) ++
         lineitemQueries.map((_, () => lineitemDirs)) ++
         featureQueries.map((_, () => dirs)) ++
         featureSharedQueries.map((_, () => sharedDirs))
