@@ -61,6 +61,8 @@ object SparkEntry {
     "q_recursive_cte"     -> ((s, d) => Relational.recursiveAncestors(s, d)),
     "q_scd2"              -> ((s, d) => Relational.scd2Build(s, d)),
     "q_scd2_incremental"  -> ((s, d) => Relational.scd2Incremental(s, d)),
+    "q_cdc_apply"         -> ((s, d) => Relational.cdcApply(s, d)),
+    "q_profile"           -> ((s, d) => Curation.profileOrders(s, d)),
     "q_skyline"           -> ((s, d) => Relational.skylineParts(s, d)),
     "q_skyline_custom"    -> ((s, d) => Relational.skylinePartsCustom(s, d)),
     "q_table_diff"        -> ((s, d) => Relational.tableDiff(s, d)),
@@ -470,6 +472,58 @@ object SparkEntry {
     // hash-checked against the SAME full-rebuild oracle — the merge must
     // reproduce the from-scratch fold exactly
     "q_scd2_incremental" -> scd2OracleSql,
+    // MERGE apply (r11): the oracle applies the batch the textbook way —
+    // anti-join deletes/updates out, union the new images back — while
+    // the engine plans ONE full-outer verb-dispatch join; hash match
+    // proves the single-join MERGE rewrite
+    "q_cdc_apply" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_orderpriority AS p,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |del AS (SELECT k FROM t WHERE k % 101 = 5),
+        |upd AS (SELECT k, s, '0-MERGED' AS p, c + 250 AS c
+        |        FROM t WHERE k % 11 = 3 AND k % 101 <> 5),
+        |ins AS (SELECT k + 10000000 AS k, 'N' AS s, p, c FROM t WHERE k % 131 = 7),
+        |kept AS (SELECT * FROM t WHERE k NOT IN (SELECT k FROM del)
+        |         AND k NOT IN (SELECT k FROM upd)),
+        |m AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT k AS o_orderkey, s AS o_orderstatus, p AS o_orderpriority, c AS cents
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+    // column profiler (r11): one global multi-distinct aggregate unpivoted
+    // to a per-column datasheet; extrema pass through untouched (no
+    // arithmetic), BIGINT keys cast to DOUBLE (exact below 2^53)
+    "q_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+        |  count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS nd_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  count(o_orderstatus) AS nn_status, count(DISTINCT o_orderstatus) AS nd_status,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  count(o_orderpriority) AS nn_prio, count(DISTINCT o_orderpriority) AS nd_prio,
+        |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
+        |  count(o_orderdate) AS nn_date, count(DISTINCT o_orderdate) AS nd_date,
+        |  min(CAST(o_orderdate AS VARCHAR)) AS min_date,
+        |  max(CAST(o_orderdate AS VARCHAR)) AS max_date
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, n AS n_rows, n - nn_key AS n_nulls,
+        |    nd_key AS n_distinct, CAST(min_key AS DOUBLE) AS min_num,
+        |    CAST(max_key AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |  UNION ALL SELECT 'o_custkey', n, n - nn_cust, nd_cust,
+        |    CAST(min_cust AS DOUBLE), CAST(max_cust AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+        |  UNION ALL SELECT 'o_totalprice', n, n - nn_price, nd_price,
+        |    min_price, max_price, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n, n - nn_status, nd_status,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_status, max_status FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n, n - nn_prio, nd_prio,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_prio, max_prio FROM a
+        |  UNION ALL SELECT 'o_orderdate', n, n - nn_date, nd_date,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_date, max_date FROM a
+        |) ORDER BY column_name""".stripMargin,
     // the text-source queries aggregate a session-written CSV/JSONL copy;
     // the oracle aggregates the parquet original — any parse/encode
     // round-trip loss hash-mismatches by name

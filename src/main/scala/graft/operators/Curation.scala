@@ -772,6 +772,54 @@ object Curation {
       .orderBy("check_name")
   }
 
+  /** COLUMN PROFILING (r11): the generic data-profiler datasheet — one
+    * row per column of `orders` with row/null/distinct counts and typed
+    * extrema — the Deequ-style `profile()` that precedes writing
+    * [[expectations]] constraints (profile tells you WHAT to gate;
+    * expectations then gate it; `q_dataset_card` is the corpus-level
+    * sibling). Numeric extrema surface as DOUBLE (BIGINT keys cast —
+    * exact below 2^53; the price column's doubles pass through
+    * untouched, so no arithmetic re-rounding can diverge cross-engine),
+    * date/string extrema as their ISO/string forms.
+    *
+    * Scale shape: ONE corpus scan into a single global aggregate
+    * (Catalyst expands the multi-distinct into one Expand + two-level
+    * agg; partials are (columns × metrics) cells, corpus-independent),
+    * then a literal `stack` unpivot of the single result row. At 100 TB
+    * the exact distincts are the expensive honest choice — the engine's
+    * own `q_approx_distinct` HLL form is the documented drop-in when
+    * ±2% suffices; everything else is map-side-combinable min/max/count.
+    */
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def nn(c: String) = count(col(c))
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      nn("o_orderkey").as("nn_key"), countDistinct(col("o_orderkey")).as("nd_key"),
+      min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+      nn("o_custkey").as("nn_cust"), countDistinct(col("o_custkey")).as("nd_cust"),
+      min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+      nn("o_totalprice").as("nn_price"), countDistinct(col("o_totalprice")).as("nd_price"),
+      min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"),
+      nn("o_orderstatus").as("nn_status"), countDistinct(col("o_orderstatus")).as("nd_status"),
+      min("o_orderstatus").as("min_status"), max("o_orderstatus").as("max_status"),
+      nn("o_orderpriority").as("nn_prio"), countDistinct(col("o_orderpriority")).as("nd_prio"),
+      min("o_orderpriority").as("min_prio"), max("o_orderpriority").as("max_prio"),
+      nn("o_orderdate").as("nn_date"), countDistinct(col("o_orderdate")).as("nd_date"),
+      min(col("o_orderdate").cast("string")).as("min_date"),
+      max(col("o_orderdate").cast("string")).as("max_date"))
+    agg.select(expr(
+      """stack(6,
+        |  'o_orderkey',      n, n - nn_key,    nd_key,   CAST(min_key  AS DOUBLE), CAST(max_key  AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_custkey',       n, n - nn_cust,   nd_cust,  CAST(min_cust AS DOUBLE), CAST(max_cust AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_totalprice',    n, n - nn_price,  nd_price, min_price,                max_price,                CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderstatus',   n, n - nn_status, nd_status, CAST(NULL AS DOUBLE),    CAST(NULL AS DOUBLE),     min_status,           max_status,
+        |  'o_orderpriority', n, n - nn_prio,   nd_prio,  CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE),     min_prio,             max_prio,
+        |  'o_orderdate',     n, n - nn_date,   nd_date,  CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE),     min_date,             max_date
+        |) AS (column_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+      .orderBy("column_name")
+  }
+
   def driftAudit(spark: SparkSession, sfDir: String): DataFrame =
     driftAuditFrom(Tables.documents(spark, sfDir))
 

@@ -857,4 +857,61 @@ object Relational {
           .when(col("sig_b").isNull, lit("removed"))
           .when(col("sig_a") =!= col("sig_b"), lit("changed")))
       .filter(col("change_type").isNotNull)
+
+  /** CDC APPLY / MERGE (r11): apply a change batch — inserts, updates,
+    * deletes — to a target snapshot in ONE pass: the SQL:2003 `MERGE
+    * INTO` / Delta-Iceberg upsert primitive, completing the warehouse
+    * trio next to the SCD2 build (history keeping) and the snapshot diff
+    * (validation). The change batch derives deterministically from
+    * `orders` itself so all three verbs are present and DISJOINT by
+    * construction:
+    *   - DELETE keys ≡ 5 (mod 101);
+    *   - UPDATE keys ≡ 3 (mod 11) not deleted — price cents +250,
+    *     priority rewritten '0-MERGED', status kept;
+    *   - INSERT fresh keys (key + 10 000 000 for keys ≡ 7 (mod 131),
+    *     far above any target key) with status 'N'.
+    *
+    * The engine plans the MERGE as a single co-partitioned FULL OUTER
+    * join on the key with verb-dispatch projections — WHEN MATCHED AND
+    * op='D' DELETE, WHEN MATCHED AND op='U' UPDATE, WHEN NOT MATCHED
+    * INSERT, WHEN NOT MATCHED BY SOURCE keep — while the oracle applies
+    * the same batch the textbook way (anti-join the deletes and updates
+    * out, union the new images back), so the hash match proves the
+    * one-join rewrite. 100 TB shape: change derivation is map-side, the
+    * only shuffle is the SMJ both sides co-key, and the output streams at
+    * ~target size — the exact plan MERGE INTO compiles to on a real
+    * lakehouse, minus the transactional commit this offline engine has
+    * no log for.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val deletes = target.filter(col("o_orderkey") % 101 === 5)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("c_status"),
+        lit(null).cast("string").as("c_priority"),
+        lit(null).cast("long").as("c_cents"))
+    val updates = target
+      .filter(col("o_orderkey") % 11 === 3 && col("o_orderkey") % 101 =!= 5)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        col("o_orderstatus").as("c_status"),
+        lit("0-MERGED").as("c_priority"),
+        (col("cents") + 250L).as("c_cents"))
+    val inserts = target.filter(col("o_orderkey") % 131 === 7)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), lit("I").as("op"),
+        lit("N").as("c_status"),
+        col("o_orderpriority").as("c_priority"),
+        col("cents").as("c_cents"))
+    val changes = deletes.unionByName(updates).unionByName(inserts)
+    target.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        when(col("op").isNotNull, col("c_status")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        when(col("op").isNotNull, col("c_priority")).otherwise(col("o_orderpriority"))
+          .as("o_orderpriority"),
+        when(col("op").isNotNull, col("c_cents")).otherwise(col("cents")).as("cents"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -401,6 +401,38 @@ class CurationSpec extends SparkSpec {
     assert(!out(("len", "b0002"))._2)
   }
 
+  test("profile: per-column datasheet matches a driver-side recomputation") {
+    import spark.implicits._
+    val rows = Curation.profileOrders(spark, sf).collect()
+    assert(rows.length == 6)
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("o_orderdate").cast("string"))
+      .as[(Long, Long, Double, String, String, String)].collect()
+    val n = o.length.toLong
+    // numeric column: exact distincts and extrema
+    val k = byCol("o_orderkey")
+    assert(k.getLong(1) == n && k.getLong(2) == 0L)
+    assert(k.getLong(3) == o.map(_._1).distinct.length.toLong)
+    assert(k.getDouble(4) == o.map(_._1).min.toDouble)
+    assert(k.getDouble(5) == o.map(_._1).max.toDouble)
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    // double column passes through untouched
+    val p = byCol("o_totalprice")
+    assert(p.getDouble(4) == o.map(_._3).min && p.getDouble(5) == o.map(_._3).max)
+    // string column: extrema land in the _str slots, _num stays null
+    val s = byCol("o_orderstatus")
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getString(6) == o.map(_._4).min && s.getString(7) == o.map(_._4).max)
+    assert(s.getLong(3) == o.map(_._4).distinct.length.toLong)
+    // temporal column (timestamp[us] in the testdata) renders ISO strings
+    val d = byCol("o_orderdate")
+    assert(d.getString(6) == o.map(_._6).min && d.getString(7) == o.map(_._6).max)
+    assert(d.getString(6).matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"))
+  }
+
   test("expectations: the testdata corpus passes all seven contracts with zero violations") {
     val rows = Curation.expectations(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()
