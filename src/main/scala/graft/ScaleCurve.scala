@@ -267,8 +267,13 @@ object ScaleCurve {
       // k=10 hits the fixed-k row's warm memo and measures serve-only
       // while x10 trains k=100 — build-vs-serve, not n-vs-10n
       "kmeans_kn"     -> ((d, f) => Similarity.kmeansK(spark, d, 10 * f, memoTag = "#kn")),
-      "semdedup_kn"   -> ((d, f) => Similarity.semDedup(spark, d, 10 * f)),
-      "emb_clusters_kn" -> ((d, f) => Dedup.embeddingClusters(spark, d, 10 * f)),
+      // the dedup rows SERVE the kmeans_kn-trained centroids (same #kn
+      // namespace) at both factors, so each measures pure post-training
+      // tile movement — without the tag their x10 cell silently retrains
+      // k=100 under the untagged key while x1 serves (measured: 920k vs
+      // the honest 40k shuffle)
+      "semdedup_kn"   -> ((d, f) => Similarity.semDedup(spark, d, 10 * f, memoTag = "#kn")),
+      "emb_clusters_kn" -> ((d, f) => Dedup.embeddingClusters(spark, d, 10 * f, memoTag = "#kn")),
       "tight_clusters" -> ((d, _) => Dedup.embeddingClustersTight(spark, d)),
       "ann_topk"      -> ((d, _) => Similarity.annTopK(spark, d)),
       // r10: the benchmark slice is PLAN-CAPPED (vec_id < BenchmarkCap),

@@ -63,6 +63,8 @@ object SparkEntry {
     "q_scd2_incremental"  -> ((s, d) => Relational.scd2Incremental(s, d)),
     "q_cdc_apply"         -> ((s, d) => Relational.cdcApply(s, d)),
     "q_profile"           -> ((s, d) => Curation.profileOrders(s, d)),
+    "q_session_paths"     -> ((s, d) => Funnels.sessionPaths(s, d)),
+    "q_rfm"               -> ((s, d) => Windows.rfmSegments(s, d)),
     "q_skyline"           -> ((s, d) => Relational.skylineParts(s, d)),
     "q_skyline_custom"    -> ((s, d) => Relational.skylinePartsCustom(s, d)),
     "q_table_diff"        -> ((s, d) => Relational.tableDiff(s, d)),
@@ -488,6 +490,40 @@ object SparkEntry {
         |m AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
         |SELECT k AS o_orderkey, s AS o_orderstatus, p AS o_orderpriority, c AS cents
         |FROM m ORDER BY o_orderkey""".stripMargin,
+    // session path analysis (r11): the q_sessions_10m sessionization, each
+    // session folded to its ordered event_type chain; (tns, event_id) tie
+    // order pinned in both engines so path strings are deterministic
+    "q_session_paths" ->
+      s"""WITH m AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+        |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |       OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= ${operators.Funnels.SessionGapNs}
+        |       THEN 1 ELSE 0 END AS newsess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |s AS (SELECT user_id, event_id, event_type, tns,
+        |  sum(newsess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY tns, event_id) AS path,
+        |      count(*) AS len FROM s GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions, CAST(sum(len) AS BIGINT) AS n_events
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // RFM segmentation (r11): ntile(4) quartiles with custkey tie-breaks —
+    // equal-fill ntile semantics are SQL standard in both engines; the
+    // lifetime-cents sum is BIGINT-cast (HUGEINT hazard class)
+    "q_rfm" ->
+      """WITH c AS (SELECT o_custkey,
+        |  max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS last_day,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (SELECT *,
+        |  CAST(ntile(4) OVER (ORDER BY last_day DESC, o_custkey) AS BIGINT) AS r_score,
+        |  CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS f_score,
+        |  CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS m_score
+        |  FROM c)
+        |SELECT o_custkey, last_day, n_orders, cents, r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
     // column profiler (r11): one global multi-distinct aggregate unpivoted
     // to a per-column datasheet; extrema pass through untouched (no
     // arithmetic), BIGINT keys cast to DOUBLE (exact below 2^53)

@@ -805,8 +805,9 @@ object Dedup {
   /** k-parameterized sibling (package-private): ScaleCurve grows k with
     * the corpus to measure the bounded-tile claim; the registered query
     * keeps the oracle-parity k. */
-  private[graft] def embeddingClusters(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    connectedComponents(embeddingPairsClusteredRaw(spark, sfDir, k)
+  private[graft] def embeddingClusters(spark: SparkSession, sfDir: String, k: Int,
+                                       memoTag: String = ""): DataFrame =
+    connectedComponents(embeddingPairsClusteredRaw(spark, sfDir, k, memoTag)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster"), col("is_survivor"))
       .orderBy("vec_id")
@@ -835,9 +836,10 @@ object Dedup {
     * ([[Similarity.kmeansAssigned]]'s memo) with q_kmeans/q_semdedup.
     */
   private[graft] def embeddingPairsClusteredRaw(spark: SparkSession, sfDir: String,
-                                                k: Int = Similarity.KmeansK): DataFrame = {
+                                                k: Int = Similarity.KmeansK,
+                                                memoTag: String = ""): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val m = Similarity.assignedVectors(spark, sfDir, k)
+    val m = Similarity.assignedVectors(spark, sfDir, k, memoTag)
     val a = m.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nn").as("na"), col("cluster"))
     val b = m.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nn").as("nb"), col("cluster"))
     a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))

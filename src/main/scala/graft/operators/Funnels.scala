@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -446,5 +447,46 @@ object Funnels {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(col("user_id")).as("n_users"))
       .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Session gap for [[sessionPaths]] — 10 minutes in ns, the same gap the
+    * q_sessions_10m family sessionizes on. */
+  val SessionGapNs = 600000000000L
+
+  /** SESSION PATH ANALYSIS (r11): the top-20 user-journey shapes — each
+    * 10-minute-gap session rendered as its ordered `event_type` chain
+    * (`view>click>purchase`), counted across all sessions. The product
+    * question behind funnel design: which journeys actually happen, at
+    * what volume. Completes the behavioral family: q_funnel fixes a path
+    * and counts survivors; this discovers the paths.
+    *
+    * Scale shape: sessionize with the lag/running-sum algebra (clusters
+    * on user_id — shares the one exchange with both windows), fold each
+    * session to its path with a sorted `collect_list` (state bounded per
+    * SESSION, the 10-minute gap bounds it the way watermarks bound the
+    * streaming twin), then a path-keyed count whose key domain is the
+    * observed journey vocabulary — a Heaps-style frame, far below the
+    * session count. `TakeOrderedAndProject` serves the top-20. Ordering
+    * ties are pinned by (ts, event_id) in BOTH engines, so the path
+    * strings are deterministic.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newsess = when(lag(col("ts"), 1).over(byUser).isNull
+      || col("ts") - lag(col("ts"), 1).over(byUser) >= SessionGapNs, 1L).otherwise(0L)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("sid", sum(newsess).over(runSum))
+      .groupBy("user_id", "sid")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x("event_type")), ">").as("path"),
+        count(lit(1)).as("len"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("len")).as("n_events"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(20)
   }
 }

@@ -1134,9 +1134,10 @@ object Similarity {
     * session share ONE training run. */
   private[operators] def kmeansAssigned(spark: SparkSession, sfDir: String,
                              seeding: String = KmeansSeedLowestId,
-                             k: Int = KmeansK): DataFrame =
+                             k: Int = KmeansK,
+                             memoTag: String = ""): DataFrame =
     withAssignment(quantizedVectors(Tables.embeddings(spark, sfDir)),
-      trainedCentroids(spark, sfDir, seeding, k))
+      trainedCentroids(spark, sfDir, seeding, k, memoTag))
 
   /** The memoized k×64 trained centroid matrix itself — shared by every
     * k-means consumer and (r10) the IVFADC coarse quantizer. */
@@ -1155,13 +1156,14 @@ object Similarity {
     * self-join sides (and the queries themselves) reuse one cache entry.
     */
   private[operators] def assignedVectors(spark: SparkSession, sfDir: String,
-                                         k: Int = KmeansK): DataFrame = {
+                                         k: Int = KmeansK,
+                                         memoTag: String = ""): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val v = expr("transform(embedding, x -> cast(x as double))")
     Dedup.fence(
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), v.as("v"), dot(v, v).as("nn"))
-        .join(kmeansAssigned(spark, sfDir, KmeansSeedLowestId, k)
+        .join(kmeansAssigned(spark, sfDir, KmeansSeedLowestId, k, memoTag)
           .select(col("vec_id"), col("cluster")), "vec_id"),
       "vec_id") // fence: one cast+norm+assignment frame for all self-join sides
   }
@@ -1347,9 +1349,10 @@ object Similarity {
     * with the corpus (k ∝ n — the SemDeDup prescription for bounded
     * per-cluster tiles) and measures the shuffle staying ~linear; the
     * registered query keeps the oracle-parity [[KmeansK]]. */
-  private[graft] def semDedup(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+  private[graft] def semDedup(spark: SparkSession, sfDir: String, k: Int,
+                              memoTag: String = ""): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val m = assignedVectors(spark, sfDir, k)
+    val m = assignedVectors(spark, sfDir, k, memoTag)
     val a = m.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nn").as("na"), col("cluster"))
     val b = m.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nn").as("nb"), col("cluster"))
     val dropped = a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))

@@ -338,6 +338,39 @@ object Windows {
             ((col("h") - col("hp")).cast("double") / (col("hn") - col("hp")).cast("double"))),
           6).as("avg_value"))
   }
+
+  /** RFM CUSTOMER SEGMENTATION (r11): the classical marketing-analytics
+    * quartile grid — per customer, Recency (latest order day), Frequency
+    * (order count) and Monetary (lifetime cents) each ntile(4)-scored,
+    * concatenated into the 'rfm' segment label ('111' = best quartile on
+    * all three). The per-customer rollup is one fact-side hash-agg; the
+    * three quartile scores ride ONE customer-dimension-sized global sort
+    * (ntile windows share the frame; same dimension-sized-window stance
+    * as paretoAbc — the windowed frame is customers, orders of magnitude
+    * under the fact). Ties pin on o_custkey in both engines, and ntile's
+    * equal-fill semantics (remainder to the leading buckets) are SQL
+    * standard in Spark and DuckDB alike, so scores hash-match exactly.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(
+        max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val r = ntile(4).over(Window.orderBy(desc("last_day"), asc("o_custkey")))
+    val f = ntile(4).over(Window.orderBy(desc("n_orders"), asc("o_custkey")))
+    val m = ntile(4).over(Window.orderBy(desc("cents"), asc("o_custkey")))
+    cust
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
+      .select("o_custkey", "last_day", "n_orders", "cents",
+        "r_score", "f_score", "m_score", "segment")
+      .orderBy("o_custkey")
+  }
 }
 
 /** Sort / limit / set-operation surface (SURVEY.md §2.B6). */

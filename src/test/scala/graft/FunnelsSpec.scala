@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Funnels
+import org.apache.spark.sql.functions.col
 
 class FunnelsSpec extends SparkSpec {
 
@@ -279,5 +280,31 @@ class FunnelsSpec extends SparkSpec {
       assert(sig == (math.abs(tw) >= 1.96))
     }
     assert(got.nonEmpty)
+  }
+
+  test("session paths equal a driver-side sessionize-and-fold replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, Long)].collect()
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev != Long.MinValue && r._4 - prev >= operators.Funnels.SessionGapNs)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += r._3
+        prev = r._4
+      }
+      sessions.map(s => (s.mkString(">"), s.length.toLong))
+    }
+    val want = paths.groupBy(_._1).map { case (p, ss) =>
+      (p, ss.size.toLong, ss.map(_._2).sum)
+    }.toSeq.sortBy(t => (-t._2, t._1)).take(20)
+    val got = operators.Funnels.sessionPaths(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.exists(_._1.contains(">"))) // multi-event paths exist
   }
 }

@@ -179,4 +179,32 @@ class WindowsSpec extends SparkSpec {
       }
     }
   }
+
+  test("rfm quartile scores match a driver-side ntile replay") {
+    import spark.implicits._
+    val got = operators.Windows.rfmSegments(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    val cust = got.map(r => (r._1, r._2, r._3, r._4))
+    // ntile(4) reference: SQL equal-fill — base size n/4, the n%4
+    // remainder goes one-each to the LEADING buckets
+    def ntile4(ordered: Seq[Long]): Map[Long, Long] = {
+      val n = ordered.size
+      val q = n / 4
+      val rem = n % 4
+      def bucket(i: Int): Long = {
+        val big = (q + 1) * rem // rows covered by the enlarged buckets
+        if (i < big) (i / (q + 1) + 1).toLong else ((i - big) / q + rem + 1).toLong
+      }
+      ordered.zipWithIndex.map { case (k, i) => k -> bucket(i) }.toMap
+    }
+    val r = ntile4(cust.sortBy(c => (-c._2, c._1)).map(_._1))
+    val f = ntile4(cust.sortBy(c => (-c._3, c._1)).map(_._1))
+    val m = ntile4(cust.sortBy(c => (-c._4, c._1)).map(_._1))
+    got.foreach { row =>
+      assert(row._5 == r(row._1) && row._6 == f(row._1) && row._7 == m(row._1),
+        s"cust ${row._1}: got (${row._5},${row._6},${row._7})")
+      assert(row._8 == s"${row._5}${row._6}${row._7}")
+    }
+    assert(got.map(_._5).distinct.sorted == Seq(1L, 2L, 3L, 4L))
+  }
 }
