@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions._
-import graft.plans.{AsOfJoinStrategy, GroupTopKStrategy, SimJoinRewriteRule, SkylineStrategy, TopKRewriteRule}
+import graft.plans.{AsOfJoinStrategy, GroupTopKStrategy, MvRewriteRule, SimJoinRewriteRule, SkylineStrategy, TopKRewriteRule}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`
   * (spark-submit / SparkSession.builder config): injects every graft
@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)))
     e.injectOptimizerRule(_ => TopKRewriteRule)
     e.injectOptimizerRule(_ => SimJoinRewriteRule)
+    e.injectOptimizerRule(_ => MvRewriteRule)
     e.injectPlannerStrategy(_ => GroupTopKStrategy)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => SkylineStrategy)

@@ -99,6 +99,8 @@ object SparkEntry {
     "q_approx_percentile" -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_cms_counts"        -> ((s, d) => Aggregates.cmsWordCounts(s, d)),
     "q_cms_cube"          -> ((s, d) => Aggregates.cmsCubeServed(s, d)),
+    "q_mv_cube"           -> ((s, d) => MaterializedView.mvCube(s, d)),
+    "q_mv_rewrite"        -> ((s, d) => MaterializedView.mvServed(s, d)),
     "q_pivot"             -> ((s, d) => Aggregates.pivotEventCounts(s, d)),
     "q_grouping_sets"     -> ((s, d) => Aggregates.groupingSetsOrders(s, d)),
     // ---- B5 windows ----
@@ -749,6 +751,26 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // q_mv_cube checks the stored pre-sums against the same aggregate run
+    // directly on the fact; q_mv_rewrite checks the REWRITTEN serving plan
+    // (engine side refuses to run unless the plan is cube-only) against
+    // the fact-scanning form — together they pin both halves of the
+    // materialized-view lifecycle to DuckDB.
+    "q_mv_cube" ->
+      """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS n_items
+        |FROM lineitem WHERE year(l_shipdate) >= 1996
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_collect" ->
       """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |       count(*) AS n_events
