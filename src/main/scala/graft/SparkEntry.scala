@@ -114,6 +114,7 @@ object SparkEntry {
     "q_ntile_dist"        -> ((s, d) => Windows.ntileBalanceDist(s, d)),
     "q_gapfill"           -> ((s, d) => Windows.gapfillHourly(s, d)),
     "q_twap"              -> ((s, d) => Windows.twapPerUser(s, d)),
+    "q_ewma"              -> ((s, d) => Windows.ewmaPerUser(s, d)),
     "q_pareto_abc"        -> ((s, d) => Windows.paretoAbc(s, d)),
     "q_gini"              -> ((s, d) => Windows.giniRevenue(s, d)),
     // ---- B6 sorts / limits / set ops ----
@@ -157,6 +158,8 @@ object SparkEntry {
     "q_winnow"            -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "q_token_stats"       -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "q_repetition"        -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "q_phrase_search"     -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
+    "q_skipgram"          -> ((s, d) => TextAnalysis.skipgramPairs(s, d)),
     // ---- B9 corpus curation: LM scoring, vocab, collocations, PII ----
     "q_lm_perplexity"     -> ((s, d) => Curation.lmPerplexity(s, d)),
     "q_vocab_prune"       -> ((s, d) => Curation.vocabPrune(s, d)),
@@ -235,6 +238,7 @@ object SparkEntry {
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
+    "q_chi2"              -> ((s, d) => Funnels.chi2Independence(s, d)),
     "q_cusum"             -> ((s, d) => Funnels.cusumChangepoint(s, d)),
     "q_attribution"       -> ((s, d) => Funnels.attribution(s, d)),
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
@@ -970,6 +974,15 @@ object SparkEntry {
         |SELECT user_id, n_intervals,
         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twap_cents
         |FROM g WHERE den > 0 ORDER BY user_id""".stripMargin,
+    // unrounded DOUBLE output on purpose: both engines evaluate the same
+    // seeded left fold (list_reduce / aggregate-HOF) in the same IEEE op
+    // order — two exact 0.5 scalings + one add per step — over the same
+    // (ts, event_id)-total order, so the doubles are bit-identical
+    "q_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |              (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // rank-weighted closed form over exact integers; two fixed-order
     // IEEE divisions at emit
     "q_gini" ->
@@ -1272,6 +1285,34 @@ object SparkEntry {
         |    ELSE []::VARCHAR[] END) AS b
         |  FROM (SELECT string_split(text,' ') AS w FROM documents))
         |GROUP BY 1 ORDER BY cnt DESC, bigram""".stripMargin,
+    // the phrase panel and skip-gram window are interpolated from the
+    // engine constants so both sides always answer the same question; the
+    // oracle enumerates anchor positions (list-slice compare), the exact
+    // semantics of the engine's offset-join — overlapping occurrences
+    // count separately on both sides
+    "q_phrase_search" ->
+      s"""WITH ph(p_id, phrase) AS (VALUES ${TextAnalysis.PhrasePanel
+            .map { case (i, p) => s"($i, '$p')" }.mkString(", ")}),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |e AS (SELECT p_id, phrase, string_split(phrase, ' ') AS pw FROM ph),
+        |hits AS (
+        |  SELECT e.p_id, e.phrase, x.doc_id
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM t) x, e
+        |  WHERE x.i + len(e.pw) - 1 <= len(x.w)
+        |    AND x.w[x.i : x.i + len(e.pw) - 1] = e.pw)
+        |SELECT CAST(p_id AS BIGINT) AS p_id, phrase, doc_id, count(*) AS n_occ
+        |FROM hits GROUP BY 1, 2, 3 ORDER BY p_id, doc_id""".stripMargin,
+    "q_skipgram" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |f AS (SELECT w[i] AS a, w[i+d] AS b
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM t),
+        |           (VALUES ${(1 to TextAnalysis.SkipWindow)
+                       .map(d => s"($d)").mkString(", ")}) v(d)
+        |      WHERE i + d <= len(w))
+        |SELECT center, context, count(*) AS n FROM (
+        |  SELECT a AS center, b AS context FROM f
+        |  UNION ALL SELECT b AS center, a AS context FROM f)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_langid" ->
       """WITH s AS (SELECT doc_id, lang,
         |  len(list_filter(w, x -> list_contains(['customer','hash','join','row'], x))) AS s_de,
@@ -2315,6 +2356,23 @@ object SparkEntry {
         |  FROM g)
         |SELECT event_type, n_a, n_b, ks, crit_05, ks > crit_05 AS significant
         |FROM r ORDER BY event_type""".stripMargin,
+    // marginals stay internal (DuckDB sums them as HUGEINT — never output
+    // uncast); expected/contrib are single-rounding op chains replicated
+    // textually from the engine side
+    "q_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, hour(ts) // 6 AS h_bucket, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(o) AS r_tot FROM cells GROUP BY 1),
+        |c AS (SELECT h_bucket, sum(o) AS c_tot FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS n_tot FROM cells),
+        |j AS (SELECT event_type, h_bucket, o,
+        |    (r_tot * c_tot)::DOUBLE / n_tot::DOUBLE AS e_raw
+        |  FROM cells JOIN r USING (event_type) JOIN c USING (h_bucket) CROSS JOIN n)
+        |SELECT event_type, CAST(h_bucket AS BIGINT) AS h_bucket, o,
+        |  round(e_raw, 6) AS expected,
+        |  round((o::DOUBLE - e_raw) * (o::DOUBLE - e_raw) / e_raw, 6) AS contrib
+        |FROM j ORDER BY event_type, h_bucket""".stripMargin,
     // event_id tiebreak on BOTH engines: pair composition at equal ns
     // timestamps must be identical
     "q_transitions" ->

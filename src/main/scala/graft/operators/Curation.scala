@@ -299,13 +299,20 @@ object Curation {
       .filter(col("supp") * AssocSupDenom >= col("nd"))
       .select("word", "supp")
     val fitems = items.join(broadcast(freq.select("word")), "word")
-    val docPairs = fitems.select(col("doc_id"), col("word").as("a"))
+    // both reused frames are FENCED (repartition + persist): docPairs
+    // feeds the pair-support aggregate AND the triple extension, and
+    // fpairs is broadcast FOUR times (candidate prune, two closure
+    // checks, rule antecedent support) — unfenced, each consumer would
+    // re-execute the whole pair expansion (measured: 150 bench jobs,
+    // 15.5 s; fenced: the expansion runs once)
+    val docPairs = Dedup.fence(fitems.select(col("doc_id"), col("word").as("a"))
       .join(fitems.select(col("doc_id"), col("word").as("b")), "doc_id")
-      .filter(col("a") < col("b"))
-    val fpairs = docPairs.groupBy("a", "b").agg(count(lit(1)).as("supp_pair"))
-      .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
-      .filter(col("supp_pair") * AssocSupDenom >= col("nd"))
-      .select("a", "b", "supp_pair")
+      .filter(col("a") < col("b")), "doc_id")
+    val fpairs = Dedup.fence(
+      docPairs.groupBy("a", "b").agg(count(lit(1)).as("supp_pair"))
+        .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
+        .filter(col("supp_pair") * AssocSupDenom >= col("nd"))
+        .select("a", "b", "supp_pair"), "a")
     // expand only doc-occurrences of FREQUENT pairs, then require the two
     // other 2-subsets frequent too — all before the count
     val ftriples = docPairs.join(broadcast(fpairs.select("a", "b")), Seq("a", "b"))

@@ -489,4 +489,40 @@ object Funnels {
       .orderBy(desc("n_sessions"), asc("path"))
       .limit(20)
   }
+
+  /** Pearson χ² test of independence between event_type and time-of-day
+    * (hour div 6 → four day-quarters) — the categorical sibling of the
+    * Welch (means) and KS (distributions) tests: per contingency cell,
+    * the observed count, the independence-expected count R·C/N, and the
+    * cell's χ² contribution (O−E)²/E. The caller sums contributions
+    * against χ²_{(r−1)(c−1)} — per-cell rows keep every float a fixed
+    * single-rounding op chain (int64→double conversions exact, one
+    * division for E, one for the contribution), so the hash needs no
+    * tolerance; a TOTAL would add a cross-engine summation-order hazard
+    * for zero extra information.
+    *
+    * Scale shape: one (type, bucket) map-combined hash-agg over the
+    * corpus; marginals are value-domain-bounded re-aggregates of the
+    * cell frame (the drift-audit stance) joined back broadcast.
+    */
+  def chi2Independence(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Dedup.fence(
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), expr("hour(ts_us) div 6").as("h_bucket"))
+        .groupBy("event_type", "h_bucket").agg(count(lit(1)).as("o")),
+      "event_type")
+    val rows = cells.groupBy("event_type").agg(sum("o").as("r_tot"))
+    val cols = cells.groupBy("h_bucket").agg(sum("o").as("c_tot"))
+    val n = cells.agg(sum("o").as("n_tot"))
+    cells.join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "h_bucket")
+      .crossJoin(broadcast(n))
+      .withColumn("e_raw",
+        (col("r_tot") * col("c_tot")).cast("double") / col("n_tot").cast("double"))
+      .select(col("event_type"), col("h_bucket").cast("long").as("h_bucket"), col("o"),
+        round(col("e_raw"), 6).as("expected"),
+        round((col("o").cast("double") - col("e_raw"))
+          * (col("o").cast("double") - col("e_raw")) / col("e_raw"), 6).as("contrib"))
+      .orderBy("event_type", "h_bucket")
+  }
 }

@@ -766,4 +766,85 @@ object TextAnalysis {
         round(col("rrf").cast("double"), 8).as("rrf"))
       .orderBy("q_id", "rn")
   }
+
+  /** The exact-phrase query panel [[phraseSearch]] serves (interpolated
+    * into its DuckDB oracle, so both engines answer the same panel). */
+  private[graft] val PhrasePanel: Seq[(Long, String)] = Seq(
+    (1L, "hash join"), (2L, "table scan"), (3L, "sort merge"),
+    (4L, "stream batch"), (5L, "fast table scan"))
+
+  /** Exact PHRASE search over a positional posting list — the retrieval
+    * primitive BM25's bag-of-words scoring cannot express (an occurrence
+    * of "hash join" is not an occurrence of "hash" and "join"): per
+    * (phrase, doc), the count of positions where ALL the phrase's terms
+    * appear at their exact offsets.
+    *
+    * The plan is ONE join regardless of phrase length — no k-way
+    * self-join chain: the token stream carries positions (posexplode),
+    * is pruned to the panel's vocabulary BEFORE anything else (so the
+    * frame entering the join is |matching postings|, not the corpus
+    * token count), and joins the broadcast (phrase, offset, term) panel;
+    * a posting matching term t at offset o anchors a candidate start at
+    * pos−o, and a (doc, phrase, anchor) group where the match count
+    * equals the phrase length is a full occurrence — each offset can
+    * match at most once per anchor (positions are unique), so
+    * count == length ⇔ every offset matched, repeated-word phrases
+    * included. Overlapping occurrences count separately (anchors
+    * differ), which is why the oracle enumerates anchor positions too
+    * rather than substring-replace counting.
+    *
+    * Scale shape: the only corpus-sized work is the tokenize scan; the
+    * shuffle is the (doc, phrase, anchor) hash-agg over vocabulary-pruned
+    * postings, linear in matching postings at any corpus size. A standing
+    * deployment would serve the same join from a stored positional index
+    * partitioned by term (the [[bm25IndexDir]] lifecycle).
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = PhrasePanel.flatMap { case (pid, p) =>
+      val ws = p.split(" ")
+      ws.zipWithIndex.map { case (w, i) => (pid, p, i, w, ws.length) }
+    }.toDF("p_id", "phrase", "off", "term", "plen")
+    val vocab = PhrasePanel.flatMap(_._2.split(" ")).distinct
+    val pos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word").isin(vocab: _*))
+    pos.join(broadcast(terms), col("word") === col("term"))
+      .groupBy(col("doc_id"), col("p_id"), (col("pos") - col("off")).as("anchor"))
+      .agg(count(lit(1)).as("nmatch"), min("plen").as("plen"), min("phrase").as("phrase"))
+      .filter(col("nmatch") === col("plen"))
+      .groupBy("p_id", "phrase", "doc_id").agg(count(lit(1)).as("n_occ"))
+      .orderBy("p_id", "doc_id")
+  }
+
+  /** Skip-gram co-occurrence counts (word2vec / GloVe training-pair
+    * extraction, Mikolov et al. 2013): for every token, its context
+    * words within ±[[SkipWindow]] positions, counted over the corpus as
+    * a symmetric (center, context) matrix — the whole-window sibling of
+    * the adjacent-only PMI collocations.
+    *
+    * Plan: positional tokens self-join per distance d ∈ 1..window as a
+    * hash EQUI-join on (doc_id, pos + d) — the distance is folded into
+    * the join key (same move as the banded range join), so there is no
+    * inequality join anywhere; the forward pairs then count once per
+    * direction via a union. Both frames are corpus-token-sized with
+    * value-domain-bounded output (vocab² rows), and the join keys are
+    * co-partitioned on doc_id.
+    */
+  private[graft] val SkipWindow = 2
+
+  def skipgramPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val offsets = explode(array((1 to SkipWindow).map(lit): _*)).as("d")
+    val left = pos.select(col("doc_id"), col("pos"), col("word").as("a"), offsets)
+    val right = pos.select(col("doc_id"), (col("pos")).as("rpos"), col("word").as("b"))
+    val fwd = left.join(right,
+      left("doc_id") === right("doc_id") && (left("pos") + col("d")) === col("rpos"))
+      .select(col("a"), col("b"))
+    fwd.select(col("a").as("center"), col("b").as("context"))
+      .unionAll(fwd.select(col("b").as("center"), col("a").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .orderBy("center", "context")
+  }
 }

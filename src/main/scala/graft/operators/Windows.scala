@@ -371,6 +371,38 @@ object Windows {
         "r_score", "f_score", "m_score", "segment")
       .orderBy("o_custkey")
   }
+
+  /** Per-user exponentially-weighted moving average (α = 1/2) of event
+    * values in (ts, event_id) order — the smoothing primitive behind
+    * monitoring/forecast readouts (Holt's level term; Hunter 1986 EWMA
+    * control charts), reported as each user's final smoothed level.
+    *
+    * Cross-engine exactness without rounding: the recursion
+    * s₁ = x₁, sₜ = 0.5·xₜ + 0.5·sₜ₋₁ is evaluated as a left fold in
+    * EXACTLY the same IEEE op sequence on both sides (Spark `aggregate`
+    * HOF seeded with the first element / DuckDB `list_reduce`, which
+    * seeds the same way): each step is two exact power-of-two scalings
+    * plus ONE rounded add, and the (ts, event_id) sort is total (ids
+    * unique) — so the doubles are bit-identical with no round() anywhere.
+    *
+    * Scale shape: one user_id exchange; per-group state is the user's own
+    * event sequence (the sessionization/funnel stance — bounded by
+    * per-user activity, never corpus-sized). An ordered fold is
+    * inherently sequential per key; cross-key parallelism is the
+    * distribution axis, same as every windowed operator here.
+    */
+  def ewmaPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        expr("""aggregate(
+                  slice(transform(seq, s -> s.value), 2, size(seq) - 1),
+                  seq[0].value,
+                  (acc, x) -> 0.5D * x + 0.5D * acc)""").as("ewma"))
+      .orderBy("user_id")
 }
 
 /** Sort / limit / set-operation surface (SURVEY.md §2.B6). */

@@ -307,4 +307,20 @@ class FunnelsSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty && got.exists(_._1.contains(">"))) // multi-event paths exist
   }
+
+  test("chi2: cells conserve totals and expected/contrib replay from marginals") {
+    import spark.implicits._
+    val got = Funnels.chi2Independence(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val total = Tables.events(spark, sf).count()
+    assert(got.map(_._3).sum == total)
+    val rTot = got.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cTot = got.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    got.foreach { case (et, hb, o, e, c) =>
+      val eRaw = (rTot(et) * cTot(hb)).toDouble / total.toDouble
+      val cRaw = (o.toDouble - eRaw) * (o.toDouble - eRaw) / eRaw
+      assert(e == math.rint(eRaw * 1e6) / 1e6 || math.abs(e - eRaw) < 5e-7)
+      assert(c >= 0 && (c == math.rint(cRaw * 1e6) / 1e6 || math.abs(c - cRaw) < 5e-7))
+    }
+  }
 }

@@ -207,4 +207,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(queries.nonEmpty && rows.exists(_._4.isDefined) && rows.exists(_._5.isDefined))
   }
+
+  test("phrase search matches a driver-side sliding-window replay, overlaps included") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = (for {
+      (pid, phrase) <- TextAnalysis.PhrasePanel
+      pw = phrase.split(" ").toSeq
+      (doc, t) <- texts
+      ws = t.split(" ", -1).toSeq
+      n = ws.indices.count(i => i + pw.length <= ws.length && ws.slice(i, i + pw.length) == pw)
+      if n > 0
+    } yield (pid, phrase, doc, n.toLong)).sortBy(r => (r._1, r._3))
+    val got = TextAnalysis.phraseSearch(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("skipgram pairs are symmetric and conserve the window pair count") {
+    import spark.implicits._
+    val got = TextAnalysis.skipgramPairs(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val m = got.map { case (a, b, n) => (a, b) -> n }.toMap
+    got.foreach { case (a, b, n) => assert(m((b, a)) == n, s"asymmetric ($a,$b)") }
+    val lens = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("l"))
+      .as[Int].collect()
+    val fwd = lens.map(l =>
+      (1 to TextAnalysis.SkipWindow).map(d => math.max(l - d, 0).toLong).sum).sum
+    assert(got.map(_._3).sum == 2 * fwd)
+  }
 }

@@ -207,4 +207,21 @@ class WindowsSpec extends SparkSpec {
     }
     assert(got.map(_._5).distinct.sorted == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("ewma equals a driver-side ordered fold bit-for-bit") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect()
+    val want = events.groupBy(_._1).map { case (u, es) =>
+      val xs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      u -> (xs.length.toLong, xs.tail.foldLeft(xs.head)((acc, x) => 0.5 * x + 0.5 * acc))
+    }
+    val got = Windows.ewmaPerUser(spark, sf).as[(Long, Long, Double)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (u, n, e) =>
+      val (wn, we) = want(u)
+      assert(n == wn && e == we, s"user $u: got ($n, $e) want ($wn, $we)")
+    }
+  }
 }
