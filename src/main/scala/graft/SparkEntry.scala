@@ -101,6 +101,7 @@ object SparkEntry {
     "q_cms_cube"          -> ((s, d) => Aggregates.cmsCubeServed(s, d)),
     "q_mv_cube"           -> ((s, d) => MaterializedView.mvCube(s, d)),
     "q_mv_rewrite"        -> ((s, d) => MaterializedView.mvServed(s, d)),
+    "q_mv_incremental"    -> ((s, d) => MaterializedView.mvIncremental(s, d)),
     "q_pivot"             -> ((s, d) => Aggregates.pivotEventCounts(s, d)),
     "q_grouping_sets"     -> ((s, d) => Aggregates.groupingSetsOrders(s, d)),
     // ---- B5 windows ----
@@ -282,6 +283,17 @@ object SparkEntry {
   // round-10 hash failure; OracleHygieneSpec now sweeps the whole map).
   // Shared by q_scd2 (scan-time build) and q_scd2_incremental (stored
   // dimension + one-day append) — the merge must equal the full rebuild.
+  // Shared by q_mv_cube (stored pre-sums, single-segment build) and
+  // q_mv_incremental (per-batch partials refolded at serve): both must
+  // equal the direct fact-grain aggregate DuckDB runs here.
+  private val mvCubeOracleSql: String =
+    """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private val scd2OracleSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type,
       |    epoch_ns(ts) AS tns, epoch_ns(ts) // 1000000000 AS tsec FROM events),
@@ -760,13 +772,11 @@ object SparkEntry {
     // (engine side refuses to run unless the plan is cube-only) against
     // the fact-scanning form — together they pin both halves of the
     // materialized-view lifecycle to DuckDB.
-    "q_mv_cube" ->
-      """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
-        |  count(*) AS n_items
-        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_mv_cube" -> mvCubeOracleSql,
+    // the incremental segment fold is bit-identical to a full rebuild
+    // (DECIMAL partial sums are order/grouping-insensitive), so it shares
+    // the full-rebuild oracle — the self-maintainable-view claim, checked
+    "q_mv_incremental" -> mvCubeOracleSql,
     "q_mv_rewrite" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -142,7 +142,60 @@ object MaterializedView {
     * (proves the stored pre-sums are exact, not just the rewrite). */
   def mvCube(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = cubeDir(spark, sfDir)
-    spark.read.parquet(dir)
+    serveSegments(spark.read.parquet(dir))
+  }
+
+  /** (session, sfDir) → incremental-segment cube directory. */
+  private val incrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Append one fact batch's cube PARTIALS to the standing segment store
+    * at `dir` — the view-maintenance delta: only the batch is scanned,
+    * nothing already written is read or rewritten. Package-private so the
+    * streaming twin and StorageLayoutSpec can drive the batch-at-a-time
+    * lifecycle explicitly. */
+  private[graft] def appendCubeBatch(spark: SparkSession, sfDir: String,
+                                     dir: String, batchId: Int): Unit =
+    appendCubeFrame(
+      Tables.lineitem(spark, sfDir).filter(col("l_orderkey") % 2 === batchId),
+      dir, batchId.toLong)
+
+  /** The frame-level delta append — shared by the batch lifecycle above
+    * and the streaming foreachBatch twin (StreamingSpec), which is the
+    * production shape: each micro-batch of fact rows lands as one cube
+    * segment. */
+  private[graft] def appendCubeFrame(batch: DataFrame, dir: String,
+                                     batchId: Long): Unit =
+    batch
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).as("qty_s"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).as("price_s"),
+        sum(col("l_discount").cast("decimal(18,6)")).as("disc_s"),
+        count(lit(1)).as("cnt"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("append").parquet(dir)
+
+  private[graft] def incrCubeDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, incrMemo)
+    incrMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mv-incr").toString
+      // two deterministic fact batches (even / odd order keys): the first
+      // write creates the segment store, the second is a pure append
+      appendCubeBatch(spark, sfDir, dir, 0)
+      appendCubeBatch(spark, sfDir, dir, 1)
+      dir
+    })
+  }
+
+  /** Fold stored per-segment partials to the full-grain serving frame —
+    * exact because DECIMAL partial sums and row counts are
+    * order/grouping-insensitive under addition. */
+  private def serveSegments(segments: DataFrame): DataFrame =
+    segments.groupBy("l_returnflag", "l_linestatus", "ship_year")
+      .agg(sum("qty_s").as("qty_s"), sum("price_s").as("price_s"),
+        sum("disc_s").as("disc_s"), sum("cnt").as("cnt"))
       .select(col("l_returnflag"), col("l_linestatus"),
         col("ship_year").cast("long").as("ship_year"),
         col("qty_s").cast("double").as("sum_qty"),
@@ -150,5 +203,29 @@ object MaterializedView {
         col("disc_s").cast("double").as("sum_disc"),
         col("cnt").as("n_items"))
       .orderBy("l_returnflag", "l_linestatus", "ship_year")
-  }
+
+  /** INCREMENTAL view maintenance — the append half of the MV lifecycle
+    * ([[mvServed]]/[[mvCube]] are build + serve): fact batches arrive as
+    * appended per-batch cube PARTIALS (each append scans ONLY its batch
+    * and writes |cells touched| rows), and serving folds the standing
+    * segments by one grain-keyed re-sum. DECIMAL addition is order- and
+    * grouping-insensitive, so the folded cube is BIT-IDENTICAL to a full
+    * rebuild — this query shares [[mvCube]]'s full-rebuild DuckDB oracle,
+    * which is exactly the classic self-maintainable-view claim (SUM and
+    * COUNT are self-maintainable under inserts; Gupta & Mumick's view
+    * maintenance survey) made checkable.
+    *
+    * Scale shape: maintenance cost per batch = one map-combined hash-agg
+    * over the batch; serve cost = |segments| × |cells| rows, fact never
+    * rescanned. At 100 TB this is the nightly-load path: the day's
+    * partition aggregates once, the dashboard cube refolds from
+    * cell-count-sized segments.
+    */
+  def mvIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    serveFrom(spark, incrCubeDir(spark, sfDir))
+
+  /** Serve the full-grain cube from any segment store — package-visible
+    * so the streaming twin's test serves from its own accumulated dir. */
+  private[graft] def serveFrom(spark: SparkSession, dir: String): DataFrame =
+    serveSegments(spark.read.parquet(dir).drop("batch"))
 }

@@ -85,6 +85,24 @@ class MvRewriteSpec extends SparkSpec {
     assert(df.collect().toSeq == expect.collect().toSeq)
   }
 
+  test("incremental segment fold equals the single-build cube bit-for-bit") {
+    val full = MaterializedView.mvCube(spark, sf).collect().toSeq
+    val incr = MaterializedView.mvIncremental(spark, sf).collect().toSeq
+    assert(incr == full)
+    assert(incr.nonEmpty)
+  }
+
+  test("appending a batch scans only that batch, not the standing segments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-incr-spec").toString
+    MaterializedView.appendCubeBatch(spark, sf, dir, 0)
+    val before = spark.read.parquet(dir).count()
+    MaterializedView.appendCubeBatch(spark, sf, dir, 1)
+    val after = spark.read.parquet(dir)
+    // pure append: batch-0 rows still present and untouched, batch 1 added
+    assert(after.filter(col("batch") === 0).count() == before)
+    assert(after.filter(col("batch") === 1).count() > 0)
+  }
+
   test("avg (unregistered aggregate function) bails out") {
     MaterializedView.cubeDir(spark, sf)
     val df = marked.groupBy(col("l_returnflag"))

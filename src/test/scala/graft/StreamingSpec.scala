@@ -462,6 +462,36 @@ class StreamingSpec extends SparkSpec {
     assert(served == inPlan, "stream-ingested index ranking diverges from the in-plan ANN")
   }
 
+  test("streaming MV maintenance: foreachBatch appends cube partials, fold equals full rebuild") {
+    // the streaming face of q_mv_incremental: fact micro-batches arrive
+    // on a file stream and each appends its own cube-partial segment
+    // (one map-combined hash-agg of the batch, ~cells rows written);
+    // after the stream drains, the grain-keyed refold of the segments
+    // must be BIT-IDENTICAL to the single-build cube — SUM/COUNT
+    // self-maintainability under inserts, exercised on the real
+    // micro-batch boundary rather than the registered query's two
+    // deterministic halves.
+    import graft.operators.MaterializedView
+    val li = Tables.lineitem(spark, sf)
+    val segDir = Files.createTempDirectory("graft-mvstream-seg").toString
+    val srcDir = writeSlices((0 until 3).map(i => li.filter(col("l_orderkey") % 3 === i)))
+    val q = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        MaterializedView.appendCubeFrame(batch, segDir, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val segments = spark.read.parquet(segDir)
+    assert(segments.select("batch").distinct().count() == 3,
+      "expected one cube segment per micro-batch")
+    val served = MaterializedView.serveFrom(spark, segDir).collect().toSeq
+    val full = MaterializedView.mvCube(spark, sf).collect().toSeq
+    assert(served == full, "stream-maintained cube diverges from the full rebuild")
+  }
+
   test("ProcessingTime trigger with an ASYNC feeder: files landing mid-run curate to the batch result") {
     // VERDICT r9 ask #7: the other trigger tests pre-write every file
     // before start() — the trigger recurs but the source is static. Here
