@@ -61,6 +61,7 @@ object SparkEntry {
     "q_recursive_cte"     -> ((s, d) => Relational.recursiveAncestors(s, d)),
     "q_scd2"              -> ((s, d) => Relational.scd2Build(s, d)),
     "q_scd2_incremental"  -> ((s, d) => Relational.scd2Incremental(s, d)),
+    "q_time_travel"       -> ((s, d) => Relational.scd2AsOf(s, d)),
     "q_cdc_apply"         -> ((s, d) => Relational.cdcApply(s, d)),
     "q_profile"           -> ((s, d) => Curation.profileOrders(s, d)),
     "q_session_paths"     -> ((s, d) => Funnels.sessionPaths(s, d)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_gapfill"           -> ((s, d) => Windows.gapfillHourly(s, d)),
     "q_twap"              -> ((s, d) => Windows.twapPerUser(s, d)),
     "q_ewma"              -> ((s, d) => Windows.ewmaPerUser(s, d)),
+    "q_seasonal_naive"    -> ((s, d) => Windows.seasonalNaive(s, d)),
     "q_pareto_abc"        -> ((s, d) => Windows.paretoAbc(s, d)),
     "q_gini"              -> ((s, d) => Windows.giniRevenue(s, d)),
     // ---- B6 sorts / limits / set ops ----
@@ -488,6 +490,15 @@ object SparkEntry {
         |  count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_sum
         |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_scd2" -> scd2OracleSql,
+    // AS OF = the interval containing the cutoff; the history CTE is the
+    // hash-checked scd2 oracle verbatim, cutoff interpolated from the
+    // engine constant
+    "q_time_travel" ->
+      s"""SELECT user_id, version, event_type, valid_from_sec
+        |FROM ($scd2OracleSql)
+        |WHERE valid_from_sec <= ${Relational.TimeTravelCutoffSec}
+        |  AND (valid_to_sec IS NULL OR valid_to_sec > ${Relational.TimeTravelCutoffSec})
+        |ORDER BY user_id""".stripMargin,
     // incremental maintenance (r11): stored dimension + one-day append,
     // hash-checked against the SAME full-rebuild oracle — the merge must
     // reproduce the from-scratch fold exactly
@@ -993,6 +1004,17 @@ object SparkEntry {
         |  list_reduce(list(value ORDER BY ts, event_id),
         |              (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_seasonal_naive" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |      FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.cents AS actual, f.cents AS fc
+        |      FROM d a JOIN d f
+        |      ON a.event_type = f.event_type AND a.day = f.day + 7)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(sum(abs(actual - fc))::DOUBLE / count(*), 6) AS mae_cents,
+        |  round(sum(actual - fc)::DOUBLE / count(*), 6) AS bias_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // rank-weighted closed form over exact integers; two fixed-order
     // IEEE divisions at emit
     "q_gini" ->

@@ -682,6 +682,32 @@ object Relational {
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("ts_sec")))
       .orderBy("user_id", "version")
 
+  /** AS-OF instant for [[scd2AsOf]]: 2024-01-15T12:00:00Z, mid-corpus —
+    * interpolated into the DuckDB oracle so both engines ask the same
+    * question. */
+  private[graft] val TimeTravelCutoffSec = 1705320000L
+
+  /** Temporal AS OF (time travel) over the SCD2 dimension — the
+    * `FOR SYSTEM_TIME AS OF` / lakehouse `VERSION AS OF` read, answered
+    * from interval algebra instead of a commit log: each user's state at
+    * the cutoff instant is the unique version row whose
+    * [valid_from, valid_to) interval contains it. Reuses [[scd2Fold]]
+    * verbatim, so the history this travels IS the hash-checked q_scd2
+    * history; a user whose first event lands after the cutoff has no
+    * state and correctly emits nothing.
+    *
+    * Scale shape: identical to the SCD2 build (one user_id exchange) —
+    * and against the STORED dimension ([[scd2DimStore]]) the same filter
+    * is a metadata-prunable predicate, no fold at all.
+    */
+  def scd2AsOf(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Fold(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("ts_sec")))
+      .filter(col("valid_from_sec") <= TimeTravelCutoffSec
+        && (col("valid_to_sec").isNull || col("valid_to_sec") > TimeTravelCutoffSec))
+      .select("user_id", "version", "event_type", "valid_from_sec")
+      .orderBy("user_id")
+
   /** The SCD2 fold on any (user_id, event_id, event_type, ts, ts_sec)
     * change feed — factored out so the stored-dimension build
     * ([[scd2DimStore]]) can fold a PREFIX of the feed and the serve-time

@@ -391,6 +391,42 @@ object Windows {
     * inherently sequential per key; cross-key parallelism is the
     * distribution axis, same as every windowed operator here.
     */
+  /** Seasonal-naive forecast backtest (the standard forecasting baseline
+    * — Hyndman & Athanasopoulos' snaive): predict each (event_type, day)
+    * cents total as the SAME WEEKDAY's total one week earlier, and score
+    * the prediction per type as MAE and mean bias over every day with a
+    * lag-7 ancestor. The readout a pipeline checks before shipping
+    * anything fancier than the baseline.
+    *
+    * Exactness: daily totals are exact integer cents; a day forecasts
+    * from an equi-join on (type, day−7) — a missing ancestor day drops
+    * the row on both sides (inner join), never imputes; MAE/bias are one
+    * rounded division each over exact integer sums.
+    *
+    * Scale shape: one (type, day) map-combined hash-agg over the corpus;
+    * everything after rides the value-domain-bounded daily frame (fenced
+    * — it is both the actual and the shifted ancestor side).
+    */
+  def seasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Dedup.fence(
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts_us")).as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")),
+      "event_type")
+    val actual = daily.select(col("event_type"), col("day"), col("cents"))
+    val lagged = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("cents").as("fc"))
+    actual.join(lagged, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("fc"))).as("sae"),
+        sum(col("cents") - col("fc")).as("se"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sae").cast("double") / col("n_days"), 6).as("mae_cents"),
+        round(col("se").cast("double") / col("n_days"), 6).as("bias_cents"))
+      .orderBy("event_type")
+  }
+
   def ewmaPerUser(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("user_id")

@@ -414,4 +414,20 @@ class RelationalSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
+
+  test("time travel: exactly the scd2 interval containing the cutoff, one row per covered user") {
+    import spark.implicits._
+    val t = Relational.TimeTravelCutoffSec
+    val dim = Relational.scd2Build(spark, sf)
+      .as[(Long, Long, String, Long, Option[Long], Boolean, Long)].collect()
+    val want = dim.filter { case (_, _, _, from, to, _, _) =>
+      from <= t && to.forall(_ > t)
+    }.map { case (u, v, et, from, _, _, _) => (u, v, et, from) }.sortBy(_._1)
+    val got = Relational.scd2AsOf(spark, sf)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == want.toSeq)
+    // at most one state per user, and only users active before the cutoff
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.nonEmpty && got.length <= dim.map(_._1).distinct.length)
+  }
 }

@@ -208,6 +208,32 @@ class WindowsSpec extends SparkSpec {
     assert(got.map(_._5).distinct.sorted == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("seasonal naive backtest equals a driver-side lag-7 replay") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts_us")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .map { case (t, d, c) => (t, d.toLocalDate, c) }
+    val byKey = daily.map { case (t, d, c) => (t, d) -> c }.toMap
+    val want = daily.flatMap { case (t, d, c) =>
+      byKey.get((t, d.minusDays(7))).map(fc => (t, c - fc))
+    }.groupBy(_._1).map { case (t, es) =>
+      val n = es.length
+      t -> (n.toLong,
+        math.rint(es.map(e => math.abs(e._2)).sum.toDouble / n * 1e6) / 1e6,
+        math.rint(es.map(_._2).sum.toDouble / n * 1e6) / 1e6)
+    }
+    val got = Windows.seasonalNaive(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (t, n, mae, bias) =>
+      val (wn, wm, wb) = want(t)
+      assert(n == wn && math.abs(mae - wm) < 1e-6 && math.abs(bias - wb) < 1e-6,
+        s"$t: got ($n,$mae,$bias) want ($wn,$wm,$wb)")
+    }
+  }
+
   test("ewma equals a driver-side ordered fold bit-for-bit") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
