@@ -234,7 +234,16 @@ object ScaleCurve {
       // r11 (VERDICT ask #4): one more prune-then-join level — growth must
       // stay ~linear if the closure prune (all 2-subsets frequent, joined
       // BEFORE the triple count) holds in the 10x-vocab regime
-      "assoc3"      -> ((d, _) => graft.operators.Curation.assocRules3(spark, d)))
+      "assoc3"      -> ((d, _) => graft.operators.Curation.assocRules3(spark, d)),
+      // r11: positional skip-gram self-join — the (doc_id, pos+d) equi
+      // key makes the join corpus-token-linear; on this disjoint-vocab
+      // fixture the pair OUTPUT also grows ~10x (each replica brings its
+      // own vocabulary), so rows_x ≈ shuffle_x ≈ 10 is the honest shape
+      "skipgram"    -> ((d, _) => TextAnalysis.skipgramPairs(spark, d)),
+      // r11: phrase panel shares no vocabulary with the suffixed replicas,
+      // so matching postings stay ~1x — the prune-before-join discipline,
+      // same claim as the bm25 row
+      "phrase"      -> ((d, _) => TextAnalysis.phraseSearch(spark, d)))
     // shared-vocab regime (r10, ask #6): replicas keep the panel's terms,
     // so matching postings — and the one corpus shuffle — grow ~10x for a
     // 10x corpus. Linear in postings is the operator's honest cost model.
@@ -246,7 +255,11 @@ object ScaleCurve {
       "assoc_shared" -> ((d, _) => graft.operators.Curation.assocRules(spark, d)),
       // fixed vocabulary, 10x docs: frequent triples constant, the item
       // stream and triple supports grow with the corpus
-      "assoc3_shared" -> ((d, _) => graft.operators.Curation.assocRules3(spark, d)))
+      "assoc3_shared" -> ((d, _) => graft.operators.Curation.assocRules3(spark, d)),
+      // r11: every replica carries the panel's terms — matching postings
+      // and the anchor-group shuffle grow ~10x for a 10x corpus (the
+      // bm25_shared regime for positional retrieval)
+      "phrase_shared" -> ((d, _) => TextAnalysis.phraseSearch(spark, d)))
     // embedding family (r9): kmeans runs FIRST per dir so the memoized
     // trainer cost lands in its row; semdedup/cluster rows then measure
     // the post-training increment — consistently at both factors, so the
@@ -291,7 +304,14 @@ object ScaleCurve {
       "cusum"   -> ((d, _) => Funnels.cusumChangepoint(spark, d)),
       "gapfill" -> ((d, _) => Windows.gapfillHourly(spark, d)),
       "welch"   -> ((d, _) => Funnels.abtestWelch(spark, d)),
-      "attribution" -> ((d, _) => Funnels.attribution(spark, d)))
+      "attribution" -> ((d, _) => Funnels.attribution(spark, d)),
+      // r11: the per-user-window shape (collected sequences ride the one
+      // user_id exchange — shuffle tracks rows like twap) vs two more
+      // domain-frame shapes (cells / daily grid constant: post-agg
+      // shuffle ~flat while the map-side scan grows)
+      "ewma"     -> ((d, _) => Windows.ewmaPerUser(spark, d)),
+      "chi2"     -> ((d, _) => Funnels.chi2Independence(spark, d)),
+      "seasonal" -> ((d, _) => Windows.seasonalNaive(spark, d)))
     val ordersQueries: Seq[(String, Fn)] = Seq(
       "table_diff" -> ((d, _) => Relational.tableDiff(spark, d)),
       "gini"       -> ((d, _) => Windows.giniRevenue(spark, d)),
@@ -308,7 +328,14 @@ object ScaleCurve {
       "skyline_native_anti" -> ((d, _) => Relational.skylinePartsCustom(spark, d)))
     val lineitemQueries: Seq[(String, Fn)] = Seq(
       "mad_hist"   -> ((d, _) => graft.operators.Aggregates.madHist(spark, d)),
-      "pareto_abc" -> ((d, _) => Windows.paretoAbc(spark, d)))
+      "pareto_abc" -> ((d, _) => Windows.paretoAbc(spark, d)),
+      // r11: incremental MV maintenance — two batch appends + the segment
+      // refold; maintenance is one map-combined hash-agg per batch, so
+      // shuffle must track fact rows while the serve fold stays
+      // cells-sized (the memo keys on the dir, so each factor builds its
+      // own segment store — build+serve is the measured quantity at BOTH
+      // factors, like for like)
+      "mv_incr"    -> ((d, _) => graft.operators.MaterializedView.mvIncremental(spark, d)))
     val featureQueries: Seq[(String, Fn)] = Seq(
       "feature_hash" -> ((d, _) => graft.operators.Curation.featureHash(spark, d)))
     val featureSharedQueries: Seq[(String, Fn)] = Seq(
