@@ -311,7 +311,16 @@ object ScaleCurve {
       // shuffle ~flat while the map-side scan grows)
       "ewma"     -> ((d, _) => Windows.ewmaPerUser(spark, d)),
       "chi2"     -> ((d, _) => Funnels.chi2Independence(spark, d)),
-      "seasonal" -> ((d, _) => Windows.seasonalNaive(spark, d)))
+      "seasonal" -> ((d, _) => Windows.seasonalNaive(spark, d)),
+      // r11 late: sliding-window distinct, three cost shapes on one ask —
+      // exact (the (day,user) frame + 7x expansion: shuffle tracks active
+      // users), sketched (per-day HLL partials combine map-side; the 7x
+      // shift moves |days| sketch ROWS — shuffle ~flat in corpus rows),
+      // and cumulative (collapses to min-day per user + a running sum:
+      // one user-tracking exchange, no expansion at all)
+      "rolling_dau"     -> ((d, _) => Funnels.rollingDau(spark, d)),
+      "rolling_wau_hll" -> ((d, _) => Funnels.rollingWauSketch(spark, d)),
+      "reach_curve"     -> ((d, _) => Funnels.reachCurve(spark, d)))
     val ordersQueries: Seq[(String, Fn)] = Seq(
       "table_diff" -> ((d, _) => Relational.tableDiff(spark, d)),
       "gini"       -> ((d, _) => Windows.giniRevenue(spark, d)),

@@ -74,6 +74,9 @@ object SparkEntry {
     "q_orc_source"        -> ((s, d) => Sources.orcOrderPriorities(s, d)),
     "q_csv_events"        -> ((s, d) => Sources.csvEventsNs(s, d)),
     "q_jsonl_events"      -> ((s, d) => Sources.jsonlEventsNs(s, d)),
+    "q_schema_evolution"  -> ((s, d) => Sources.schemaEvolution(s, d)),
+    "q_partition_overwrite" -> ((s, d) => Sources.partitionOverwrite(s, d)),
+    "q_purge_cascade"     -> ((s, d) => Relational.purgeCascade(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
     "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
     "q_asof_join_tolerance" -> ((s, d) => Relational.asOfJoinTolerance(s, d)),
@@ -242,6 +245,11 @@ object SparkEntry {
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
     "q_chi2"              -> ((s, d) => Funnels.chi2Independence(s, d)),
+    "q_rolling_dau"       -> ((s, d) => Funnels.rollingDau(s, d)),
+    "q_rolling_dau_incremental" -> ((s, d) => Funnels.rollingDauIncremental(s, d)),
+    "q_rolling_dau_hll"   -> ((s, d) => Funnels.rollingDauHll(s, d)),
+    "q_reach_curve"       -> ((s, d) => Funnels.reachCurve(s, d)),
+    "q_wilson_ci"         -> ((s, d) => Funnels.wilsonCi(s, d)),
     "q_cusum"             -> ((s, d) => Funnels.cusumChangepoint(s, d)),
     "q_attribution"       -> ((s, d) => Funnels.attribution(s, d)),
     "q_transitions"       -> ((s, d) => Funnels.transitions(s, d)),
@@ -285,6 +293,20 @@ object SparkEntry {
   // round-10 hash failure; OracleHygieneSpec now sweeps the whole map).
   // Shared by q_scd2 (scan-time build) and q_scd2_incremental (stored
   // dimension + one-day append) — the merge must equal the full rebuild.
+  // Shared by q_rolling_dau (scan-time build) and q_rolling_dau_incremental
+  // (stored day-partitioned artifact + appended final day): the served
+  // artifact must reproduce the full-rebuild DAU/WAU readout exactly.
+  private val rollingDauOracleSql: String =
+    """WITH ud AS (SELECT DISTINCT epoch_ns(ts)//86400000000000 AS day,
+      |            user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |a AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |w AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      |      GROUP BY 1)
+      |SELECT day, dau, wau, round(dau::DOUBLE / wau, 6) AS stickiness
+      |FROM a JOIN w USING (day) ORDER BY day""".stripMargin
+
   // Shared by q_mv_cube (stored pre-sums, single-segment build) and
   // q_mv_incremental (per-batch partials refolded at serve): both must
   // equal the direct fact-grain aggregate DuckDB runs here.
@@ -650,6 +672,49 @@ object SparkEntry {
         |  CAST(sum(epoch_ns(ts) % 1000000000) AS BIGINT) AS subsec_sum,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // merge-on-read schema evolution: the engine unions two file
+    // generations (gen-1 lacks o_orderpriority → backfilled 'LEGACY');
+    // the oracle derives the same split from the pristine orders table
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+        |            ELSE o_orderpriority END AS priority,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dynamic partition overwrite: the engine serves a year-partitioned
+    // store whose earliest year was first loaded short then restated in
+    // dynamic mode; equality to the pristine per-year rollup proves the
+    // restatement landed AND untouched partitions survived
+    "q_partition_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // erasure cascade receipt: purged/retained per table via the same
+    // foreign-key semi-join chain, stated as correlated subqueries
+    "q_purge_cascade" ->
+      """WITH panel AS (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 1),
+        |po AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM panel))
+        |SELECT 'customer' AS tbl,
+        |  (SELECT count(*) FROM panel) AS purged,
+        |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM panel) AS retained
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+        |  (SELECT count(*) FROM lineitem)
+        |    - (SELECT count(*) FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT count(*) FROM po),
+        |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM po)
+        |ORDER BY tbl""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs_1h
         |FROM events a JOIN events b ON a.user_id = b.user_id
@@ -2234,6 +2299,81 @@ object SparkEntry {
         |  sum(CASE WHEN d.day <> f.d0 THEN 1 ELSE 0 END)::BIGINT AS returning_users
         |FROM d JOIN f ON d.user_id = f.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // distinct-over-sliding-window via the shifted expansion on both
+    // sides; integer epoch-day keys, one rounded division for stickiness.
+    // Shared by q_rolling_dau (scan-time) and q_rolling_dau_incremental
+    // (stored day-partitioned artifact + one-day append): the appended
+    // artifact must reproduce the full-rebuild readout exactly.
+    "q_rolling_dau" -> rollingDauOracleSql,
+    "q_rolling_dau_incremental" -> rollingDauOracleSql,
+    // bracket oracle like q_hll_cube: the exact WAU companion and the
+    // day-window grain are portable; the HLL union estimate is asserted
+    // within its 10% envelope by the engine-side verdict column
+    "q_rolling_dau_hll" ->
+      """WITH ud AS (SELECT DISTINCT epoch_ns(ts)//86400000000000 AS day,
+        |            user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |w AS (SELECT d.day,
+        |        count(DISTINCT u.day)::BIGINT AS days_in_window,
+        |        count(DISTINCT u.user_id) AS exact_wau
+        |      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |      GROUP BY 1)
+        |SELECT day, days_in_window, exact_wau, TRUE AS sketch_within_10pct
+        |FROM w ORDER BY day""".stripMargin,
+    // cumulative distinct collapses to min-day per user + a running sum
+    // (no shifted expansion); one rounded division for the pct
+    "q_reach_curve" ->
+      """WITH f AS (SELECT user_id, min(epoch_ns(ts)//86400000000000) AS day
+        |           FROM events GROUP BY 1),
+        |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1),
+        |c AS (SELECT day, new_users,
+        |        CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |      FROM n)
+        |SELECT day, new_users, cum_users,
+        |  round(cum_users::DOUBLE / (max(cum_users) OVER ()), 6) AS pct_of_total
+        |FROM c ORDER BY day""".stripMargin,
+    // Wilson score intervals + pooled two-proportion z, token-for-token
+    // the engine's fixed IEEE op order; verdict on the 4-dp-rounded z
+    "q_wilson_ci" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90.0
+        |             THEN 1 ELSE 0 END) AS converted,
+        |    (user_id % 2 = 0) AS va
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    sum(CASE WHEN va THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN NOT va THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN va AND converted = 1 THEN 1 ELSE 0 END)::BIGINT AS x_a,
+        |    sum(CASE WHEN NOT va AND converted = 1 THEN 1 ELSE 0 END)::BIGINT AS x_b
+        |  FROM u),
+        |d AS (SELECT n_a, x_a, n_b, x_b,
+        |    x_a::DOUBLE / n_a::DOUBLE AS pa, n_a::DOUBLE AS na,
+        |    x_b::DOUBLE / n_b::DOUBLE AS pb, n_b::DOUBLE AS nb
+        |  FROM c),
+        |e AS (SELECT *,
+        |    (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pp,
+        |    1.0 + 1.96 * 1.96 / na AS dena,
+        |    1.0 + 1.96 * 1.96 / nb AS denb
+        |  FROM d)
+        |SELECT n_a, x_a, round(pa, 6) AS p_a,
+        |  round((pa + 1.96 * 1.96 / (2.0 * na)) / dena
+        |    - 1.96 * sqrt(pa * (1.0 - pa) / na
+        |        + 1.96 * 1.96 / (4.0 * na * na)) / dena, 6) AS wilson_lo_a,
+        |  round((pa + 1.96 * 1.96 / (2.0 * na)) / dena
+        |    + 1.96 * sqrt(pa * (1.0 - pa) / na
+        |        + 1.96 * 1.96 / (4.0 * na * na)) / dena, 6) AS wilson_hi_a,
+        |  n_b, x_b, round(pb, 6) AS p_b,
+        |  round((pb + 1.96 * 1.96 / (2.0 * nb)) / denb
+        |    - 1.96 * sqrt(pb * (1.0 - pb) / nb
+        |        + 1.96 * 1.96 / (4.0 * nb * nb)) / denb, 6) AS wilson_lo_b,
+        |  round((pb + 1.96 * 1.96 / (2.0 * nb)) / denb
+        |    + 1.96 * sqrt(pb * (1.0 - pb) / nb
+        |        + 1.96 * 1.96 / (4.0 * nb * nb)) / denb, 6) AS wilson_hi_b,
+        |  round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 4)
+        |    AS z_pooled,
+        |  abs(round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 4))
+        |    >= 1.96 AS significant
+        |FROM e""".stripMargin,
     // integer daily sums and deltas; one fixed-order double division for
     // the growth percent; the first day per type emits NULLs in both
     "q_period_over_period" ->

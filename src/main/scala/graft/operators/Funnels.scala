@@ -490,6 +490,209 @@ object Funnels {
       .limit(20)
   }
 
+  /** Rolling DAU / trailing-7-day WAU / stickiness per day — the
+    * engagement readout every product dashboard serves. Distinct-over-a-
+    * sliding-window does NOT map-side combine (distinct sets are not
+    * additive), so the scale shape is the standard shifted-expansion: the
+    * (day, user) DISTINCT frame (value-domain-bounded: days × active
+    * users, far under raw events) expands each row to the 7 target days
+    * it supports — a map-side `sequence`+`explode`, fan-out exactly 7 —
+    * pruned to observed days by a broadcast of the day domain, then one
+    * exact distinct per target day. DAU rides the same fenced frame.
+    * Stickiness = one fixed-order rounded division. At 100 TB the
+    * (day, user) frame is the artifact to maintain incrementally (one
+    * partition per day, appends never rewrite history) and the 7× fan-out
+    * is unchanged.
+    */
+  def rollingDau(spark: SparkSession, sfDir: String): DataFrame =
+    dauOf(dayUserFrame(spark, sfDir))
+
+  /** The (day, user_id) distinct activity frame [[rollingDau]] rides —
+    * factored out so the stored-artifact variant folds the same frame. */
+  private[graft] def dayUserFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .distinct()
+
+  /** The DAU/WAU/stickiness readout on any (day, user_id) distinct frame —
+    * shared by the scan-time build and the stored-artifact serve. */
+  private[graft] def dauOf(ud0: DataFrame): DataFrame = {
+    val ud = Dedup.fence(ud0, "day")
+    val days = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(broadcast(days), "day")
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Session-scoped STORED (day, user_id) activity artifact: the distinct
+    * frame for every day before the last observed UTC day is written once,
+    * PARTITIONED BY day, then the final day's batch is APPENDED — two
+    * physically separate writes into disjoint day partitions, exactly how
+    * a nightly job maintains the artifact (appends never rewrite history).
+    * The cutoff scalar is one bounded single-row-aggregate collect,
+    * memoized ([[graft.operators.SessionMemos]]).
+    */
+  private val dayUserStoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def dayUserStore(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, dayUserStoreMemo)
+    dayUserStoreMemo.computeIfAbsent((spark, sfDir), _ => {
+      val ud = dayUserFrame(spark, sfDir)
+      val maxDay = ud.agg(max("day")).head.getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-dau-frame").toString
+      ud.filter(col("day") < maxDay)
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      ud.filter(col("day") === maxDay)
+        .write.partitionBy("day").mode("append").parquet(dir)
+      dir
+    })
+  }
+
+  /** INCREMENTAL rolling DAU (the maintenance shape [[rollingDau]]'s
+    * scaladoc promises): serve DAU/WAU/stickiness purely from the stored
+    * day-partitioned artifact after appending the last day's batch —
+    * hash-checked against the full-rebuild oracle (q_rolling_dau's SQL),
+    * so the appended artifact provably holds the whole history. At 100 TB
+    * the nightly append touches one day's events; the serve never rescans
+    * the fact table. Partition-column note: `day` comes back from the
+    * partitioned read as its directory value — cast to long to keep the
+    * frame's schema identical to the scan-time build's.
+    */
+  def rollingDauIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    dauOf(spark.read.parquet(dayUserStore(spark, sfDir))
+      .select(col("day").cast("long").as("day"), col("user_id")))
+
+  /** SKETCHED rolling WAU — the mergeable-summary answer to the fact that
+    * exact distinct-over-a-sliding-window cannot map-side combine: per-day
+    * Datasketches HLL sketches of the user set DO partial-aggregate
+    * map-side (sketches are additive; [[rollingDau]]'s distinct sets are
+    * not), and the trailing-7-day union then fans out |days| SKETCH ROWS
+    * ×7 — a few KB each — instead of the (day, user) frame. At 100 TB the
+    * exact form shuffles the active-user frame 7×; this shape shuffles
+    * ~210 sketch rows total, the difference between a reporting query and
+    * a recurring cluster job. BRACKET ORACLE like q_hll_cube: the exact
+    * WAU companion and the day-window grain are portable; the estimate is
+    * asserted within 10% (lgConfigK=12 → rsd ≈ 1.6%, a ≥6σ envelope).
+    */
+  def rollingDauHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val est = rollingWauSketch(spark, sfDir)
+    val ud = Dedup.fence(dayUserFrame(spark, sfDir), "day")
+    val days = ud.select("day").distinct()
+    val exact = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(broadcast(days), "day")
+      .groupBy("day").agg(countDistinct("user_id").as("exact_wau"))
+    est.join(exact, "day")
+      .select(col("day"), col("days_in_window"), col("exact_wau"),
+        (abs(col("est") - col("exact_wau")).cast("double")
+          <= col("exact_wau").cast("double") * 0.10).as("sketch_within_10pct"))
+      .orderBy("day")
+  }
+
+  /** The SERVING path of the sketched WAU alone — per-day sketches
+    * straight off the raw events (no (day, user) distinct frame anywhere:
+    * hll partials combine map-side to ≤&#8203;|days| cells per task), then
+    * the 7-day shift over SKETCH ROWS. Factored out so ScaleCurve can
+    * price exactly this path against the exact form's user-frame
+    * expansion. */
+  private[graft] def rollingWauSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val daySketch = Dedup.fence(
+      Tables.events(spark, sfDir)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sketch")),
+      "day")
+    val days = daySketch.select("day")
+    daySketch
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("sketch"))
+      .join(broadcast(days), "day")
+      .groupBy("day")
+      .agg(count(lit(1)).as("days_in_window"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+  }
+
+  /** Conversion-rate experiment readout with WILSON score intervals and
+    * the pooled two-proportion z test — the proportions sibling of
+    * [[abtestWelch]] (means) and [[ksTest]] (shapes). Converted = the user
+    * produced at least one purchase event with value > 90 (a "big
+    * purchase"); arms are the same deterministic user-parity assignment.
+    * Wilson beats the naive ±1.96·√(p(1−p)/n) Wald interval near 0/1 and
+    * never leaves [0,1] (Wilson 1927; Brown–Cai–DasGupta 2001 recommend
+    * it outright). One row carries both arms: per-user conversion flags
+    * fold in ONE user_id exchange (max-of-flag per user), then a single
+    * map-side-partial global aggregate emits both arms' (n, x) via
+    * conditional sums; every derived double follows a fixed IEEE op order
+    * mirrored token-for-token in the oracle, rounded to 6 dp, and the
+    * significance verdict compares the 4-dp-rounded z (the house
+    * discipline: both engines decide booleans on identical values).
+    */
+  def wilsonCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase" && col("value") > 90.0).as("conv"))
+      .groupBy("user_id")
+      .agg(max(col("conv")).as("converted"))
+      .withColumn("va", col("user_id") % 2 === 0)
+    val counts = perUser.agg(
+      sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("va") && col("converted"), 1L).otherwise(0L)).as("x_a"),
+      sum(when(!col("va") && col("converted"), 1L).otherwise(0L)).as("x_b"))
+    val z = lit(1.96)
+    def wilson(x: org.apache.spark.sql.Column, n0: org.apache.spark.sql.Column) = {
+      val n = n0.cast("double")
+      val p = x.cast("double") / n
+      val denom = lit(1.0) + z * z / n
+      val center = (p + z * z / (lit(2.0) * n)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n)) / denom
+      (round(p, 6), round(center - half, 6), round(center + half, 6))
+    }
+    val (pa, loA, hiA) = wilson(col("x_a"), col("n_a"))
+    val (pb, loB, hiB) = wilson(col("x_b"), col("n_b"))
+    val pPool = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool)
+      * (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val zStat = round((col("x_a").cast("double") / col("n_a").cast("double")
+      - col("x_b").cast("double") / col("n_b").cast("double")) / se, 4)
+    counts.select(col("n_a"), col("x_a"), pa.as("p_a"),
+        loA.as("wilson_lo_a"), hiA.as("wilson_hi_a"),
+        col("n_b"), col("x_b"), pb.as("p_b"),
+        loB.as("wilson_lo_b"), hiB.as("wilson_hi_b"),
+        zStat.as("z_pooled"))
+      .withColumn("significant", abs(col("z_pooled")) >= 1.96)
+  }
+
+  /** CUMULATIVE REACH curve: distinct users ever seen up to each day —
+    * the acquisition companion to [[rollingDau]]'s engagement readout.
+    * Where a SLIDING distinct needs the 7× shifted expansion, the
+    * CUMULATIVE distinct collapses exactly: a user contributes to every
+    * day from their first appearance onward, so min-day per user (ONE
+    * map-side-combinable user_id exchange) plus a running sum over the
+    * tiny day domain IS the curve — no expansion, no per-day distinct.
+    * pct_of_total = one fixed-order rounded division against the final
+    * reach (a window max over the same day frame).
+    */
+  def reachCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstDay = Tables.events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+    // the remaining frames are day-domain-sized (~30 rows): single-
+    // partition windows over the calendar span are the intended shape
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .withColumn("pct_of_total",
+        round(col("cum_users").cast("double") / max(col("cum_users")).over(all), 6))
+      .orderBy("day")
+  }
+
   /** Pearson χ² test of independence between event_type and time-of-day
     * (hour div 6 → four day-quarters) — the categorical sibling of the
     * Welch (means) and KS (distributions) tests: per contingency cell,

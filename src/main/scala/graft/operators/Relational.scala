@@ -940,4 +940,46 @@ object Relational {
         when(col("op").isNotNull, col("c_cents")).otherwise(col("cents")).as("cents"))
       .orderBy("o_orderkey")
   }
+
+  /** RIGHT-TO-BE-FORGOTTEN PURGE CASCADE: a deletion-request panel
+    * (customers with key ≡ 1 mod 53, ~2% — the deterministic stand-in for
+    * a GDPR/CCPA request queue) propagates through the foreign-key chain
+    * customer → orders → lineitem, and the audit receipt reports purged
+    * vs retained row counts per table — the compliance evidence a real
+    * erasure job must produce. Implementation is pure key semi-/anti-
+    * joins: orders splits on a LEFT SEMI vs the panel (purged) with the
+    * complement via LEFT ANTI; lineitem splits against the purged order
+    * keys. Counts come from map-side-partial global aggregates of each
+    * branch, so the whole receipt is three key-partitioned joins and six
+    * one-row counts — no row is ever collected.
+    *
+    * 100 TB shape: the panel and purged-order keys are corpus-
+    * proportional, so the joins shuffle on their keys (NO broadcast — a
+    * request panel grows with the user base; broadcast hygiene applies)
+    * and AQE picks broadcast only if a given batch happens to be tiny.
+    * On a real lakehouse the same split feeds a copy-on-write rewrite of
+    * affected files; the receipt here is the part the auditor keeps.
+    */
+  def purgeCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val panel = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 53 === 1)
+      .select(col("c_custkey"))
+    val customers = Tables.customer(spark, sfDir).select("c_custkey")
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val purgedOrders = orders
+      .join(panel, orders("o_custkey") === panel("c_custkey"), "left_semi")
+    val purgedOrderKeys = purgedOrders.select("o_orderkey")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey")
+    def counted(tbl: String, purged: DataFrame, total: DataFrame): DataFrame =
+      purged.agg(count(lit(1)).as("purged")).crossJoin(
+          total.agg(count(lit(1)).as("n_total")))
+        .select(lit(tbl).as("tbl"), col("purged"),
+          (col("n_total") - col("purged")).as("retained"))
+    counted("customer", customers.join(panel, Seq("c_custkey"), "left_semi"), customers)
+      .unionByName(counted("orders", purgedOrders, orders))
+      .unionByName(counted("lineitem",
+        li.join(purgedOrderKeys, li("l_orderkey") === purgedOrderKeys("o_orderkey"),
+          "left_semi"), li))
+      .orderBy("tbl")
+  }
 }

@@ -188,4 +188,95 @@ object Sources {
     eventsNsRollup(spark.read
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .json(jsonlEventsDir(spark, sfDir)))
+
+  private val evolveMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Session-scoped SCHEMA-EVOLVED parquet table: generation 1 (even order
+    * keys) is written WITHOUT `o_orderpriority` — the column a later
+    * pipeline release added — then generation 2 (odd keys) appends WITH
+    * it. Two physically different file schemas in one directory, the
+    * standard lakehouse ingest reality after any producer upgrade. */
+  private[graft] def evolveDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, evolveMemo)
+    evolveMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-evolve-src").toString
+      val o = Tables.orders(spark, sfDir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(dir)
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("append").parquet(dir)
+      dir
+    })
+  }
+
+  /** SCHEMA EVOLUTION read (`mergeSchema`): the union schema is
+    * reconstructed across both file generations — pre-upgrade rows
+    * surface NULL in the added column (filled 'LEGACY' here, the backfill
+    * every migration runbook specifies) and the rollup must account for
+    * EVERY row of both generations, so the hash moves if merge drops a
+    * file, a column, or misaligns by position instead of name. Oracle =
+    * the same split derived from the parquet `orders` directly. At
+    * 100 TB: merge-on-read costs one footer per FILE SCHEMA (Spark
+    * dedups identical footers), the alternative — rewriting history to
+    * the new schema — costs a full-table write; this is why every table
+    * format (Delta/Iceberg/Hudi) specifies evolution as metadata-only. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(evolveDir(spark, sfDir))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum(col("o_totalprice")), 4).as("sum_total"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("priority")
+
+  private val overwriteMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Session-scoped year-partitioned orders store exercising DYNAMIC
+    * partition overwrite — the restatement primitive of every partitioned
+    * warehouse. The initial load is BROKEN for the earliest year (orders
+    * with key ≡ 0 mod 7 missing — a partial extract); the fix job then
+    * rewrites ONLY that year under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, which replaces
+    * exactly the partitions present in the incoming frame. STATIC mode
+    * would have deleted every other year first; serving all years green
+    * against the full-table oracle therefore proves both the restatement
+    * AND that untouched partitions survived. */
+  private[graft] def overwriteDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, overwriteMemo)
+    overwriteMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dynpart-src").toString
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+      val firstYear = o.agg(min("o_year")).head.getInt(0) // bounded: 1-row agg
+      o.filter(col("o_year") =!= firstYear || col("o_orderkey") % 7 =!= 0)
+        .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        o.filter(col("o_year") === firstYear)
+          .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      dir
+    })
+  }
+
+  /** Per-year rollup served from the dynamically-restated store — must
+    * equal the oracle's rollup over the pristine `orders`, which fails if
+    * the restated year is still short OR any other year was clobbered. */
+  def partitionOverwrite(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(overwriteDir(spark, sfDir))
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum(col("o_totalprice")), 4).as("sum_total"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_year")
 }

@@ -308,6 +308,112 @@ class FunnelsSpec extends SparkSpec {
     assert(got.nonEmpty && got.exists(_._1.contains(">"))) // multi-event paths exist
   }
 
+  test("rolling dau/wau: trailing-7 distinct replayed driver-side, dau <= wau") {
+    import spark.implicits._
+    val ud = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.expr("ts div 86400000000000").as("day"),
+        col("user_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val days = ud.map(_._1)
+    val want = days.toSeq.sorted.map { d =>
+      val dau = ud.count(_._1 == d).toLong
+      val wau = ud.filter(u => u._1 >= d - 6 && u._1 <= d).map(_._2).toSet.size.toLong
+      (d, dau, wau, math.rint(dau.toDouble / wau * 1e6) / 1e6)
+    }
+    val got = operators.Funnels.rollingDau(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == want.map(r => (r._1, r._2, r._3)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) < 1e-6) }
+    got.foreach { case (_, dau, wau, s) => assert(dau <= wau && s > 0 && s <= 1) }
+  }
+
+  test("rolling dau incremental: stored day-partitioned artifact equals the scan-time build") {
+    import spark.implicits._
+    val full = operators.Funnels.rollingDau(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val inc = operators.Funnels.rollingDauIncremental(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(inc == full)
+    // the artifact genuinely holds >1 day partition (prefix + appended day)
+    val dir = operators.Funnels.dayUserStore(spark, sf)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("day="))
+    assert(parts > 1)
+  }
+
+  test("rolling dau hll: union estimate within envelope, window grain replays") {
+    import spark.implicits._
+    val ud = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.expr("ts div 86400000000000").as("day"),
+        col("user_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val days = ud.map(_._1)
+    val got = operators.Funnels.rollingDauHll(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == days.toSeq.sorted)
+    got.foreach { case (d, nw, wau, ok) =>
+      assert(nw == days.count(x => x >= d - 6 && x <= d).toLong)
+      assert(wau == ud.filter(u => u._1 >= d - 6 && u._1 <= d).map(_._2).toSet.size.toLong)
+      assert(ok) // the 10% bracket the oracle pins as TRUE
+    }
+  }
+
+  test("wilson ci: interval brackets p, replays driver-side, pooled z consistent") {
+    import spark.implicits._
+    val conv = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1)
+      .map { case (u, evs) => u -> evs.exists(e => e._2 == "purchase" && e._3 > 90.0) }
+    val (na, xa) = (conv.count(_._1 % 2 == 0).toLong,
+      conv.count(c => c._1 % 2 == 0 && c._2).toLong)
+    val (nb, xb) = (conv.count(_._1 % 2 != 0).toLong,
+      conv.count(c => c._1 % 2 != 0 && c._2).toLong)
+    def wilson(x: Long, n: Long): (Double, Double, Double) = {
+      val z = 1.96; val nd = n.toDouble; val p = x.toDouble / nd
+      val den = 1.0 + z * z / nd
+      val c = (p + z * z / (2.0 * nd)) / den
+      val h = z * math.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd)) / den
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      (r6(p), r6(c - h), r6(c + h))
+    }
+    val row = operators.Funnels.wilsonCi(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((na, xa)))
+    assert((row.getLong(5), row.getLong(6)) == ((nb, xb)))
+    val (pa, loA, hiA) = wilson(xa, na)
+    val (pb, loB, hiB) = wilson(xb, nb)
+    Seq(pa -> 2, loA -> 3, hiA -> 4, pb -> 7, loB -> 8, hiB -> 9).foreach {
+      case (w, i) => assert(math.abs(row.getDouble(i) - w) < 1e-9)
+    }
+    // the interval brackets the point estimate and stays inside [0,1]
+    assert(loA <= pa && pa <= hiA && loA >= 0 && hiA <= 1)
+    assert(loB <= pb && pb <= hiB && loB >= 0 && hiB <= 1)
+    val pp = (xa + xb).toDouble / (na + nb).toDouble
+    val z = (xa.toDouble / na - xb.toDouble / nb) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(row.getDouble(10) - math.rint(z * 1e4) / 1e4) < 1e-9)
+    assert(row.getBoolean(11) == (math.abs(math.rint(z * 1e4) / 1e4) >= 1.96))
+  }
+
+  test("reach curve: cumulative distinct replays, monotone, ends at 100%") {
+    import spark.implicits._
+    val firstDay = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.expr("ts div 86400000000000").as("day"),
+        col("user_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (_, evs) => evs.map(_._1).min }.toSeq
+    val total = firstDay.size.toDouble
+    val want = firstDay.groupBy(identity).toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (d, us)) =>
+        (d, us.size.toLong, cum + us.size) }.drop(1)
+      .map { case (d, nu, cum) => (d, nu, cum, math.rint(cum / total * 1e6) / 1e6) }
+    val got = operators.Funnels.reachCurve(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == want.map(r => (r._1, r._2, r._3)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) < 1e-9) }
+    assert(got.map(_._3) == got.map(_._3).sorted) // monotone reach
+    assert(got.last._4 == 1.0)
+  }
+
   test("chi2: cells conserve totals and expected/contrib replay from marginals") {
     import spark.implicits._
     val got = Funnels.chi2Independence(spark, sf)

@@ -165,7 +165,12 @@ class PlanHygieneSpec extends SparkSpec {
       // CmsDepth × CmsWidth (cell is a literal-modulus hash), and the HLL
       // bracket's (register, cell) pair is 2^p × 2^r — plan-constant
       // lattices, not corpus-derived keys
-      "rc", "r", "cell")
+      "rc", "r", "cell",
+      // time-domain keys: an epoch-day/hour column is bounded by the
+      // calendar span, not the corpus row count — the same allowance the
+      // gapfill/chi2 domain frames ride (r11, q_rolling_dau's day panel);
+      // h_bucket is chi2's hour-div-6 lattice (4 values, plan-constant)
+      "day", "h_bucket")
 
   /** Corpus-slice query panels, documented since r6: the ~corpus/25 query
     * side of the brute-force scorers (at-scale substitute = the ANN/IVF
@@ -218,6 +223,12 @@ class PlanHygieneSpec extends SparkSpec {
         a.groupingExpressions.isEmpty ||
           a.groupingExpressions.forall(_.references.map(_.name).toSet.subsetOf(ValueDomainCols)) ||
           bounded(a.child)
+      // a DISTINCT whose keys are all value/time-domain columns is the
+      // same bound as the grouped Aggregate above (analyzed plans carry
+      // Deduplicate; the optimizer rewrites it to Aggregate later)
+      case d: Deduplicate =>
+        d.keys.forall(_.references.map(_.name).toSet.subsetOf(ValueDomainCols)) ||
+          bounded(d.child)
       case _: GlobalLimit => true
       case f: Filter => hasCap(f.condition) || bounded(f.child)
       case j: Join => bounded(j.left) && bounded(j.right)

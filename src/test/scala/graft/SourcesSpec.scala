@@ -130,4 +130,59 @@ class SourcesSpec extends SparkSpec {
       || plan.contains("Not(EqualTo(o_orderstatus,P))"), s"filter not pushed:\n$plan")
     assert(!plan.contains("o_custkey"), "column pruning lost: o_custkey read")
   }
+
+  test("schema evolution: two file generations carry different schemas; merge accounts for all rows") {
+    import graft.operators.Sources
+    val dir = Sources.evolveDir(spark, sf)
+    // the directory genuinely holds BOTH schemas (gen-1 has no priority col)
+    val schemas = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        spark.read.parquet(f.toString).schema.fieldNames.toSet
+      }.toSet
+    assert(schemas.size == 2
+      && schemas.exists(!_.contains("o_orderpriority"))
+      && schemas.exists(_.contains("o_orderpriority")))
+    val got = Sources.schemaEvolution(spark, sf).collect()
+    val totalOrders = Tables.orders(spark, sf).count()
+    assert(got.map(_.getLong(1)).sum == totalOrders, "merge dropped rows")
+    assert(got.map(_.getString(0)).contains("LEGACY"))
+    // a plain read (no mergeSchema) of the whole dir would surface only
+    // one generation's schema — the union schema is merge's work
+    assert(got.length > 1)
+  }
+
+  test("partition overwrite: restated year healed, other partitions untouched") {
+    import graft.operators.{Relational => R, Sources}
+    val got = Sources.partitionOverwrite(spark, sf).collect().toSeq
+    val want = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(R.dsum(col("o_totalprice")), 4).as("sum_total"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_year").collect().toSeq
+    assert(got == want && got.size > 1)
+    // the store is genuinely partitioned by year on disk
+    val dir = Sources.overwriteDir(spark, sf)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("o_year="))
+    assert(parts == got.size)
+  }
+
+  test("purge cascade: receipt counts replay from driver-side key sets; conservation holds") {
+    import spark.implicits._
+    val panel = Tables.customer(spark, sf).select("c_custkey").as[Long]
+      .collect().filter(_ % 53 == 1).toSet
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .as[(Long, Long)].collect()
+    val purgedOrders = orders.filter(o => panel.contains(o._2)).map(_._1).toSet
+    val li = Tables.lineitem(spark, sf).select("l_orderkey").as[Long].collect()
+    val nCust = Tables.customer(spark, sf).count()
+    val got = operators.Relational.purgeCascade(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("customer", panel.size.toLong, nCust - panel.size),
+      ("lineitem", li.count(purgedOrders.contains).toLong,
+        li.length - li.count(purgedOrders.contains).toLong),
+      ("orders", purgedOrders.size.toLong, orders.length - purgedOrders.size.toLong)))
+    assert(panel.nonEmpty && purgedOrders.nonEmpty)
+  }
 }
