@@ -90,6 +90,8 @@ object SparkEntry {
     "q_count_distinct"    -> ((s, d) => Aggregates.countDistinctUsers(s, d)),
     "q_approx_distinct"   -> ((s, d) => Aggregates.approxDistinctUsers(s, d)),
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
+    "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
+    "q_skew_audit"        -> ((s, d) => Curation.skewAudit(s, d)),
     "q_rollup"            -> ((s, d) => Aggregates.rollupRevenue(s, d)),
     "q_cube"              -> ((s, d) => Aggregates.cubeOrders(s, d)),
     "q_collect"           -> ((s, d) => Aggregates.collectEventTypes(s, d)),
@@ -889,6 +891,36 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  TRUE AS merged_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact-quantile cube: the oracle replays BOTH integer rank rules
+    // over the raw table — exact equality (the point vs the sketch cubes);
+    // cell_days = distinct (day, cents) cells per type pins the grain
+    "q_quantile_cube" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts)//86400000000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |m AS (SELECT event_type, cents, CAST(sum(c) AS BIGINT) AS c
+        |  FROM h GROUP BY 1, 2),
+        |w AS (SELECT event_type, cents,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM m)
+        |SELECT w.event_type, max(n) AS n,
+        |  (SELECT count(*) FROM h WHERE h.event_type = w.event_type)::BIGINT
+        |    AS cell_days,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+        |    + min(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS BIGINT)
+        |    AS med_x2_cents,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS p95_cents
+        |FROM w GROUP BY w.event_type ORDER BY w.event_type""".stripMargin,
+    // all-integer skew audit: counts, exact-ppm share, hotness x100 vs
+    // the uniform mean; (n desc, key) order pinned in both engines
+    "q_skew_audit" ->
+      """WITH pk AS (SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t, count(*) AS k FROM pk)
+        |SELECT o_custkey, n_rows,
+        |  n_rows * 1000000 // t AS share_ppm,
+        |  n_rows * k * 100 // t AS hot_x100
+        |FROM pk, t ORDER BY n_rows DESC, o_custkey LIMIT 20""".stripMargin,
     "q_approx_percentile" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50_exact,

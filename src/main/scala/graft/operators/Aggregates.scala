@@ -407,6 +407,63 @@ object Aggregates {
         col("first.event_id").as("first_event_id"))
       .orderBy("user_id")
 
+  private val quantileCubeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Build-once path for the EXACT-QUANTILE cube: per (event_type, day)
+    * value HISTOGRAMS over integer cents — the third mergeable-summary
+    * species next to the CMS cube (additive counts) and the HLL cube
+    * (sketch-additive distincts): histograms over a bounded value domain
+    * are EXACTLY additive (cell-sum merge), so any day-range rollup
+    * serves exact percentiles with zero sketch error and no fact rescan.
+    * This is what t-digest/KLL buy approximately for unbounded domains;
+    * for bounded discrete measures (cents, token counts, latencies in ms)
+    * the exact histogram IS the right artifact. */
+  private[graft] def quantileCubeDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, quantileCubeMemo)
+    quantileCubeMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-quantile-cube").toString
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+  }
+
+  /** Per-type exact p50/p95 SERVED from the stored daily histogram cube:
+    * merge = one grain-keyed re-sum of cell counts (histograms are exactly
+    * additive), then the cumulative-rank rules read the quantiles off the
+    * merged histogram — [[histMedian]]'s lo/hi interpolation for the
+    * median (emitted as lo+hi to stay integer-exact) and nearest-rank for
+    * p95 (smallest v with 100·cum ≥ 95·n — all-integer, no float rank).
+    * Serving touches only &#8203;|types|×|days|×|distinct cents| artifact
+    * rows; the fact table was scanned ONCE at build. The oracle replays
+    * both rank rules over the raw table in SQL — exact equality, not a
+    * bracket: that is the point of this cube vs the sketch ones.
+    */
+  def quantileCubeServed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = spark.read.parquet(quantileCubeDir(spark, sfDir))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("c")).as("c"), countDistinct(col("day")).as("nd"))
+    val cumW = Window.partitionBy("event_type").orderBy("cents")
+    val totW = Window.partitionBy("event_type")
+    merged
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        sum(col("nd")).as("cell_days"), // cube-grain fingerprint
+        (min(when(col("cum") >= floor((col("n") + 1) / 2), col("cents")))
+          + min(when(col("cum") >= floor(col("n") / 2) + 1, col("cents"))))
+          .as("med_x2_cents"),
+        min(when(col("cum") * 100 >= col("n") * 95, col("cents"))).as("p95_cents"))
+      .orderBy("event_type")
+  }
+
   private val hllCubeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

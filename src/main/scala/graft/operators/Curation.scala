@@ -827,6 +827,29 @@ object Curation {
       .orderBy("column_name")
   }
 
+  /** JOIN-KEY SKEW AUDIT — the profiling pass run before keying a big
+    * join: per hot key its row count, corpus share in exact ppm, and its
+    * hotness as a multiple of the uniform per-key mean (×100, integer) —
+    * the number that tells an engineer whether q_join_salted's replication
+    * or AQE skew splitting is warranted. ONE map-side-combinable key
+    * count, one tiny global count pair broadcast back (scalar crossJoin),
+    * TakeOrderedAndProject for the top-20 — the audit never sorts the
+    * full key frame. All ratios are integer divisions: no float leaves
+    * the plan, so the hash needs no tolerance.
+    */
+  def skewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val perKey = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_rows"))
+    val totals = perKey.agg(sum(col("n_rows")).cast("long").as("t"),
+      count(lit(1)).as("k"))
+    perKey.crossJoin(broadcast(totals))
+      .select(col("o_custkey"), col("n_rows"),
+        expr("n_rows * 1000000L div t").as("share_ppm"),
+        expr("n_rows * k * 100L div t").as("hot_x100"))
+      .orderBy(col("n_rows").desc, col("o_custkey"))
+      .limit(20)
+  }
+
   def driftAudit(spark: SparkSession, sfDir: String): DataFrame =
     driftAuditFrom(Tables.documents(spark, sfDir))
 

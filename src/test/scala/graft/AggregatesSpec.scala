@@ -161,6 +161,32 @@ class AggregatesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == wantDays(r.getString(0))))
   }
 
+  test("quantile cube: served percentiles equal a driver-side sorted replay; serve reads the artifact") {
+    import spark.implicits._
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    val got = Aggregates.quantileCubeServed(spark, sf).collect()
+    assert(got.length == vals.size)
+    got.foreach { r =>
+      val sorted = vals(r.getString(0)).map(_._2).sorted
+      val n = sorted.length
+      // histMedian's lo/hi interpolation, independently off the sorted list
+      val lo = sorted((n + 1) / 2 - 1)
+      val hi = sorted(n / 2)
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(3) == lo + hi, s"${r.getString(0)} median")
+      // nearest-rank p95: smallest index i (1-based) with 100i >= 95n
+      val p95 = sorted(((95L * n + 99) / 100).toInt - 1)
+      assert(r.getLong(4) == p95, s"${r.getString(0)} p95")
+    }
+    // serving scans the stored cube, never the fact table
+    val plan = Aggregates.quantileCubeServed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-quantile-cube") && !plan.contains("events.parquet"))
+  }
+
   test("cms cube: per-source stored sketches merge to the scan-time sketch EXACTLY") {
     // cells are additive, so the cube-served estimates must be
     // bit-identical to q_cms_counts — the executed form of the

@@ -401,6 +401,22 @@ class CurationSpec extends SparkSpec {
     assert(!out(("len", "b0002"))._2)
   }
 
+  test("skew audit: hot keys, shares and hotness replay from a driver-side count") {
+    import spark.implicits._
+    val keys = Tables.orders(spark, sf).select("o_custkey").as[Long].collect()
+    val byKey = keys.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val t = keys.length.toLong
+    val kk = byKey.size.toLong
+    val want = byKey.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+      .map { case (k, n) => (k, n, n * 1000000L / t, n * kk * 100L / t) }
+    val got = Curation.skewAudit(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // shares are exact ppm of the corpus; hotness is vs the uniform mean
+    assert(got.map(_._3).sum <= 1000000L)
+    assert(got.head._4 >= 100L, "the hottest key must be at least the mean")
+  }
+
   test("profile: per-column datasheet matches a driver-side recomputation") {
     import spark.implicits._
     val rows = Curation.profileOrders(spark, sf).collect()

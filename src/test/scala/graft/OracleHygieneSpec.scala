@@ -97,10 +97,20 @@ class OracleHygieneSpec extends AnyFunSuite {
           if (afterOver.startsWith("(")) afterOver.drop(closeParen(afterOver, 0))
           else afterOver.dropWhile(c => c.isLetterOrDigit || c == '_') // named window: OVER w
         val asRe = "^\\s*as\\s+(\\w+)".r
+        // when the windowed sum sits INSIDE a cast — the house-safe
+        // pattern `CAST(sum(...) OVER (...) AS BIGINT)` — the `AS` that
+        // follows the window is the cast's TYPE, not an alias; a type
+        // keyword can never be a real alias, so filter it
         asRe.findFirstMatchIn(afterWin).map(_.group(1))
+          .filterNot(SqlTypeKeywords.contains)
       }
     }
   }
+
+  private val SqlTypeKeywords = Set(
+    "bigint", "hugeint", "uhugeint", "int", "integer", "smallint", "tinyint",
+    "double", "float", "real", "decimal", "numeric", "varchar", "text",
+    "boolean", "date", "timestamp")
 
   /** Output names the alias is renamed to WITHOUT an enclosing CAST. */
   private def bareRenames(low: String, alias: String): Seq[String] = {

@@ -492,6 +492,40 @@ class StreamingSpec extends SparkSpec {
     assert(served == full, "stream-maintained cube diverges from the full rebuild")
   }
 
+  test("streaming DAU maintenance: foreachBatch appends day-partitioned activity, serve equals batch") {
+    // the streaming face of q_rolling_dau_incremental: event micro-batches
+    // append their (day, user) DISTINCT slice into the day-partitioned
+    // activity artifact; after the stream drains, the DAU/WAU readout off
+    // the artifact must equal the scan-time build. The batch-local
+    // distinct is the honest micro-batch contract — duplicates ACROSS
+    // batches are absorbed by dauOf's fenced distinct at serve (the
+    // artifact stays append-only; dedup is the reader's one cheap pass).
+    import graft.operators.Funnels
+    val ev = Tables.events(spark, sf)
+    val artDir = Files.createTempDirectory("graft-daustream-art").toString
+    val srcDir = writeSlices((0 until 3).map(i => ev.filter(col("event_id") % 3 === i)))
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(expr("ts div 86400000000000").as("day"), col("user_id"))
+          .distinct()
+          .write.partitionBy("day").mode("append").parquet(artDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val served = Funnels.dauOf(
+        spark.read.parquet(artDir)
+          .select(col("day").cast("long").as("day"), col("user_id"))
+          .distinct())
+      .collect().toSeq
+    val full = Funnels.rollingDau(spark, sf).collect().toSeq
+    assert(served == full, "stream-maintained DAU artifact diverges from the batch build")
+    // the artifact is genuinely day-partitioned on disk
+    assert(new java.io.File(artDir).listFiles().count(_.getName.startsWith("day=")) > 1)
+  }
+
   test("ProcessingTime trigger with an ASYNC feeder: files landing mid-run curate to the batch result") {
     // VERDICT r9 ask #7: the other trigger tests pre-write every file
     // before start() — the trigger recurs but the source is static. Here
