@@ -241,6 +241,9 @@ object SparkEntry {
     "q_funnel"            -> ((s, d) => Funnels.funnel(s, d)),
     "q_funnel_fold"       -> ((s, d) => Funnels.funnelFold(s, d)),
     "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
+    "q_funnel_latency"    -> ((s, d) => Funnels.funnelLatency(s, d)),
+    "q_ltv_cohort"        -> ((s, d) => Funnels.ltvCohort(s, d)),
+    "q_benford"           -> ((s, d) => Curation.benfordAudit(s, d)),
     "q_new_returning"     -> ((s, d) => Funnels.newVsReturning(s, d)),
     "q_period_over_period" -> ((s, d) => Windows.periodOverPeriod(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
@@ -2314,6 +2317,66 @@ object SparkEntry {
         |UNION ALL SELECT 'click', 2, count(*)::BIGINT FROM c
         |UNION ALL SELECT 'purchase', 3, count(*)::BIGINT FROM p
         |ORDER BY stage_ord""".stripMargin,
+    // time-to-convert quantiles off the converter latency histogram —
+    // the same min-chain as q_funnel's oracle, then the integer rank
+    // rules (lo+hi median, nearest-rank p95); // is integer division
+    "q_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS ns FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) > v.ns
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) > c.ns
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |lat AS (SELECT (p.ns - v.ns) // 1000000000 AS sec
+        |        FROM p JOIN v ON p.user_id = v.user_id),
+        |h AS (SELECT sec, count(*) AS c FROM lat GROUP BY 1),
+        |w AS (SELECT sec,
+        |    CAST(sum(c) OVER (ORDER BY sec) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM h)
+        |SELECT max(n) AS n_converted,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN sec END)
+        |    + min(CASE WHEN cum >= n // 2 + 1 THEN sec END) AS BIGINT)
+        |    AS med_x2_sec,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN sec END) AS p95_sec,
+        |  max(sec) AS max_sec
+        |FROM w""".stripMargin,
+    // cumulative cohort revenue: retention's cohort map + exact integer
+    // cents; the running sum is windowed (HUGEINT in DuckDB -> CAST)
+    "q_ltv_cohort" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//86400000000000 AS day,
+        |    event_type, value FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |r AS (SELECT user_id, day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |g AS (SELECT f.cohort_day, r.day - f.cohort_day AS day_offset,
+        |    count(*)::BIGINT AS n_user_days,
+        |    CAST(sum(r.cents) AS BIGINT) AS cents
+        |  FROM r JOIN f ON r.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_user_days, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset)
+        |    AS BIGINT) AS cum_cents
+        |FROM g ORDER BY cohort_day, day_offset""".stripMargin,
+    // Benford screen: expectations are the SAME fixed integer literals in
+    // both engines (floor(log10(1+1/d)*1e6)) — no engine evaluates a log
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |    FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g),
+        |e(digit, benford_ppm) AS (VALUES (1, 301029), (2, 176091),
+        |  (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+        |  (8, 51152), (9, 45757))
+        |SELECT g.digit, g.n, g.n * 1000000 // t.t AS share_ppm,
+        |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        |  g.n * 1000000 // t.t - e.benford_ppm AS dev_ppm,
+        |  abs(g.n * 1000000 // t.t - e.benford_ppm) > 50000 AS flagged
+        |FROM g, t JOIN e ON g.digit = e.digit
+        |ORDER BY g.digit""".stripMargin,
     "q_retention" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |             epoch_ns(ts)//86400000000000 AS day FROM events),

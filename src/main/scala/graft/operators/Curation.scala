@@ -827,6 +827,37 @@ object Curation {
       .orderBy("column_name")
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT — the forensic-accounting screen (Benford
+    * 1938; Nigrini's fraud-detection practice): natural multi-scale
+    * amounts put digit d first with probability log10(1+1/d), and a
+    * ledger that departs hard from that curve was generated, capped or
+    * hand-keyed. Per leading digit of the price cents: observed count,
+    * exact-ppm share, the Benford expectation (FIXED integer literals —
+    * floor(log10(1+1/d)·1e6), so no engine evaluates a log), and the
+    * signed deviation. All integers; the verdict column flags |dev| >
+    * 50 000 ppm (5 points). One map-side digit extraction + a 9-cell
+    * hash-agg + a scalar total broadcast back: the audit is free at any
+    * scale. (TPC-H's uniform prices are NOT Benford — the audit is
+    * expected to flag; CurationSpec pins that too.)
+    */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val expected = typedLit(Map(
+      1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+      6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L))
+    val digits = Tables.orders(spark, sfDir)
+      .select(substring(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).cast("long").as("t"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div t").as("share_ppm"),
+        expected(col("digit")).as("benford_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+      .withColumn("flagged", abs(col("dev_ppm")) > 50000L)
+      .orderBy("digit")
+  }
+
   /** JOIN-KEY SKEW AUDIT — the profiling pass run before keying a big
     * join: per hot key its row count, corpus share in exact ppm, and its
     * hotness as a multiple of the uniform per-key mean (×100, integer) —

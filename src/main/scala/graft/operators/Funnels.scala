@@ -449,6 +449,88 @@ object Funnels {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** FUNNEL LATENCY: the time-to-convert distribution for users completing
+    * the full view→click→purchase machine — the stage counts say HOW MANY
+    * convert, this says HOW FAST (the number a growth team actually acts
+    * on). Converters and their stage timestamps come from the SAME fold
+    * as [[funnel]] (earliest-qualifying semantics, proven equal to the
+    * min-chain by q_funnel's oracle); whole-second latencies then collapse
+    * to a value histogram and the exact integer rank rules read the
+    * quantiles off it — the medianHist stance: a pile-up of converters at
+    * one latency costs its histogram cell, never a sorted value list.
+    * Median emits as lo+hi (integer-exact), p95 by nearest rank
+    * (smallest v with 100·cum ≥ 95·n).
+    */
+  def funnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val folded = evs.groupBy("user_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("ts"), col("event_type")))),
+        struct(lit(Unreached).as("v"), lit(Unreached).as("c"),
+          lit(Unreached).as("p")),
+        (acc, e) => {
+          val ts = e.getField("ts")
+          val et = e.getField("event_type")
+          struct(
+            when(acc.getField("v") === Unreached && et === "view", ts)
+              .otherwise(acc.getField("v")).as("v"),
+            when(acc.getField("v") =!= Unreached &&
+              acc.getField("c") === Unreached &&
+              et === "click" && ts > acc.getField("v"), ts)
+              .otherwise(acc.getField("c")).as("c"),
+            when(acc.getField("c") =!= Unreached &&
+              acc.getField("p") === Unreached &&
+              et === "purchase" && ts > acc.getField("c"), ts)
+              .otherwise(acc.getField("p")).as("p"))
+        }).as("f"))
+    val hist = folded.filter(col("f.p") =!= Unreached)
+      .select(expr("(f.p - f.v) div 1000000000").as("sec")) // integer div: no float
+      .groupBy("sec").agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    // the remaining frame is distinct-latency-sized: global windows over
+    // it are the intended (domain-bounded) shape
+    val cumW = Window.orderBy("sec").rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy()
+    hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .agg(max(col("n")).as("n_converted"),
+        (min(when(col("cum") >= floor((col("n") + 1) / 2), col("sec")))
+          + min(when(col("cum") >= floor(col("n") / 2) + 1, col("sec"))))
+          .as("med_x2_sec"),
+        min(when(col("cum") * 100 >= col("n") * 95, col("sec"))).as("p95_sec"),
+        max(col("sec")).as("max_sec"))
+  }
+
+  /** LTV COHORT CURVE: cumulative purchase revenue per acquisition cohort
+    * over days-since-first-seen — the lifetime-value readout every growth
+    * model calibrates against ([[retention]] counts who comes back, this
+    * prices what they spend). Cohort = first ACTIVITY day (any event
+    * type, retention's definition); revenue = purchase-event cents summed
+    * exactly as integers. One user_id exchange produces both the cohort
+    * map and the per-(user, day) revenue; the (cohort × offset) frame is
+    * calendar²-bounded, so the running sum rides a domain-sized window.
+    */
+  def ltvCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day"),
+        col("event_type"), col("value"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val revenue = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "day")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    revenue.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_user_days"),
+        sum(col("cents")).as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(cumW))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Session gap for [[sessionPaths]] — 10 minutes in ns, the same gap the
     * q_sessions_10m family sessionizes on. */
   val SessionGapNs = 600000000000L

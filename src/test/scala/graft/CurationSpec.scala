@@ -401,6 +401,24 @@ class CurationSpec extends SparkSpec {
     assert(!out(("len", "b0002"))._2)
   }
 
+  test("benford audit: digit shares replay; uniform TPC-H prices flag as non-Benford") {
+    import spark.implicits._
+    val digits = Tables.orders(spark, sf).select("o_totalprice").as[Double].collect()
+      .map(p => math.rint(p * 100).toLong.toString.charAt(0).asDigit)
+    val t = digits.length.toLong
+    val expected = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val got = Curation.benfordAudit(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Boolean)].collect().toSeq
+    got.foreach { case (d, n, ppm, bppm, dev, fl) =>
+      assert(n == digits.count(_ == d).toLong)
+      assert(ppm == n * 1000000L / t)
+      assert(bppm == expected(d) && dev == ppm - bppm && fl == (math.abs(dev) > 50000L))
+    }
+    // Benford expectations sum to ~1e6; uniform prices must flag somewhere
+    assert(expected.values.sum > 999000L && got.exists(_._6))
+  }
+
   test("skew audit: hot keys, shares and hotness replay from a driver-side count") {
     import spark.implicits._
     val keys = Tables.orders(spark, sf).select("o_custkey").as[Long].collect()

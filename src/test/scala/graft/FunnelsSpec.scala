@@ -327,6 +327,55 @@ class FunnelsSpec extends SparkSpec {
     got.foreach { case (_, dau, wau, s) => assert(dau <= wau && s > 0 && s <= 1) }
   }
 
+  test("funnel latency: quantiles replay from a driver-side min-chain over converters") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+    val lats = evs.values.flatMap { rows =>
+      val v = rows.filter(_._3 == "view").map(_._2).minOption
+      val c = v.flatMap(vn => rows.filter(r => r._3 == "click" && r._2 > vn).map(_._2).minOption)
+      val p = c.flatMap(cn => rows.filter(r => r._3 == "purchase" && r._2 > cn).map(_._2).minOption)
+      (v, p) match { case (Some(vn), Some(pn)) => Some(Math.floorDiv(pn - vn, 1000000000L)); case _ => None }
+    }.toSeq.sorted
+    val n = lats.length
+    val row = operators.Funnels.funnelLatency(spark, sf).collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == lats((n + 1) / 2 - 1) + lats(n / 2), "median lo+hi")
+    assert(row.getLong(2) == lats(((95L * n + 99) / 100).toInt - 1), "p95 nearest rank")
+    assert(row.getLong(3) == lats.last)
+  }
+
+  test("ltv cohort: cumulative revenue replays; cumulative is monotone per cohort") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.expr("ts div 86400000000000").as("day"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect()
+    val cohort = ev.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val cells = ev.filter(_._3 == "purchase")
+      .groupBy(r => (cohort(r._1), r._2 - cohort(r._1)))
+      .map { case ((cd, off), rs) =>
+        (cd, off, rs.map(r => (r._1, r._2)).toSet.size.toLong,
+          rs.map(r => math.rint(r._4 * 100).toLong).sum) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    // n_user_days counts (user, day) revenue cells, not raw purchases
+    val wantCells = ev.filter(_._3 == "purchase")
+      .groupBy(r => (r._1, r._2)).keys.toSeq
+      .groupBy(ud => (cohort(ud._1), ud._2 - cohort(ud._1)))
+      .map { case (k, us) => k -> us.size.toLong }
+    val got = operators.Funnels.ltvCohort(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(g => (g._1, g._2, g._4)) == cells.map(c => (c._1, c._2, c._4)))
+    got.foreach(g => assert(g._3 == wantCells((g._1, g._2))))
+    got.groupBy(_._1).values.foreach { rows =>
+      val cums = rows.sortBy(_._2).map(_._5)
+      assert(cums == cums.sorted, "cumulative revenue must be monotone")
+      assert(cums.last == rows.map(_._4).sum)
+    }
+  }
+
   test("rolling dau incremental: stored day-partitioned artifact equals the scan-time build") {
     import spark.implicits._
     val full = operators.Funnels.rollingDau(spark, sf)
