@@ -65,6 +65,7 @@ object SparkEntry {
     "q_cdc_apply"         -> ((s, d) => Relational.cdcApply(s, d)),
     "q_profile"           -> ((s, d) => Curation.profileOrders(s, d)),
     "q_session_paths"     -> ((s, d) => Funnels.sessionPaths(s, d)),
+    "q_session_stats"     -> ((s, d) => Funnels.sessionStats(s, d)),
     "q_rfm"               -> ((s, d) => Windows.rfmSegments(s, d)),
     "q_skyline"           -> ((s, d) => Relational.skylineParts(s, d)),
     "q_skyline_custom"    -> ((s, d) => Relational.skylinePartsCustom(s, d)),
@@ -249,6 +250,7 @@ object SparkEntry {
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
+    "q_mannwhitney"       -> ((s, d) => Funnels.mannWhitney(s, d)),
     "q_chi2"              -> ((s, d) => Funnels.chi2Independence(s, d)),
     "q_rolling_dau"       -> ((s, d) => Funnels.rollingDau(s, d)),
     "q_rolling_dau_incremental" -> ((s, d) => Funnels.rollingDauIncremental(s, d)),
@@ -549,6 +551,37 @@ object SparkEntry {
     // session path analysis (r11): the q_sessions_10m sessionization, each
     // session folded to its ordered event_type chain; (tns, event_id) tie
     // order pinned in both engines so path strings are deterministic
+    // session duration/depth quantiles off value histograms — the same
+    // sessionize CTE as q_session_paths, then the integer rank rules on
+    // both measures; the two single-row stats frames cross-join
+    "q_session_stats" ->
+      s"""WITH m AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |       OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= ${operators.Funnels.SessionGapNs}
+        |       THEN 1 ELSE 0 END AS newsess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |s AS (SELECT user_id, event_id, tns,
+        |  sum(newsess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |g AS (SELECT user_id, sid, (max(tns) - min(tns)) // 1000000000 AS dur_sec,
+        |      count(*) AS depth FROM s GROUP BY user_id, sid),
+        |hd AS (SELECT dur_sec AS v, count(*) AS c FROM g GROUP BY 1),
+        |wd AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |       CAST(sum(c) OVER () AS BIGINT) AS n FROM hd),
+        |sd AS (SELECT max(n) AS n_sessions,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |    + min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS BIGINT) AS med_x2_dur_sec,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS p95_dur_sec,
+        |  max(v) AS max_dur_sec FROM wd),
+        |he AS (SELECT depth AS v, count(*) AS c FROM g GROUP BY 1),
+        |we AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |       CAST(sum(c) OVER () AS BIGINT) AS n FROM he),
+        |se AS (SELECT
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |    + min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS BIGINT) AS med_x2_depth,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS p95_depth,
+        |  max(v) AS max_depth FROM we)
+        |SELECT * FROM sd, se""".stripMargin,
     "q_session_paths" ->
       s"""WITH m AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
         |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
@@ -2622,6 +2655,35 @@ object SparkEntry {
         |      AS crit_05
         |  FROM g)
         |SELECT event_type, n_a, n_b, ks, crit_05, ks > crit_05 AS significant
+        |FROM r ORDER BY event_type""".stripMargin,
+    // rank sums as exact HUGEINT midrank-x2 products (never a float
+    // rank); u_a halves exactly in a double; z one fixed op chain,
+    // verdict on the 4-dp-rounded z — the Welch/KS discipline
+    "q_mannwhitney" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS va,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |h AS (SELECT event_type, y,
+        |    CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, ca, cb,
+        |    2 * (sum(ca + cb) OVER w - (ca + cb)) + (ca + cb) + 1 AS mr2
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb,
+        |    sum(ca * mr2) AS r2 FROM c GROUP BY 1),
+        |r AS (SELECT event_type,
+        |    CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |    (CAST(r2 AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0))
+        |      / 2.0 AS u_a,
+        |    round((CAST(r2 AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)
+        |        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |      / 2.0
+        |      / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |        * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) / 12.0), 4) AS z_mw
+        |  FROM s)
+        |SELECT event_type, n_a, n_b, u_a, z_mw, abs(z_mw) >= 1.96 AS significant
         |FROM r ORDER BY event_type""".stripMargin,
     // marginals stay internal (DuckDB sums them as HUGEINT — never output
     // uncast); expected/contrib are single-rounding op chains replicated

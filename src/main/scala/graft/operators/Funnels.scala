@@ -572,6 +572,46 @@ object Funnels {
       .limit(20)
   }
 
+  /** SESSION STATISTICS: the duration/depth distribution of 10-minute-gap
+    * sessions — [[sessionPaths]] discovers the journey SHAPES, this sizes
+    * the journeys (the p50/p95 a capacity planner and a UX team both
+    * read). Sessionization rides the same single user_id exchange
+    * (lag + running-sum), each session folds to (duration_sec, depth) in
+    * the same pass, and BOTH quantile readouts come off value histograms
+    * with the exact integer rank rules — a million same-length sessions
+    * cost two histogram cells, never a sorted list. One row out: depth
+    * and duration p50 (lo+hi) / p95 / max, plus the session count.
+    */
+  def sessionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newsess = when(lag(col("ts"), 1).over(byUser).isNull
+      || col("ts") - lag(col("ts"), 1).over(byUser) >= SessionGapNs, 1L).otherwise(0L)
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("sid", sum(newsess).over(runSum))
+      .groupBy("user_id", "sid")
+      .agg(expr("(max(ts) - min(ts)) div 1000000000").as("dur_sec"),
+        count(lit(1)).as("depth"))
+    def rankStats(vals: DataFrame, v: String): DataFrame = {
+      val cumW = Window.orderBy(v).rowsBetween(Window.unboundedPreceding, 0)
+      val totW = Window.partitionBy()
+      vals.groupBy(col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(cumW))
+        .withColumn("n", sum("c").over(totW))
+        .agg(max(col("n")).as("n"),
+          (min(when(col("cum") >= floor((col("n") + 1) / 2), col(v)))
+            + min(when(col("cum") >= floor(col("n") / 2) + 1, col(v))))
+            .as(s"med_x2_$v"),
+          min(when(col("cum") * 100 >= col("n") * 95, col(v))).as(s"p95_$v"),
+          max(col(v)).as(s"max_$v"))
+    }
+    val dur = rankStats(sessions.select("dur_sec"), "dur_sec")
+      .withColumnRenamed("n", "n_sessions")
+    val dep = rankStats(sessions.select("depth"), "depth").drop("n")
+    dur.crossJoin(dep) // two single-row frames
+  }
+
   /** Rolling DAU / trailing-7-day WAU / stickiness per day — the
     * engagement readout every product dashboard serves. Distinct-over-a-
     * sliding-window does NOT map-side combine (distinct sets are not
@@ -773,6 +813,56 @@ object Funnels {
       .withColumn("pct_of_total",
         round(col("cum_users").cast("double") / max(col("cum_users")).over(all), 6))
       .orderBy("day")
+  }
+
+  /** MANN–WHITNEY U test per event type between the user-parity arms —
+    * the NONPARAMETRIC companion to [[abtestWelch]] (no normality
+    * assumption; detects stochastic dominance the t test misses under
+    * heavy tails). Computed EXACTLY on the (type × distinct-cents)
+    * histogram with conditional per-arm counts: value v spans total
+    * ranks (cumT_prev, cumT_prev + cnt], so its tie MIDRANK ×2 is the
+    * integer 2·cumT_prev + cnt + 1, and twice arm A's rank sum is
+    * R2 = Σ ca(v)·(2·cumT_prev + cnt + 1) — a DECIMAL(38,0) sum of
+    * integer products, never a float rank. Then 2U = R2 − nA(nA+1), and
+    * the large-sample z (no tie correction; documented) takes ONE fixed
+    * IEEE op chain per term, rounded to 4 dp before the verdict — the
+    * Welch/KS discipline. Scale shape: the ksTest stance — raw rows
+    * collapse map-side to the value histogram; ranks ride the
+    * value-domain frame only.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("user_id") % 2 === 0).as("va"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .groupBy("event_type", "y")
+      .agg(sum(when(col("va"), 1L).otherwise(0L)).cast(dec).as("ca"),
+        sum(when(!col("va"), 1L).otherwise(0L)).cast(dec).as("cb"))
+    val cumW = Window.partitionBy("event_type").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val cnt = col("ca") + col("cb")
+    val withRanks = hist
+      .withColumn("cum_t", sum(cnt).over(cumW))
+      // midrank x2 of this value's tie block: 2*cumT_prev + cnt + 1
+      .withColumn("mr2", lit(2).cast(dec) * (col("cum_t") - cnt) + cnt + lit(1).cast(dec))
+    val s = withRanks.groupBy("event_type")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("ca") * col("mr2")).as("r2"))
+    s.select(col("event_type"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        // 2U = R2 - nA(nA+1); halves are exact in a double
+        ((d(col("r2")) - d(col("na")) * (d(col("na")) + lit(1.0))) / lit(2.0)).as("u_a"),
+        round(
+          (d(col("r2")) - d(col("na")) * (d(col("na")) + lit(1.0))
+            - d(col("na")) * d(col("nb")))
+            / lit(2.0)
+            / sqrt(d(col("na")) * d(col("nb"))
+              * (d(col("na")) + d(col("nb")) + lit(1.0)) / lit(12.0)), 4)
+          .as("z_mw"))
+      .withColumn("significant", abs(col("z_mw")) >= 1.96)
+      .orderBy("event_type")
   }
 
   /** Pearson χ² test of independence between event_type and time-of-day

@@ -327,6 +327,64 @@ class FunnelsSpec extends SparkSpec {
     got.foreach { case (_, dau, wau, s) => assert(dau <= wau && s > 0 && s <= 1) }
   }
 
+  test("session stats: duration/depth quantiles replay from a driver-side sessionization") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val sessions = evs.values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val buf = scala.collection.mutable.ArrayBuffer[Vector[Long]]()
+      sorted.foreach { r =>
+        if (buf.isEmpty || r._3 - buf.last.last >= operators.Funnels.SessionGapNs)
+          buf += Vector(r._3)
+        else buf(buf.size - 1) = buf.last :+ r._3
+      }
+      buf.map(ts => (Math.floorDiv(ts.max - ts.min, 1000000000L), ts.size.toLong))
+    }.toSeq
+    def stats(vs: Seq[Long]): (Long, Long, Long) = {
+      val s = vs.sorted; val n = s.length
+      (s((n + 1) / 2 - 1) + s(n / 2), s(((95L * n + 99) / 100).toInt - 1), s.last)
+    }
+    val (d2, d95, dmax) = stats(sessions.map(_._1))
+    val (e2, e95, emax) = stats(sessions.map(_._2))
+    val row = operators.Funnels.sessionStats(spark, sf).collect().head
+    assert(row.getLong(0) == sessions.size.toLong)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((d2, d95, dmax)))
+    assert((row.getLong(4), row.getLong(5), row.getLong(6)) == ((e2, e95, emax)))
+  }
+
+  test("mann-whitney: U and z replay from driver-side midranks; U_a + U_b conserves") {
+    import spark.implicits._
+    val obs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2 % 2 == 0, math.rint(r._3 * 100).toLong))
+    val got = operators.Funnels.mannWhitney(spark, sf).collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val ys = obs.filter(_._1 == t)
+      val sorted = ys.map(_._3).sorted
+      // midrank of value v (1-based, ties averaged)
+      val rank = sorted.distinct.map { v =>
+        val lt = sorted.count(_ < v); val c = sorted.count(_ == v)
+        v -> (lt + (c + 1) / 2.0)
+      }.toMap
+      val na = ys.count(_._2).toLong; val nb = ys.count(!_._2).toLong
+      val ra = ys.filter(_._2).map(y => rank(y._3)).sum
+      val ua = ra - na * (na + 1) / 2.0
+      assert((r.getLong(1), r.getLong(2)) == ((na, nb)))
+      assert(math.abs(r.getDouble(3) - ua) < 1e-6, s"$t U")
+      val z = (ua - na * nb / 2.0) /
+        math.sqrt(na.toDouble * nb * (na + nb + 1.0) / 12.0)
+      assert(math.abs(r.getDouble(4) - math.rint(z * 1e4) / 1e4) < 1e-9, s"$t z")
+      // U_a + U_b = nA*nB — the rank-sum conservation identity
+      val rb = ys.filterNot(_._2).map(y => rank(y._3)).sum
+      val ub = rb - nb * (nb + 1) / 2.0
+      assert(math.abs((ua + ub) - na.toDouble * nb) < 1e-6)
+    }
+  }
+
   test("funnel latency: quantiles replay from a driver-side min-chain over converters") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)
