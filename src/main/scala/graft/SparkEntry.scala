@@ -75,6 +75,8 @@ object SparkEntry {
     "q_orc_source"        -> ((s, d) => Sources.orcOrderPriorities(s, d)),
     "q_csv_events"        -> ((s, d) => Sources.csvEventsNs(s, d)),
     "q_jsonl_events"      -> ((s, d) => Sources.jsonlEventsNs(s, d)),
+    "q_orc_events"        -> ((s, d) => Sources.orcEventsNs(s, d)),
+    "q_iqr_outliers"      -> ((s, d) => Aggregates.iqrOutliers(s, d)),
     "q_schema_evolution"  -> ((s, d) => Sources.schemaEvolution(s, d)),
     "q_partition_overwrite" -> ((s, d) => Sources.partitionOverwrite(s, d)),
     "q_purge_cascade"     -> ((s, d) => Relational.purgeCascade(s, d)),
@@ -710,6 +712,38 @@ object SparkEntry {
         |  CAST(sum(epoch_ns(ts) % 1000000000) AS BIGINT) AS subsec_sum,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the columnar events round-trip: ts is a native int64 ORC column —
+    // pins the writer/reader pair; same checksum as the text twins
+    "q_orc_events" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  min(epoch_ns(ts)) AS min_ts_ns, max(epoch_ns(ts)) AS max_ts_ns,
+        |  CAST(sum(epoch_ns(ts) % 1000000000) AS BIGINT) AS subsec_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Tukey fences off the value histogram: integer nearest-rank q1/q3
+    // (4*cum >= n, 4*cum >= 3n), x2-integer fences emitted once as
+    // doubles, outlier mass counted off the same histogram
+    "q_iqr_outliers" ->
+      """WITH h AS (SELECT l_returnflag AS k, l_quantity AS v, count(*) AS c
+        |    FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT k, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM h),
+        |q AS (SELECT k, max(n) AS n,
+        |    min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM w GROUP BY 1),
+        |f AS (SELECT k, n, q1, q3,
+        |    q1 * 2 - (q3 - q1) * 3 AS lo_x2,
+        |    q3 * 2 + (q3 - q1) * 3 AS hi_x2 FROM q)
+        |SELECT f.k, f.n, f.q1, f.q3,
+        |  CAST(lo_x2 AS DOUBLE) / 2.0 AS fence_lo,
+        |  CAST(hi_x2 AS DOUBLE) / 2.0 AS fence_hi,
+        |  CAST(sum(CASE WHEN h.v * 2 < lo_x2 OR h.v * 2 > hi_x2
+        |    THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM f JOIN h ON f.k = h.k
+        |GROUP BY f.k, f.n, f.q1, f.q3, lo_x2, hi_x2
+        |ORDER BY f.k""".stripMargin,
     // merge-on-read schema evolution: the engine unions two file
     // generations (gen-1 lacks o_orderpriority → backfilled 'LEGACY');
     // the oracle derives the same split from the pristine orders table

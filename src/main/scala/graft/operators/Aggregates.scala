@@ -407,6 +407,42 @@ object Aggregates {
         col("first.event_id").as("first_event_id"))
       .orderBy("user_id")
 
+  /** TUKEY IQR OUTLIER FENCES per key — the box-plot data-cleaning rule
+    * (Tukey 1977): q1/q3 by the same integer nearest-rank discipline as
+    * the rest of the histogram family (smallest v with 4·cum ≥ n and with
+    * 4·cum ≥ 3·n), fences at q1 − 1.5·IQR and q3 + 1.5·IQR (halves exact:
+    * computed as x2 integers, emitted once as doubles), and the outlier
+    * mass OUTSIDE the fences counted off the SAME histogram — no second
+    * scan, no sorted value list. The join back is histogram-to-quartiles
+    * on the key (value-domain-bounded both sides).
+    */
+  def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = quantityHist(spark, sfDir)
+    val cumW = Window.partitionBy("k").orderBy("v")
+    val totW = Window.partitionBy("k")
+    val q = hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .groupBy("k")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+      // fences as x2 integers: 2·q1 − 3·IQR and 2·q3 + 3·IQR (IQR = q3−q1)
+      .withColumn("lo_x2", col("q1") * 2 - (col("q3") - col("q1")) * 3)
+      .withColumn("hi_x2", col("q3") * 2 + (col("q3") - col("q1")) * 3)
+    q.join(hist, "k")
+      .groupBy(col("k"), col("n"), col("q1"), col("q3"),
+        col("lo_x2"), col("hi_x2"))
+      .agg(sum(when(col("v") * 2 < col("lo_x2") || col("v") * 2 > col("hi_x2"),
+        col("c")).otherwise(0L)).as("n_outliers"))
+      .select(col("k"), col("n"), col("q1"), col("q3"),
+        (col("lo_x2").cast("double") / 2.0).as("fence_lo"),
+        (col("hi_x2").cast("double") / 2.0).as("fence_hi"),
+        col("n_outliers"))
+      .orderBy("k")
+  }
+
   private val quantileCubeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

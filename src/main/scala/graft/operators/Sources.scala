@@ -189,6 +189,29 @@ object Sources {
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
       .json(jsonlEventsDir(spark, sfDir)))
 
+  private val orcEventsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def orcEventsDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, orcEventsMemo)
+    orcEventsMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc-events").toString
+      Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite").orc(dir)
+      dir
+    })
+  }
+
+  /** ns-timestamp survival through ORC — the columnar member of the
+    * events round-trip family: the bigint-ns `ts` is a native int64 ORC
+    * column (no formatter in the path at all, unlike the text formats),
+    * so this pins the WRITER/reader pair rather than an encoding rule;
+    * same sub-second checksum, same oracle shape. */
+  def orcEventsNs(spark: SparkSession, sfDir: String): DataFrame =
+    eventsNsRollup(spark.read.orc(orcEventsDir(spark, sfDir)))
+
   private val evolveMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

@@ -161,6 +161,26 @@ class AggregatesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == wantDays(r.getString(0))))
   }
 
+  test("iqr outliers: quartiles, fences and outlier mass replay from a driver-side sort") {
+    import spark.implicits._
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    val got = Aggregates.iqrOutliers(spark, sf).collect()
+    assert(got.length == vals.size)
+    got.foreach { r =>
+      val s = vals(r.getString(0)).map(_._2).sorted
+      val n = s.length
+      def nr(q: Int) = s(((q.toLong * n + 3) / 4).toInt - 1) // smallest i: 4i >= q*n
+      val (q1, q3) = (nr(1), nr(3))
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getDouble(2) == q1 && r.getDouble(3) == q3)
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      assert(r.getDouble(4) == lo && r.getDouble(5) == hi)
+      assert(r.getLong(6) == s.count(v => v < lo || v > hi).toLong)
+    }
+  }
+
   test("quantile cube: served percentiles equal a driver-side sorted replay; serve reads the artifact") {
     import spark.implicits._
     val vals = Tables.events(spark, sf)

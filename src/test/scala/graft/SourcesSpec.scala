@@ -131,6 +131,19 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("o_custkey"), "column pruning lost: o_custkey read")
   }
 
+  test("ORC events round-trip: ns checksum equals the parquet-side rollup") {
+    import graft.operators.{Relational => R, Sources}
+    val got = Sources.orcEventsNs(spark, sf).collect().toSeq
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("min_ts_ns"), max(col("ts")).as("max_ts_ns"),
+        sum(col("ts") % 1000000000L).as("subsec_sum"),
+        round(R.dsum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("schema evolution: two file generations carry different schemas; merge accounts for all rows") {
     import graft.operators.Sources
     val dir = Sources.evolveDir(spark, sf)
