@@ -320,7 +320,15 @@ object ScaleCurve {
       // one user-tracking exchange, no expansion at all)
       "rolling_dau"     -> ((d, _) => Funnels.rollingDau(spark, d)),
       "rolling_wau_hll" -> ((d, _) => Funnels.rollingWauSketch(spark, d)),
-      "reach_curve"     -> ((d, _) => Funnels.reachCurve(spark, d)))
+      "reach_curve"     -> ((d, _) => Funnels.reachCurve(spark, d)),
+      // r11 late: the exact-histogram cube (memo keys on the dir, so each
+      // factor pays build+serve like mv_incr — shuffle must track the
+      // domain-bounded histogram cells, not corpus rows), the cohort
+      // revenue curve (one user exchange + calendar²-bounded cells) and
+      // the funnel latency quantiles (per-user fold + latency histogram)
+      "quantile_cube"  -> ((d, _) => graft.operators.Aggregates.quantileCubeServed(spark, d)),
+      "ltv_cohort"     -> ((d, _) => Funnels.ltvCohort(spark, d)),
+      "funnel_latency" -> ((d, _) => Funnels.funnelLatency(spark, d)))
     val ordersQueries: Seq[(String, Fn)] = Seq(
       "table_diff" -> ((d, _) => Relational.tableDiff(spark, d)),
       "gini"       -> ((d, _) => Windows.giniRevenue(spark, d)),

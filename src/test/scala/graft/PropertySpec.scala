@@ -362,4 +362,28 @@ class PropertySpec extends SparkSpec {
       assert(got("a") == ref(xs) && got("b") == ref(ys), s"xs=$xs ys=$ys")
     }
   }
+
+  test("integer nearest-rank rule (q*cum >= p*n) equals sorted nearest-rank for any quantile") {
+    // the rank form every histogram quantile op uses (quantile cube,
+    // funnel latency, session stats p95, IQR q1/q3): smallest v with
+    // den*cum >= num*n == sorted(ceil(num*n/den))  [1-based]
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val multiset = Gen.nonEmptyListOf(Gen.choose(0, 12)).map(_.take(40))
+    val quantile = Gen.oneOf((1, 4), (3, 4), (95, 100), (1, 2))
+    samples(Gen.zip(multiset, quantile), 12).foreach { case (xs, (num, den)) =>
+      val hist = xs.groupBy(identity).map { case (v, g) => (v.toLong, g.size.toLong) }
+        .toSeq.toDF("v", "c")
+      val cumW = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val totW = Window.partitionBy()
+      val got = hist
+        .withColumn("cum", sum("c").over(cumW))
+        .withColumn("n", sum("c").over(totW))
+        .agg(min(when(col("cum") * den >= col("n") * num, col("v"))))
+        .head.getLong(0)
+      val s = xs.sorted
+      val want = s(((num.toLong * s.length + den - 1) / den).toInt - 1).toLong
+      assert(got == want, s"xs=$xs q=$num/$den")
+    }
+  }
 }
