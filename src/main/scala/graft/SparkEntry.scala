@@ -80,6 +80,7 @@ object SparkEntry {
     "q_schema_evolution"  -> ((s, d) => Sources.schemaEvolution(s, d)),
     "q_partition_overwrite" -> ((s, d) => Sources.partitionOverwrite(s, d)),
     "q_purge_cascade"     -> ((s, d) => Relational.purgeCascade(s, d)),
+    "q_spatial_join"      -> ((s, d) => Relational.spatialJoin(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
     "q_asof_join_custom"  -> ((s, d) => Relational.asOfJoinCustom(s, d)),
     "q_asof_join_tolerance" -> ((s, d) => Relational.asOfJoinTolerance(s, d)),
@@ -766,6 +767,22 @@ object SparkEntry {
         |    AS sum_total,
         |  max(o_orderkey) AS max_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // spatial oracle: the QUADRATIC self-join with the identical exact
+    // integer predicate — agreement proves the grid join finds every
+    // pair exactly once (the engine never runs a quadratic stage)
+    "q_spatial_join" ->
+      """WITH p AS (SELECT c_custkey AS k,
+        |    (c_custkey * c_custkey * 7919 + c_custkey * 104729) % 18000 AS lat_s,
+        |    (c_custkey * c_custkey * 104729 + c_custkey * 7919) % 36000 AS lon_s
+        |  FROM customer)
+        |SELECT a.k AS a, b.k AS b,
+        |  (a.lat_s - b.lat_s) * (a.lat_s - b.lat_s) * 1000000
+        |    + (a.lon_s - b.lon_s) * (a.lon_s - b.lon_s) * 586756 AS d2
+        |FROM p a JOIN p b ON a.k < b.k
+        |WHERE (a.lat_s - b.lat_s) * (a.lat_s - b.lat_s) * 1000000
+        |    + (a.lon_s - b.lon_s) * (a.lon_s - b.lon_s) * 586756
+        |  <= 40000000000
+        |ORDER BY a, b""".stripMargin,
     // erasure cascade receipt: purged/retained per table via the same
     // foreign-key semi-join chain, stated as correlated subqueries
     "q_purge_cascade" ->

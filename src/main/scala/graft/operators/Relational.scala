@@ -941,6 +941,66 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** GRID-PARTITIONED SPATIAL SELF-JOIN: all customer pairs within a
+    * fixed radius — the proximity query behind store-coverage, fraud
+    * rings and delivery batching. Coordinates derive deterministically
+    * from the key as INTEGER centi-degrees, and the whole geometry stays
+    * EXACT INTEGER: longitude is weighted by the fixed rational 766/1000
+    * (cos 40° to three places — the equirectangular approximation at the
+    * panel's latitude band, stated, not hidden) so the within-radius test
+    * is (1000·Δlat)² + (766·Δlon)² ≤ (1000·R)² — no sin/cos anywhere,
+    * hence bit-identical in both engines where haversine's trig would be
+    * last-ulp hazardous.
+    *
+    * The plan is the standard grid join (the spatial analogue of the
+    * banded range join): cells of side R index space; a true pair is
+    * always within the per-axis stencil (±1 lat cell, ±2 lon cells — the
+    * weighted ellipse's lon extent exceeds the cell side), so side A
+    * expands to its 3×5 neighborhood (map-side, fan-out exactly 15) and
+    * equi-joins side B's HOME cell — each pair found exactly once, no
+    * dedup pass, no quadratic stage; the oracle deliberately runs the
+    * quadratic form, so the hash match proves stencil completeness.
+    * Cells are computed on a shifted non-negative domain because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — on
+    * negatives those disagree (the q_scd2 class of portability bug,
+    * dodged by construction). At 100 TB the cell key IS the partitioner:
+    * skew (a dense city) splits by salting the hot cells exactly like a
+    * hot join key.
+    */
+  def spatialJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val R = 200L // radius in centi-degrees (2 degrees)
+    // quadratic key mixing: a LINEAR congruence (k·c mod m) makes every
+    // pairwise delta a function of the key difference alone — a rank-1
+    // lattice that can miss the radius for EVERY pair; the quadratic
+    // term breaks the lattice and scatters genuinely (358 pairs at
+    // sf0.01, ~an aggregated-pair per 4 points)
+    def pts = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("k"),
+      ((col("c_custkey") * col("c_custkey") * 7919L
+        + col("c_custkey") * 104729L) % 18000L).as("lat_s"), // [0, 18000)
+      ((col("c_custkey") * col("c_custkey") * 104729L
+        + col("c_custkey") * 7919L) % 36000L).as("lon_s")) // [0, 36000)
+    // neighborhood width per axis = ceil(max delta / cell side): lat is
+    // bounded by R (±1 cell) but the 766/1000 weight stretches lon to
+    // floor(1000R/766) = 261 > R, so lon needs ±2 — the ellipse, not the
+    // circle, dictates the stencil (3×5, fan-out 15)
+    val a = pts
+      .select(col("k").as("a"), col("lat_s").as("alat"), col("lon_s").as("alon"),
+        explode(sequence(expr(s"lat_s div $R - 1"), expr(s"lat_s div $R + 1"))).as("cx"))
+      .select(col("a"), col("alat"), col("alon"), col("cx"),
+        explode(sequence(expr(s"alon div $R - 2"), expr(s"alon div $R + 2"))).as("cy"))
+    val b = pts.select(col("k").as("b"), col("lat_s").as("blat"), col("lon_s").as("blon"),
+      expr(s"lat_s div $R").as("cx"), expr(s"lon_s div $R").as("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("a") < col("b"))
+      .withColumn("d2",
+        (col("alat") - col("blat")) * (col("alat") - col("blat")) * 1000000L
+          + (col("alon") - col("blon")) * (col("alon") - col("blon")) * (766L * 766L))
+      .filter(col("d2") <= lit(1000L * R * 1000L * R))
+      .select(col("a"), col("b"), col("d2"))
+      .orderBy("a", "b")
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN PURGE CASCADE: a deletion-request panel
     * (customers with key ≡ 1 mod 53, ~2% — the deterministic stand-in for
     * a GDPR/CCPA request queue) propagates through the foreign-key chain

@@ -430,4 +430,24 @@ class RelationalSpec extends SparkSpec {
     assert(got.map(_._1).distinct.length == got.length)
     assert(got.nonEmpty && got.length <= dim.map(_._1).distinct.length)
   }
+
+  test("spatial grid join equals the quadratic reference; no cartesian stage in the plan") {
+    import spark.implicits._
+    val keys = Tables.customer(spark, sf).select("c_custkey").as[Long].collect()
+    val pts = keys.map(k =>
+      (k, (k * k * 7919L + k * 104729L) % 18000L, (k * k * 104729L + k * 7919L) % 36000L))
+    val want = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      dlat = a._2 - b._2; dlon = a._3 - b._3
+      d2 = dlat * dlat * 1000000L + dlon * dlon * 586756L
+      if d2 <= 40000000000L
+    } yield (a._1, b._1, d2)).sortBy(t => (t._1, t._2)).toSeq
+    val df = operators.Relational.spatialJoin(spark, sf)
+    val got = df.as[(Long, Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the grid join never runs a quadratic stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"quadratic stage in plan:\n$plan")
+  }
 }
