@@ -77,6 +77,8 @@ object SparkEntry {
     "q_jsonl_events"      -> ((s, d) => Sources.jsonlEventsNs(s, d)),
     "q_orc_events"        -> ((s, d) => Sources.orcEventsNs(s, d)),
     "q_iqr_outliers"      -> ((s, d) => Aggregates.iqrOutliers(s, d)),
+    "q_weighted_median"   -> ((s, d) => Aggregates.weightedMedian(s, d)),
+    "q_kwic"              -> ((s, d) => TextAnalysis.kwic(s, d)),
     "q_schema_evolution"  -> ((s, d) => Sources.schemaEvolution(s, d)),
     "q_partition_overwrite" -> ((s, d) => Sources.partitionOverwrite(s, d)),
     "q_purge_cascade"     -> ((s, d) => Relational.purgeCascade(s, d)),
@@ -721,6 +723,32 @@ object SparkEntry {
         |  CAST(sum(epoch_ns(ts) % 1000000000) AS BIGINT) AS subsec_sum,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // weighted median: the histMedian lo/hi rules on cumulative WEIGHT
+    // (quantity mass) instead of row counts; all integer
+    "q_weighted_median" ->
+      """WITH h AS (SELECT l_returnflag AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT k, v,
+        |    CAST(sum(c) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM h)
+        |SELECT k, max(n) AS total_weight,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |    + min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS BIGINT)
+        |    AS wmed_x2_cents
+        |FROM w GROUP BY k ORDER BY k""".stripMargin,
+    // KWIC snippets by DuckDB list slicing over generate_subscripts —
+    // an independent formulation of the ±3 window clamp
+    "q_kwic" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, w, unnest(w) AS word,
+        |    generate_subscripts(w, 1) AS p FROM d)
+        |SELECT word AS term, doc_id, CAST(p - 1 AS BIGINT) AS pos,
+        |  array_to_string(w[greatest(p - 3, 1):least(p + 3, len(w))], ' ')
+        |    AS snippet
+        |FROM t WHERE word IN ('join', 'scan')
+        |ORDER BY term, doc_id, pos""".stripMargin,
     // Tukey fences off the value histogram: integer nearest-rank q1/q3
     // (4*cum >= n, 4*cum >= 3n), x2-integer fences emitted once as
     // doubles, outlier mass counted off the same histogram

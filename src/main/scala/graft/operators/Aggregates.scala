@@ -407,6 +407,34 @@ object Aggregates {
         col("first.event_id").as("first_event_id"))
       .orderBy("user_id")
 
+  /** WEIGHTED MEDIAN per key — the revenue-weighted / latency-weighted
+    * "typical value" (half the MASS sits on each side, not half the
+    * rows): identical cumulative-rank algebra to [[histMedian]] but the
+    * histogram accumulates WEIGHT per value instead of row counts — here
+    * the quantity-weighted median price cents per return flag. Exact:
+    * weights are integral longs, lo/hi read off the cumulative weight,
+    * median emitted as lo+hi. Same 100 TB stance as every histogram op:
+    * keys × distinct-values rows shuffle, never the fact.
+    */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("k"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("c"))
+    val cumW = Window.partitionBy("k").orderBy("v")
+    val totW = Window.partitionBy("k")
+    hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .groupBy("k")
+      .agg(max(col("n")).as("total_weight"),
+        (min(when(col("cum") >= floor((col("n") + 1) / 2), col("v")))
+          + min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))))
+          .as("wmed_x2_cents"))
+      .orderBy("k")
+  }
+
   /** TUKEY IQR OUTLIER FENCES per key — the box-plot data-cleaning rule
     * (Tukey 1977): q1/q3 by the same integer nearest-rank discipline as
     * the rest of the histogram family (smallest v with 4·cum ≥ n and with

@@ -817,6 +817,33 @@ object TextAnalysis {
       .orderBy("p_id", "doc_id")
   }
 
+  /** KWIC terms — a slice of the phrase panel's vocabulary, so hits are
+    * guaranteed on the synthetic corpus. */
+  private[graft] val KwicTerms: Seq[String] = Seq("join", "scan")
+  private[graft] val KwicWindow = 3
+
+  /** KEYWORD IN CONTEXT (concordance): every occurrence of a query term
+    * with its ±3-token window — the corpus-inspection primitive every
+    * linguist's toolbox and every data-curation debugging session runs
+    * (grep with token alignment). Map-side ONLY: the token array stays
+    * in the row, positions come from `posexplode`, the snippet is an
+    * array `slice` + join, and the pushed `isin` filter drops non-hit
+    * tokens before anything is materialized — zero shuffle except the
+    * output sort. The oracle rebuilds snippets by DuckDB list slicing
+    * over `generate_subscripts` — an independent formulation of the
+    * window clamp.
+    */
+  def kwic(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("pos", "word")))
+      .filter(col("word").isin(KwicTerms: _*))
+      .select(col("word").as("term"), col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"""array_join(slice(w, greatest(pos + 1 - $KwicWindow, 1),
+          least(pos + 1 + $KwicWindow, size(w))
+            - greatest(pos + 1 - $KwicWindow, 1) + 1), ' ')""").as("snippet"))
+      .orderBy("term", "doc_id", "pos")
+
   /** Skip-gram co-occurrence counts (word2vec / GloVe training-pair
     * extraction, Mikolov et al. 2013): for every token, its context
     * words within ±[[SkipWindow]] positions, counted over the corpus as

@@ -161,6 +161,25 @@ class AggregatesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == wantDays(r.getString(0))))
   }
 
+  test("weighted median: lo+hi on cumulative weight equals the expanded-multiset median") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        org.apache.spark.sql.functions.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        org.apache.spark.sql.functions.expr("CAST(l_quantity AS BIGINT)"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val got = Aggregates.weightedMedian(spark, sf).collect()
+    assert(got.length == rows.size)
+    got.foreach { r =>
+      // expand each value by its weight: the weighted median IS the plain
+      // median of the expanded multiset
+      val vs = rows(r.getString(0)).flatMap(t => Seq.fill(t._3.toInt)(t._2)).sorted
+      val n = vs.length
+      assert(r.getLong(1) == rows(r.getString(0)).map(_._3).sum)
+      assert(r.getLong(2) == vs((n + 1) / 2 - 1) + vs(n / 2), s"${r.getString(0)}")
+    }
+  }
+
   test("iqr outliers: quartiles, fences and outlier mass replay from a driver-side sort") {
     import spark.implicits._
     val vals = Tables.lineitem(spark, sf)

@@ -240,4 +240,26 @@ class TextAnalysisSpec extends SparkSpec {
       (1 to TextAnalysis.SkipWindow).map(d => math.max(l - d, 0).toLong).sum).sum
     assert(got.map(_._3).sum == 2 * fwd)
   }
+
+  test("kwic snippets equal a driver-side window clamp at every occurrence") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val want = (for {
+      (id, text) <- docs
+      w = text.split(" ")
+      (word, pos) <- w.zipWithIndex
+      if operators.TextAnalysis.KwicTerms.contains(word)
+    } yield {
+      val lo = math.max(pos - 3, 0); val hi = math.min(pos + 3, w.length - 1)
+      (word, id, pos.toLong, w.slice(lo, hi + 1).mkString(" "))
+    }).sortBy(t => (t._1, t._2, t._3)).toSeq
+    val got = operators.TextAnalysis.kwic(spark, sf)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // every snippet contains its term and spans at most 2*window+1 tokens
+    got.foreach { case (term, _, _, s) =>
+      assert(s.split(" ").contains(term) && s.split(" ").length <= 7)
+    }
+  }
 }
