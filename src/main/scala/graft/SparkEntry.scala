@@ -252,6 +252,7 @@ object SparkEntry {
     "q_benford"           -> ((s, d) => Curation.benfordAudit(s, d)),
     "q_new_returning"     -> ((s, d) => Funnels.newVsReturning(s, d)),
     "q_period_over_period" -> ((s, d) => Windows.periodOverPeriod(s, d)),
+    "q_ohlc_bars"         -> ((s, d) => Windows.ohlcBars(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
@@ -2581,6 +2582,24 @@ object SparkEntry {
         |  abs(round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 4))
         |    >= 1.96 AS significant
         |FROM e""".stripMargin,
+    // OHLC: open/close by (tns, event_id) via row_number (the oracle's
+    // independent formulation of the engine's struct-min/max tie order)
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//3600000000000 AS hour,
+        |    epoch_ns(ts) AS tns, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |      ORDER BY tns, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |      ORDER BY tns DESC, event_id DESC) AS rrn
+        |  FROM e)
+        |SELECT event_type, hour,
+        |  CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_cents,
+        |  max(cents) AS high_cents, min(cents) AS low_cents,
+        |  CAST(max(CASE WHEN rrn = 1 THEN cents END) AS BIGINT) AS close_cents,
+        |  count(*) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // integer daily sums and deltas; one fixed-order double division for
     // the growth percent; the first day per type emits NULLs in both
     "q_period_over_period" ->

@@ -14,6 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** HOURLY OHLC BARS per event type — the downsampling every time-series
+    * store ships (candlesticks, sensor rollups): open/close are the
+    * first/last value by (ts, event_id) within the bar, high/low the
+    * extremes, volume the row count. ONE map-combinable hash aggregate:
+    * open/close ride struct min/max (the min_by/max_by shape — the tie
+    * order is the struct's field order, mirrored in the oracle's
+    * row_number), so no window pass and no per-bar sort anywhere; cents
+    * stay exact integers. At 100 TB this is the motivating case for
+    * map-side combine: a year of per-hour bars is 8 760 cells per type
+    * regardless of event volume.
+    */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hour"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "hour")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("cents"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("cents"))).as("c"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"), col("hour"),
+        col("o.cents").as("open_cents"), col("high_cents"), col("low_cents"),
+        col("c.cents").as("close_cents"), col("volume"))
+      .orderBy("event_type", "hour")
+
   /** Ranking: top-3 events by value per user via row_number. */
   def topKPerUser(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))

@@ -250,4 +250,22 @@ class WindowsSpec extends SparkSpec {
       assert(n == wn && e == we, s"user $u: got ($n, $e) want ($wn, $we)")
     }
   }
+
+  test("ohlc bars replay from a driver-side sort; invariants hold per bar") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select("event_type", "ts", "event_id", "value")
+      .as[(String, Long, Long, Double)].collect()
+      .map(e => (e._1, e._2 / 3600000000000L, e._2, e._3, math.rint(e._4 * 100).toLong))
+    val want = events.groupBy(e => (e._1, e._2)).map { case ((t, h), es) =>
+      val s = es.sortBy(e => (e._3, e._4))
+      (t, h, s.head._5, es.map(_._5).max, es.map(_._5).min, s.last._5, es.length.toLong)
+    }.toSeq.sortBy(b => (b._1, b._2))
+    val got = Windows.ohlcBars(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    got.foreach { case (_, _, o, h, l, c, v) =>
+      assert(l <= o && o <= h && l <= c && c <= h && v >= 1)
+    }
+  }
 }
