@@ -253,6 +253,8 @@ object SparkEntry {
     "q_new_returning"     -> ((s, d) => Funnels.newVsReturning(s, d)),
     "q_period_over_period" -> ((s, d) => Windows.periodOverPeriod(s, d)),
     "q_ohlc_bars"         -> ((s, d) => Windows.ohlcBars(s, d)),
+    "q_business_days"     -> ((s, d) => Windows.businessDays(s, d)),
+    "q_topk_ties"         -> ((s, d) => Windows.topKDaysWithTies(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
@@ -2582,6 +2584,34 @@ object SparkEntry {
         |  abs(round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 4))
         |    >= 1.96 AS significant
         |FROM e""".stripMargin,
+    // the weekday closed form token-for-token (y = epoch_day + 3 shifts
+    // Monday to 0 mod 7; positive domain so // == Spark's div)
+    "q_business_days" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+        |  FROM orders),
+        |l AS (SELECT l_orderkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd
+        |  FROM lineitem),
+        |j AS (SELECT o_orderpriority,
+        |    (5 * ((sd + 3) // 7) + least((sd + 3) % 7 + 1, 5) - 3)
+        |      - (5 * ((od + 3) // 7) + least((od + 3) % 7 + 1, 5) - 3) AS bd
+        |  FROM o JOIN l ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(bd) AS BIGINT) AS sum_busdays,
+        |  round(CAST(sum(bd) AS DOUBLE) / count(*), 6) AS avg_busdays
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rank() keeps whole tie groups — the reproducible top-k when the
+    // measure ties (row_number's tie-break is partition-order luck)
+    "q_topk_ties" ->
+      """WITH d AS (SELECT user_id, epoch_ns(ts)//86400000000000 AS day,
+        |    count(*) AS n_events FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, day, n_events,
+        |    CAST(rank() OVER (PARTITION BY user_id ORDER BY n_events DESC)
+        |      AS BIGINT) AS rnk
+        |  FROM d)
+        |SELECT user_id, day, n_events, rnk FROM r WHERE rnk <= 3
+        |ORDER BY user_id, rnk, day""".stripMargin,
     // OHLC: open/close by (tns, event_id) via row_number (the oracle's
     // independent formulation of the engine's struct-min/max tie order)
     "q_ohlc_bars" ->

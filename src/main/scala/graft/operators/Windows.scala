@@ -42,6 +42,54 @@ object Windows {
         col("c.cents").as("close_cents"), col("volume"))
       .orderBy("event_type", "hour")
 
+  /** BUSINESS-DAY fulfillment lag: weekdays between order and ship date
+    * per priority — calendar arithmetic every ops dashboard needs, done
+    * in CLOSED-FORM integers (no calendar table, no per-day loop):
+    * with y = epoch_day + 3 (shifting so y ≡ 0 mod 7 is a Monday),
+    * H(d) = 5·(y div 7) + least(y mod 7 + 1, 5) − 3 counts weekdays in
+    * [0..d], and busdays in (order..ship] = H(ship) − H(order). SIGNED:
+    * a ship date before its order date counts negative (this synthetic
+    * data has them — a data-quality signal worth surfacing, not clamping
+    * away; WindowsSpec pins the signed day-by-day reference). Same
+    * formula token-for-token in the oracle; epoch days are positive so
+    * div/mod agree across engines. One co-keyed join + map-combinable
+    * agg; the average is one rounded division over exact integer sums.
+    */
+  def businessDays(spark: SparkSession, sfDir: String): DataFrame = {
+    // `div`, not `/`: Column./ is IEEE division; the closed form needs
+    // integer division (positive domain, so Spark div == DuckDB //)
+    def h(c: String) = s"(5L * (($c + 3L) div 7L) + least(($c + 3L) % 7L + 1L, 5L) - 3L)"
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_orderpriority"), datediff(col("o_orderdate"), lit("1970-01-01")).as("od"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+      datediff(col("l_shipdate"), lit("1970-01-01")).as("sd"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), expr(s"${h("sd")} - ${h("od")}").as("bd"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("bd")).as("sum_busdays"),
+        round(sum(col("bd")).cast("double") / count(lit(1)), 6).as("avg_busdays"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TOP-K WITH TIES: each user's three most-active days, keeping every
+    * day tied with the third — `rank()`, where [[topKPerUser]]'s
+    * row_number would break ties arbitrarily (non-deterministic under
+    * re-partitioning; rank is the reproducible form whenever the measure
+    * can tie, and daily counts tie constantly). Same bounded-per-key
+    * window contract; day ascending inside a rank group pins the output
+    * order.
+    */
+  def topKDaysWithTies(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    daily.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("user_id", "rnk", "day")
+  }
+
   /** Ranking: top-3 events by value per user via row_number. */
   def topKPerUser(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))

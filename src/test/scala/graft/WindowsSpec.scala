@@ -251,6 +251,51 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("business days: closed form equals a day-by-day weekday count") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1970-01-01")))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), datediff(col("l_shipdate"), lit("1970-01-01")))
+      .as[(Long, Int)].collect()
+    // independent reference: literally count weekdays day by day. SIGNED:
+    // the synthetic ship dates are independent of order dates, so sd < od
+    // occurs and the closed form H(b) − H(a) counts it negative (a
+    // data-quality signal worth surfacing, not clamping away)
+    def bd(a: Int, b: Int): Long =
+      if (b >= a) (a + 1 to b).count(d => (d + 3) % 7 < 5).toLong
+      else -(b + 1 to a).count(d => (d + 3) % 7 < 5).toLong
+    val want = l.flatMap { case (k, sd) => o.get(k).map { case (p, od) => (p, bd(od, sd)) } }
+      .groupBy(_._1).map { case (p, xs) =>
+        val n = xs.length.toLong; val s = xs.map(_._2).sum
+        (p, n, s, math.rint(s.toDouble / n * 1e6) / 1e6)
+      }.toSeq.sortBy(_._1)
+    val got = Windows.businessDays(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) == want.map(w => (w._1, w._2, w._3)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) < 1e-9) }
+  }
+
+  test("top-k with ties: rank keeps whole tie groups; ties genuinely occur") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .as[(Long, Long)].collect()
+      .groupBy(identity).map { case ((u, d), xs) => (u, d, xs.size.toLong) }.toSeq
+    val want = daily.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(-_._3)
+      val withRank = sorted.map { r => (r, 1L + sorted.count(_._3 > r._3)) }
+      withRank.filter(_._2 <= 3).map { case ((_, d, n), rk) => (u, d, n, rk) }
+    }.toSeq.sortBy(t => (t._1, t._4, t._2))
+    val got = Windows.topKDaysWithTies(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the WITH TIES semantics is genuinely exercised: some user keeps >3 days
+    assert(got.groupBy(_._1).values.exists(_.size > 3))
+  }
+
   test("ohlc bars replay from a driver-side sort; invariants hold per bar") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
