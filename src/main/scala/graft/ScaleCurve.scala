@@ -152,6 +152,24 @@ object ScaleCurve {
     }
     lazy val ordersDirs = Seq(1 -> ordersDir(1), 10 -> ordersDir(10))
 
+    // customer replicas (r11 late): key-offset copies scatter to NEW
+    // coordinates under the spatial join's quadratic mixing, so point
+    // DENSITY grows with the factor inside the fixed space — the honest
+    // adversarial axis for a radius join (the output itself is
+    // O(density²); at constant density the grid join is linear)
+    def customerDir(factor: Int): String = {
+      val c = Tables.customer(spark, srcSf)
+      val dir = s"$outBase/cust_x$factor"
+      val n = c.agg(max("c_custkey")).head.getLong(0) + 1
+      val replicated = (0 until factor).map { r =>
+        c.select((col("c_custkey") + lit(r * n)).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      }.reduce(_ unionAll _)
+      replicated.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      dir
+    }
+    lazy val customerDirs = Seq(1 -> customerDir(1), 10 -> customerDir(10))
+
     // part replicas (r10 late): key-offset copies KEEP the price/size
     // domains, so the skyline's grouped sweep frame is constant while the
     // row count scales — the domain-frame claim, measurable
@@ -329,6 +347,8 @@ object ScaleCurve {
       "quantile_cube"  -> ((d, _) => graft.operators.Aggregates.quantileCubeServed(spark, d)),
       "ltv_cohort"     -> ((d, _) => Funnels.ltvCohort(spark, d)),
       "funnel_latency" -> ((d, _) => Funnels.funnelLatency(spark, d)))
+    val customerQueries: Seq[(String, Fn)] = Seq(
+      "spatial_join" -> ((d, _) => Relational.spatialJoin(spark, d)))
     val ordersQueries: Seq[(String, Fn)] = Seq(
       "table_diff" -> ((d, _) => Relational.tableDiff(spark, d)),
       "gini"       -> ((d, _) => Windows.giniRevenue(spark, d)),
@@ -365,6 +385,7 @@ object ScaleCurve {
       queries.map((_, () => dirs)) ++ sharedQueries.map((_, () => sharedDirs)) ++
         embQueries.map((_, () => embDirs)) ++
         eventsQueries.map((_, () => eventsDirs)) ++
+        customerQueries.map((_, () => customerDirs)) ++
         ordersQueries.map((_, () => ordersDirs)) ++
         partQueries.map((_, () => partDirs)) ++
         partAntiQueries.map((_, () => partAntiDirs)) ++
