@@ -803,8 +803,10 @@ object SparkEntry {
     // pair exactly once (the engine never runs a quadratic stage)
     "q_spatial_join" ->
       """WITH p AS (SELECT c_custkey AS k,
-        |    (c_custkey * c_custkey * 7919 + c_custkey * 104729) % 18000 AS lat_s,
-        |    (c_custkey * c_custkey * 104729 + c_custkey * 7919) % 36000 AS lon_s
+        |    ((c_custkey % 1000003) * (c_custkey % 1000003) * 7919
+        |      + c_custkey * 104729) % 18000 AS lat_s,
+        |    ((c_custkey % 1000003) * (c_custkey % 1000003) * 104729
+        |      + c_custkey * 7919) % 36000 AS lon_s
         |  FROM customer)
         |SELECT a.k AS a, b.k AS b,
         |  (a.lat_s - b.lat_s) * (a.lat_s - b.lat_s) * 1000000

@@ -356,6 +356,33 @@ object Aggregates {
       .select(col("k"), ((col("lo") + col("hi")) / 2).as("med"))
   }
 
+  /** Per-key quantile READOUT off any (k, v, c) histogram — the one
+    * integer rank algebra behind the weighted median, the quantile cube,
+    * funnel latency and session stats (review r11: previously four
+    * hand-rolled copies): `n` = total count/weight, `med_x2` =
+    * [[histMedian]]'s lo+hi (integer-exact), `p95` = nearest rank
+    * (smallest v with 100·cum ≥ 95·n — the form PropertySpec pins for
+    * arbitrary quantiles), `max_v`. Extra same-grouping aggregates (e.g.
+    * the cube's grain fingerprint) append via `extra`. */
+  private[graft] def histRankStats(hist: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy("k").orderBy("v")
+    val totW = Window.partitionBy("k")
+    val aggs = Seq(
+      max(col("n")).as("n"),
+      (min(when(col("cum") >= floor((col("n") + 1) / 2), col("v")))
+        + min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))))
+        .as("med_x2"),
+      min(when(col("cum") * 100 >= col("n") * 95, col("v"))).as("p95"),
+      max(col("v")).as("max_v")) ++ extra
+    hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .groupBy("k")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic per-key mode from the same histogram: the most frequent
     * value, smallest value winning ties (a struct max on (count, -v) — one
     * aggregate, no join back). Same scale shape as the median: the raw
@@ -417,21 +444,13 @@ object Aggregates {
     * keys × distinct-values rows shuffle, never the fact.
     */
   def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hist = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag").as("k"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
       .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("c"))
-    val cumW = Window.partitionBy("k").orderBy("v")
-    val totW = Window.partitionBy("k")
-    hist
-      .withColumn("cum", sum("c").over(cumW))
-      .withColumn("n", sum("c").over(totW))
-      .groupBy("k")
-      .agg(max(col("n")).as("total_weight"),
-        (min(when(col("cum") >= floor((col("n") + 1) / 2), col("v")))
-          + min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))))
-          .as("wmed_x2_cents"))
+    histRankStats(hist)
+      .select(col("k"), col("n").as("total_weight"),
+        col("med_x2").as("wmed_x2_cents"))
       .orderBy("k")
   }
 
@@ -509,22 +528,12 @@ object Aggregates {
     * bracket: that is the point of this cube vs the sketch ones.
     */
   def quantileCubeServed(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val merged = spark.read.parquet(quantileCubeDir(spark, sfDir))
-      .groupBy(col("event_type"), col("cents"))
+      .groupBy(col("event_type").as("k"), col("cents").as("v"))
       .agg(sum(col("c")).as("c"), countDistinct(col("day")).as("nd"))
-    val cumW = Window.partitionBy("event_type").orderBy("cents")
-    val totW = Window.partitionBy("event_type")
-    merged
-      .withColumn("cum", sum("c").over(cumW))
-      .withColumn("n", sum("c").over(totW))
-      .groupBy("event_type")
-      .agg(max(col("n")).as("n"),
-        sum(col("nd")).as("cell_days"), // cube-grain fingerprint
-        (min(when(col("cum") >= floor((col("n") + 1) / 2), col("cents")))
-          + min(when(col("cum") >= floor(col("n") / 2) + 1, col("cents"))))
-          .as("med_x2_cents"),
-        min(when(col("cum") * 100 >= col("n") * 95, col("cents"))).as("p95_cents"))
+    histRankStats(merged, extra = Seq(sum(col("nd")).as("cell_days")))
+      .select(col("k").as("event_type"), col("n"), col("cell_days"),
+        col("med_x2").as("med_x2_cents"), col("p95").as("p95_cents"))
       .orderBy("event_type")
   }
 

@@ -44,10 +44,15 @@ object Funnels {
     * with that assumption removed (sort-within-partitions + mapPartitions
     * fold, O(1) per-user state), sharing this oracle.
     */
-  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val evs = Tables.events(spark, sfDir)
+  /** The per-user three-stage fold — one row per user with the stage
+    * timestamps struct `f(v, c, p)` — factored out so [[funnel]] (stage
+    * counts) and [[funnelLatency]] (time-to-convert) provably run the
+    * SAME earliest-qualifying semantics (the spirit of [[stepEvent]],
+    * which factors the scalar step for the streaming twin). */
+  private[graft] def foldStages(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_type"))
-    val folded = evs.groupBy("user_id")
+      .groupBy("user_id")
       .agg(aggregate(
         sort_array(collect_list(struct(col("ts"), col("event_type")))),
         struct(lit(Unreached).as("v"), lit(Unreached).as("c"),
@@ -67,6 +72,9 @@ object Funnels {
               et === "purchase" && ts > acc.getField("c"), ts)
               .otherwise(acc.getField("p")).as("p"))
         }).as("f"))
+
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val folded = foldStages(spark, sfDir)
     folded
       .agg(
         sum(when(col("f.v") =!= Unreached, 1L).otherwise(0L)).as("nv"),
@@ -462,45 +470,15 @@ object Funnels {
     * (smallest v with 100·cum ≥ 95·n).
     */
   def funnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
-    val evs = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_type"))
-    val folded = evs.groupBy("user_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("ts"), col("event_type")))),
-        struct(lit(Unreached).as("v"), lit(Unreached).as("c"),
-          lit(Unreached).as("p")),
-        (acc, e) => {
-          val ts = e.getField("ts")
-          val et = e.getField("event_type")
-          struct(
-            when(acc.getField("v") === Unreached && et === "view", ts)
-              .otherwise(acc.getField("v")).as("v"),
-            when(acc.getField("v") =!= Unreached &&
-              acc.getField("c") === Unreached &&
-              et === "click" && ts > acc.getField("v"), ts)
-              .otherwise(acc.getField("c")).as("c"),
-            when(acc.getField("c") =!= Unreached &&
-              acc.getField("p") === Unreached &&
-              et === "purchase" && ts > acc.getField("c"), ts)
-              .otherwise(acc.getField("p")).as("p"))
-        }).as("f"))
-    val hist = folded.filter(col("f.p") =!= Unreached)
-      .select(expr("(f.p - f.v) div 1000000000").as("sec")) // integer div: no float
-      .groupBy("sec").agg(count(lit(1)).as("c"))
-    import org.apache.spark.sql.expressions.Window
-    // the remaining frame is distinct-latency-sized: global windows over
-    // it are the intended (domain-bounded) shape
-    val cumW = Window.orderBy("sec").rowsBetween(Window.unboundedPreceding, 0)
-    val totW = Window.partitionBy()
-    hist
-      .withColumn("cum", sum("c").over(cumW))
-      .withColumn("n", sum("c").over(totW))
-      .agg(max(col("n")).as("n_converted"),
-        (min(when(col("cum") >= floor((col("n") + 1) / 2), col("sec")))
-          + min(when(col("cum") >= floor(col("n") / 2) + 1, col("sec"))))
-          .as("med_x2_sec"),
-        min(when(col("cum") * 100 >= col("n") * 95, col("sec"))).as("p95_sec"),
-        max(col("sec")).as("max_sec"))
+    // the histogram is distinct-latency-sized (domain-bounded); the
+    // shared rank readout runs on it under a constant key
+    val hist = foldStages(spark, sfDir).filter(col("f.p") =!= Unreached)
+      .select(expr("(f.p - f.v) div 1000000000").as("v")) // integer div: no float
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("k", lit(0L))
+    Aggregates.histRankStats(hist)
+      .select(col("n").as("n_converted"), col("med_x2").as("med_x2_sec"),
+        col("p95").as("p95_sec"), col("max_v").as("max_sec"))
   }
 
   /** LTV COHORT CURVE: cumulative purchase revenue per acquisition cohort
@@ -593,19 +571,12 @@ object Funnels {
       .groupBy("user_id", "sid")
       .agg(expr("(max(ts) - min(ts)) div 1000000000").as("dur_sec"),
         count(lit(1)).as("depth"))
-    def rankStats(vals: DataFrame, v: String): DataFrame = {
-      val cumW = Window.orderBy(v).rowsBetween(Window.unboundedPreceding, 0)
-      val totW = Window.partitionBy()
-      vals.groupBy(col(v)).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(cumW))
-        .withColumn("n", sum("c").over(totW))
-        .agg(max(col("n")).as("n"),
-          (min(when(col("cum") >= floor((col("n") + 1) / 2), col(v)))
-            + min(when(col("cum") >= floor(col("n") / 2) + 1, col(v))))
-            .as(s"med_x2_$v"),
-          min(when(col("cum") * 100 >= col("n") * 95, col(v))).as(s"p95_$v"),
-          max(col(v)).as(s"max_$v"))
-    }
+    def rankStats(vals: DataFrame, v: String): DataFrame =
+      Aggregates.histRankStats(
+          vals.groupBy(col(v).as("v")).agg(count(lit(1)).as("c"))
+            .withColumn("k", lit(0L)))
+        .select(col("n"), col("med_x2").as(s"med_x2_$v"),
+          col("p95").as(s"p95_$v"), col("max_v").as(s"max_$v"))
     val dur = rankStats(sessions.select("dur_sec"), "dur_sec")
       .withColumnRenamed("n", "n_sessions")
     val dep = rankStats(sessions.select("depth"), "depth").drop("n")
@@ -636,17 +607,26 @@ object Funnels {
       .select(expr("ts div 86400000000000").as("day"), col("user_id"))
       .distinct()
 
-  /** The DAU/WAU/stickiness readout on any (day, user_id) distinct frame —
-    * shared by the scan-time build and the stored-artifact serve. */
-  private[graft] def dauOf(ud0: DataFrame): DataFrame = {
-    val ud = Dedup.fence(ud0, "day")
+  /** Exact trailing-7-day distinct users per observed day — the shifted
+    * expansion on any FENCED distinct (day, user_id) frame. Factored out
+    * so [[dauOf]]'s readout and [[rollingDauHll]]'s exact companion are
+    * the same code (a window-length change cannot desynchronize them). */
+  private def trailingWau(ud: DataFrame): DataFrame = {
     val days = ud.select("day").distinct()
-    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    val wau = ud.select(col("user_id"),
+    ud.select(col("user_id"),
         explode(sequence(col("day"), col("day") + 6)).as("day"))
       .join(broadcast(days), "day")
       .groupBy("day").agg(countDistinct("user_id").as("wau"))
-    dau.join(wau, "day")
+  }
+
+  /** The DAU/WAU/stickiness readout on any (day, user_id) DISTINCT frame
+    * (callers must pre-distinct — the fence here only repartitions and
+    * persists) — shared by the scan-time build and the stored-artifact
+    * serve. */
+  private[graft] def dauOf(ud0: DataFrame): DataFrame = {
+    val ud = Dedup.fence(ud0, "day")
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(trailingWau(ud), "day")
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
       .orderBy("day")
@@ -666,7 +646,10 @@ object Funnels {
   private[graft] def dayUserStore(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, dayUserStoreMemo)
     dayUserStoreMemo.computeIfAbsent((spark, sfDir), _ => {
-      val ud = dayUserFrame(spark, sfDir)
+      // fenced: the max-day collect and the two writes are three separate
+      // JOBS — unfenced they would each rescan events and redo the
+      // distinct (exchange reuse never applies across jobs; review r11)
+      val ud = Dedup.fence(dayUserFrame(spark, sfDir), "day")
       val maxDay = ud.agg(max("day")).head.getLong(0)
       val dir = java.nio.file.Files.createTempDirectory("graft-dau-frame").toString
       ud.filter(col("day") < maxDay)
@@ -705,12 +688,8 @@ object Funnels {
     */
   def rollingDauHll(spark: SparkSession, sfDir: String): DataFrame = {
     val est = rollingWauSketch(spark, sfDir)
-    val ud = Dedup.fence(dayUserFrame(spark, sfDir), "day")
-    val days = ud.select("day").distinct()
-    val exact = ud.select(col("user_id"),
-        explode(sequence(col("day"), col("day") + 6)).as("day"))
-      .join(broadcast(days), "day")
-      .groupBy("day").agg(countDistinct("user_id").as("exact_wau"))
+    val exact = trailingWau(Dedup.fence(dayUserFrame(spark, sfDir), "day"))
+      .withColumnRenamed("wau", "exact_wau")
     est.join(exact, "day")
       .select(col("day"), col("days_in_window"), col("exact_wau"),
         (abs(col("est") - col("exact_wau")).cast("double")

@@ -973,13 +973,18 @@ object Relational {
     // pairwise delta a function of the key difference alone — a rank-1
     // lattice that can miss the radius for EVERY pair; the quadratic
     // term breaks the lattice and scatters genuinely (358 pairs at
-    // sf0.01, ~an aggregated-pair per 4 points)
-    def pts = Tables.customer(spark, sfDir).select(
-      col("c_custkey").as("k"),
-      ((col("c_custkey") * col("c_custkey") * 7919L
-        + col("c_custkey") * 104729L) % 18000L).as("lat_s"), // [0, 18000)
-      ((col("c_custkey") * col("c_custkey") * 104729L
-        + col("c_custkey") * 7919L) % 36000L).as("lon_s")) // [0, 36000)
+    // sf0.01, ~an aggregated-pair per 4 points). The quadratic factor is
+    // PRE-REDUCED mod 1000003 so m²·104729 ≤ 1.05e17 — k²·c would wrap a
+    // Long near k ≈ 9.4e6 (Spark wraps silently where DuckDB errors,
+    // breaking the bit-identical claim exactly at scale; review r11)
+    def pts = Tables.customer(spark, sfDir)
+      .withColumn("m", col("c_custkey") % 1000003L)
+      .select(
+        col("c_custkey").as("k"),
+        ((col("m") * col("m") * 7919L
+          + col("c_custkey") * 104729L) % 18000L).as("lat_s"), // [0, 18000)
+        ((col("m") * col("m") * 104729L
+          + col("c_custkey") * 7919L) % 36000L).as("lon_s")) // [0, 36000)
     // neighborhood width per axis = ceil(max delta / cell side): lat is
     // bounded by R (±1 cell) but the 766/1000 weight stretches lon to
     // floor(1000R/766) = 261 > R, so lon needs ±2 — the ellipse, not the

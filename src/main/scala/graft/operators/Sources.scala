@@ -273,9 +273,11 @@ object Sources {
     SessionMemos.arm(spark, overwriteMemo)
     overwriteMemo.computeIfAbsent((spark, sfDir), _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-dynpart-src").toString
-      val o = Tables.orders(spark, sfDir)
+      // fenced: the min-year collect and the two writes are three jobs —
+      // unfenced each would rescan orders (review r11)
+      val o = Dedup.fence(Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_totalprice"),
-          year(col("o_orderdate")).as("o_year"))
+          year(col("o_orderdate")).as("o_year")), "o_year")
       val firstYear = o.agg(min("o_year")).head.getInt(0) // bounded: 1-row agg
       o.filter(col("o_year") =!= firstYear || col("o_orderkey") % 7 =!= 0)
         .write.partitionBy("o_year").mode("overwrite").parquet(dir)

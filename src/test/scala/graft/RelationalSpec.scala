@@ -434,8 +434,10 @@ class RelationalSpec extends SparkSpec {
   test("spatial grid join equals the quadratic reference; no cartesian stage in the plan") {
     import spark.implicits._
     val keys = Tables.customer(spark, sf).select("c_custkey").as[Long].collect()
-    val pts = keys.map(k =>
-      (k, (k * k * 7919L + k * 104729L) % 18000L, (k * k * 104729L + k * 7919L) % 36000L))
+    val pts = keys.map { k =>
+      val m = k % 1000003L
+      (k, (m * m * 7919L + k * 104729L) % 18000L, (m * m * 104729L + k * 7919L) % 36000L)
+    }
     val want = (for {
       a <- pts; b <- pts if a._1 < b._1
       dlat = a._2 - b._2; dlon = a._3 - b._3

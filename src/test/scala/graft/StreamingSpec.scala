@@ -498,8 +498,9 @@ class StreamingSpec extends SparkSpec {
     // activity artifact; after the stream drains, the DAU/WAU readout off
     // the artifact must equal the scan-time build. The batch-local
     // distinct is the honest micro-batch contract — duplicates ACROSS
-    // batches are absorbed by dauOf's fenced distinct at serve (the
-    // artifact stays append-only; dedup is the reader's one cheap pass).
+    // batches survive in the append-only artifact, so the READER runs the
+    // one cheap .distinct() below before dauOf (whose contract requires a
+    // pre-distinct input — its fence only repartitions+persists).
     import graft.operators.Funnels
     val ev = Tables.events(spark, sf)
     val artDir = Files.createTempDirectory("graft-daustream-art").toString
