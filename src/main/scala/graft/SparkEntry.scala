@@ -255,6 +255,8 @@ object SparkEntry {
     "q_ohlc_bars"         -> ((s, d) => Windows.ohlcBars(s, d)),
     "q_business_days"     -> ((s, d) => Windows.businessDays(s, d)),
     "q_topk_ties"         -> ((s, d) => Windows.topKDaysWithTies(s, d)),
+    "q_tpch_q3"           -> ((s, d) => SqlSurface.tpchQ3(s, d)),
+    "q_tpch_q5"           -> ((s, d) => SqlSurface.tpchQ5(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
@@ -2586,6 +2588,31 @@ object SparkEntry {
         |  abs(round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 4))
         |    >= 1.96 AS significant
         |FROM e""".stripMargin,
+    // the SQL surface rows: the engine runs the IDENTICAL text through
+    // spark.sql over registered views; revenue via the exact-decimal sum
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     // the weekday closed form token-for-token (y = epoch_day + 3 shifts
     // Monday to 0 mod 7; positive domain so // == Spark's div)
     "q_business_days" ->

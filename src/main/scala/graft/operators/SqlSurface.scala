@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The pure-SQL entry point (SURVEY.md §2.A/B surface note): the same
+  * engine, driven through `spark.sql` over registered views instead of the
+  * DataFrame API — proving a SQL-first user of the reference can run their
+  * queries verbatim. The two registered queries are the TPC-H classics the
+  * testdata schema supports end-to-end: Q3 (shipping priority — the
+  * 3-table star with both date filters) and Q5 (local supplier volume —
+  * the 6-table snowflake whose c_nationkey = s_nationkey "local" clause is
+  * the classic join-graph gotcha). Both run through Catalyst exactly like
+  * the DataFrame forms (same pushdown, same broadcast of nation/region,
+  * same AQE), so this is an API-surface row, not a new execution path; the
+  * oracle runs the IDENTICAL text in DuckDB (revenue via the exact-decimal
+  * dsum discipline, dates in range for the synthetic 1995-2001 span).
+  */
+object SqlSurface {
+
+  /** Register every testdata table once per (session, dir) as temp views
+    * named exactly like the oracle's tables. Idempotent. */
+  private def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Seq("customer" -> Tables.customer(spark, sfDir),
+      "orders" -> Tables.orders(spark, sfDir),
+      "lineitem" -> Tables.lineitem(spark, sfDir),
+      "supplier" -> Tables.supplier(spark, sfDir),
+      "nation" -> Tables.nation(spark, sfDir),
+      "region" -> Tables.region(spark, sfDir))
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+
+  /** TPC-H Q3: unshipped-order shipping priority for one segment. */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT l_orderkey,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+  }
+
+  /** TPC-H Q5: revenue through LOCAL suppliers (customer and supplier in
+    * the same nation) per Asian nation over two order years. */
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+}

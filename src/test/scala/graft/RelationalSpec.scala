@@ -431,6 +431,24 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got.length <= dim.map(_._1).distinct.length)
   }
 
+  test("SQL surface: TPC-H Q3/Q5 plan with pushed filters and broadcast dims") {
+    import graft.operators.SqlSurface
+    val q3 = SqlSurface.tpchQ3(spark, sf)
+    val p3 = q3.queryExecution.executedPlan.toString
+    // the segment and both date filters reach the scans as pushed filters
+    assert(p3.contains("PushedFilters") && p3.contains("c_mktsegment"), p3.take(2000))
+    assert(q3.collect().length == 10)
+    val q5 = SqlSurface.tpchQ5(spark, sf)
+    val p5 = q5.queryExecution.executedPlan.toString
+    // the 25-row nation and 5-row region dims broadcast, never shuffle
+    assert(p5.contains("BroadcastHashJoin"), p5.take(2000))
+    val rows = q5.collect()
+    assert(rows.nonEmpty && rows.map(_.getDouble(1)).forall(_ > 0))
+    // revenue strictly descending (the pinned output order)
+    val rev = rows.map(_.getDouble(1)).toSeq
+    assert(rev == rev.sorted.reverse)
+  }
+
   test("spatial grid join equals the quadratic reference; no cartesian stage in the plan") {
     import spark.implicits._
     val keys = Tables.customer(spark, sf).select("c_custkey").as[Long].collect()
