@@ -364,22 +364,40 @@ object Aggregates {
     * (smallest v with 100·cum ≥ 95·n — the form PropertySpec pins for
     * arbitrary quantiles), `max_v`. Extra same-grouping aggregates (e.g.
     * the cube's grain fingerprint) append via `extra`. */
+  private def rankAggs(extra: Seq[org.apache.spark.sql.Column]) = Seq(
+    max(col("n")).as("n"),
+    (min(when(col("cum") >= floor((col("n") + 1) / 2), col("v")))
+      + min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))))
+      .as("med_x2"),
+    min(when(col("cum") * 100 >= col("n") * 95, col("v"))).as("p95"),
+    max(col("v")).as("max_v")) ++ extra
+
   private[graft] def histRankStats(hist: DataFrame,
       extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cumW = Window.partitionBy("k").orderBy("v")
     val totW = Window.partitionBy("k")
-    val aggs = Seq(
-      max(col("n")).as("n"),
-      (min(when(col("cum") >= floor((col("n") + 1) / 2), col("v")))
-        + min(when(col("cum") >= floor(col("n") / 2) + 1, col("v"))))
-        .as("med_x2"),
-      min(when(col("cum") * 100 >= col("n") * 95, col("v"))).as("p95"),
-      max(col("v")).as("max_v")) ++ extra
+    val aggs = rankAggs(extra)
     hist
       .withColumn("cum", sum("c").over(cumW))
       .withColumn("n", sum("c").over(totW))
       .groupBy("k")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The same readout on a GLOBAL (v, c) histogram — a true global
+    * aggregate (one scalar row), which keeps downstream crossJoins inside
+    * PlanHygieneSpec's scalar-broadcast allowance (a groupBy on a literal
+    * key is one row too, but not STRUCTURALLY scalar). */
+  private[graft] def histRankStatsGlobal(hist: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy()
+    val aggs = rankAggs(extra)
+    hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
       .agg(aggs.head, aggs.tail: _*)
   }
 

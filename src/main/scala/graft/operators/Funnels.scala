@@ -475,8 +475,7 @@ object Funnels {
     val hist = foldStages(spark, sfDir).filter(col("f.p") =!= Unreached)
       .select(expr("(f.p - f.v) div 1000000000").as("v")) // integer div: no float
       .groupBy("v").agg(count(lit(1)).as("c"))
-      .withColumn("k", lit(0L))
-    Aggregates.histRankStats(hist)
+    Aggregates.histRankStatsGlobal(hist)
       .select(col("n").as("n_converted"), col("med_x2").as("med_x2_sec"),
         col("p95").as("p95_sec"), col("max_v").as("max_sec"))
   }
@@ -572,9 +571,8 @@ object Funnels {
       .agg(expr("(max(ts) - min(ts)) div 1000000000").as("dur_sec"),
         count(lit(1)).as("depth"))
     def rankStats(vals: DataFrame, v: String): DataFrame =
-      Aggregates.histRankStats(
-          vals.groupBy(col(v).as("v")).agg(count(lit(1)).as("c"))
-            .withColumn("k", lit(0L)))
+      Aggregates.histRankStatsGlobal(
+          vals.groupBy(col(v).as("v")).agg(count(lit(1)).as("c")))
         .select(col("n"), col("med_x2").as(s"med_x2_$v"),
           col("p95").as(s"p95_$v"), col("max_v").as(s"max_$v"))
     val dur = rankStats(sessions.select("dur_sec"), "dur_sec")
