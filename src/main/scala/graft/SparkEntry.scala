@@ -253,6 +253,7 @@ object SparkEntry {
     "q_new_returning"     -> ((s, d) => Funnels.newVsReturning(s, d)),
     "q_period_over_period" -> ((s, d) => Windows.periodOverPeriod(s, d)),
     "q_ohlc_bars"         -> ((s, d) => Windows.ohlcBars(s, d)),
+    "q_max_drawdown"      -> ((s, d) => Windows.maxDrawdown(s, d)),
     "q_business_days"     -> ((s, d) => Windows.businessDays(s, d)),
     "q_topk_ties"         -> ((s, d) => Windows.topKDaysWithTies(s, d)),
     "q_tpch_q3"           -> ((s, d) => SqlSurface.tpchQ3(s, d)),
@@ -2641,6 +2642,31 @@ object SparkEntry {
         |  FROM d)
         |SELECT user_id, day, n_events, rnk FROM r WHERE rnk <= 3
         |ORDER BY user_id, rnk, day""".stripMargin,
+    // drawdown: exact integer cum/peak windows; argmax via earliest-day
+    // tie (DuckDB max of a row struct mirrors Spark's struct max; the
+    // windowed sums stay internal — only BIGINT-cast columns emit)
+    "q_max_drawdown" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts)//86400000000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS cum
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)),
+        |p AS (SELECT event_type, day, cum,
+        |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - cum AS dd
+        |  FROM c),
+        |r AS (SELECT event_type, day, dd,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dd DESC, day ASC) AS rn
+        |  FROM p),
+        |t AS (SELECT event_type, count(*)::BIGINT AS n_days,
+        |    CAST(max(cum) AS BIGINT) AS final_cum_cents FROM p GROUP BY 1)
+        |SELECT t.event_type, t.n_days, t.final_cum_cents,
+        |  r.dd AS max_drawdown_cents, r.day AS trough_day
+        |FROM t JOIN r ON t.event_type = r.event_type AND r.rn = 1
+        |ORDER BY t.event_type""".stripMargin,
     // OHLC: open/close by (tns, event_id) via row_number (the oracle's
     // independent formulation of the engine's struct-min/max tie order)
     "q_ohlc_bars" ->

@@ -42,6 +42,35 @@ object Windows {
         col("c.cents").as("close_cents"), col("volume"))
       .orderBy("event_type", "hour")
 
+  /** MAXIMUM DRAWDOWN per event type — the peak-to-trough risk statistic
+    * (largest drop of the cumulative daily-revenue series from its running
+    * peak), with the day it bottomed: pure integer window algebra over the
+    * (type × day) DOMAIN frame — daily cents sums (map-combinable), a
+    * running cumulative sum, a running max of that, drawdown = peak − cum,
+    * and an argmax struct with earliest-day ties (the q_cusum discipline).
+    * No float enters until nothing is left to compute.
+    */
+  def maxDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum", sum(col("cents")).over(byDay))
+      .withColumn("peak", max(col("cum")).over(byDay))
+      .withColumn("dd", col("peak") - col("cum"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("cum")).as("final_cum_cents"),
+        // argmax with earliest-day tie: max on (dd, -day)
+        max(struct(col("dd").as("dd"), (-col("day")).as("nd"))).as("top"))
+      .select(col("event_type"), col("n_days"), col("final_cum_cents"),
+        col("top.dd").as("max_drawdown_cents"),
+        (-col("top.nd")).as("trough_day"))
+      .orderBy("event_type")
+  }
+
   /** BUSINESS-DAY fulfillment lag: weekdays between order and ship date
     * per priority — calendar arithmetic every ops dashboard needs, done
     * in CLOSED-FORM integers (no calendar table, no per-day loop):

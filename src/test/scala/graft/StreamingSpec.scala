@@ -585,6 +585,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming OHLC: struct min/max aggregates stream correctly, equals the batch bars") {
+    // the q_ohlc_bars shape on the stream: open/close via struct min/max
+    // are ORDERED aggregates (not just commutative counts), so this pins
+    // that Spark's streaming state merges them associatively — partial
+    // bars from different micro-batches must fold to the batch answer
+    val streamed = eventsStream
+      .select(col("event_type"),
+        expr("ts div 3600000000000").as("hour"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "hour")
+      .agg(min(struct(col("ts"), col("event_id"), col("cents"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("cents"))).as("c"),
+        max(col("cents")).as("high_cents"), min(col("cents")).as("low_cents"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"), col("hour"), col("o.cents").as("open_cents"),
+        col("high_cents"), col("low_cents"), col("c.cents").as("close_cents"),
+        col("volume"))
+    val got = runToTable(streamed, "t_ohlc", "complete")
+      .orderBy("event_type", "hour").collect().toSeq
+    val want = graft.operators.Windows.ohlcBars(spark, sf).collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("watermarked tumbling agg emits only watermark-closed windows, all correct") {
     val got = runToTable(StreamingOps.tumblingWithWatermark(eventsStream),
       "t_wm", "append").orderBy("bucket_sec", "event_type")

@@ -296,6 +296,34 @@ class WindowsSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.exists(_.size > 3))
   }
 
+  test("max drawdown replays from a driver-side cumulative walk") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.expr("ts div 86400000000000").as("day"),
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map { case ((t, d), rs) => (t, d, rs.map(_._3).sum) }
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      var cum = 0L; var peak = 0L; var dd = 0L; var troughDay = Long.MaxValue
+      var finalCum = 0L
+      rows.toSeq.sortBy(_._2).foreach { case (_, d, c) =>
+        cum += c; finalCum = cum
+        if (cum > peak) peak = cum
+        if (peak - cum > dd) { dd = peak - cum; troughDay = d }
+        else if (dd == 0 && troughDay == Long.MaxValue) troughDay = d // dd=0: earliest day
+      }
+      (t, rows.size.toLong, finalCum, dd, troughDay)
+    }.toSeq.sortBy(_._1)
+    val got = Windows.maxDrawdown(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) == want.map(w => (w._1, w._2, w._3, w._4)))
+    // trough day: the engine takes the EARLIEST day achieving the max dd
+    got.zip(want).foreach { case (g, w) =>
+      if (w._4 > 0) assert(g._5 == w._5, s"${g._1} trough")
+    }
+  }
+
   test("ohlc bars replay from a driver-side sort; invariants hold per bar") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
