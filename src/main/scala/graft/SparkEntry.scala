@@ -256,8 +256,10 @@ object SparkEntry {
     "q_max_drawdown"      -> ((s, d) => Windows.maxDrawdown(s, d)),
     "q_business_days"     -> ((s, d) => Windows.businessDays(s, d)),
     "q_topk_ties"         -> ((s, d) => Windows.topKDaysWithTies(s, d)),
+    "q_tpch_q1"           -> ((s, d) => SqlSurface.tpchQ1(s, d)),
     "q_tpch_q3"           -> ((s, d) => SqlSurface.tpchQ3(s, d)),
     "q_tpch_q5"           -> ((s, d) => SqlSurface.tpchQ5(s, d)),
+    "q_dim_decode"        -> ((s, d) => Relational.dimDecode(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
     "q_ks_test"           -> ((s, d) => Funnels.ksTest(s, d)),
@@ -2589,6 +2591,36 @@ object SparkEntry {
         |  abs(round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 4))
         |    >= 1.96 AS significant
         |FROM e""".stripMargin,
+    // join elimination: the engine decodes via a literal map (no join
+    // node at all); the oracle deliberately runs the JOIN formulation
+    "q_dim_decode" ->
+      """SELECT n_name AS nation_name, count(*) AS n_cust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation_name""".stripMargin,
+    // full TPC-H Q1 (q1_agg is its 2-measure simplification): exact
+    // decimal sum/product chains, one fixed-order division per avg
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |    * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE), 4) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // the SQL surface rows: the engine runs the IDENTICAL text through
     // spark.sql over registered views; revenue via the exact-decimal sum
     "q_tpch_q3" ->

@@ -45,6 +45,36 @@ object SqlSurface {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
   }
 
+  /** TPC-H Q1 — the FULL pricing summary (q1_agg is its two-measure
+    * simplification): eight aggregates per (returnflag, linestatus) with
+    * the disc_price/charge product chains in exact decimals and each avg
+    * one fixed-order division, rounded at emit. The canonical scan-heavy
+    * benchmark query: one pushed date filter, one map-combinable
+    * hash-agg, nothing else. */
+  def tpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |    * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE), 4) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** TPC-H Q5: revenue through LOCAL suppliers (customer and supplier in
     * the same nation) per Asian nation over two order years. */
   def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {

@@ -431,6 +431,21 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got.length <= dim.map(_._1).distinct.length)
   }
 
+  test("dim decode eliminates the join entirely: no join node, values equal the join form") {
+    import graft.operators.Relational
+    val df = Relational.dimDecode(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"decode still joins:\n${plan.take(1500)}")
+    val want = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(Relational.dsum(col("c_acctbal")), 4).as("sum_acctbal"))
+      .orderBy("nation_name").collect().toSeq
+    assert(df.collect().toSeq == want && want.nonEmpty)
+  }
+
   test("SQL surface: TPC-H Q3/Q5 plan with pushed filters and broadcast dims") {
     import graft.operators.SqlSurface
     val q3 = SqlSurface.tpchQ3(spark, sf)
