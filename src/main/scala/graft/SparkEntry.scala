@@ -97,6 +97,7 @@ object SparkEntry {
     "q_approx_distinct"   -> ((s, d) => Aggregates.approxDistinctUsers(s, d)),
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
+    "q_quantile_cube_incremental" -> ((s, d) => Aggregates.quantileCubeIncremental(s, d)),
     "q_skew_audit"        -> ((s, d) => Curation.skewAudit(s, d)),
     "q_rollup"            -> ((s, d) => Aggregates.rollupRevenue(s, d)),
     "q_cube"              -> ((s, d) => Aggregates.cubeOrders(s, d)),
@@ -313,6 +314,28 @@ object SparkEntry {
   // round-10 hash failure; OracleHygieneSpec now sweeps the whole map).
   // Shared by q_scd2 (scan-time build) and q_scd2_incremental (stored
   // dimension + one-day append) — the merge must equal the full rebuild.
+  // Shared by q_quantile_cube (single build) and its append-only
+  // incremental twin — exact histogram additivity makes the serve-time
+  // refold bit-identical to the full rebuild DuckDB computes here.
+  private val quantileCubeOracleSql: String =
+    """WITH h AS (SELECT event_type, epoch_ns(ts)//86400000000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |m AS (SELECT event_type, cents, CAST(sum(c) AS BIGINT) AS c
+      |  FROM h GROUP BY 1, 2),
+      |w AS (SELECT event_type, cents,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM m)
+      |SELECT w.event_type, max(n) AS n,
+      |  (SELECT count(*) FROM h WHERE h.event_type = w.event_type)::BIGINT
+      |    AS cell_days,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+      |    + min(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS BIGINT)
+      |    AS med_x2_cents,
+      |  min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS p95_cents
+      |FROM w GROUP BY w.event_type ORDER BY w.event_type""".stripMargin
+
   // Shared by q_rolling_dau (scan-time build) and q_rolling_dau_incremental
   // (stored day-partitioned artifact + appended final day): the served
   // artifact must reproduce the full-rebuild DAU/WAU readout exactly.
@@ -1018,25 +1041,11 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exact-quantile cube: the oracle replays BOTH integer rank rules
     // over the raw table — exact equality (the point vs the sketch cubes);
-    // cell_days = distinct (day, cents) cells per type pins the grain
-    "q_quantile_cube" ->
-      """WITH h AS (SELECT event_type, epoch_ns(ts)//86400000000000 AS day,
-        |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
-        |  FROM events GROUP BY 1, 2, 3),
-        |m AS (SELECT event_type, cents, CAST(sum(c) AS BIGINT) AS c
-        |  FROM h GROUP BY 1, 2),
-        |w AS (SELECT event_type, cents,
-        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum,
-        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM m)
-        |SELECT w.event_type, max(n) AS n,
-        |  (SELECT count(*) FROM h WHERE h.event_type = w.event_type)::BIGINT
-        |    AS cell_days,
-        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
-        |    + min(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS BIGINT)
-        |    AS med_x2_cents,
-        |  min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS p95_cents
-        |FROM w GROUP BY w.event_type ORDER BY w.event_type""".stripMargin,
+    // cell_days = distinct (day, cents) cells per type pins the grain.
+    // Shared by the single-build cube and its append-only incremental
+    // twin: exact additivity means the refold equals the full rebuild.
+    "q_quantile_cube" -> quantileCubeOracleSql,
+    "q_quantile_cube_incremental" -> quantileCubeOracleSql,
     // all-integer skew audit: counts, exact-ppm share, hotness x100 vs
     // the uniform mean; (n desc, key) order pinned in both engines
     "q_skew_audit" ->

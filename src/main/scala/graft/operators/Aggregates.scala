@@ -555,6 +555,52 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  private val quantileCubeIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** INCREMENTAL maintenance for the exact-quantile cube — the same
+    * append-only lifecycle the MV/BM25/ANN/DAU artifacts carry: the
+    * histogram for every day before the last is written once PARTITIONED
+    * BY day, the final day's cells append into their own partition (two
+    * disjoint writes, history never rewritten), and because histograms
+    * are exactly additive the serve-time re-sum is bit-identical to the
+    * single-build cube — so the query SHARES q_quantile_cube's oracle. */
+  private[graft] def quantileCubeIncrDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, quantileCubeIncrMemo)
+    quantileCubeIncrMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-quantile-cube-incr").toString
+      // fenced: the max-day collect and both writes are separate jobs
+      val hist = graft.operators.Dedup.fence(
+        Tables.events(spark, sfDir)
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .agg(count(lit(1)).as("c")),
+        "day")
+      val maxDay = hist.agg(max("day")).head.getLong(0)
+      hist.filter(col("day") < maxDay)
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      hist.filter(col("day") === maxDay)
+        .write.partitionBy("day").mode("append").parquet(dir)
+      dir
+    })
+  }
+
+  /** The quantile readout served from the APPENDED cube — equality with
+    * the full-rebuild oracle proves the day-partitioned artifact holds
+    * the whole history and the cell re-sum absorbs the append. */
+  def quantileCubeIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = spark.read.parquet(quantileCubeIncrDir(spark, sfDir))
+      .select(col("event_type").as("k"), col("cents").as("v"),
+        col("c"), col("day").cast("long").as("day"))
+      .groupBy(col("k"), col("v"))
+      .agg(sum(col("c")).as("c"), countDistinct(col("day")).as("nd"))
+    histRankStats(merged, extra = Seq(sum(col("nd")).as("cell_days")))
+      .select(col("k").as("event_type"), col("n"), col("cell_days"),
+        col("med_x2").as("med_x2_cents"), col("p95").as("p95_cents"))
+      .orderBy("event_type")
+  }
+
   private val hllCubeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

@@ -226,6 +226,16 @@ class AggregatesSpec extends SparkSpec {
     assert(plan.contains("graft-quantile-cube") && !plan.contains("events.parquet"))
   }
 
+  test("quantile cube incremental: appended day-partitioned cells equal the single build") {
+    val full = Aggregates.quantileCubeServed(spark, sf).collect().toSeq
+    val incr = Aggregates.quantileCubeIncremental(spark, sf).collect().toSeq
+    assert(incr == full)
+    // the artifact genuinely holds >1 day partition (prefix + append)
+    val dir = Aggregates.quantileCubeIncrDir(spark, sf)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("day="))
+    assert(parts > 1)
+  }
+
   test("cms cube: per-source stored sketches merge to the scan-time sketch EXACTLY") {
     // cells are additive, so the cube-served estimates must be
     // bit-identical to q_cms_counts — the executed form of the
