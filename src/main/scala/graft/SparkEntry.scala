@@ -2683,31 +2683,38 @@ object SparkEntry {
         |  FROM d)
         |SELECT user_id, day, n_events, rnk FROM r WHERE rnk <= 3
         |ORDER BY user_id, rnk, day""".stripMargin,
-    // drawdown: exact integer cum/peak windows; argmax via earliest-day
-    // tie (DuckDB max of a row struct mirrors Spark's struct max; the
-    // windowed sums stay internal — only BIGINT-cast columns emit)
+    // drawdown over the SIGNED net-flow walk (purchases − errors): exact
+    // integer cum/peak windows; trough via earliest-day argmax, the TRUE
+    // final cum via last-day row_number (windowed sums stay internal)
     "q_max_drawdown" ->
-      """WITH daily AS (SELECT event_type, epoch_ns(ts)//86400000000000 AS day,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |c AS (SELECT event_type, day,
+      """WITH daily AS (SELECT user_id % 4 AS cohort,
+        |    epoch_ns(ts)//86400000000000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100) AS BIGINT)
+        |        ELSE -CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'error')
+        |  GROUP BY 1, 2),
+        |c AS (SELECT cohort, day,
         |    CAST(sum(cents) OVER w AS BIGINT) AS cum
-        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  FROM daily WINDOW w AS (PARTITION BY cohort ORDER BY day
         |    ROWS UNBOUNDED PRECEDING)),
-        |p AS (SELECT event_type, day, cum,
-        |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day
+        |p AS (SELECT cohort, day, cum,
+        |    CAST(max(cum) OVER (PARTITION BY cohort ORDER BY day
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - cum AS dd
         |  FROM c),
-        |r AS (SELECT event_type, day, dd,
-        |    row_number() OVER (PARTITION BY event_type
+        |r AS (SELECT cohort, day, dd,
+        |    row_number() OVER (PARTITION BY cohort
         |      ORDER BY dd DESC, day ASC) AS rn
         |  FROM p),
-        |t AS (SELECT event_type, count(*)::BIGINT AS n_days,
-        |    CAST(max(cum) AS BIGINT) AS final_cum_cents FROM p GROUP BY 1)
-        |SELECT t.event_type, t.n_days, t.final_cum_cents,
+        |f AS (SELECT cohort, cum AS final_cum_cents,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY day DESC) AS rn
+        |  FROM p),
+        |t AS (SELECT cohort, count(*)::BIGINT AS n_days FROM p GROUP BY 1)
+        |SELECT t.cohort, t.n_days, f.final_cum_cents,
         |  r.dd AS max_drawdown_cents, r.day AS trough_day
-        |FROM t JOIN r ON t.event_type = r.event_type AND r.rn = 1
-        |ORDER BY t.event_type""".stripMargin,
+        |FROM t JOIN r ON t.cohort = r.cohort AND r.rn = 1
+        |JOIN f ON t.cohort = f.cohort AND f.rn = 1
+        |ORDER BY t.cohort""".stripMargin,
     // OHLC: open/close by (tns, event_id) via row_number (the oracle's
     // independent formulation of the engine's struct-min/max tie order)
     "q_ohlc_bars" ->

@@ -545,9 +545,18 @@ object Aggregates {
     * both rank rules over the raw table in SQL — exact equality, not a
     * bracket: that is the point of this cube vs the sketch ones.
     */
-  def quantileCubeServed(spark: SparkSession, sfDir: String): DataFrame = {
-    val merged = spark.read.parquet(quantileCubeDir(spark, sfDir))
-      .groupBy(col("event_type").as("k"), col("cents").as("v"))
+  def quantileCubeServed(spark: SparkSession, sfDir: String): DataFrame =
+    serveQuantileCube(spark, quantileCubeDir(spark, sfDir))
+
+  /** The ONE serve path both cube forms share (review r11: a forked serve
+    * block would let the "incremental equals single build" test compare
+    * serve-code forks instead of builds). `day` casts to long because the
+    * incremental artifact reads it back as a PARTITION column. */
+  private def serveQuantileCube(spark: SparkSession, dir: String): DataFrame = {
+    val merged = spark.read.parquet(dir)
+      .select(col("event_type").as("k"), col("cents").as("v"), col("c"),
+        col("day").cast("long").as("day"))
+      .groupBy(col("k"), col("v"))
       .agg(sum(col("c")).as("c"), countDistinct(col("day")).as("nd"))
     histRankStats(merged, extra = Seq(sum(col("nd")).as("cell_days")))
       .select(col("k").as("event_type"), col("n"), col("cell_days"),
@@ -569,7 +578,8 @@ object Aggregates {
     SessionMemos.arm(spark, quantileCubeIncrMemo)
     quantileCubeIncrMemo.computeIfAbsent((spark, sfDir), _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-quantile-cube-incr").toString
-      // fenced: the max-day collect and both writes are separate jobs
+      // fenced: the max-day collect and both writes are separate jobs;
+      // unpersisted after — the build frame is never read again
       val hist = graft.operators.Dedup.fence(
         Tables.events(spark, sfDir)
           .groupBy(col("event_type"),
@@ -577,29 +587,23 @@ object Aggregates {
             expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
           .agg(count(lit(1)).as("c")),
         "day")
-      val maxDay = hist.agg(max("day")).head.getLong(0)
-      hist.filter(col("day") < maxDay)
-        .write.partitionBy("day").mode("overwrite").parquet(dir)
-      hist.filter(col("day") === maxDay)
-        .write.partitionBy("day").mode("append").parquet(dir)
+      try {
+        val maxDay = hist.agg(max("day")).head.getLong(0)
+        hist.filter(col("day") < maxDay)
+          .write.partitionBy("day").mode("overwrite").parquet(dir)
+        hist.filter(col("day") === maxDay)
+          .write.partitionBy("day").mode("append").parquet(dir)
+      } finally hist.unpersist()
       dir
     })
   }
 
   /** The quantile readout served from the APPENDED cube — equality with
     * the full-rebuild oracle proves the day-partitioned artifact holds
-    * the whole history and the cell re-sum absorbs the append. */
-  def quantileCubeIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val merged = spark.read.parquet(quantileCubeIncrDir(spark, sfDir))
-      .select(col("event_type").as("k"), col("cents").as("v"),
-        col("c"), col("day").cast("long").as("day"))
-      .groupBy(col("k"), col("v"))
-      .agg(sum(col("c")).as("c"), countDistinct(col("day")).as("nd"))
-    histRankStats(merged, extra = Seq(sum(col("nd")).as("cell_days")))
-      .select(col("k").as("event_type"), col("n"), col("cell_days"),
-        col("med_x2").as("med_x2_cents"), col("p95").as("p95_cents"))
-      .orderBy("event_type")
-  }
+    * the whole history and the cell re-sum absorbs the append. Shares
+    * [[serveQuantileCube]] verbatim with the single-build form. */
+  def quantileCubeIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    serveQuantileCube(spark, quantileCubeIncrDir(spark, sfDir))
 
   private val hllCubeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()

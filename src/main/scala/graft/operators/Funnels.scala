@@ -646,14 +646,17 @@ object Funnels {
     dayUserStoreMemo.computeIfAbsent((spark, sfDir), _ => {
       // fenced: the max-day collect and the two writes are three separate
       // JOBS — unfenced they would each rescan events and redo the
-      // distinct (exchange reuse never applies across jobs; review r11)
+      // distinct (exchange reuse never applies across jobs; review r11).
+      // Unpersisted after: the build frame is never read again.
       val ud = Dedup.fence(dayUserFrame(spark, sfDir), "day")
-      val maxDay = ud.agg(max("day")).head.getLong(0)
       val dir = java.nio.file.Files.createTempDirectory("graft-dau-frame").toString
-      ud.filter(col("day") < maxDay)
-        .write.partitionBy("day").mode("overwrite").parquet(dir)
-      ud.filter(col("day") === maxDay)
-        .write.partitionBy("day").mode("append").parquet(dir)
+      try {
+        val maxDay = ud.agg(max("day")).head.getLong(0)
+        ud.filter(col("day") < maxDay)
+          .write.partitionBy("day").mode("overwrite").parquet(dir)
+        ud.filter(col("day") === maxDay)
+          .write.partitionBy("day").mode("append").parquet(dir)
+      } finally ud.unpersist()
       dir
     })
   }

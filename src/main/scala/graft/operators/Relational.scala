@@ -954,7 +954,12 @@ object Relational {
     * enum-sized dimensions (status codes, countries, currencies). The
     * oracle deliberately runs the JOIN formulation, so the hash match
     * proves the elimination preserves semantics; RelationalSpec asserts
-    * the plan contains no join node at all.
+    * the plan contains no join node at all. INNER-JOIN equivalence needs
+    * the dangling-key case stated: `element_at` yields NULL where a join
+    * drops the row, so the decode filters decoded-NULL rows explicitly —
+    * equivalent under ANY data, not just referentially-intact data
+    * (review r11; this testdata happens to have full key coverage, but
+    * the operator must not depend on it).
     */
   def dimDecode(spark: SparkSession, sfDir: String): DataFrame = {
     SessionMemos.arm(spark, nationMapMemo)
@@ -962,7 +967,10 @@ object Relational {
       Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
         .collect().map(r => r.getInt(0) -> r.getString(1)).toMap)
     Tables.customer(spark, sfDir)
-      .groupBy(element_at(typedLit(m), col("c_nationkey")).as("nation_name"))
+      .select(element_at(typedLit(m), col("c_nationkey")).as("nation_name"),
+        col("c_acctbal"))
+      .filter(col("nation_name").isNotNull) // dangling keys drop, as a join would
+      .groupBy("nation_name")
       .agg(count(lit(1)).as("n_cust"),
         round(dsum(col("c_acctbal")), 4).as("sum_acctbal"))
       .orderBy("nation_name")

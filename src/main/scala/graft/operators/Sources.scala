@@ -274,22 +274,24 @@ object Sources {
     overwriteMemo.computeIfAbsent((spark, sfDir), _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-dynpart-src").toString
       // fenced: the min-year collect and the two writes are three jobs —
-      // unfenced each would rescan orders (review r11)
+      // unfenced each would rescan orders (review r11); unpersisted after
       val o = Dedup.fence(Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_totalprice"),
           year(col("o_orderdate")).as("o_year")), "o_year")
-      val firstYear = o.agg(min("o_year")).head.getInt(0) // bounded: 1-row agg
-      o.filter(col("o_year") =!= firstYear || col("o_orderkey") % 7 =!= 0)
-        .write.partitionBy("o_year").mode("overwrite").parquet(dir)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        o.filter(col("o_year") === firstYear)
+      try {
+        val firstYear = o.agg(min("o_year")).head.getInt(0) // bounded: 1-row agg
+        o.filter(col("o_year") =!= firstYear || col("o_orderkey") % 7 =!= 0)
           .write.partitionBy("o_year").mode("overwrite").parquet(dir)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          o.filter(col("o_year") === firstYear)
+            .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      } finally o.unpersist()
       dir
     })
   }

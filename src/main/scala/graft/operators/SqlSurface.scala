@@ -18,8 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlSurface {
 
-  /** Register every testdata table once per (session, dir) as temp views
-    * named exactly like the oracle's tables. Idempotent. */
+  /** Register the testdata tables as temp views named EXACTLY like the
+    * oracle's tables — the bare names are load-bearing (the point of this
+    * surface is that the oracle's SQL text runs verbatim), so unlike the
+    * rest of the codebase's suffixed views these rebind session-globally.
+    * Each query method re-registers immediately before its spark.sql, so
+    * sequential callers on different sfDirs are safe; CONCURRENT callers
+    * on one session would race the shared names — the repo's runners
+    * (Verify/Bench/ScaleCurve) are all sequential per session. */
   private def registerViews(spark: SparkSession, sfDir: String): Unit =
     Seq("customer" -> Tables.customer(spark, sfDir),
       "orders" -> Tables.orders(spark, sfDir),

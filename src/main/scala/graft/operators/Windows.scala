@@ -42,33 +42,43 @@ object Windows {
         col("c.cents").as("close_cents"), col("volume"))
       .orderBy("event_type", "hour")
 
-  /** MAXIMUM DRAWDOWN per event type — the peak-to-trough risk statistic
-    * (largest drop of the cumulative daily-revenue series from its running
-    * peak), with the day it bottomed: pure integer window algebra over the
-    * (type × day) DOMAIN frame — daily cents sums (map-combinable), a
-    * running cumulative sum, a running max of that, drawdown = peak − cum,
-    * and an argmax struct with earliest-day ties (the q_cusum discipline).
-    * No float enters until nothing is left to compute.
+  /** MAXIMUM DRAWDOWN per user cohort — the peak-to-trough risk statistic
+    * (largest drop of a cumulative NET-FLOW series from its running peak),
+    * with the day it bottomed. The series is daily purchases MINUS errors
+    * (the deterministic refund/chargeback stand-in), per user-parity×2
+    * cohort — a genuinely OSCILLATING walk, unlike gross revenue, whose
+    * all-positive daily sums make every drawdown identically zero and the
+    * statistic vacuous (review r11: the first cut grouped gross revenue
+    * by type and verified nothing). Pure integer window algebra over the
+    * (cohort × day) domain frame: signed daily cents (map-combinable),
+    * running cumulative sum, running peak (INCLUSIVE of the current day,
+    * so day one's drawdown is 0 by construction), dd = peak − cum, argmax
+    * struct with earliest-day ties (the q_cusum discipline), and the true
+    * final cumulative via a max-by on day. No float anywhere.
     */
   def maxDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
-      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-    val byDay = Window.partitionBy("event_type").orderBy("day")
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy((col("user_id") % 4).as("cohort"),
+        expr("ts div 86400000000000").as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)"))
+        .otherwise(expr("-CAST(round(value * 100) AS BIGINT)"))).as("cents"))
+    val byDay = Window.partitionBy("cohort").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, 0)
     daily
       .withColumn("cum", sum(col("cents")).over(byDay))
       .withColumn("peak", max(col("cum")).over(byDay))
       .withColumn("dd", col("peak") - col("cum"))
-      .groupBy("event_type")
+      .groupBy("cohort")
       .agg(count(lit(1)).as("n_days"),
-        max(col("cum")).as("final_cum_cents"),
-        // argmax with earliest-day tie: max on (dd, -day)
+        max(struct(col("day"), col("cum"))).as("fin"), // max-by day: TRUE final
         max(struct(col("dd").as("dd"), (-col("day")).as("nd"))).as("top"))
-      .select(col("event_type"), col("n_days"), col("final_cum_cents"),
+      .select(col("cohort"), col("n_days"),
+        col("fin.cum").as("final_cum_cents"),
         col("top.dd").as("max_drawdown_cents"),
         (-col("top.nd")).as("trough_day"))
-      .orderBy("event_type")
+      .orderBy("cohort")
   }
 
   /** BUSINESS-DAY fulfillment lag: weekdays between order and ship date

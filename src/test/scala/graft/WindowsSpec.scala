@@ -296,32 +296,37 @@ class WindowsSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.exists(_.size > 3))
   }
 
-  test("max drawdown replays from a driver-side cumulative walk") {
+  test("max drawdown replays from a driver-side cumulative walk; drawdowns genuinely occur") {
     import spark.implicits._
     val daily = Tables.events(spark, sf)
-      .select(col("event_type"),
+      .filter(col("event_type").isin("purchase", "error"))
+      .select((col("user_id") % 4).as("cohort"),
         org.apache.spark.sql.functions.expr("ts div 86400000000000").as("day"),
-        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-      .as[(String, Long, Long)].collect()
+        when(col("event_type") === "purchase",
+          org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)"))
+          .otherwise(org.apache.spark.sql.functions.expr("-CAST(round(value * 100) AS BIGINT)"))
+          .as("c"))
+      .as[(Long, Long, Long)].collect()
       .groupBy(r => (r._1, r._2)).map { case ((t, d), rs) => (t, d, rs.map(_._3).sum) }
     val want = daily.groupBy(_._1).map { case (t, rows) =>
-      var cum = 0L; var peak = 0L; var dd = 0L; var troughDay = Long.MaxValue
+      // running peak INCLUSIVE of the current day (day one's dd = 0), the
+      // engine's max(cum) OVER rows-unbounded-preceding semantics
+      var cum = 0L; var peak = Long.MinValue; var dd = -1L; var troughDay = 0L
       var finalCum = 0L
       rows.toSeq.sortBy(_._2).foreach { case (_, d, c) =>
         cum += c; finalCum = cum
         if (cum > peak) peak = cum
         if (peak - cum > dd) { dd = peak - cum; troughDay = d }
-        else if (dd == 0 && troughDay == Long.MaxValue) troughDay = d // dd=0: earliest day
       }
       (t, rows.size.toLong, finalCum, dd, troughDay)
     }.toSeq.sortBy(_._1)
     val got = Windows.maxDrawdown(spark, sf)
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
-    assert(got.map(g => (g._1, g._2, g._3, g._4)) == want.map(w => (w._1, w._2, w._3, w._4)))
-    // trough day: the engine takes the EARLIEST day achieving the max dd
-    got.zip(want).foreach { case (g, w) =>
-      if (w._4 > 0) assert(g._5 == w._5, s"${g._1} trough")
-    }
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the statistic is NON-vacuous on this data: the signed net-flow walk
+    // must actually draw down somewhere (review r11: the gross-revenue
+    // grouping made dd identically 0 and verified nothing)
+    assert(got.exists(_._4 > 0), "no drawdown anywhere — the fixture is degenerate again")
   }
 
   test("ohlc bars replay from a driver-side sort; invariants hold per bar") {
