@@ -205,6 +205,7 @@ object SparkEntry {
     "q_length_histogram"  -> ((s, d) => Curation.lengthHistogram(s, d)),
     "q_vocab_coverage"    -> ((s, d) => Curation.vocabCoverage(s, d)),
     "q_mixture_rebalance" -> ((s, d) => Sampling.mixtureRebalance(s, d)),
+    "q_token_budget"      -> ((s, d) => Sampling.tokenBudget(s, d)),
     "q_mixture_temp"      -> ((s, d) => Sampling.mixtureTemperature(s, d)),
     "q_chunk_overlap"     -> ((s, d) => Curation.chunkOverlap(s, d)),
     "q_vocab_encode"      -> ((s, d) => Curation.vocabEncode(s, d)),
@@ -2186,6 +2187,19 @@ object SparkEntry {
         |  sum(len(string_split(text,' '))::BIGINT)::BIGINT AS n_tokens,
         |  round(avg(length(text)), 6) AS avg_chars
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // greedy-prefix budget cut: kept iff the budget wasn't full BEFORE
+    // the doc (cum − own ≤ B); windowed sums stay internal, outputs cast
+    "q_token_budget" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
+        |SELECT lang, count(*) AS n_docs_taken,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_taken,
+        |  max(doc_id) AS last_doc_id
+        |FROM c WHERE cum - n_tokens <= 10000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_mixture_rebalance" ->
       """WITH c AS (SELECT source, count(*)::BIGINT AS n_src FROM documents GROUP BY source),
         |t AS (SELECT sum(n_src)::BIGINT AS n_total, count(*)::BIGINT AS n_sources FROM c),

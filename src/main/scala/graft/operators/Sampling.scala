@@ -117,6 +117,35 @@ object Sampling {
     * engine-portable up to ~9e9 docs (longs); beyond that the rate compute
     * moves to decimal — a type change, not a plan change.
     */
+  /** TOKEN-BUDGET corpus cut: per language, take documents in a
+    * deterministic priority order (doc_id — in production, a quality
+    * rank) until a fixed token budget fills, then report what the cut
+    * kept — the budgeting step that turns "we want 30% code, 20% web" (a
+    * mixture RATIO) into an actual bounded corpus (mixture rebalancing
+    * thins by rate; this CUTS by cumulative mass). A document is kept iff
+    * the budget was not already full BEFORE it (cum − own ≤ budget), so
+    * exactly one document may straddle the boundary — the standard
+    * greedy-prefix semantics. One per-lang cumulative window over the
+    * (lang-clustered) docs; the readout is a map-combinable aggregate of
+    * the kept prefix.
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 10000L // tokens per language
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_taken"),
+        sum(col("n_tokens")).as("tokens_taken"),
+        max(col("doc_id")).as("last_doc_id"))
+      .orderBy("lang")
+  }
+
   def mixtureRebalance(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
