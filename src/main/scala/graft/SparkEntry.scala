@@ -257,6 +257,8 @@ object SparkEntry {
     "q_ohlc_bars"         -> ((s, d) => Windows.ohlcBars(s, d)),
     "q_max_drawdown"      -> ((s, d) => Windows.maxDrawdown(s, d)),
     "q_business_days"     -> ((s, d) => Windows.businessDays(s, d)),
+    "q_sla_compliance"    -> ((s, d) => Windows.slaCompliance(s, d)),
+    "q_lag_features"      -> ((s, d) => Windows.lagFeatures(s, d)),
     "q_topk_ties"         -> ((s, d) => Windows.topKDaysWithTies(s, d)),
     "q_tpch_q1"           -> ((s, d) => SqlSurface.tpchQ1(s, d)),
     "q_tpch_q3"           -> ((s, d) => SqlSurface.tpchQ3(s, d)),
@@ -2669,6 +2671,41 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // SLA share over the same closed form; exact ppm, BETWEEN inclusive
+    "q_sla_compliance" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+        |  FROM orders),
+        |l AS (SELECT l_orderkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd
+        |  FROM lineitem),
+        |j AS (SELECT o_orderpriority,
+        |    (5 * ((sd + 3) // 7) + least((sd + 3) % 7 + 1, 5) - 3)
+        |      - (5 * ((od + 3) // 7) + least((od + 3) % 7 + 1, 5) - 3) AS bd
+        |  FROM o JOIN l ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CASE WHEN bd BETWEEN 0 AND 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_within_sla,
+        |  CAST(sum(CASE WHEN bd BETWEEN 0 AND 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS sla_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the lag-feature frame: NULLs where history is short are the
+    // feature-store contract (imputation belongs to the model)
+    "q_lag_features" ->
+      """WITH daily AS (SELECT user_id, epoch_ns(ts)//86400000000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, day, cents,
+        |  lag(cents, 1) OVER w AS lag1_cents,
+        |  lag(cents, 7) OVER w AS lag7_cents,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trail7_cents,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trail7_days
+        |FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |ORDER BY user_id, day""".stripMargin,
     // the weekday closed form token-for-token (y = epoch_day + 3 shifts
     // Monday to 0 mod 7; positive domain so // == Spark's div)
     "q_business_days" ->

@@ -42,6 +42,32 @@ object Windows {
         col("c.cents").as("close_cents"), col("volume"))
       .orderBy("event_type", "hour")
 
+  /** LAG-FEATURE ENGINEERING: the per-entity temporal feature frame a
+    * training pipeline materializes before model fitting — for each
+    * (user, active day): today's spend, lag-1 and lag-7 spend (NULL where
+    * history is short — imputation is the MODEL'S choice, not the
+    * feature store's), the trailing-7-day spend sum and active-day count.
+    * All exact integers; every column rides ONE user-clustered window
+    * pass (the range frame reuses the row frame's sort). At 100 TB this
+    * frame is the thing feature stores snapshot daily — the day-
+    * partitioned append pattern of the DAU artifact applies verbatim.
+    */
+  def lagFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val byDay = Window.partitionBy("user_id").orderBy("day")
+    val trail7 = Window.partitionBy("user_id").orderBy("day")
+      .rangeBetween(-6, 0) // calendar days, not row offsets: gaps matter
+    daily
+      .withColumn("lag1_cents", lag(col("cents"), 1).over(byDay))
+      .withColumn("lag7_cents", lag(col("cents"), 7).over(byDay))
+      .withColumn("trail7_cents", sum(col("cents")).over(trail7))
+      .withColumn("trail7_days", count(lit(1)).over(trail7))
+      .orderBy("user_id", "day")
+  }
+
   /** MAXIMUM DRAWDOWN per user cohort — the peak-to-trough risk statistic
     * (largest drop of a cumulative NET-FLOW series from its running peak),
     * with the day it bottomed. The series is daily purchases MINUS errors
@@ -79,6 +105,29 @@ object Windows {
         col("top.dd").as("max_drawdown_cents"),
         (-col("top.nd")).as("trough_day"))
       .orderBy("cohort")
+  }
+
+  /** SLA COMPLIANCE: the share of lineitems shipped within 5 BUSINESS
+    * days of their order, per priority — the thresholded readout on
+    * [[businessDays]]' signed closed form (negative lags — pre-order
+    * ship dates in this synthetic data — fail the SLA like any other
+    * out-of-window value; a real deployment would quarantine them
+    * upstream via q_expectations). Exact integer share in ppm; one
+    * co-keyed join + map-combinable conditional count.
+    */
+  def slaCompliance(spark: SparkSession, sfDir: String): DataFrame = {
+    def h(c: String) = s"(5L * (($c + 3L) div 7L) + least(($c + 3L) % 7L + 1L, 5L) - 3L)"
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_orderpriority"), datediff(col("o_orderdate"), lit("1970-01-01")).as("od"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+      datediff(col("l_shipdate"), lit("1970-01-01")).as("sd"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), expr(s"${h("sd")} - ${h("od")}").as("bd"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("bd").between(0, 5), 1L).otherwise(0L)).as("n_within_sla"))
+      .withColumn("sla_ppm", expr("n_within_sla * 1000000L div n_items"))
+      .orderBy("o_orderpriority")
   }
 
   /** BUSINESS-DAY fulfillment lag: weekdays between order and ship date

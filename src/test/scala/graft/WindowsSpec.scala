@@ -251,6 +251,48 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("lag features replay driver-side: lags NULL where history is short, trailing window calendar-correct") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.expr("ts div 86400000000000").as("day"),
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map { case ((u, d), rs) => (u, d, rs.map(_._3).sum) }
+    val got = operators.Windows.lagFeatures(spark, sf).collect()
+    val byUser = daily.groupBy(_._1).map { case (u, rs) => u -> rs.toSeq.sortBy(_._2) }
+    got.foreach { r =>
+      val (u, d) = (r.getLong(0), r.getLong(1))
+      val hist = byUser(u)
+      val idx = hist.indexWhere(_._2 == d)
+      assert(r.getLong(2) == hist(idx)._3)
+      def lagAt(k: Int) = if (idx >= k) Some(hist(idx - k)._3) else None
+      assert(Option(if (r.isNullAt(3)) null else r.getLong(3)).asInstanceOf[Option[Any]]
+        == lagAt(1).asInstanceOf[Option[Any]])
+      assert(Option(if (r.isNullAt(4)) null else r.getLong(4)).asInstanceOf[Option[Any]]
+        == lagAt(7).asInstanceOf[Option[Any]])
+      // trailing window is CALENDAR days: gaps shrink the count
+      val win = hist.filter(h => h._2 >= d - 6 && h._2 <= d)
+      assert(r.getLong(5) == win.map(_._3).sum && r.getLong(6) == win.size.toLong)
+    }
+    // gaps exist somewhere, so row-frame vs range-frame is load-bearing
+    assert(got.exists(r => r.getLong(6) < 7 && r.getLong(1) > byUser(r.getLong(0)).head._2 + 6))
+  }
+
+  test("sla compliance: ppm share replays; within-SLA never exceeds item count") {
+    import spark.implicits._
+    val got = operators.Windows.slaCompliance(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bdRows = operators.Windows.businessDays(spark, sf)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    got.foreach { case (p, n, within, ppm) =>
+      assert(n == bdRows(p)) // same join cardinality as the lag readout
+      assert(within <= n && ppm == within * 1000000L / n)
+    }
+    assert(got.exists(_._3 > 0) && got.exists(g => g._3 < g._2))
+  }
+
   test("business days: closed form equals a day-by-day weekday count") {
     import spark.implicits._
     val o = Tables.orders(spark, sf)
