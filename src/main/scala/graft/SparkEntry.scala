@@ -250,6 +250,7 @@ object SparkEntry {
     "q_funnel_fold"       -> ((s, d) => Funnels.funnelFold(s, d)),
     "q_retention"         -> ((s, d) => Funnels.retention(s, d)),
     "q_funnel_latency"    -> ((s, d) => Funnels.funnelLatency(s, d)),
+    "q_survival_curve"    -> ((s, d) => Funnels.survivalCurve(s, d)),
     "q_ltv_cohort"        -> ((s, d) => Funnels.ltvCohort(s, d)),
     "q_benford"           -> ((s, d) => Curation.benfordAudit(s, d)),
     "q_new_returning"     -> ((s, d) => Funnels.newVsReturning(s, d)),
@@ -2490,6 +2491,29 @@ object SparkEntry {
         |  min(CASE WHEN cum * 100 >= n * 95 THEN sec END) AS p95_sec,
         |  max(sec) AS max_sec
         |FROM w""".stripMargin,
+    // the discrete life table: entry = first view, event = first BIG
+    // purchase (>90, the wilson event — plain purchases never censor on
+    // this data); censoring at the horizon; at-risk = suffix sum (cast)
+    "q_survival_curve" ->
+      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS ns FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) > v.ns
+        |      WHERE e.event_type = 'purchase' AND e.value > 90.0 GROUP BY 1),
+        |h AS (SELECT max(epoch_ns(ts)//86400000000000) AS max_day FROM events),
+        |obs AS (SELECT
+        |    CASE WHEN p.user_id IS NOT NULL
+        |         THEN (p.ns - v.ns) // 86400000000000
+        |         ELSE h.max_day - v.ns // 86400000000000 END AS k,
+        |    CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS d
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id, h),
+        |g AS (SELECT k, CAST(sum(d) AS BIGINT) AS n_converted,
+        |    CAST(sum(1 - d) AS BIGINT) AS n_censored FROM obs GROUP BY 1)
+        |SELECT k,
+        |  CAST(sum(n_converted + n_censored) OVER (ORDER BY k DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+        |  n_converted, n_censored
+        |FROM g ORDER BY k""".stripMargin,
     // cumulative cohort revenue: retention's cohort map + exact integer
     // cents; the running sum is windowed (HUGEINT in DuckDB -> CAST)
     "q_ltv_cohort" ->

@@ -480,6 +480,59 @@ object Funnels {
         col("p95").as("p95_sec"), col("max_v").as("max_sec"))
   }
 
+  /** SURVIVAL CURVE (discrete Kaplan–Meier life table): time from first
+    * view to the first BIG purchase (value > 90 — the q_wilson_ci
+    * conversion event) in whole days, WITH censoring — the analysis
+    * funnelLatency cannot do, because latency quantiles see only
+    * converters while the survival table counts everyone who entered:
+    * per day-offset k, the number still at risk (neither converted nor
+    * censored before k), the conversions at k, and the censorings at k
+    * (non-converters leave the study at the last observed day). The
+    * big-purchase event matters: EVERY entrant in this dense synthetic
+    * data completes a plain purchase, which would make the censoring
+    * column identically zero and the life table a latency histogram in
+    * disguise (the drawdown lesson: a statistic whose distinguishing
+    * branch never fires verifies nothing — FunnelsSpec asserts both
+    * branches occur). At-risk is the suffix sum over the offset
+    * histogram — a DESCENDING cumulative window on the day-domain frame,
+    * exact integers throughout; the KM product estimator Π(1 − dₖ/nₖ)
+    * is the caller's one float fold, deliberately not emitted
+    * (cross-engine product-chain hazard for zero information). Plan:
+    * entry and conversion are two user-co-partitioned aggregates (the
+    * event filter rides the entry join), then one domain-frame window.
+    */
+  def survivalCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val entry = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v"))
+    val conv = ev.filter(col("event_type") === "purchase" && col("value") > 90.0)
+      .join(entry, "user_id")
+      .filter(col("ts") > col("v"))
+      .groupBy("user_id").agg(min(col("ts")).as("p"))
+    val horizon = ev.agg(max(expr("ts div 86400000000000")).as("max_day"))
+    val obs = entry.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon)) // scalar horizon
+      .select(
+        when(col("p").isNotNull, expr("(p - v) div 86400000000000")).as("conv_k"),
+        when(col("p").isNull,
+          col("max_day") - expr("v div 86400000000000")).as("cens_k"))
+    val hist = obs
+      .select(coalesce(col("conv_k"), col("cens_k")).as("k"),
+        when(col("conv_k").isNotNull, 1L).otherwise(0L).as("d"),
+        when(col("conv_k").isNull, 1L).otherwise(0L).as("c"))
+      .groupBy("k").agg(sum(col("d")).as("n_converted"),
+        sum(col("c")).as("n_censored"))
+    // at-risk at k = everyone whose event or censoring lands at ≥ k:
+    // a descending suffix sum over the (tiny) offset-domain frame
+    val suffix = Window.orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("n_at_risk",
+        sum(col("n_converted") + col("n_censored")).over(suffix))
+      .select("k", "n_at_risk", "n_converted", "n_censored")
+      .orderBy("k")
+  }
+
   /** LTV COHORT CURVE: cumulative purchase revenue per acquisition cohort
     * over days-since-first-seen — the lifetime-value readout every growth
     * model calibrates against ([[retention]] counts who comes back, this

@@ -404,6 +404,45 @@ class FunnelsSpec extends SparkSpec {
     assert(row.getLong(3) == lats.last)
   }
 
+  test("survival curve: life-table identities hold and counts replay from the min-chain") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect()
+    val maxDay = evs.map(_._2 / 86400000000000L).max
+    // .toSeq BEFORE flatMap: flatMap on a Map with (k, d) tuple results
+    // rebuilds a MAP keyed by k, silently collapsing users that share an
+    // offset — the collection-law footgun, not a semantics choice
+    val perUser = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val v = rows.filter(_._3 == "view").map(_._2).minOption
+      v.map { vn =>
+        val p = rows.filter(r => r._3 == "purchase" && r._4 > 90.0 && r._2 > vn)
+          .map(_._2).minOption
+        p match {
+          case Some(pn) => (Math.floorDiv(pn - vn, 86400000000000L), 1L)
+          case None => (maxDay - vn / 86400000000000L, 0L)
+        }
+      }
+    }
+    val want = perUser.groupBy(_._1).map { case (k, xs) =>
+      (k, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = operators.Funnels.survivalCurve(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(g => (g._1, g._3, g._4)) == want)
+    // at-risk identities: first row counts every entrant; at each k,
+    // at_risk = events(>=k) + censored(>=k); monotone nonincreasing in k
+    val entrants = perUser.size.toLong
+    assert(got.map(g => g._3 + g._4).sum == entrants)
+    assert(got.head._2 == entrants || got.map(_._2).max == entrants)
+    got.foreach { case (k, ar, _, _) =>
+      assert(ar == want.filter(_._1 >= k).map(w => w._2 + w._3).sum)
+    }
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    // both conversions and censorings genuinely occur (non-vacuous)
+    assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0)
+  }
+
   test("ltv cohort: cumulative revenue replays; cumulative is monotone per cohort") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
