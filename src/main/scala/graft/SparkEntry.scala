@@ -64,6 +64,7 @@ object SparkEntry {
     "q_time_travel"       -> ((s, d) => Relational.scd2AsOf(s, d)),
     "q_cdc_apply"         -> ((s, d) => Relational.cdcApply(s, d)),
     "q_profile"           -> ((s, d) => Curation.profileOrders(s, d)),
+    "q_profile_approx"    -> ((s, d) => Curation.profileOrdersApprox(s, d)),
     "q_session_paths"     -> ((s, d) => Funnels.sessionPaths(s, d)),
     "q_session_stats"     -> ((s, d) => Funnels.sessionStats(s, d)),
     "q_rfm"               -> ((s, d) => Windows.rfmSegments(s, d)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_gapfill"           -> ((s, d) => Windows.gapfillHourly(s, d)),
     "q_twap"              -> ((s, d) => Windows.twapPerUser(s, d)),
     "q_ewma"              -> ((s, d) => Windows.ewmaPerUser(s, d)),
+    "q_ewma_fold"         -> ((s, d) => Windows.ewmaFold(s, d)),
     "q_seasonal_naive"    -> ((s, d) => Windows.seasonalNaive(s, d)),
     "q_pareto_abc"        -> ((s, d) => Windows.paretoAbc(s, d)),
     "q_gini"              -> ((s, d) => Windows.giniRevenue(s, d)),
@@ -381,6 +383,47 @@ object SparkEntry {
       |  (lead(valid_from_sec) OVER w IS NULL) AS is_current, n_events
       |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY version)
       |ORDER BY user_id, version""".stripMargin
+
+  /** Shared column-profiler oracle (q_profile / q_profile_approx): one
+    * multi-distinct aggregate unpivoted to a per-column datasheet; extrema
+    * pass through untouched (no arithmetic), BIGINT keys cast to DOUBLE
+    * (exact below 2^53). `withVerdict` appends the TRUE HLL-envelope
+    * verdict column the approx form asserts Spark-side. */
+  private def profileOracleSql(withVerdict: Boolean): String = {
+    val v = if (withVerdict) ", TRUE AS hll_within_10pct" else ""
+    s"""WITH a AS (SELECT count(*) AS n,
+       |  count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
+       |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       |  count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS nd_price,
+       |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       |  count(o_orderstatus) AS nn_status, count(DISTINCT o_orderstatus) AS nd_status,
+       |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+       |  count(o_orderpriority) AS nn_prio, count(DISTINCT o_orderpriority) AS nd_prio,
+       |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
+       |  count(o_orderdate) AS nn_date, count(DISTINCT o_orderdate) AS nd_date,
+       |  min(CAST(o_orderdate AS VARCHAR)) AS min_date,
+       |  max(CAST(o_orderdate AS VARCHAR)) AS max_date
+       |  FROM orders)
+       |SELECT * FROM (
+       |  SELECT 'o_orderkey' AS column_name, n AS n_rows, n - nn_key AS n_nulls,
+       |    nd_key AS n_distinct, CAST(min_key AS DOUBLE) AS min_num,
+       |    CAST(max_key AS DOUBLE) AS max_num,
+       |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str$v FROM a
+       |  UNION ALL SELECT 'o_custkey', n, n - nn_cust, nd_cust,
+       |    CAST(min_cust AS DOUBLE), CAST(max_cust AS DOUBLE),
+       |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)$v FROM a
+       |  UNION ALL SELECT 'o_totalprice', n, n - nn_price, nd_price,
+       |    min_price, max_price, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)$v FROM a
+       |  UNION ALL SELECT 'o_orderstatus', n, n - nn_status, nd_status,
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_status, max_status$v FROM a
+       |  UNION ALL SELECT 'o_orderpriority', n, n - nn_prio, nd_prio,
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_prio, max_prio$v FROM a
+       |  UNION ALL SELECT 'o_orderdate', n, n - nn_date, nd_date,
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_date, max_date$v FROM a
+       |) ORDER BY column_name""".stripMargin
+  }
 
   private val skylineOracleSql: String =
     """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
@@ -656,39 +699,11 @@ object SparkEntry {
     // column profiler (r11): one global multi-distinct aggregate unpivoted
     // to a per-column datasheet; extrema pass through untouched (no
     // arithmetic), BIGINT keys cast to DOUBLE (exact below 2^53)
-    "q_profile" ->
-      """WITH a AS (SELECT count(*) AS n,
-        |  count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
-        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-        |  count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
-        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
-        |  count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS nd_price,
-        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-        |  count(o_orderstatus) AS nn_status, count(DISTINCT o_orderstatus) AS nd_status,
-        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
-        |  count(o_orderpriority) AS nn_prio, count(DISTINCT o_orderpriority) AS nd_prio,
-        |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
-        |  count(o_orderdate) AS nn_date, count(DISTINCT o_orderdate) AS nd_date,
-        |  min(CAST(o_orderdate AS VARCHAR)) AS min_date,
-        |  max(CAST(o_orderdate AS VARCHAR)) AS max_date
-        |  FROM orders)
-        |SELECT * FROM (
-        |  SELECT 'o_orderkey' AS column_name, n AS n_rows, n - nn_key AS n_nulls,
-        |    nd_key AS n_distinct, CAST(min_key AS DOUBLE) AS min_num,
-        |    CAST(max_key AS DOUBLE) AS max_num,
-        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
-        |  UNION ALL SELECT 'o_custkey', n, n - nn_cust, nd_cust,
-        |    CAST(min_cust AS DOUBLE), CAST(max_cust AS DOUBLE),
-        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
-        |  UNION ALL SELECT 'o_totalprice', n, n - nn_price, nd_price,
-        |    min_price, max_price, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
-        |  UNION ALL SELECT 'o_orderstatus', n, n - nn_status, nd_status,
-        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_status, max_status FROM a
-        |  UNION ALL SELECT 'o_orderpriority', n, n - nn_prio, nd_prio,
-        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_prio, max_prio FROM a
-        |  UNION ALL SELECT 'o_orderdate', n, n - nn_date, nd_date,
-        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_date, max_date FROM a
-        |) ORDER BY column_name""".stripMargin,
+    "q_profile" -> profileOracleSql(withVerdict = false),
+    // the 100 TB datasheet (HLL distincts, no Expand): same exact-column
+    // oracle plus the TRUE sketch-envelope verdict — bracket pattern of
+    // q_approx_distinct, so a drifting sketch hash-mismatches by name
+    "q_profile_approx" -> profileOracleSql(withVerdict = true),
     // the text-source queries aggregate a session-written CSV/JSONL copy;
     // the oracle aggregates the parquet original — any parse/encode
     // round-trip loss hash-mismatches by name
@@ -1235,6 +1250,14 @@ object SparkEntry {
     // order — two exact 0.5 scalings + one add per step — over the same
     // (ts, event_id)-total order, so the doubles are bit-identical
     "q_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |              (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the O(1)-state mapPartitions fold replays the SAME seeded fold in
+    // the same IEEE op order over the same (ts, event_id) total order —
+    // one shared oracle for both formulations
+    "q_ewma_fold" ->
       """SELECT user_id, count(*) AS n_events,
         |  list_reduce(list(value ORDER BY ts, event_id),
         |              (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma

@@ -200,7 +200,7 @@ object Aggregates {
   private[graft] def cmsCubeDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, cmsCubeMemo)
     cmsCubeMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-cms-cube").toString
+      val dir = SessionMemos.tempDir(spark, "graft-cms-cube")
       Tables.documents(spark, sfDir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .select(col("source"), explode(array((0 until CmsDepth).map(i =>
@@ -523,7 +523,7 @@ object Aggregates {
   private[graft] def quantileCubeDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, quantileCubeMemo)
     quantileCubeMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-quantile-cube").toString
+      val dir = SessionMemos.tempDir(spark, "graft-quantile-cube")
       Tables.events(spark, sfDir)
         .groupBy(col("event_type"),
           expr("ts div 86400000000000").as("day"),
@@ -577,7 +577,7 @@ object Aggregates {
   private[graft] def quantileCubeIncrDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, quantileCubeIncrMemo)
     quantileCubeIncrMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-quantile-cube-incr").toString
+      val dir = SessionMemos.tempDir(spark, "graft-quantile-cube-incr")
       // fenced: the max-day collect and both writes are separate jobs;
       // unpersisted after — the build frame is never read again
       val hist = graft.operators.Dedup.fence(
@@ -618,7 +618,7 @@ object Aggregates {
   private[graft] def hllCubeDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, hllCubeMemo)
     hllCubeMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-hll-cube").toString
+      val dir = SessionMemos.tempDir(spark, "graft-hll-cube")
       Tables.events(spark, sfDir)
         .groupBy(col("event_type"), to_date(col("ts_us")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sketch"))

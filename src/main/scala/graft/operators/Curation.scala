@@ -827,6 +827,72 @@ object Curation {
       .orderBy("column_name")
   }
 
+  /** [[profileOrders]] at its 100 TB shape (VERDICT r11 ask #2): the same
+    * per-column datasheet with the six exact distincts replaced by HLL
+    * sketches (`approx_count_distinct`, rsd 0.02) — so the profiling
+    * aggregate is ONE fully map-combinable pass with NO Expand
+    * multi-distinct (no ~7× row multiplication, no full-key shuffle;
+    * ProfileSpec asserts no Expand node plans anywhere in the query).
+    *
+    * BRACKET ORACLE, like `q_approx_distinct`: the raw HLL estimates are
+    * not portable cross-engine, so the output carries the EXACT distinct
+    * counts plus a per-column verdict that the sketch landed within 10%
+    * (≥5σ at rsd 0.02). The exact companions are computed WITHOUT Expand:
+    * a 6-way `stack` unpivot to (column_name, value-string) pairs — all
+    * casts injective on distinct values (Spark doubles/dates round-trip
+    * through strings) — then ONE single-distinct groupBy(column_name)
+    * aggregate, whose partial pass dedups map-side before the shuffle. At
+    * 100 TB the exact companion is what you'd drop (keep the sketch,
+    * trust its proven envelope); here it is what makes the datasheet
+    * hash-checkable.
+    */
+  def profileOrdersApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def nn(c: String) = count(col(c))
+    def hll(c: String) = approx_count_distinct(col(c), 0.02)
+    val sketch = o.agg(
+      count(lit(1)).as("n"),
+      nn("o_orderkey").as("nn_key"), hll("o_orderkey").as("hd_key"),
+      min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+      nn("o_custkey").as("nn_cust"), hll("o_custkey").as("hd_cust"),
+      min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+      nn("o_totalprice").as("nn_price"), hll("o_totalprice").as("hd_price"),
+      min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"),
+      nn("o_orderstatus").as("nn_status"), hll("o_orderstatus").as("hd_status"),
+      min("o_orderstatus").as("min_status"), max("o_orderstatus").as("max_status"),
+      nn("o_orderpriority").as("nn_prio"), hll("o_orderpriority").as("hd_prio"),
+      min("o_orderpriority").as("min_prio"), max("o_orderpriority").as("max_prio"),
+      nn("o_orderdate").as("nn_date"), hll("o_orderdate").as("hd_date"),
+      min(col("o_orderdate").cast("string")).as("min_date"),
+      max(col("o_orderdate").cast("string")).as("max_date"))
+    val perCol = sketch.select(expr(
+      """stack(6,
+        |  'o_orderkey',      n, n - nn_key,    hd_key,   CAST(min_key  AS DOUBLE), CAST(max_key  AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_custkey',       n, n - nn_cust,   hd_cust,  CAST(min_cust AS DOUBLE), CAST(max_cust AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_totalprice',    n, n - nn_price,  hd_price, min_price,                max_price,                CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderstatus',   n, n - nn_status, hd_status, CAST(NULL AS DOUBLE),    CAST(NULL AS DOUBLE),     min_status,           max_status,
+        |  'o_orderpriority', n, n - nn_prio,   hd_prio,  CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE),     min_prio,             max_prio,
+        |  'o_orderdate',     n, n - nn_date,   hd_date,  CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE),     min_date,             max_date
+        |) AS (column_name, n_rows, n_nulls, hll_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+    val exact = o.select(expr(
+      """stack(6,
+        |  'o_orderkey',      CAST(o_orderkey AS STRING),
+        |  'o_custkey',       CAST(o_custkey AS STRING),
+        |  'o_totalprice',    CAST(o_totalprice AS STRING),
+        |  'o_orderstatus',   o_orderstatus,
+        |  'o_orderpriority', o_orderpriority,
+        |  'o_orderdate',     CAST(o_orderdate AS STRING)
+        |) AS (column_name, v)""".stripMargin))
+      .groupBy("column_name")
+      .agg(countDistinct(col("v")).as("n_distinct"))
+    perCol.join(broadcast(exact), Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        (abs(col("hll_distinct") - col("n_distinct")).cast("double")
+          <= col("n_distinct").cast("double") * 0.10).as("hll_within_10pct"))
+      .orderBy("column_name")
+  }
+
   /** BENFORD FIRST-DIGIT AUDIT — the forensic-accounting screen (Benford
     * 1938; Nigrini's fraud-detection practice): natural multi-scale
     * amounts put digit d first with probability log10(1+1/d), and a

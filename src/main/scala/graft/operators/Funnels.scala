@@ -702,7 +702,7 @@ object Funnels {
       // distinct (exchange reuse never applies across jobs; review r11).
       // Unpersisted after: the build frame is never read again.
       val ud = Dedup.fence(dayUserFrame(spark, sfDir), "day")
-      val dir = java.nio.file.Files.createTempDirectory("graft-dau-frame").toString
+      val dir = SessionMemos.tempDir(spark, "graft-dau-frame")
       try {
         val maxDay = ud.agg(max("day")).head.getLong(0)
         ud.filter(col("day") < maxDay)

@@ -52,7 +52,7 @@ object MaterializedView {
           spark.experimental.extraOptimizations :+ MvRewriteRule
 
       val fact = Tables.lineitem(spark, sfDir)
-      val dir = java.nio.file.Files.createTempDirectory("graft-mv-cube").toString
+      val dir = SessionMemos.tempDir(spark, "graft-mv-cube")
       fact.groupBy(
           col("l_returnflag"), col("l_linestatus"),
           year(col("l_shipdate")).as("ship_year"))
@@ -180,7 +180,7 @@ object MaterializedView {
   private[graft] def incrCubeDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, incrMemo)
     incrMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-mv-incr").toString
+      val dir = SessionMemos.tempDir(spark, "graft-mv-incr")
       // two deterministic fact batches (even / odd order keys): the first
       // write creates the segment store, the second is a pure append
       appendCubeBatch(spark, sfDir, dir, 0)

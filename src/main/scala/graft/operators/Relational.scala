@@ -748,7 +748,7 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("ts_sec"))
       val maxSec = ev.agg(max("ts_sec")).head.getLong(0)
       val cutoff = (maxSec / 86400L) * 86400L // delta batch = the last UTC day
-      val dir = java.nio.file.Files.createTempDirectory("graft-scd2-dim").toString
+      val dir = SessionMemos.tempDir(spark, "graft-scd2-dim")
       scd2Fold(ev.filter(col("ts_sec") < cutoff)).write.mode("overwrite").parquet(dir)
       (dir, cutoff)
     })

@@ -33,6 +33,32 @@ private[graft] object SessionMemos {
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.concurrent.ConcurrentHashMap[_ <: Product, _]]()
   private val armedSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, SparkSession]()
+
+  /** Create a temp directory owned by `spark` for a memoized on-disk
+    * artifact (cube / index / fixture parquet). The tree is deleted by the
+    * same end-of-application eviction that drops the memo entry pointing
+    * at it (ADVICE r11: the builders used to leak their directories, so
+    * repeated sessions — bench, the two-factor scale curve — accumulated
+    * orphaned parquet under /tmp). One shared lifecycle helper so every
+    * artifact family ages out identically. */
+  def tempDir(spark: SparkSession, prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    dirs.put(p, spark)
+    p.toString
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach { f =>
+        try Files.deleteIfExists(f) catch { case _: java.io.IOException => () }
+      } finally walk.close()
+    }
+  }
 
   /** Register `map` for end-of-session eviction and arm the listener on
     * `spark`'s context (idempotent per session). Call before every
@@ -51,8 +77,14 @@ private[graft] object SessionMemos {
   /** Drop every registered memo entry owned by `spark`. Invoked by the
     * end-of-application listener; package-visible so MemoLifecycleSpec
     * can exercise the eviction without stopping the shared test session. */
-  def evict(spark: SparkSession): Unit =
+  def evict(spark: SparkSession): Unit = {
     maps.forEach { m =>
       m.keySet.removeIf(k => k.productElement(0).asInstanceOf[AnyRef] eq spark)
     }
+    val it = dirs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue eq spark) { it.remove(); deleteTree(e.getKey) }
+    }
+  }
 }

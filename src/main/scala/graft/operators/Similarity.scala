@@ -372,7 +372,7 @@ object Similarity {
   private def annIndexDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, annIndexMemo)
     annIndexMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+      val dir = SessionMemos.tempDir(spark, "graft-ann-index")
       vectors(spark, sfDir, "vec_id", "v", "nn")
         .withColumn("bucket", signBucket(col("v")))
         .write.partitionBy("bucket").mode("overwrite").parquet(dir)
@@ -408,7 +408,7 @@ object Similarity {
   private[graft] def annIncrIndexDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, annIncrMemo)
     annIncrMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann-incr").toString
+      val dir = SessionMemos.tempDir(spark, "graft-ann-incr")
       appendAnnBatch(spark, sfDir, dir, 0)
       appendAnnBatch(spark, sfDir, dir, 1)
       dir

@@ -35,7 +35,7 @@ object Sources {
   private[graft] def csvDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, csvMemo)
     csvMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-csv-src").toString
+      val dir = SessionMemos.tempDir(spark, "graft-csv-src")
       Tables.customer(spark, sfDir)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .repartition(4)
@@ -48,7 +48,7 @@ object Sources {
   private[graft] def jsonlDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, jsonlMemo)
     jsonlMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-src").toString
+      val dir = SessionMemos.tempDir(spark, "graft-jsonl-src")
       Tables.documents(spark, sfDir)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .repartition(4)
@@ -83,7 +83,7 @@ object Sources {
   private[graft] def orcDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, orcMemo)
     orcMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-orc-src").toString
+      val dir = SessionMemos.tempDir(spark, "graft-orc-src")
       Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority")
@@ -138,7 +138,7 @@ object Sources {
   private[graft] def csvEventsDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, csvEventsMemo)
     csvEventsMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-csv-events").toString
+      val dir = SessionMemos.tempDir(spark, "graft-csv-events")
       Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .repartition(4)
@@ -151,7 +151,7 @@ object Sources {
   private[graft] def jsonlEventsDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, jsonlEventsMemo)
     jsonlEventsMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-events").toString
+      val dir = SessionMemos.tempDir(spark, "graft-jsonl-events")
       Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .repartition(4)
@@ -195,7 +195,7 @@ object Sources {
   private[graft] def orcEventsDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, orcEventsMemo)
     orcEventsMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-orc-events").toString
+      val dir = SessionMemos.tempDir(spark, "graft-orc-events")
       Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .repartition(4)
@@ -223,7 +223,7 @@ object Sources {
   private[graft] def evolveDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, evolveMemo)
     evolveMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-evolve-src").toString
+      val dir = SessionMemos.tempDir(spark, "graft-evolve-src")
       val o = Tables.orders(spark, sfDir)
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -272,7 +272,7 @@ object Sources {
   private[graft] def overwriteDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, overwriteMemo)
     overwriteMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-dynpart-src").toString
+      val dir = SessionMemos.tempDir(spark, "graft-dynpart-src")
       // fenced: the min-year collect and the two writes are three jobs —
       // unfenced each would rescan orders (review r11); unpersisted after
       val o = Dedup.fence(Tables.orders(spark, sfDir)

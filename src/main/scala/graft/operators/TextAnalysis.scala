@@ -564,7 +564,7 @@ object TextAnalysis {
   private[graft] def bm25IndexDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, bm25IndexMemo)
     bm25IndexMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
+      val dir = SessionMemos.tempDir(spark, "graft-bm25-index")
       val fullVocab = Tables.documents(spark, sfDir)
         .select(explode(split(col("text"), " ")).as("word")).distinct()
       termWeights(spark, sfDir, fullVocab)
@@ -627,7 +627,7 @@ object TextAnalysis {
   private[graft] def postingsIndexDir(spark: SparkSession, sfDir: String): String = {
     SessionMemos.arm(spark, postingsIndexMemo)
     postingsIndexMemo.computeIfAbsent((spark, sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-postings").toString
+      val dir = SessionMemos.tempDir(spark, "graft-bm25-postings")
       // two deterministic "crawl batches" (even / odd doc ids): the first
       // write creates the index, the second is a pure append
       appendPostingsBatch(spark, sfDir, dir, 0)

@@ -128,24 +128,43 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       mvRel.output.map(a => a.name.toLowerCase -> a).toMap
     def mvc(name: String): Attribute = mvAttr(name.toLowerCase)
 
-    // Rewrite one expression tree onto the cube: SUM(measure) → the
-    // cube-side re-sum of the pre-sums (cast back to the original result
-    // type — the re-sum widens decimal precision), COUNT(*)/COUNT(1) → sum
-    // of the per-cell counts, dim-template subtrees → cube dim columns.
-    def rewrite(e: Expression): Expression = e.transformUp {
-      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
+    // Rewrite one expression tree onto the cube, TOP-DOWN, returning None
+    // unless every piece maps positively. SUM(measure) → the cube-side
+    // re-sum of the pre-sums (cast back to the original result type — the
+    // re-sum widens decimal precision), COUNT(*)/COUNT(1) → sum of the
+    // per-cell counts, dim-template subtrees → cube dim columns.
+    //
+    // AggregateExpressions are matched against their ORIGINAL children
+    // before any child substitution, and an aggregate the rule cannot
+    // positively map aborts the whole rewrite. This is the load-bearing
+    // all-or-nothing guard: a bottom-up substitution would rewrite the dim
+    // subtree UNDER an unmapped aggregate (count(l_returnflag),
+    // sum(year(l_shipdate))) or leave a reference-free one
+    // (count(lit(1L))) untouched — either way the aggregate would then be
+    // evaluated over the ~tens of cube cells instead of the fact rows and
+    // return a silently wrong result, while a reference-subset check alone
+    // would wave it through.
+    def rewrite(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression =>
+        if (ae.isDistinct || ae.filter.nonEmpty) None
+        else ae.aggregateFunction match {
           case s: Sum =>
-            meaCol(s.child) match {
-              case Some(c) =>
-                val re = ae.copy(aggregateFunction = Sum(mvc(c)))
-                if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
-              case None => ae
+            meaCol(s.child).map { c =>
+              val re = ae.copy(aggregateFunction = Sum(mvc(c)))
+              if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
             }
-          case c: Count if c.children == Seq(Literal(1)) =>
-            val re = ae.copy(aggregateFunction = Sum(mvc(mv.cntCol)))
-            if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
-          case _ => ae
+          // count(*) analyzes to Count(1); accept any single non-null
+          // foldable literal argument (count(lit(1L)) counts every row
+          // too). Count over a real column could be null-sensitive and is
+          // NOT mapped — it aborts the rewrite via the None above.
+          case c: Count =>
+            c.children match {
+              case Seq(l: Literal) if l.value != null =>
+                val re = ae.copy(aggregateFunction = Sum(mvc(mv.cntCol)))
+                Some(if (re.dataType == ae.dataType) re else Cast(re, ae.dataType))
+              case _ => None
+            }
+          case _ => None
         }
       // Constraint-inferred null guards (InferFiltersFromConstraints adds
       // `isnotnull(l_shipdate)` next to a `year(l_shipdate) >= y` conjunct
@@ -156,23 +175,35 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // all-or-nothing mapping check would reject the whole rewrite
       // whenever the rule first fires after constraint inference.
       case inn @ IsNotNull(a: AttributeReference) =>
-        dimN.collectFirst {
+        Some(dimN.collectFirst {
           case (t, c) if t.references.map(_.name.toLowerCase) == Set(a.name.toLowerCase) =>
             IsNotNull(mvc(c))
-        }.getOrElse(inn)
-      case other if dimCol(other).isDefined => mvc(dimCol(other).get)
+        }.getOrElse(inn))
+      case other if dimCol(other).isDefined => Some(mvc(dimCol(other).get))
+      case other =>
+        // Non-aggregate connective (comparison, arithmetic, literal, …):
+        // rewrite every child or fail. Unmapped bare attributes survive
+        // here and are rejected by the reference-subset check below.
+        val kids = other.children.map(rewrite)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    def rewriteAll(es: Seq[Expression]): Option[Seq[Expression]] = {
+      val rs = es.map(rewrite)
+      if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
     }
 
     def mapped(e: Expression): Boolean = e.references.subsetOf(mvRel.outputSet)
 
-    val newFilters = filters.map(rewrite)
+    val newFilters = rewriteAll(filters).getOrElse(return None)
     if (!newFilters.forall(mapped)) return None
-    val newGroupings = agg.groupingExpressions.map(rewrite)
+    val newGroupings = rewriteAll(agg.groupingExpressions).getOrElse(return None)
     if (!newGroupings.forall(mapped)) return None
     val newOutput: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case al @ Alias(child, name) =>
-        Alias(rewrite(child), name)(exprId = al.exprId, qualifier = al.qualifier,
-          explicitMetadata = al.explicitMetadata)
+        Alias(rewrite(child).getOrElse(return None), name)(exprId = al.exprId,
+          qualifier = al.qualifier, explicitMetadata = al.explicitMetadata)
       case ar: AttributeReference =>
         dimCol(ar) match {
           case Some(c) => Alias(mvc(c), ar.name)(exprId = ar.exprId)

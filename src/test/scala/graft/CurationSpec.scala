@@ -467,6 +467,22 @@ class CurationSpec extends SparkSpec {
     assert(d.getString(6).matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"))
   }
 
+  test("profile_approx: exact columns equal q_profile, verdicts TRUE, and NO Expand plans (VERDICT r11 ask #2)") {
+    val approx = Curation.profileOrdersApprox(spark, sf)
+    // the 100 TB shape: no Expand multi-distinct anywhere in the plan —
+    // the HLL aggregate is one map-combinable pass, the exact companion
+    // rides a 6-way unpivot + single-distinct group agg
+    val physical = approx.queryExecution.executedPlan.toString
+    assert(!physical.contains("Expand"),
+      s"profile_approx planned an Expand multi-distinct:\n$physical")
+    val got = approx.collect()
+    assert(got.length == 6)
+    got.foreach(r => assert(r.getBoolean(8), s"HLL outside 10% for ${r.getString(0)}"))
+    // every exact column (all but the verdict) matches the exact profiler
+    val exact = Curation.profileOrders(spark, sf).collect()
+    assert(got.map(_.toSeq.dropRight(1)).toSeq == exact.map(_.toSeq).toSeq)
+  }
+
   test("expectations: the testdata corpus passes all seven contracts with zero violations") {
     val rows = Curation.expectations(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()

@@ -25,6 +25,21 @@ class MemoLifecycleSpec extends SparkSpec {
     assert(map.get((other, "a")) == null)
   }
 
+  test("evict deletes the evicted session's artifact temp dirs, not others' (ADVICE r11)") {
+    val other = spark.newSession()
+    val mine = java.nio.file.Paths.get(
+      graft.operators.SessionMemos.tempDir(spark, "graft-lifecycle-mine"))
+    val theirs = java.nio.file.Paths.get(
+      graft.operators.SessionMemos.tempDir(other, "graft-lifecycle-theirs"))
+    java.nio.file.Files.write(mine.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(theirs.resolve("part-0.parquet"), Array[Byte](4, 5))
+    graft.operators.SessionMemos.evict(other)
+    assert(java.nio.file.Files.exists(mine), "surviving session's artifact dir was deleted")
+    assert(!java.nio.file.Files.exists(theirs), "evicted session's artifact dir leaked")
+    graft.operators.SessionMemos.evict(spark)
+    assert(!java.nio.file.Files.exists(mine))
+  }
+
   test("a trained-artifact memo repopulates after eviction with identical results") {
     // the real path: k-means centroids are memoized per (session, sfDir);
     // evicting and re-running must retrain to bit-identical assignments

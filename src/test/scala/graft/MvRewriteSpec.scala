@@ -109,4 +109,40 @@ class MvRewriteSpec extends SparkSpec {
       .agg(avg(col("l_quantity")).as("a")).orderBy("l_returnflag")
     assert(scanPaths(df).exists(_.contains("lineitem.parquet")))
   }
+
+  // The next three pin the all-or-nothing guard against aggregates the rule
+  // never positively maps: each would be silently evaluated over the ~tens
+  // of cube cells (wrong answer) if the dim subtree under it were rewritten
+  // bottom-up or a reference-free aggregate slipped the subset check.
+  test("count over a dim column bails out and still answers from the fact") {
+    MaterializedView.cubeDir(spark, sf)
+    def q(fact: DataFrame) = fact.groupBy(col("l_linestatus"))
+      .agg(count(col("l_returnflag")).as("n")).orderBy("l_linestatus")
+    val df = q(marked)
+    assert(scanPaths(df).exists(_.contains("lineitem.parquet")),
+      s"count(dim) must not serve from the cube: ${scanPaths(df)}")
+    assert(df.collect().toSeq == q(unmarked).collect().toSeq)
+  }
+
+  test("sum over a dim template (sum(year(l_shipdate))) bails out") {
+    MaterializedView.cubeDir(spark, sf)
+    def q(fact: DataFrame) = fact.groupBy(col("l_returnflag"))
+      .agg(sum(year(col("l_shipdate"))).as("s")).orderBy("l_returnflag")
+    val df = q(marked)
+    assert(scanPaths(df).exists(_.contains("lineitem.parquet")),
+      s"sum(dim-template) must not serve from the cube: ${scanPaths(df)}")
+    assert(df.collect().toSeq == q(unmarked).collect().toSeq)
+  }
+
+  test("count(lit(1L)) — reference-free, not the Count(1) shape — is mapped as count(*)") {
+    // Count over any non-null literal counts every row, so the rule may
+    // legitimately serve it from the per-cell counts; what it must NOT do
+    // is leave it un-rewritten over the cube (the old subset-check hole).
+    val dir = MaterializedView.cubeDir(spark, sf)
+    def q(fact: DataFrame) = fact.groupBy(col("l_returnflag"))
+      .agg(count(lit(1L)).as("n")).orderBy("l_returnflag")
+    val df = q(marked)
+    assert(scanPaths(df).exists(_.contains(dir)), s"expected cube scan: ${scanPaths(df)}")
+    assert(df.collect().toSeq == q(unmarked).collect().toSeq)
+  }
 }

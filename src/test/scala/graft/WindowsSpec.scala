@@ -251,6 +251,29 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("ewmaFold equals the list-based ewma bit-for-bit on real data") {
+    import spark.implicits._
+    val list = Windows.ewmaPerUser(spark, sf).as[(Long, Long, Double)].collect().toSeq
+    val fold = Windows.ewmaFold(spark, sf).as[(Long, Long, Double)].collect().toSeq
+    assert(fold == list, "O(1)-state fold diverged from the collect_list form")
+    assert(fold.nonEmpty)
+  }
+
+  test("ewmaFold handles a hot user with a long event stream in O(1) state") {
+    // one user emits 500k events; the list form would build a 500k-element
+    // aggregation buffer — the fold kernel streams it with two scalars of
+    // state. Expected EWMA is the driver-side seeded fold over the same
+    // order; control users pin the boundary flush (first/last in stream,
+    // single-event user).
+    val hotVals = (0 until 500000).map(i => ((i * 37) % 101).toDouble / 7.0)
+    val hot = hotVals.zipWithIndex.map { case (v, i) => (5L, 1000L + i, i.toLong, v) }
+    val rows = Seq((1L, 10L, 0L, 2.5)) ++ hot ++
+      Seq((9L, 1L, 0L, 4.0), (9L, 2L, 1L, 8.0))
+    val got = Windows.ewmaFoldPartition(rows.iterator).toSeq
+    val wantHot = hotVals.tail.foldLeft(hotVals.head)((acc, x) => 0.5 * x + 0.5 * acc)
+    assert(got == Seq((1L, 1L, 2.5), (5L, 500000L, wantHot), (9L, 2L, 6.0)))
+  }
+
   test("lag features replay driver-side: lags NULL where history is short, trailing window calendar-correct") {
     import spark.implicits._
     val daily = Tables.events(spark, sf)
@@ -378,6 +401,9 @@ class WindowsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect()
       .map(e => (e._1, e._2 / 3600000000000L, e._2, e._3, math.rint(e._4 * 100).toLong))
     val want = events.groupBy(e => (e._1, e._2)).map { case ((t, h), es) =>
+      // mapped tuple is (type, hour, ts, event_id, cents): _3/_4 = (ts,
+      // event_id), matching the engine's struct min/max key order — NOT
+      // (ts, value), which would replay a different open/close on a ts tie
       val s = es.sortBy(e => (e._3, e._4))
       (t, h, s.head._5, es.map(_._5).max, es.map(_._5).min, s.last._5, es.length.toLong)
     }.toSeq.sortBy(b => (b._1, b._2))
