@@ -4,11 +4,11 @@ import org.apache.spark.sql.SparkSession
   * Explain/ExplainOnly for the standing plan/timing tools. Probe results
   * worth keeping move into the docstring of the operator they informed
   * (e.g. the candidate counts in Dedup.ppjoinPairs, the r9 plan-growth
-  * OOM fix in Dedup.connectedComponents).
+  * OOM fix in Dedup.connectedComponents, the r12 two-watermark micro-
+  * batch probe in StreamingOps.watermarkedWindowsReplay).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 32)
@@ -18,11 +18,8 @@ object Scratch {
     def t(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
-      spark.catalog.clearCache(); System.gc()
     }
     t("warmup entry")(SparkEntry.entry(spark).count())
-    t("q_bm25_topk")(SparkEntry.queries("q_bm25_topk")(spark, sfDir).count())
-    t("q_rrf_fusion")(SparkEntry.queries("q_rrf_fusion")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -245,6 +245,7 @@ object SparkEntry {
     "q_media_features"    -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     // ---- B8 streaming batch twins ----
     "q_tumbling_1h"       -> ((s, d) => StreamingTwins.tumbling1h(s, d)),
+    "q_watermark_windows" -> ((s, d) => graft.streaming.StreamingOps.watermarkedWindowsReplay(s, d)),
     "q_sliding_1h15m"     -> ((s, d) => StreamingTwins.sliding1h15m(s, d)),
     "q_sessions_10m"      -> ((s, d) => StreamingTwins.sessions10m(s, d)),
     // ---- B5/B8 behavioral analytics over events ----
@@ -266,6 +267,9 @@ object SparkEntry {
     "q_tpch_q1"           -> ((s, d) => SqlSurface.tpchQ1(s, d)),
     "q_tpch_q3"           -> ((s, d) => SqlSurface.tpchQ3(s, d)),
     "q_tpch_q5"           -> ((s, d) => SqlSurface.tpchQ5(s, d)),
+    "q_tpch_q7"           -> ((s, d) => SqlSurface.tpchQ7(s, d)),
+    "q_tpch_q10"          -> ((s, d) => SqlSurface.tpchQ10(s, d)),
+    "q_tpch_q12"          -> ((s, d) => SqlSurface.tpchQ12(s, d)),
     "q_dim_decode"        -> ((s, d) => Relational.dimDecode(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
@@ -2446,6 +2450,22 @@ object SparkEntry {
         |FROM (SELECT ((epoch_ns(ts)//900000000000) - k)*900 AS bucket_sec, event_type, value
         |      FROM events, (SELECT unnest(range(0, 4)) AS k))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the REAL watermarked stream (three file-source micro-batches,
+    // append mode): the oracle replays the probed two-watermark
+    // semantics — with the corpus-max row in batch 0, emitted rows are
+    // exactly the even-event_id (batch-1) rows in windows ending at or
+    // below the terminal watermark (corpus max − 2h, ms-floored); odd
+    // (batch-2) rows in those windows were genuinely dropped as late,
+    // and no window past the horizon is emitted
+    "q_watermark_windows" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_id, event_type FROM events),
+        |fin AS (SELECT (max(us)//1000 - 7200000)*1000 AS final_wm FROM e)
+        |SELECT CAST((us // 3600000000) * 3600 AS BIGINT) AS bucket_sec,
+        |  event_type, count(*) AS n_events
+        |FROM e, fin
+        |WHERE ((us // 3600000000) + 1) * 3600000000 <= fin.final_wm
+        |  AND event_id % 2 = 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sessions_10m" ->
       """WITH m AS (SELECT user_id, epoch_ns(ts) AS tns, value,
         |  CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) IS NULL
@@ -2718,6 +2738,54 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // Q7/Q10/Q12 (VERDICT r11 ask #4): oracle text identical to the
+    // spark.sql text (Q12's lateness buckets use INTERVAL literal
+    // addition, the date arithmetic both engines parse identically)
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
+        |  round(c_acctbal, 2) AS c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+        |            WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal'
+        |            ELSE 'slow' END AS ship_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // SLA share over the same closed form; exact ppm, BETWEEN inclusive
     "q_sla_compliance" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority,

@@ -289,62 +289,106 @@ object Curation {
     * divisions as k=2, written in the same order in both engines.
     */
   def assocRules3(spark: SparkSession, sfDir: String): DataFrame = {
+    // JOB-COUNT discipline (VERDICT r11 ask #5): the r11 form ran ~55
+    // Spark jobs (two fences, seven broadcast stages, four nDocs
+    // crossJoins) over data that is VOCAB-BOUNDED after the first floor —
+    // at the 5%-of-docs support floor there can be at most
+    // AssocSupDenom × (avg items/doc) frequent items, corpus-independent
+    // (the same boundedness argument as the BPE vocab collect,
+    // Curation.bpeMerges). So the frequent-1 and frequent-2 tables are
+    // collected to the driver (31 words / 435 pairs at sf0.1) and every
+    // closure prune becomes a map-side InSet filter, every support
+    // lookup a literal-map element_at: THREE distributed passes total
+    // (item floor, pair floor, triple count) instead of a dozen stages.
+    // Measured at sf0.1: 8.9 s / 55 jobs → 2.6 s / 7 jobs, hash
+    // unchanged. At 100 TB the passes scan the corpus; everything
+    // collected stays floor-bounded.
     val docs = Tables.documents(spark, sfDir)
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val items = Dedup.fence(docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("word"))
       .filter(col("word") =!= ""), "doc_id")
-    val freq = items.groupBy("word").agg(count(lit(1)).as("supp"))
-      .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
-      .filter(col("supp") * AssocSupDenom >= col("nd"))
-      .select("word", "supp")
-    val fitems = items.join(broadcast(freq.select("word")), "word")
-    // both reused frames are FENCED (repartition + persist): docPairs
-    // feeds the pair-support aggregate AND the triple extension, and
-    // fpairs is broadcast FOUR times (candidate prune, two closure
-    // checks, rule antecedent support) — unfenced, each consumer would
-    // re-execute the whole pair expansion (measured: 150 bench jobs,
-    // 15.5 s; fenced: the expansion runs once)
-    val docPairs = Dedup.fence(fitems.select(col("doc_id"), col("word").as("a"))
-      .join(fitems.select(col("doc_id"), col("word").as("b")), "doc_id")
-      .filter(col("a") < col("b")), "doc_id")
-    val fpairs = Dedup.fence(
-      docPairs.groupBy("a", "b").agg(count(lit(1)).as("supp_pair"))
-        .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
-        .filter(col("supp_pair") * AssocSupDenom >= col("nd"))
-        .select("a", "b", "supp_pair"), "a")
-    // expand only doc-occurrences of FREQUENT pairs, then require the two
-    // other 2-subsets frequent too — all before the count
-    val ftriples = docPairs.join(broadcast(fpairs.select("a", "b")), Seq("a", "b"))
-      .join(fitems.select(col("doc_id"), col("word").as("c")), "doc_id")
-      .filter(col("b") < col("c"))
-      .join(broadcast(fpairs.select(col("a"), col("b").as("c"))), Seq("a", "c"))
-      .join(broadcast(fpairs.select(col("a").as("b"), col("b").as("c"))), Seq("b", "c"))
+    val nd = docs.count()
+    val freqMap: Map[String, Long] = items.groupBy("word")
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") * AssocSupDenom >= lit(nd))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (freqMap.isEmpty) return emptyRules3(spark)
+    // INT-IFY the hot path: words get driver-assigned dense ids (sorted,
+    // so deterministic), the triple fan-out streams longs instead of
+    // strings, and a pair key is one exact long (ia*(F+1)+ib) — the
+    // 30M-row candidate stream pays integer InSet probes, not per-row
+    // string concat + hash (measured: 5.4 s -> ~2 s at sf0.1)
+    val words = freqMap.keySet.toSeq.sorted
+    val fCount = words.length.toLong
+    val wordId: Map[String, Long] = words.zipWithIndex.map { case (w, i) => w -> i.toLong }.toMap
+    val idWord: Map[Long, String] = wordId.map(_.swap)
+    def pk(a: Long, b: Long): Long = a * (fCount + 1L) + b
+    // one literal-map probe per token: frequent words map to their id,
+    // infrequent to NULL (dropped) — the Apriori item prune, map-side
+    val fitems = Dedup.fence(items.select(col("doc_id"),
+        element_at(typedLit(wordId), col("word")).as("i"))
+      .filter(col("i").isNotNull), "doc_id")
+    val pairMap: Map[Long, Long] =
+      fitems.select(col("doc_id"), col("i").as("a"))
+        .join(fitems.select(col("doc_id"), col("i").as("b")), "doc_id")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp_pair"))
+        .filter(col("supp_pair") * AssocSupDenom >= lit(nd))
+        .collect().map(r => pk(r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    if (pairMap.isEmpty) return emptyRules3(spark)
+    val pairWordIds = pairMap.keySet.flatMap(k => Seq(k / (fCount + 1L), k % (fCount + 1L)))
+    // triple pass: items restricted to frequent-pair MEMBERS, fanned out
+    // a<b<c per doc, full Apriori closure (all three 2-subsets frequent)
+    // applied as map-side long-InSet filters BEFORE the count; the
+    // fence's doc_id clustering co-partitions all three self-join sides
+    val pitems = fitems.filter(col("i").isInCollection(pairWordIds))
+    val kExpr = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      x * lit(fCount + 1L) + y
+    val ftriples = pitems.select(col("doc_id"), col("i").as("a"))
+      .join(pitems.select(col("doc_id"), col("i").as("b")), "doc_id")
+      .filter(col("a") < col("b")
+        && kExpr(col("a"), col("b")).isInCollection(pairMap.keySet))
+      .join(pitems.select(col("doc_id"), col("i").as("c")), "doc_id")
+      .filter(col("b") < col("c")
+        && kExpr(col("a"), col("c")).isInCollection(pairMap.keySet)
+        && kExpr(col("b"), col("c")).isInCollection(pairMap.keySet))
       .groupBy("a", "b", "c").agg(count(lit(1)).as("supp_tri"))
-      .crossJoin(broadcast(nDocs.select(col("n_docs").as("nd"))))
-      .filter(col("supp_tri") * AssocSupDenom >= col("nd"))
-      .select("a", "b", "c", "supp_tri")
-    // the three {antecedent pair} → consequent rotations; each antecedent
-    // pair is itself frequent (Apriori closure), so the support lookup is
-    // the frequent-pair broadcast again
+      .filter(col("supp_tri") * AssocSupDenom >= lit(nd))
+    // the three {antecedent pair} -> consequent rotations; supports come
+    // from the literal maps (each antecedent pair is frequent by closure)
     val rotations = ftriples.select(col("a").as("ante1"), col("b").as("ante2"),
         col("c").as("cons"), col("supp_tri"))
       .union(ftriples.select(col("a"), col("c"), col("b"), col("supp_tri")))
       .union(ftriples.select(col("b"), col("c"), col("a"), col("supp_tri")))
+    val pairSuppLit = typedLit(pairMap)
+    val idSuppLit = typedLit(freqMap.map { case (w, s) => wordId(w) -> s })
+    val idWordLit = typedLit(idWord)
     rotations
-      .join(broadcast(fpairs.select(col("a").as("ante1"), col("b").as("ante2"),
-        col("supp_pair").as("supp_ante"))), Seq("ante1", "ante2"))
-      .join(broadcast(freq.select(col("word").as("cons"), col("supp").as("supp_cons"))), "cons")
-      .crossJoin(broadcast(nDocs))
+      .withColumn("supp_ante",
+        element_at(pairSuppLit, kExpr(col("ante1"), col("ante2"))))
+      .withColumn("supp_cons", element_at(idSuppLit, col("cons")))
       .filter(col("supp_tri") * AssocConfDenom >= col("supp_ante"))
       .withColumn("confidence",
         round(col("supp_tri").cast("double") / col("supp_ante"), 6))
       .withColumn("lift",
-        round(col("supp_tri").cast("double") * col("n_docs")
+        round(col("supp_tri").cast("double") * lit(nd)
           / (col("supp_ante").cast("double") * col("supp_cons")), 6))
-      .select("ante1", "ante2", "cons", "supp_tri", "supp_ante", "supp_cons",
-        "confidence", "lift")
+      .select(element_at(idWordLit, col("ante1")).as("ante1"),
+        element_at(idWordLit, col("ante2")).as("ante2"),
+        element_at(idWordLit, col("cons")).as("cons"),
+        col("supp_tri"), col("supp_ante"), col("supp_cons"),
+        col("confidence"), col("lift"))
       .orderBy("ante1", "ante2", "cons")
+      .orderBy("ante1", "ante2", "cons")
+  }
+
+  /** Empty rules frame with the assocRules3 output schema (floor kills
+    * everything — no frequent items or pairs). */
+  private def emptyRules3(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, Long, Long, Long, Double, Double)]
+      .toDF("ante1", "ante2", "cons", "supp_tri", "supp_ante", "supp_cons",
+        "confidence", "lift")
   }
 
   /** Token-length histogram in 10-token bins: the sequence-length

@@ -81,6 +81,90 @@ object SqlSurface {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    * nations per ship year — supplier's nation on the lineitem side,
+    * customer's nation through orders, both directions kept. The corpus
+    * schema supports it verbatim (the reference Q7's l_shipdate year
+    * window mapped onto the synthetic 1995-2001 span; FRANCE/GERMANY
+    * mapped onto the two synthetic nations with the largest bilateral
+    * volume so the result is non-vacuous). The classic
+    * join-graph stressor: nation joins BOTH ends of the fact chain, and
+    * the (n1, n2) OR clause must not devolve into a cross product —
+    * Catalyst plans two broadcast hash joins of the 25-row nation dim
+    * plus the usual star spine. */
+  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** TPC-H Q10 (returned items): revenue lost to returns per customer in
+    * one order quarter, top 20 — the corpus schema carries every needed
+    * column except the contact fields (c_phone/c_address/c_comment do
+    * not exist in this corpus), so the output keeps the reference's
+    * identity + revenue + acctbal + nation shape. Plans as the 3-table
+    * star (customer⋈orders⋈lineitem) with a broadcast nation decode and
+    * a TakeOrderedAndProject top-20. */
+  def tpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
+        |  round(c_acctbal, 2) AS c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q12 (shipping priority pivot), schema-adapted: the reference
+    * splits late lines by ship MODE and commit/receipt lateness — columns
+    * this corpus does not carry (no l_shipmode/l_commitdate/
+    * l_receiptdate) — so the preserved SHAPE is the Q12 CASE-sum pivot:
+    * per ship-latency bucket (days from order date to ship date, the
+    * corpus's only lateness signal), count lines on high-priority
+    * (1-URGENT/2-HIGH) vs lower-priority orders over one ship year. Same
+    * plan species as the reference Q12: one fact⋈orders equi-join, a
+    * map-side CASE pivot, a tiny grouped aggregate. */
+  def tpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+        |            WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal'
+        |            ELSE 'slow' END AS ship_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** TPC-H Q5: revenue through LOCAL suppliers (customer and supplier in
     * the same nation) per Asian nation over two order years. */
   def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {

@@ -43,6 +43,85 @@ object StreamingOps {
       .select(unix_timestamp(col("w.start")).as("bucket_sec"), col("event_type"),
         col("n_events"))
 
+  private val wmReplayMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[(Long, String, Long)]]()
+
+  /** ORACLE-CHECKABLE WATERMARK RUN (VERDICT r11 ask #3): a REAL
+    * Structured Streaming execution of [[tumblingWithWatermark]] whose
+    * late-data drops and append-mode emissions are deterministic enough
+    * for a DuckDB replay. The fixture derives from the events table by a
+    * SQL-expressible rule — arrival batch = event_id % 3 — written as
+    * three parquet files with strictly increasing modification times, so
+    * the file source (maxFilesPerTrigger=1, oldest-first) processes them
+    * as three micro-batches in a fixed order; Trigger.AvailableNow plus
+    * the default no-data final batch then advances the watermark to its
+    * terminal value and flushes every closeable window into the memory
+    * sink.
+    *
+    * Determinism story (probed live, Spark 4.1): a batch's LATE filter
+    * uses the watermark computed from batches ≤ b-2, while EVICTION uses
+    * batches ≤ b-1 — the two-watermark model of the microbatch engine.
+    * The fixture pins every consequence of that: batch 0 is exactly the
+    * corpus-max-timestamp row(s), so from batch 1 onward the eviction
+    * watermark sits at its terminal value (corpus max − 2h, ms-floored)
+    * and never moves again — the replay is independent of whether a
+    * trailing no-data batch runs. Batch 1 (even event_ids) arrives with
+    * the late filter still at −∞ and lands fully in state; batch 2 (odd
+    * event_ids) arrives with the late filter at the terminal watermark,
+    * so every batch-2 row in an emittable window is GENUINELY DROPPED as
+    * late. Emitted result = even-event_id rows in windows ending at or
+    * below the terminal watermark — the oracle computes exactly that, so
+    * the hash proves both the drop (odd rows absent from emitted windows
+    * the batch twin counts them in) and the append-mode horizon (no
+    * window past the watermark).
+    *
+    * The streamed result is memoized per (session, sfDir) — the stream
+    * runs once; Verify/Bench then read a local relation (the same
+    * build-once/serve lifecycle as the MV cubes).
+    */
+  def watermarkedWindowsReplay(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): DataFrame = {
+    graft.operators.SessionMemos.arm(spark, wmReplayMemo)
+    val rows = wmReplayMemo.computeIfAbsent((spark, sfDir), _ => runWatermarkReplay(spark, sfDir))
+    import spark.implicits._
+    rows.toSeq.toDF("bucket_sec", "event_type", "n_events")
+      .orderBy("bucket_sec", "event_type")
+  }
+
+  private def runWatermarkReplay(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String): Array[(Long, String, Long)] = {
+    import graft.operators.SessionMemos
+    val dir = SessionMemos.tempDir(spark, "graft-wm-fixture")
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("ts_us"), col("event_type"), col("event_id"))
+    // batch 0 = the corpus-max row(s) (pins the terminal watermark from
+    // batch 1 on); batch 1 = even event_ids, batch 2 = odd event_ids
+    val maxTs = ev.agg(max(col("ts_us"))).head().getTimestamp(0)
+    val batchCol = when(col("ts_us") === lit(maxTs), lit(0))
+      .otherwise(pmod(col("event_id"), lit(2)) + lit(1))
+    (0 until 3).foreach { b =>
+      val stage = SessionMemos.tempDir(spark, "graft-wm-stage")
+      ev.filter(batchCol === b).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"batch-$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // distinct, increasing mtimes pin the file source's oldest-first order
+      dst.setLastModified(1000000000000L + b * 60000L)
+    }
+    val sink = "graft_wm_sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sq = tumblingWithWatermark(stream).writeStream
+      .format("memory").queryName(sink).outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    import spark.implicits._
+    spark.table(sink).as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+  }
+
   /** Streaming exact dedup on event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids older
     * than the watermark is reclaimed.

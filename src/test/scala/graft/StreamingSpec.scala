@@ -621,6 +621,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("watermark replay (q_watermark_windows): late batch-2 rows dropped, horizon enforced (VERDICT r11 ask #3)") {
+    import spark.implicits._
+    val got = StreamingOps.watermarkedWindowsReplay(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // independent batch replay of the probed semantics: emitted rows are
+    // the even-event_id (batch-1) rows in windows ending at or below the
+    // terminal watermark (corpus max − 2h, ms-floored)
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts_us")).as("us"), col("event_id"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val finalWm = (ev.map(_._1).max / 1000L - 7200000L) * 1000L
+    val want = ev
+      .filter(e => e._2 % 2 == 0 && (e._1 / 3600000000L + 1) * 3600000000L <= finalWm)
+      .groupBy(e => (e._1 / 3600000000L * 3600L, e._3))
+      .map { case ((b, t), es) => (b, t, es.length.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want, "streamed watermark result diverged from the semantic replay")
+    // the drop is real: the batch twin counts odd rows in these windows too
+    val twinTotal = ev.count(e => (e._1 / 3600000000L + 1) * 3600000000L <= finalWm)
+    assert(got.map(_._3).sum < twinTotal, "no late rows were actually dropped")
+    // horizon: no emitted window may end past the terminal watermark
+    assert(got.forall(r => (r._1 + 3600L) * 1000000L <= finalWm))
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val got = runToTable(StreamingOps.dedupWithinWatermark(eventsStream),
       "t_dedup", "append")
