@@ -249,6 +249,11 @@ object ScaleCurve {
       // stream, pair fan-out and pair-support aggregate should all track
       // the corpus ~linearly (the prune keeps fan-out per-doc-bounded)
       "assoc"       -> ((d, _) => graft.operators.Curation.assocRules(spark, d)),
+      // r12 (VERDICT ask #6): SON on the same rule set — candidate mining
+      // is chunk-local (no candidate broadcast), so its shuffle should
+      // track the item stream like Apriori's while the driver-collected
+      // candidate set stays floor-bounded in both vocab regimes
+      "son"         -> ((d, _) => graft.operators.Curation.sonRules(spark, d)),
       // r11 (VERDICT ask #4): one more prune-then-join level — growth must
       // stay ~linear if the closure prune (all 2-subsets frequent, joined
       // BEFORE the triple count) holds in the 10x-vocab regime
@@ -271,6 +276,10 @@ object ScaleCurve {
       // set is constant, the item stream and pair supports grow with the
       // corpus; still linear if the prune-before-pairs discipline holds
       "assoc_shared" -> ((d, _) => graft.operators.Curation.assocRules(spark, d)),
+      // fixed vocabulary, 10x docs: SON's chunk mining state stays |A|²-
+      // bounded while the exact recount grows with the corpus — same
+      // linear claim as assoc_shared, no broadcast axis at all
+      "son_shared"  -> ((d, _) => graft.operators.Curation.sonRules(spark, d)),
       // fixed vocabulary, 10x docs: frequent triples constant, the item
       // stream and triple supports grow with the corpus
       "assoc3_shared" -> ((d, _) => graft.operators.Curation.assocRules3(spark, d)),

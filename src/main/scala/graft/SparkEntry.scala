@@ -98,6 +98,8 @@ object SparkEntry {
     "q_approx_distinct"   -> ((s, d) => Aggregates.approxDistinctUsers(s, d)),
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
+    "q_dd_cube"            -> ((s, d) => Aggregates.ddCubeServed(s, d)),
+    "q_dd_cube_incremental" -> ((s, d) => Aggregates.ddCubeIncremental(s, d)),
     "q_quantile_cube_incremental" -> ((s, d) => Aggregates.quantileCubeIncremental(s, d)),
     "q_skew_audit"        -> ((s, d) => Curation.skewAudit(s, d)),
     "q_rollup"            -> ((s, d) => Aggregates.rollupRevenue(s, d)),
@@ -267,9 +269,14 @@ object SparkEntry {
     "q_tpch_q1"           -> ((s, d) => SqlSurface.tpchQ1(s, d)),
     "q_tpch_q3"           -> ((s, d) => SqlSurface.tpchQ3(s, d)),
     "q_tpch_q5"           -> ((s, d) => SqlSurface.tpchQ5(s, d)),
+    "q_tpch_q4"           -> ((s, d) => SqlSurface.tpchQ4(s, d)),
+    "q_tpch_q6"           -> ((s, d) => SqlSurface.tpchQ6(s, d)),
     "q_tpch_q7"           -> ((s, d) => SqlSurface.tpchQ7(s, d)),
     "q_tpch_q10"          -> ((s, d) => SqlSurface.tpchQ10(s, d)),
     "q_tpch_q12"          -> ((s, d) => SqlSurface.tpchQ12(s, d)),
+    "q_tpch_q13"          -> ((s, d) => SqlSurface.tpchQ13(s, d)),
+    "q_tpch_q14"          -> ((s, d) => SqlSurface.tpchQ14(s, d)),
+    "q_tpch_q18"          -> ((s, d) => SqlSurface.tpchQ18(s, d)),
     "q_dim_decode"        -> ((s, d) => Relational.dimDecode(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
     "q_abtest_welch"      -> ((s, d) => Funnels.abtestWelch(s, d)),
@@ -298,6 +305,7 @@ object SparkEntry {
     "q_drift_audit"       -> ((s, d) => Curation.driftAudit(s, d)),
     "q_expectations"      -> ((s, d) => Curation.expectations(s, d)),
     "q_assoc_rules"       -> ((s, d) => Curation.assocRules(s, d)),
+    "q_son_rules"         -> ((s, d) => Curation.sonRules(s, d)),
     "q_assoc_rules3"      -> ((s, d) => Curation.assocRules3(s, d)),
     // ---- B6/B10 storage layout ----
     "q_zorder"            -> ((s, d) => Layout.zorderLayout(s, d)),
@@ -428,6 +436,53 @@ object SparkEntry {
        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_date, max_date$v FROM a
        |) ORDER BY column_name""".stripMargin
   }
+
+  /** Shared k=2 association-rule oracle (q_assoc_rules / q_son_rules):
+    * Apriori and SON emit the same rule set on the same integer floors —
+    * one oracle text proves it for both. */
+  private val assocRulesOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |items AS (SELECT DISTINCT doc_id, word FROM t WHERE word <> ''),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |f0 AS (SELECT word, count(*) AS supp FROM items GROUP BY word),
+        |freq AS (SELECT word, supp FROM f0, nd
+        |         WHERE supp * ${operators.Curation.AssocSupDenom} >= n_docs),
+        |pairs AS (SELECT a.word AS ante, b.word AS cons, count(*) AS supp_pair
+        |  FROM items a JOIN items b ON a.doc_id = b.doc_id AND a.word < b.word
+        |  JOIN freq fa ON fa.word = a.word JOIN freq fb ON fb.word = b.word
+        |  GROUP BY 1, 2),
+        |rules AS (SELECT ante, cons, supp_pair FROM pairs
+        |  UNION ALL SELECT cons, ante, supp_pair FROM pairs)
+        |SELECT r.ante, r.cons, r.supp_pair, fa.supp AS supp_ante, fb.supp AS supp_cons,
+        |  round(r.supp_pair / fa.supp, 6) AS confidence,
+        |  round((r.supp_pair * n_docs) / (fa.supp::DOUBLE * fb.supp), 6) AS lift
+        |FROM rules r JOIN freq fa ON fa.word = r.ante
+        |  JOIN freq fb ON fb.word = r.cons, nd
+        |WHERE r.supp_pair * ${operators.Curation.AssocConfDenom} >= fa.supp
+        |ORDER BY ante, cons""".stripMargin
+
+  /** Shared oracle for the DDSketch log-bucket quantile cube (build +
+    * incremental append): exact nearest-rank p50/p95 over the raw values
+    * with the SAME integer rank rules the sketch read-off uses, plus the
+    * expected-TRUE relative-error verdicts. */
+  private val ddCubeOracleSql: String =
+    """WITH e AS (SELECT event_type, ts, value FROM events),
+      |g AS (SELECT event_type, value, count(*) AS c FROM e GROUP BY 1, 2),
+      |w AS (SELECT event_type, value,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n FROM g),
+      |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |    min(CASE WHEN cum * 2 >= n THEN value END) AS p50_exact,
+      |    min(CASE WHEN cum * 100 >= n * 95 THEN value END) AS p95_exact
+      |  FROM w GROUP BY 1),
+      |d AS (SELECT event_type,
+      |    count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days
+      |  FROM e GROUP BY 1)
+      |SELECT q.event_type AS event_type, n, CAST(n_days AS BIGINT) AS n_days,
+      |  round(p50_exact, 6) AS p50_exact, round(p95_exact, 6) AS p95_exact,
+      |  TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
+      |FROM q JOIN d ON q.event_type = d.event_type
+      |ORDER BY event_type""".stripMargin
 
   private val skylineOracleSql: String =
     """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
@@ -1068,6 +1123,11 @@ object SparkEntry {
     // Shared by the single-build cube and its append-only incremental
     // twin: exact additivity means the refold equals the full rebuild.
     "q_quantile_cube" -> quantileCubeOracleSql,
+    // log-bucket (DDSketch) quantile cube, the unbounded-domain sibling:
+    // exact nearest-rank companions + TRUE relative-error verdicts —
+    // bracket pattern of q_approx_distinct; one oracle for build + append
+    "q_dd_cube" -> ddCubeOracleSql,
+    "q_dd_cube_incremental" -> ddCubeOracleSql,
     "q_quantile_cube_incremental" -> quantileCubeOracleSql,
     // all-integer skew audit: counts, exact-ppm share, hotness x100 vs
     // the uniform mean; (n desc, key) order pinned in both engines
@@ -2000,26 +2060,11 @@ object SparkEntry {
     // Apriori k=2 replay; thresholds are integer ratios (supp*20 >= n,
     // supp_pair*2 >= supp_ante) so no float literal crosses engines, and
     // the conf/lift division groupings mirror the Spark expressions
-    "q_assoc_rules" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        |items AS (SELECT DISTINCT doc_id, word FROM t WHERE word <> ''),
-        |nd AS (SELECT count(*) AS n_docs FROM documents),
-        |f0 AS (SELECT word, count(*) AS supp FROM items GROUP BY word),
-        |freq AS (SELECT word, supp FROM f0, nd
-        |         WHERE supp * ${operators.Curation.AssocSupDenom} >= n_docs),
-        |pairs AS (SELECT a.word AS ante, b.word AS cons, count(*) AS supp_pair
-        |  FROM items a JOIN items b ON a.doc_id = b.doc_id AND a.word < b.word
-        |  JOIN freq fa ON fa.word = a.word JOIN freq fb ON fb.word = b.word
-        |  GROUP BY 1, 2),
-        |rules AS (SELECT ante, cons, supp_pair FROM pairs
-        |  UNION ALL SELECT cons, ante, supp_pair FROM pairs)
-        |SELECT r.ante, r.cons, r.supp_pair, fa.supp AS supp_ante, fb.supp AS supp_cons,
-        |  round(r.supp_pair / fa.supp, 6) AS confidence,
-        |  round((r.supp_pair * n_docs) / (fa.supp::DOUBLE * fb.supp), 6) AS lift
-        |FROM rules r JOIN freq fa ON fa.word = r.ante
-        |  JOIN freq fb ON fb.word = r.cons, nd
-        |WHERE r.supp_pair * ${operators.Curation.AssocConfDenom} >= fa.supp
-        |ORDER BY ante, cons""".stripMargin,
+    "q_assoc_rules" -> assocRulesOracleSql,
+    // SON mines the SAME rule set on the SAME floors (exact recount pass)
+    // — one shared oracle proves the partition-candidate path emits
+    // bit-identical rules
+    "q_son_rules" -> assocRulesOracleSql,
     // Apriori k=3 replay (r11): the same integer thresholds one level up —
     // triples only counted where ALL three 2-subsets are frequent (the
     // closure prune, mirrored from the engine's broadcast equi-joins)
@@ -2741,6 +2786,13 @@ object SparkEntry {
     // Q7/Q10/Q12 (VERDICT r11 ask #4): oracle text identical to the
     // spark.sql text (Q12's lateness buckets use INTERVAL literal
     // addition, the date arithmetic both engines parse identically)
+    // Q4/Q6/Q13/Q14/Q18: oracle registers the EXACT string the engine
+    // executes (one shared constant — structurally impossible to drift)
+    "q_tpch_q4" -> operators.SqlSurface.Q4Sql,
+    "q_tpch_q6" -> operators.SqlSurface.Q6Sql,
+    "q_tpch_q13" -> operators.SqlSurface.Q13Sql,
+    "q_tpch_q14" -> operators.SqlSurface.Q14Sql,
+    "q_tpch_q18" -> operators.SqlSurface.Q18Sql,
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue

@@ -55,9 +55,12 @@ object SpillRehearsal {
     })
 
     // the fence-heavy dedup family: inverted-index pairs, banded MinHash,
-    // iterative clusters, and the standing-index incremental pass
+    // iterative clusters, and the standing-index incremental pass —
+    // plus the r11 heavyweights (VERDICT ask #8): the Apriori triple
+    // fan-out, the histogram-cube build+serve, and the grid spatial join
     val queries = Seq("q_neardup_jaccard", "q_neardup_minhash",
-      "q_neardup_clusters", "q_dedup_incremental")
+      "q_neardup_clusters", "q_dedup_incremental",
+      "q_assoc_rules3", "q_quantile_cube", "q_spatial_join")
     val results = queries.map { name =>
       val rows = SparkEntry.queries(name)(spark, sfDir)
         .collect().map(_.toString).sorted

@@ -382,6 +382,133 @@ object Curation {
       .orderBy("ante1", "ante2", "cons")
   }
 
+  /** SON partition-candidate frequent-itemset mining (Savasere,
+    * Omiecinski & Navathe, VLDB'95; the "two-pass chunked Apriori" of
+    * Mining of Massive Datasets §6.4) — the AT-SCALE alternative to
+    * [[assocRules]]' candidate-broadcast Apriori (VERDICT r11 ask #6),
+    * pinned to the SAME rule set on the SAME integer floors and sharing
+    * q_assoc_rules' oracle verbatim.
+    *
+    * Why SON when Apriori already works: Apriori's scaling axis is the
+    * candidate BROADCAST — when frequent sets are large, every executor
+    * holds the whole candidate table. SON never broadcasts candidates
+    * during mining: each partition mines its own chunk independently at
+    * the PROPORTIONAL floor, and the union of local results is a
+    * complete candidate set by the SON lemma (if an itemset clears
+    * `supp·D ≥ n` globally but misses `supp_p·D ≥ n_p` in every chunk,
+    * summing gives `supp·D ≤ n − P < n` — contradiction). A final exact
+    * counting pass over candidates only removes the false positives.
+    * The same averaging argument covers the CONFIDENCE floor
+    * (`2·sp ≥ sa` globally ⇒ locally in some chunk), which matters here
+    * because q_assoc_rules has no pair-support floor — only the
+    * confidence one.
+    *
+    * Three passes over the doc-clustered item fence, all streaming one
+    * doc at a time (chunk state is the SON premise: LOCAL frequent words
+    * + an |A|²-bounded pair-count map, where A is the union of locally
+    * frequent words — floor-bounded per chunk, so |A| ≤ P·D·(items/doc)):
+    *   1. locally frequent words → union A (covers every globally
+    *      frequent word);
+    *   2. pair mining restricted to A-words, emitting pairs locally
+    *      confident in either direction (covers every output rule);
+    *   3. exact recount of candidate pairs + exact word supports, rules
+    *      assembled exactly as [[assocRules]] — same integer compares,
+    *      same IEEE divisions, same order.
+    */
+  def sonRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val nd = docs.count()
+    val items = Dedup.fence(docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+      .filter(col("word") =!= ""), "doc_id")
+    val sorted = items.sortWithinPartitions("doc_id").as[(Long, String)]
+    // PASS 1: locally frequent words, union = candidate word set A
+    val aWords: Set[String] = sorted.mapPartitions { it =>
+      val ic = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L; var curDoc = Long.MinValue; var any = false
+      while (it.hasNext) {
+        val (d, w) = it.next()
+        if (!any || d != curDoc) { np += 1; curDoc = d; any = true }
+        ic.update(w, ic.getOrElse(w, 0L) + 1L)
+      }
+      ic.iterator.collect { case (w, c) if c * AssocSupDenom >= np => w }
+    }.distinct().collect().toSet
+    if (aWords.isEmpty) return emptyRules2(spark)
+    // PASS 2: chunk-local pair mining among A-words; a pair survives its
+    // chunk if it is locally confident in EITHER direction. State per
+    // chunk: one |A|-bounded word-count map + one |A|²-bounded pair map.
+    val candKeys: Array[String] = sorted.mapPartitions { it =>
+      val wc = scala.collection.mutable.HashMap.empty[String, Long]
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val doc = scala.collection.mutable.ArrayBuffer.empty[String]
+      var curDoc = Long.MinValue; var any = false
+      def flushDoc(): Unit = {
+        val f = doc.filter(aWords.contains).sorted
+        var i = 0
+        while (i < f.length) {
+          wc.update(f(i), wc.getOrElse(f(i), 0L) + 1L)
+          var j = i + 1
+          while (j < f.length) {
+            val k = (f(i), f(j)); pc.update(k, pc.getOrElse(k, 0L) + 1L); j += 1
+          }
+          i += 1
+        }
+        doc.clear()
+      }
+      while (it.hasNext) {
+        val (d, w) = it.next()
+        if (!any || d != curDoc) { if (any) flushDoc(); curDoc = d; any = true }
+        doc += w
+      }
+      if (any) flushDoc()
+      pc.iterator.collect {
+        case ((a, b), sp) if sp * AssocConfDenom >= wc(a) || sp * AssocConfDenom >= wc(b) =>
+          a + "\u0001" + b
+      }
+    }.distinct().collect()
+    if (candKeys.isEmpty) return emptyRules2(spark)
+    // PASS 3: exact global counts — word supports (vocab-bounded) and
+    // candidate-pair supports (map-side InSet before the aggregate)
+    val citems = items.filter(col("word").isInCollection(aWords))
+    val freqMap: Map[String, Long] = citems.groupBy("word")
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") * AssocSupDenom >= lit(nd))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (freqMap.isEmpty) return emptyRules2(spark)
+    val pairs = citems.select(col("doc_id"), col("word").as("ante"))
+      .join(citems.select(col("doc_id"), col("word").as("cons")), "doc_id")
+      .filter(col("ante") < col("cons"))
+      .filter(col("ante").isInCollection(freqMap.keySet)
+        && col("cons").isInCollection(freqMap.keySet))
+      .filter(concat_ws("\u0001", col("ante"), col("cons"))
+        .isInCollection(candKeys.toSeq))
+      .groupBy("ante", "cons").agg(count(lit(1)).as("supp_pair"))
+    val rotations = pairs
+      .union(pairs.select(col("cons"), col("ante"), col("supp_pair")))
+    val wordSuppLit = typedLit(freqMap)
+    rotations
+      .withColumn("supp_ante", element_at(wordSuppLit, col("ante")))
+      .withColumn("supp_cons", element_at(wordSuppLit, col("cons")))
+      .filter(col("supp_pair") * AssocConfDenom >= col("supp_ante"))
+      .withColumn("confidence",
+        round(col("supp_pair").cast("double") / col("supp_ante"), 6))
+      .withColumn("lift",
+        round(col("supp_pair").cast("double") * lit(nd)
+          / (col("supp_ante").cast("double") * col("supp_cons")), 6))
+      .select("ante", "cons", "supp_pair", "supp_ante", "supp_cons",
+        "confidence", "lift")
+      .orderBy("ante", "cons")
+  }
+
+  /** Empty rules frame with the assocRules / sonRules output schema. */
+  private def emptyRules2(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long, Long, Long, Double, Double)]
+      .toDF("ante", "cons", "supp_pair", "supp_ante", "supp_cons",
+        "confidence", "lift")
+  }
+
   /** Empty rules frame with the assocRules3 output schema (floor kills
     * everything — no frequent items or pairs). */
   private def emptyRules3(spark: SparkSession): DataFrame = {
@@ -929,7 +1056,9 @@ object Curation {
         |) AS (column_name, v)""".stripMargin))
       .groupBy("column_name")
       .agg(countDistinct(col("v")).as("n_distinct"))
-    perCol.join(broadcast(exact), Seq("column_name"))
+    // no broadcast hint: both sides are 6 literal-stack rows, and the
+    // hygiene sweep only waves through PROVABLY bounded explicit hints
+    perCol.join(exact, Seq("column_name"))
       .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"),
         (abs(col("hll_distinct") - col("n_distinct")).cast("double")

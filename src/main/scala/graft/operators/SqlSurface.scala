@@ -32,8 +32,112 @@ object SqlSurface {
       "lineitem" -> Tables.lineitem(spark, sfDir),
       "supplier" -> Tables.supplier(spark, sfDir),
       "nation" -> Tables.nation(spark, sfDir),
-      "region" -> Tables.region(spark, sfDir))
+      "region" -> Tables.region(spark, sfDir),
+      "part" -> Tables.part(spark, sfDir))
       .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+
+  /** TPC-H Q4 (order priority checking), schema-adapted: the reference
+    * flags orders with a line whose commit date slipped past receipt —
+    * columns this corpus lacks — so the preserved SHAPE is the Q4
+    * correlated EXISTS + per-priority count: orders in one quarter with
+    * at least one line shipped more than 60 days after ordering. Plans as
+    * a left-semi join of orders against the late lines. */
+  def tpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q4Sql)
+  }
+
+  /** The exact text [[tpchQ4]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-and-filter
+    * aggregate — one pushed predicate set, one global decimal sum. */
+  def tpchQ6(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q6Sql)
+  }
+
+  /** The exact text [[tpchQ6]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q6Sql: String =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q13 (customer distribution): order counts per customer through
+    * a LEFT OUTER join (zero-order customers must survive), then the
+    * distribution of those counts — the double-aggregate shape. */
+  def tpchQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q13Sql)
+  }
+
+  /** The exact text [[tpchQ13]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): promo revenue share for one ship
+    * month — the CASE-over-join pattern; p_type carries a literal PROMO
+    * class in this corpus, so the reference's LIKE 'PROMO%%' reduces to
+    * equality. */
+  def tpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q14Sql)
+  }
+
+  /** The exact text [[tpchQ14]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q14Sql: String =
+    """SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,6))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,6))) END) AS DOUBLE) * 100.0
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * clears a floor (IN over a grouped HAVING subquery), re-joined to
+    * customer identity, top 100 by price. */
+  def tpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q18Sql)
+  }
+
+  /** The exact text [[tpchQ18]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  round(o_totalprice, 2) AS total_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150)
+        |GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+        |  round(o_totalprice, 2)
+        |ORDER BY 5 DESC, 3 LIMIT 100""".stripMargin
 
   /** TPC-H Q3: unshipped-order shipping priority for one segment. */
   def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {

@@ -540,6 +540,26 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("SON rules equal Apriori rules row-for-row (VERDICT r11 ask #6)") {
+    val apriori = Curation.assocRules(spark, sf).collect().toSeq
+    val son = Curation.sonRules(spark, sf).collect().toSeq
+    assert(son == apriori, "partition-candidate SON diverged from Apriori")
+    assert(son.nonEmpty)
+  }
+
+  test("SON candidate completeness survives a skewed partitioning") {
+    // repartitioning the docs changes every chunk's local floor; the SON
+    // lemma says the exact recount still reproduces the full rule set
+    val apriori = Curation.assocRules(spark, sf).collect().toSeq
+    // run SON with a different partition count to shift chunk boundaries
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val son = Curation.sonRules(spark, sf).collect().toSeq
+      assert(son == apriori, "SON rule set changed under a different chunking")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("assoc rules: confidence and lift honor their definitions on every row") {
     val rows = Curation.assocRules(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()
