@@ -248,6 +248,9 @@ object SparkEntry {
     // ---- B8 streaming batch twins ----
     "q_tumbling_1h"       -> ((s, d) => StreamingTwins.tumbling1h(s, d)),
     "q_watermark_windows" -> ((s, d) => graft.streaming.StreamingOps.watermarkedWindowsReplay(s, d)),
+    "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingOps.streamDedupReplay(s, d)),
+    "q_stream_enrich"     -> ((s, d) => graft.streaming.StreamingOps.streamEnrichReplay(s, d)),
+    "q_stream_funnel"     -> ((s, d) => graft.streaming.StreamingOps.streamFunnelReplay(s, d)),
     "q_sliding_1h15m"     -> ((s, d) => StreamingTwins.sliding1h15m(s, d)),
     "q_sessions_10m"      -> ((s, d) => StreamingTwins.sessions10m(s, d)),
     // ---- B5/B8 behavioral analytics over events ----
@@ -483,6 +486,23 @@ object SparkEntry {
       |  TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
       |FROM q JOIN d ON q.event_type = d.event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Shared funnel oracle (q_funnel / q_funnel_fold / q_stream_funnel):
+    * the declarative, fold, and streaming-stateful formulations all emit
+    * the same stage counts. */
+  private val funnelOracleSql: String =
+    """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS ns FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) > v.ns
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) > c.ns
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 'view' AS stage, 1 AS stage_ord, count(*)::BIGINT AS n_users FROM v
+        |UNION ALL SELECT 'click', 2, count(*)::BIGINT FROM c
+        |UNION ALL SELECT 'purchase', 3, count(*)::BIGINT FROM p
+        |ORDER BY stage_ord""".stripMargin
 
   private val skylineOracleSql: String =
     """SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
@@ -2502,6 +2522,17 @@ object SparkEntry {
     // below the terminal watermark (corpus max − 2h, ms-floored); odd
     // (batch-2) rows in those windows were genuinely dropped as late,
     // and no window past the horizon is emitted
+    // streamed-twice corpus: every batch-2 duplicate is provably removed
+    // (late filter below the watermark, state hit at/above it) — emitted
+    // set = every event exactly once
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    // the stream-static join replay equals the plain batch join
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "q_watermark_windows" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_id, event_type FROM events),
         |fin AS (SELECT (max(us)//1000 - 7200000)*1000 AS final_wm FROM e)
@@ -2526,33 +2557,12 @@ object SparkEntry {
     // strict order: each stage's earliest qualifying event must be strictly
     // after the timestamp that satisfied the previous stage (ns precision
     // on BOTH sides, so tie behavior is identical)
-    "q_funnel" ->
-      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS ns FROM events
-        |           WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
-        |      JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) > v.ns
-        |      WHERE e.event_type = 'click' GROUP BY 1),
-        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
-        |      JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) > c.ns
-        |      WHERE e.event_type = 'purchase' GROUP BY 1)
-        |SELECT 'view' AS stage, 1 AS stage_ord, count(*)::BIGINT AS n_users FROM v
-        |UNION ALL SELECT 'click', 2, count(*)::BIGINT FROM c
-        |UNION ALL SELECT 'purchase', 3, count(*)::BIGINT FROM p
-        |ORDER BY stage_ord""".stripMargin,
+    "q_funnel" -> funnelOracleSql,
     // the O(1)-state fold computes the IDENTICAL funnel — shared oracle
-    "q_funnel_fold" ->
-      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS ns FROM events
-        |           WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
-        |      JOIN v ON e.user_id = v.user_id AND epoch_ns(e.ts) > v.ns
-        |      WHERE e.event_type = 'click' GROUP BY 1),
-        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS ns FROM events e
-        |      JOIN c ON e.user_id = c.user_id AND epoch_ns(e.ts) > c.ns
-        |      WHERE e.event_type = 'purchase' GROUP BY 1)
-        |SELECT 'view' AS stage, 1 AS stage_ord, count(*)::BIGINT AS n_users FROM v
-        |UNION ALL SELECT 'click', 2, count(*)::BIGINT FROM c
-        |UNION ALL SELECT 'purchase', 3, count(*)::BIGINT FROM p
-        |ORDER BY stage_ord""".stripMargin,
+    "q_funnel_fold" -> funnelOracleSql,
+    // the REAL mapGroupsWithState stream over 3 chronological slices
+    // computes the IDENTICAL funnel — third sharer of the oracle
+    "q_stream_funnel" -> funnelOracleSql,
     // time-to-convert quantiles off the converter latency histogram —
     // the same min-chain as q_funnel's oracle, then the integer rank
     // rules (lo+hi median, nearest-rank p95); // is integer division

@@ -88,10 +88,40 @@ object StreamingOps {
       .orderBy("bucket_sec", "event_type")
   }
 
+  /** Shared fixture runner for the oracle-checked streaming replays:
+    * writes each batch frame as ONE parquet file with strictly increasing
+    * mtimes (the file source's oldest-first order), streams them through
+    * `xform` one file per micro-batch under Trigger.AvailableNow, and
+    * returns the memory-sink table. Deterministic batch boundaries are
+    * what turn streaming semantics into a closed-form DuckDB oracle. */
+  private def runFileStreamReplay(
+      spark: org.apache.spark.sql.SparkSession,
+      batches: Seq[DataFrame],
+      mode: OutputMode)(xform: DataFrame => DataFrame): DataFrame = {
+    import graft.operators.SessionMemos
+    val dir = SessionMemos.tempDir(spark, "graft-stream-fixture")
+    batches.zipWithIndex.foreach { case (bdf, b) =>
+      val stage = SessionMemos.tempDir(spark, "graft-stream-stage")
+      bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"batch-$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + b * 60000L)
+    }
+    val sink = "graft_replay_sink_" + java.lang.Long.toHexString(System.nanoTime())
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sq = xform(stream).writeStream
+      .format("memory").queryName(sink).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(sink)
+  }
+
   private def runWatermarkReplay(spark: org.apache.spark.sql.SparkSession,
                                  sfDir: String): Array[(Long, String, Long)] = {
-    import graft.operators.SessionMemos
-    val dir = SessionMemos.tempDir(spark, "graft-wm-fixture")
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("ts_us"), col("event_type"), col("event_id"))
     // batch 0 = the corpus-max row(s) (pins the terminal watermark from
@@ -99,27 +129,116 @@ object StreamingOps {
     val maxTs = ev.agg(max(col("ts_us"))).head().getTimestamp(0)
     val batchCol = when(col("ts_us") === lit(maxTs), lit(0))
       .otherwise(pmod(col("event_id"), lit(2)) + lit(1))
-    (0 until 3).foreach { b =>
-      val stage = SessionMemos.tempDir(spark, "graft-wm-stage")
-      ev.filter(batchCol === b).coalesce(1)
-        .write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(dir, s"batch-$b.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // distinct, increasing mtimes pin the file source's oldest-first order
-      dst.setLastModified(1000000000000L + b * 60000L)
-    }
-    val sink = "graft_wm_sink_" + java.lang.Long.toHexString(System.nanoTime())
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
-    val sq = tumblingWithWatermark(stream).writeStream
-      .format("memory").queryName(sink).outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    val out = runFileStreamReplay(spark,
+      (0 until 3).map(b => ev.filter(batchCol === b)),
+      OutputMode.Append())(tumblingWithWatermark)
     import spark.implicits._
-    spark.table(sink).as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    out.as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+  }
+
+  private val dedupReplayMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[(Long, Long, String)]]()
+
+  /** ORACLE-CHECKED STREAMING DEDUP (r12, converting another B8 test-only
+    * row): a real `dropDuplicatesWithinWatermark` run over a fixture that
+    * REPLAYS THE ENTIRE CORPUS TWICE — batch 0 pins the terminal
+    * watermark (corpus-max rows), batch 1 is every event, batch 2 is
+    * every event AGAIN. Every batch-2 row is removed by one of the two
+    * watermark mechanisms, and provably regardless of boundary
+    * conventions: a row below the watermark is dropped by the late
+    * filter; a row at/above it still has its batch-1 state entry (state
+    * at/above the watermark is exactly what eviction keeps), so it drops
+    * as a duplicate. Emitted result = every event EXACTLY ONCE — the
+    * closed-form oracle; a dedup that leaked a duplicate or re-emitted
+    * after premature eviction hash-mismatches by name.
+    */
+  def streamDedupReplay(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): DataFrame = {
+    graft.operators.SessionMemos.arm(spark, dedupReplayMemo)
+    val rows = dedupReplayMemo.computeIfAbsent((spark, sfDir), _ => {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("ts_us"), col("event_id"), col("user_id"), col("event_type"))
+      val maxTs = ev.agg(max(col("ts_us"))).head().getTimestamp(0)
+      val out = runFileStreamReplay(spark,
+        Seq(ev.filter(col("ts_us") === lit(maxTs)), ev, ev),
+        OutputMode.Append())(dedupWithinWatermark)
+      import spark.implicits._
+      out.select(col("event_id"), col("user_id"), col("event_type"))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+    })
+    import spark.implicits._
+    rows.toSeq.toDF("event_id", "user_id", "event_type").orderBy("event_id")
+  }
+
+  private val enrichReplayMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[(Long, Long, String, String)]]()
+
+  /** ORACLE-CHECKED STREAM-STATIC JOIN (r12): the event stream enriched
+    * with the static customer dimension, run as a REAL streaming query
+    * (the static side re-plans per micro-batch) and compared against the
+    * plain batch join in DuckDB. Stateless, so any batching gives the
+    * same rows — two batches split by event_id parity keep the replay
+    * honest about the per-micro-batch re-plan. */
+  def streamEnrichReplay(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String): DataFrame = {
+    graft.operators.SessionMemos.arm(spark, enrichReplayMemo)
+    val rows = enrichReplayMemo.computeIfAbsent((spark, sfDir), _ => {
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("ts_us"), col("event_id"), col("user_id"), col("event_type"))
+      val cust = graft.Tables.customer(spark, sfDir)
+      val out = runFileStreamReplay(spark,
+        Seq(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          ev.filter(pmod(col("event_id"), lit(2)) === 1)),
+        OutputMode.Append())(s => enrichWithCustomer(s, cust))
+      import spark.implicits._
+      out.as[(Long, Long, String, String)].collect().sortBy(_._1)
+    })
+    import spark.implicits._
+    rows.toSeq.toDF("event_id", "user_id", "event_type", "c_mktsegment")
+      .orderBy("event_id")
+  }
+
+  private val funnelReplayMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[(String, Long, Long)]]()
+
+  /** ORACLE-CHECKED ARBITRARY STATEFUL (r12): the mapGroupsWithState
+    * funnel ([[funnelStates]]) run as a real stream over THREE
+    * CHRONOLOGICAL SLICES (fixed day boundaries, so each user's events
+    * arrive in event-time order across batches — the chunk-ordered
+    * arrival the one-pass funnel assumes), then folded to stage counts.
+    * The emitted snapshots are per-(user, batch); the reached_* flags
+    * are MONOTONE (a stage never un-fires), so keep-latest per user is
+    * simply bool-or over all snapshots — no batch id needed. Stage
+    * counts then equal the batch funnel exactly, and the query SHARES
+    * q_funnel's oracle.
+    */
+  def streamFunnelReplay(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String): DataFrame = {
+    graft.operators.SessionMemos.arm(spark, funnelReplayMemo)
+    val rows = funnelReplayMemo.computeIfAbsent((spark, sfDir), _ => {
+      import spark.implicits._
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+      val out = runFileStreamReplay(spark,
+        Seq(ev.filter(col("day") < 10), ev.filter(col("day") >= 10 && col("day") < 20),
+          ev.filter(col("day") >= 20)).map(_.drop("day")),
+        OutputMode.Update()) { s =>
+        funnelStates(s.as[FEv]).toDF()
+      }
+      out.groupBy("user_id")
+        .agg(max(col("reached_view")).as("v"), max(col("reached_click")).as("c"),
+          max(col("reached_purchase")).as("p"))
+        .agg(sum(when(col("v"), 1L).otherwise(0L)).as("nv"),
+          sum(when(col("c"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("p"), 1L).otherwise(0L)).as("np"))
+        .selectExpr("stack(3, 'view', 1, nv, 'click', 2, nc, 'purchase', 3, np)" +
+          " AS (stage, stage_ord, n_users)")
+        .as[(String, Int, Long)].collect().map(r => (r._1, r._2.toLong, r._3))
+        .sortBy(_._2)
+    })
+    import spark.implicits._
+    rows.toSeq.toDF("stage", "stage_ord", "n_users").orderBy("stage_ord")
   }
 
   /** Streaming exact dedup on event_id with bounded state: duplicates

@@ -646,6 +646,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(r => (r._1 + 3600L) * 1000000L <= finalWm))
   }
 
+  test("r12 replays: dedup emits each event once, enrich equals the batch join, funnel equals the batch machine") {
+    import spark.implicits._
+    // dedup: the fixture streams the corpus TWICE + the max row — output
+    // must be every event exactly once
+    val dd = StreamingOps.streamDedupReplay(spark, sf)
+    assert(dd.count() == Tables.events(spark, sf).count())
+    assert(dd.select("event_id").distinct().count() == dd.count())
+    // enrich: stream-static join equals the plain batch join
+    val en = StreamingOps.streamEnrichReplay(spark, sf)
+      .as[(Long, Long, String, String)].collect().toSeq
+    val want = Tables.events(spark, sf).alias("e")
+      .join(Tables.customer(spark, sf).alias("c"),
+        col("e.user_id") === col("c.c_custkey"), "left")
+      .select(col("e.event_id"), col("e.user_id"), col("e.event_type"),
+        col("c.c_mktsegment"))
+      .as[(Long, Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(en == want)
+    // stateful funnel over 3 chronological slices equals the batch funnel
+    val sf3 = StreamingOps.streamFunnelReplay(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = graft.operators.Funnels.funnel(spark, sf)
+      .selectExpr("stage", "CAST(stage_ord AS BIGINT)", "n_users")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sf3.map(r => (r._1, r._3)) == batch.map(r => (r._1, r._3)))
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val got = runToTable(StreamingOps.dedupWithinWatermark(eventsStream),
       "t_dedup", "append")
