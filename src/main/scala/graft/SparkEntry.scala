@@ -82,6 +82,8 @@ object SparkEntry {
     "q_kwic"              -> ((s, d) => TextAnalysis.kwic(s, d)),
     "q_schema_evolution"  -> ((s, d) => Sources.schemaEvolution(s, d)),
     "q_partition_overwrite" -> ((s, d) => Sources.partitionOverwrite(s, d)),
+    "q_join_profile"      -> ((s, d) => Relational.joinSizeProfile(s, d)),
+    "q_compaction"        -> ((s, d) => operators.Layout.compactionReport(s, d)),
     "q_purge_cascade"     -> ((s, d) => Relational.purgeCascade(s, d)),
     "q_spatial_join"      -> ((s, d) => Relational.spatialJoin(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
@@ -2525,6 +2527,28 @@ object SparkEntry {
     // streamed-twice corpus: every batch-2 duplicate is provably removed
     // (late filter below the watermark, state hit at/above it) — emitted
     // set = every event exactly once
+    // exact pre-join audit: the oracle replays the count-table join
+    "q_join_profile" ->
+      """WITH l AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1),
+        |r AS (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1),
+        |j AS (SELECT coalesce(l.k, r.k) AS k,
+        |    coalesce(cl, 0) AS cl, coalesce(cr, 0) AS cr
+        |  FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT CAST(sum(cl) AS BIGINT) AS lhs_rows,
+        |  CAST(sum(cr) AS BIGINT) AS rhs_rows,
+        |  CAST(sum(CASE WHEN cl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lhs_keys,
+        |  CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rhs_keys,
+        |  CAST(sum(cl * cr) AS BIGINT) AS est_out_rows,
+        |  CAST(max(cl * cr) AS BIGINT) AS max_key_fanout,
+        |  CAST(sum(CASE WHEN cl > 0 AND cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys
+        |FROM j""".stripMargin,
+    // compaction: content columns (rows + exact cents per day) must
+    // survive the rewrite untouched; the file-count verdicts are TRUE
+    "q_compaction" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS compacted, TRUE AS single_file
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,

@@ -78,4 +78,57 @@ object Layout {
       .groupBy("pid")
       .agg(min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
         min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
+
+  private val compactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  /** SMALL-FILE COMPACTION (r12) — the OPTIMIZE/bin-packing primitive
+    * every lakehouse table needs at 100 TB: streaming ingest leaves each
+    * day partition with many small files (here a deliberately fragmented
+    * fixture: every day written through `repartition(8)`), and the
+    * compactor rewrites each partition into one right-sized file WITHOUT
+    * changing a row. One `repartition(day)` exchange clusters each day
+    * into a single task, the day-partitioned rewrite emits one file per
+    * day, and the registered readout proves both halves of the contract:
+    * per-day row counts + exact cents sums (content unchanged — the
+    * hash-checked columns) and two expected-TRUE verdicts (file count
+    * strictly dropped; exactly one file remains). At 100 TB the same
+    * shape runs per-partition-subset with `maxRecordsPerFile` as the
+    * size target — compaction is embarrassingly parallel across
+    * partitions and never rewrites history twice (idempotent rewrite of
+    * the same rows).
+    */
+  def compactionReport(spark: SparkSession, sfDir: String): DataFrame = {
+    SessionMemos.arm(spark, compactMemo)
+    val (fragDir, compactDir) = compactMemo.computeIfAbsent((spark, sfDir), _ => {
+      val frag = SessionMemos.tempDir(spark, "graft-compact-frag")
+      val comp = SessionMemos.tempDir(spark, "graft-compact-out")
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), expr("ts div 86400000000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      ev.repartition(8).write.partitionBy("day").mode("overwrite").parquet(frag)
+      spark.read.parquet(frag)
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(comp)
+      (frag, comp)
+    })
+    def filesPerDay(dir: String): DataFrame = {
+      import spark.implicits._
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(d => (d.getName.stripPrefix("day=").toLong,
+          d.listFiles().count(_.getName.endsWith(".parquet")).toLong))
+        .toDF("day", "n_files")
+    }
+    val before = filesPerDay(fragDir).select(col("day"), col("n_files").as("nf_before"))
+    val after = filesPerDay(compactDir).select(col("day"), col("n_files").as("nf_after"))
+    val content = spark.read.parquet(compactDir)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    content.join(before, "day").join(after, "day")
+      .select(col("day"), col("n_rows"), col("sum_cents"),
+        (col("nf_after") < col("nf_before")).as("compacted"),
+        (col("nf_after") === 1L).as("single_file"))
+      .orderBy("day")
+  }
 }

@@ -1082,4 +1082,35 @@ object Relational {
           "left_semi"), li))
       .orderBy("tbl")
   }
+
+  /** PRE-JOIN CARDINALITY PROFILE (r12) — the "explain the shuffle before
+    * you pay for it" audit a 100 TB join needs: for orders ⋈ lineitem on
+    * orderkey, both sides reduce to key-grouped COUNT tables (each far
+    * smaller than its fact — the profile never shuffles a fact row, only
+    * (key, count) pairs), and the exact predicted join output is
+    * Σ_k cnt_l(k)·cnt_r(k) — computed by joining the two count tables.
+    * Alongside: per-side rows/distinct keys, the hottest key's fan-out
+    * product (the skew ceiling one AQE split must absorb), and the
+    * match-rate of each side (keys with a partner). All exact integers;
+    * the planner-facing readout that decides broadcast vs shuffle vs
+    * salting BEFORE the join runs.
+    */
+  def joinSizeProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.orders(spark, sfDir).groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val r = Tables.lineitem(spark, sfDir).groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cr"))
+    val j = l.join(r, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("cl"), lit(0L)).as("cl"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    j.agg(
+        sum(col("cl")).as("lhs_rows"),
+        sum(col("cr")).as("rhs_rows"),
+        sum(when(col("cl") > 0, 1L).otherwise(0L)).as("lhs_keys"),
+        sum(when(col("cr") > 0, 1L).otherwise(0L)).as("rhs_keys"),
+        sum(col("cl") * col("cr")).as("est_out_rows"),
+        max(col("cl") * col("cr")).as("max_key_fanout"),
+        sum(when(col("cl") > 0 && col("cr") > 0, 1L).otherwise(0L)).as("matched_keys"))
+  }
 }

@@ -68,4 +68,37 @@ class LayoutSpec extends SparkSpec {
     assert(hitS(zSpans, sSlice._1, sSlice._2) < zSpans.size,
       s"z-order gave no suppkey pruning: $zSpans")
   }
+
+  test("compaction: every day drops to one file with content byte-identical (r12)") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val report = Layout.compactionReport(spark, sf).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getBoolean(3), s"day ${r.getLong(0)} was not compacted")
+      assert(r.getBoolean(4), s"day ${r.getLong(0)} left >1 file")
+    }
+    // content check: per-day rows and cents must match the source table
+    val got = report.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Tables.events(spark, sf)
+      .select(expr("ts div 86400000000000")).distinct().as[Long].collect().toSet)
+    got.foreach { case (d, (n, cents)) =>
+      val w = Tables.events(spark, sf)
+        .filter(expr(s"ts div 86400000000000 = $d"))
+        .agg(count(lit(1)), sum(expr("CAST(round(value * 100) AS BIGINT)")))
+        .as[(Long, Long)].head()
+      assert((n, cents) == w, s"day $d content changed")
+    }
+  }
+
+  test("join profile: predicted output cardinality equals the actual join count (r12)") {
+    import spark.implicits._
+    val p = graft.operators.Relational.joinSizeProfile(spark, sf).head()
+    val actual = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(p.getLong(4) == actual, s"est_out_rows ${p.getLong(4)} vs actual $actual")
+    assert(p.getLong(0) == Tables.orders(spark, sf).count())
+    assert(p.getLong(1) == Tables.lineitem(spark, sf).count())
+    assert(p.getLong(5) >= 1L && p.getLong(6) <= p.getLong(2))
+  }
 }
