@@ -464,6 +464,28 @@ class RelationalSpec extends SparkSpec {
     assert(rev == rev.sorted.reverse)
   }
 
+  test("SQL surface r12: Q7 broadcasts both nation ends; Q4 plans a semi join; Q18's subquery aggregates before the IN") {
+    import graft.operators.SqlSurface
+    val q7 = SqlSurface.tpchQ7(spark, sf)
+    val p7 = q7.queryExecution.executedPlan.toString
+    // nation joins BOTH ends of the fact chain as broadcasts — the OR
+    // clause must not devolve the join graph into a nested loop
+    assert(p7.contains("BroadcastHashJoin") && !p7.contains("CartesianProduct"),
+      p7.take(2000))
+    // row content is the driver oracle's job at sf0.01 (4 rows there); the
+    // bilateral pair has no volume in the sf0.001 smoke slice
+    q7.collect()
+    val q4 = SqlSurface.tpchQ4(spark, sf)
+    val p4 = q4.queryExecution.executedPlan.toString
+    assert(p4.contains("LeftSemi"), p4.take(2000))
+    assert(q4.collect().nonEmpty)
+    val q18 = SqlSurface.tpchQ18(spark, sf)
+    val rows = q18.collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    // sum_qty really clears the HAVING floor on every surviving order
+    assert(rows.forall(_.getDouble(5) > 150.0))
+  }
+
   test("spatial grid join equals the quadratic reference; no cartesian stage in the plan") {
     import spark.implicits._
     val keys = Tables.customer(spark, sf).select("c_custkey").as[Long].collect()
