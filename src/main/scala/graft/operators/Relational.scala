@@ -1104,13 +1104,17 @@ object Relational {
       .select(col("k"),
         coalesce(col("cl"), lit(0L)).as("cl"),
         coalesce(col("cr"), lit(0L)).as("cr"))
+    // fan-out products in DECIMAL(38,0) — the olsTrend overflow
+    // discipline: a hot key at 100 TB can put cl*cr past Long range,
+    // where a long product would wrap silently (ANSI off)
+    val dec = "decimal(38,0)"
     j.agg(
         sum(col("cl")).as("lhs_rows"),
         sum(col("cr")).as("rhs_rows"),
         sum(when(col("cl") > 0, 1L).otherwise(0L)).as("lhs_keys"),
         sum(when(col("cr") > 0, 1L).otherwise(0L)).as("rhs_keys"),
-        sum(col("cl") * col("cr")).as("est_out_rows"),
-        max(col("cl") * col("cr")).as("max_key_fanout"),
+        sum(col("cl").cast(dec) * col("cr").cast(dec)).cast("long").as("est_out_rows"),
+        max(col("cl").cast(dec) * col("cr").cast(dec)).cast("long").as("max_key_fanout"),
         sum(when(col("cl") > 0 && col("cr") > 0, 1L).otherwise(0L)).as("matched_keys"))
   }
 }
