@@ -964,9 +964,10 @@ object Curation {
     * (Catalyst expands the multi-distinct into one Expand + two-level
     * agg; partials are (columns × metrics) cells, corpus-independent),
     * then a literal `stack` unpivot of the single result row. At 100 TB
-    * the exact distincts are the expensive honest choice — the engine's
-    * own `q_approx_distinct` HLL form is the documented drop-in when
-    * ±2% suffices; everything else is map-side-combinable min/max/count.
+    * the exact distincts are the expensive honest choice — the REGISTERED
+    * 100 TB form is [[profileOrdersApprox]] (`q_profile_approx`: HLL
+    * distincts, no Expand, bracket-verified); everything else here is
+    * map-side-combinable min/max/count.
     */
   def profileOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
