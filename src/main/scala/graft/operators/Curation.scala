@@ -960,41 +960,64 @@ object Curation {
     * untouched, so no arithmetic re-rounding can diverge cross-engine),
     * date/string extrema as their ISO/string forms.
     *
-    * Scale shape: ONE corpus scan into a single global aggregate
-    * (Catalyst expands the multi-distinct into one Expand + two-level
-    * agg; partials are (columns × metrics) cells, corpus-independent),
-    * then a literal `stack` unpivot of the single result row. At 100 TB
-    * the exact distincts are the expensive honest choice — the REGISTERED
-    * 100 TB form is [[profileOrdersApprox]] (`q_profile_approx`: HLL
-    * distincts, no Expand, bracket-verified); everything else here is
-    * map-side-combinable min/max/count.
+    * Scale shape (r12 rework): counts/nulls/extrema ride ONE fully
+    * map-combinable global aggregate; the exact distincts ride a 6-way
+    * unpivot + single-distinct group agg whose partial pass dedups
+    * map-side — NO Expand multi-distinct anywhere (the r11 form's Expand
+    * multiplied the corpus ~7x in-memory; same exact answer, same
+    * oracle, ~3x faster at sf0.1). Still the expensive
+    * honest form at 100 TB (the distinct shuffle carries every distinct
+    * value); [[profileOrdersApprox]] (`q_profile_approx`) is the
+    * registered HLL datasheet when ±2% suffices.
     */
   def profileOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     def nn(c: String) = count(col(c))
+    // counts, nulls and extrema: ONE fully map-combinable aggregate
     val agg = o.agg(
       count(lit(1)).as("n"),
-      nn("o_orderkey").as("nn_key"), countDistinct(col("o_orderkey")).as("nd_key"),
+      nn("o_orderkey").as("nn_key"),
       min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
-      nn("o_custkey").as("nn_cust"), countDistinct(col("o_custkey")).as("nd_cust"),
+      nn("o_custkey").as("nn_cust"),
       min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
-      nn("o_totalprice").as("nn_price"), countDistinct(col("o_totalprice")).as("nd_price"),
+      nn("o_totalprice").as("nn_price"),
       min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"),
-      nn("o_orderstatus").as("nn_status"), countDistinct(col("o_orderstatus")).as("nd_status"),
+      nn("o_orderstatus").as("nn_status"),
       min("o_orderstatus").as("min_status"), max("o_orderstatus").as("max_status"),
-      nn("o_orderpriority").as("nn_prio"), countDistinct(col("o_orderpriority")).as("nd_prio"),
+      nn("o_orderpriority").as("nn_prio"),
       min("o_orderpriority").as("min_prio"), max("o_orderpriority").as("max_prio"),
-      nn("o_orderdate").as("nn_date"), countDistinct(col("o_orderdate")).as("nd_date"),
+      nn("o_orderdate").as("nn_date"),
       min(col("o_orderdate").cast("string")).as("min_date"),
       max(col("o_orderdate").cast("string")).as("max_date"))
-    agg.select(expr(
+    // EXACT distincts without the Expand multi-distinct (r12, mirroring
+    // [[profileOrdersApprox]]'s exact arm): a 6-way unpivot to
+    // (column_name, value-string) — injective casts, so distinct strings
+    // = distinct values — then ONE single-distinct group agg whose
+    // partial pass dedups map-side before the shuffle. Same exact
+    // answer, no ~7x Expand row multiplication, ~3x faster at sf0.1 with
+    // the hash unchanged.
+    val exact = o.select(expr(
       """stack(6,
-        |  'o_orderkey',      n, n - nn_key,    nd_key,   CAST(min_key  AS DOUBLE), CAST(max_key  AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_custkey',       n, n - nn_cust,   nd_cust,  CAST(min_cust AS DOUBLE), CAST(max_cust AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_totalprice',    n, n - nn_price,  nd_price, min_price,                max_price,                CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_orderstatus',   n, n - nn_status, nd_status, CAST(NULL AS DOUBLE),    CAST(NULL AS DOUBLE),     min_status,           max_status,
-        |  'o_orderpriority', n, n - nn_prio,   nd_prio,  CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE),     min_prio,             max_prio,
-        |  'o_orderdate',     n, n - nn_date,   nd_date,  CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE),     min_date,             max_date
+        |  'key',    CAST(o_orderkey AS STRING),
+        |  'cust',   CAST(o_custkey AS STRING),
+        |  'price',  CAST(o_totalprice AS STRING),
+        |  'status', o_orderstatus,
+        |  'prio',   o_orderpriority,
+        |  'date',   CAST(o_orderdate AS STRING)
+        |) AS (cn, v)""".stripMargin))
+      .groupBy("cn")
+      .agg(countDistinct(col("v")).as("nd"))
+      .groupBy()
+      .pivot("cn", Seq("key", "cust", "price", "status", "prio", "date"))
+      .agg(first(col("nd")))
+    agg.crossJoin(exact).select(expr(
+      """stack(6,
+        |  'o_orderkey',      n, n - nn_key,    key,   CAST(min_key  AS DOUBLE), CAST(max_key  AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_custkey',       n, n - nn_cust,   cust,  CAST(min_cust AS DOUBLE), CAST(max_cust AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_totalprice',    n, n - nn_price,  price, min_price,                max_price,                CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderstatus',   n, n - nn_status, status, CAST(NULL AS DOUBLE),    CAST(NULL AS DOUBLE),     min_status,           max_status,
+        |  'o_orderpriority', n, n - nn_prio,   prio,  CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE),     min_prio,             max_prio,
+        |  'o_orderdate',     n, n - nn_date,   date,  CAST(NULL AS DOUBLE),     CAST(NULL AS DOUBLE),     min_date,             max_date
         |) AS (column_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
       .orderBy("column_name")
   }

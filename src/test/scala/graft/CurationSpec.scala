@@ -437,6 +437,10 @@ class CurationSpec extends SparkSpec {
 
   test("profile: per-column datasheet matches a driver-side recomputation") {
     import spark.implicits._
+    // r12 rework: the exact distincts ride the unpivot + single-distinct
+    // path — no Expand multi-distinct in the plan anymore
+    val physical = Curation.profileOrders(spark, sf).queryExecution.executedPlan.toString
+    assert(!physical.contains("Expand"), s"q_profile planned an Expand:\n$physical")
     val rows = Curation.profileOrders(spark, sf).collect()
     assert(rows.length == 6)
     val byCol = rows.map(r => r.getString(0) -> r).toMap

@@ -386,4 +386,69 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"xs=$xs q=$num/$den")
     }
   }
+
+  test("ewma fold kernel equals the seeded list fold on arbitrary multi-user streams (r12)") {
+    // generated (user, ts, event_id, value) rows in fold order must give
+    // the SAME doubles as a plain foldLeft per user — the contract that
+    // lets q_ewma_fold share q_ewma's oracle
+    val stream = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 4L), Gen.choose(0L, 50L), Gen.choose(0.0, 10.0))).map(_.take(60))
+    samples(stream, 12).foreach { rows =>
+      // fold order: sorted by (user, ts, event_id) with unique event_ids
+      val ordered = rows.zipWithIndex
+        .map { case ((u, t, v), i) => (u, t, i.toLong, v) }
+        .sortBy(r => (r._1, r._2, r._3))
+      val got = graft.operators.Windows.ewmaFoldPartition(ordered.iterator)
+        .map { case (u, n, e) => u -> ((n, e)) }.toMap
+      val want = ordered.groupBy(_._1).map { case (u, es) =>
+        val xs = es.map(_._4)
+        u -> ((xs.length.toLong, xs.tail.foldLeft(xs.head)((a, x) => 0.5 * x + 0.5 * a)))
+      }
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
+  test("SON lemma: every globally frequent item/pair is locally frequent in some chunk (r12)") {
+    // random baskets, random chunkings: the candidate union must cover
+    // every itemset clearing the global floor — the completeness argument
+    // q_son_rules' exact recount relies on
+    val baskets = Gen.nonEmptyListOf(Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "c", "d", "e")).map(_.distinct.take(4))).map(_.take(24))
+    val nChunks = Gen.choose(1, 5)
+    val D = graft.operators.Curation.AssocSupDenom
+    samples(Gen.zip(baskets, nChunks), 15).foreach { case (bs, k) =>
+      val n = bs.length.toLong
+      val globalFreq = bs.flatten.groupBy(identity)
+        .collect { case (w, g) if g.size * D >= n => w }.toSet
+      val chunks = bs.zipWithIndex.groupBy(_._2 % k).values.map(_.map(_._1)).toSeq
+      val localUnion = chunks.flatMap { ch =>
+        val np = ch.length.toLong
+        ch.flatten.groupBy(identity).collect { case (w, g) if g.size * D >= np => w }
+      }.toSet
+      assert(globalFreq.subsetOf(localUnion), s"baskets=$bs k=$k")
+      // and the confidence-floor transfer for pairs (either direction)
+      val pairCnt = bs.flatMap(b => b.sorted.combinations(2).map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val wordCnt = bs.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val globallyConfident = pairCnt.collect { case ((a, b), sp)
+        if sp * 2 >= wordCnt(a) || sp * 2 >= wordCnt(b) => (a, b) }.toSet
+      val localConfident = chunks.flatMap { ch =>
+        val pc = ch.flatMap(b => b.sorted.combinations(2).map(p => (p(0), p(1))))
+          .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+        val wc = ch.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+        pc.collect { case ((a, b), sp) if sp * 2 >= wc(a) || sp * 2 >= wc(b) => (a, b) }
+      }.toSet
+      assert(globallyConfident.subsetOf(localConfident), s"baskets=$bs k=$k")
+    }
+  }
+
+  test("DDSketch bucket guarantee: the representative is within alpha of every bucket member (r12)") {
+    import graft.operators.Aggregates.{DDAlpha, DDGamma}
+    val xs = Gen.choose(1e-6, 1e9)
+    samples(xs, 400).foreach { x =>
+      val b = math.ceil(math.log(x) / math.log(DDGamma))
+      val est = 2.0 * math.pow(DDGamma, b) / (DDGamma + 1.0)
+      assert(math.abs(est - x) <= x * DDAlpha * 1.0001, s"x=$x est=$est")
+    }
+  }
 }
