@@ -280,6 +280,9 @@ object SparkEntry {
     "q_tpch_q10"          -> ((s, d) => SqlSurface.tpchQ10(s, d)),
     "q_tpch_q12"          -> ((s, d) => SqlSurface.tpchQ12(s, d)),
     "q_tpch_q13"          -> ((s, d) => SqlSurface.tpchQ13(s, d)),
+    "q_tpch_q15"          -> ((s, d) => SqlSurface.tpchQ15(s, d)),
+    "q_tpch_q17"          -> ((s, d) => SqlSurface.tpchQ17(s, d)),
+    "q_tpch_q22"          -> ((s, d) => SqlSurface.tpchQ22(s, d)),
     "q_tpch_q14"          -> ((s, d) => SqlSurface.tpchQ14(s, d)),
     "q_tpch_q18"          -> ((s, d) => SqlSurface.tpchQ18(s, d)),
     "q_dim_decode"        -> ((s, d) => Relational.dimDecode(s, d)),
@@ -2827,6 +2830,9 @@ object SparkEntry {
     "q_tpch_q13" -> operators.SqlSurface.Q13Sql,
     "q_tpch_q14" -> operators.SqlSurface.Q14Sql,
     "q_tpch_q18" -> operators.SqlSurface.Q18Sql,
+    "q_tpch_q15" -> operators.SqlSurface.Q15Sql,
+    "q_tpch_q17" -> operators.SqlSurface.Q17Sql,
+    "q_tpch_q22" -> operators.SqlSurface.Q22Sql,
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue

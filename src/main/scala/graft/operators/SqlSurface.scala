@@ -139,6 +139,88 @@ object SqlSurface {
         |  round(o_totalprice, 2)
         |ORDER BY 5 DESC, 3 LIMIT 100""".stripMargin
 
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    * maximum — the classic CTE-referenced-twice shape (once as the rank
+    * source, once inside the scalar MAX subquery). Revenue equality
+    * compares EXACT decimal sums, so the tie semantics are portable. */
+  def tpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q15Sql)
+  }
+
+  /** The exact text [[tpchQ15]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 (small-quantity-order revenue): lines whose quantity falls
+    * below 20% of their part's average — the reference's correlated avg
+    * rewritten as the EXACT integer inequality qty·5·n < Σqty over a
+    * per-part aggregate (quantities are integral in this corpus), so no
+    * float average can flip a boundary row cross-engine. */
+  def tpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q17Sql)
+  }
+
+  /** The exact text [[tpchQ17]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q17Sql: String =
+    """WITH pq AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+      |    count(*) AS nq
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |    AS DOUBLE) / 7.0, 6) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |JOIN pq ON pk = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND CAST(round(l_quantity) AS BIGINT) * 5 * nq < sq""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity), schema-adapted: the reference
+    * keys on phone country codes this corpus lacks, so the preserved
+    * SHAPE is the anti-join + above-average filter — customers with an
+    * above-average positive balance and NO order since 2000, grouped by
+    * nation. The average compare is the exact integer cross-multiply
+    * bal·n > Σbal (cents), no float mean. */
+  def tpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q22Sql)
+  }
+
+  /** The exact text [[tpchQ22]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q22Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |pos AS (SELECT CAST(sum(bal) AS BIGINT) AS s, count(*) AS n
+      |        FROM c WHERE bal > 0),
+      |sel AS (
+      |  SELECT c.c_custkey, c.c_nationkey, c.bal FROM c, pos
+      |  WHERE c.bal > 0 AND c.bal * pos.n > pos.s
+      |    AND NOT EXISTS (SELECT 1 FROM orders
+      |      WHERE o_custkey = c.c_custkey
+      |        AND o_orderdate >= TIMESTAMP '2000-01-01'))
+      |SELECT n_name, count(*) AS numcust,
+      |  CAST(sum(bal) AS BIGINT) AS totacctbal_cents
+      |FROM sel JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** TPC-H Q3: unshipped-order shipping priority for one segment. */
   def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
