@@ -253,6 +253,7 @@ object SparkEntry {
     "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingOps.streamDedupReplay(s, d)),
     "q_stream_enrich"     -> ((s, d) => graft.streaming.StreamingOps.streamEnrichReplay(s, d)),
     "q_stream_funnel"     -> ((s, d) => graft.streaming.StreamingOps.streamFunnelReplay(s, d)),
+    "q_stream_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoinReplay(s, d)),
     "q_sliding_1h15m"     -> ((s, d) => StreamingTwins.sliding1h15m(s, d)),
     "q_sessions_10m"      -> ((s, d) => StreamingTwins.sessions10m(s, d)),
     // ---- B5/B8 behavioral analytics over events ----
@@ -284,6 +285,7 @@ object SparkEntry {
     "q_tpch_q17"          -> ((s, d) => SqlSurface.tpchQ17(s, d)),
     "q_tpch_q22"          -> ((s, d) => SqlSurface.tpchQ22(s, d)),
     "q_tpch_q14"          -> ((s, d) => SqlSurface.tpchQ14(s, d)),
+    "q_tpch_q8"           -> ((s, d) => SqlSurface.tpchQ8(s, d)),
     "q_tpch_q18"          -> ((s, d) => SqlSurface.tpchQ18(s, d)),
     "q_dim_decode"        -> ((s, d) => Relational.dimDecode(s, d)),
     "q_anomaly_zscore"    -> ((s, d) => Funnels.anomalyZscore(s, d)),
@@ -2541,8 +2543,8 @@ object SparkEntry {
         |  CAST(sum(cr) AS BIGINT) AS rhs_rows,
         |  CAST(sum(CASE WHEN cl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lhs_keys,
         |  CAST(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rhs_keys,
-        |  CAST(sum(cl * cr) AS BIGINT) AS est_out_rows,
-        |  CAST(max(cl * cr) AS BIGINT) AS max_key_fanout,
+        |  CAST(CAST(sum(CAST(cl AS DECIMAL(38,0)) * cr) AS DECIMAL(38,0)) AS VARCHAR) AS est_out_rows,
+        |  CAST(CAST(max(CAST(cl AS DECIMAL(38,0)) * cr) AS DECIMAL(38,0)) AS VARCHAR) AS max_key_fanout,
         |  CAST(sum(CASE WHEN cl > 0 AND cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched_keys
         |FROM j""".stripMargin,
     // compaction: content columns (rows + exact cents per day) must
@@ -2560,6 +2562,17 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+    // streamed symmetric-hash interval join over chronological slices =
+    // the plain batch interval join (see streamStreamJoinReplay's proof)
+    "q_stream_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pus > c.cus AND p.pus <= c.cus + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_watermark_windows" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_id, event_type FROM events),
         |fin AS (SELECT (max(us)//1000 - 7200000)*1000 AS final_wm FROM e)
@@ -2833,51 +2846,10 @@ object SparkEntry {
     "q_tpch_q15" -> operators.SqlSurface.Q15Sql,
     "q_tpch_q17" -> operators.SqlSurface.Q17Sql,
     "q_tpch_q22" -> operators.SqlSurface.Q22Sql,
-    "q_tpch_q7" ->
-      """SELECT supp_nation, cust_nation, l_year,
-        |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
-        |FROM (
-        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |    CAST(l_extendedprice AS DECIMAL(18,6))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS volume
-        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
-        |  JOIN orders ON o_orderkey = l_orderkey
-        |  JOIN customer ON c_custkey = o_custkey
-        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
-        |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
-        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
-        |    AND l_shipdate < TIMESTAMP '1998-01-01'
-        |) shipping
-        |GROUP BY supp_nation, cust_nation, l_year
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
-    "q_tpch_q10" ->
-      """SELECT c_custkey, c_name,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
-        |  round(c_acctbal, 2) AS c_acctbal, n_name
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o_orderdate < TIMESTAMP '1996-04-01'
-        |  AND l_returnflag = 'R'
-        |GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-    "q_tpch_q12" ->
-      """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
-        |            WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal'
-        |            ELSE 'slow' END AS ship_bucket,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q8" -> operators.SqlSurface.Q8Sql,
+    "q_tpch_q7" -> operators.SqlSurface.Q7Sql,
+    "q_tpch_q10" -> operators.SqlSurface.Q10Sql,
+    "q_tpch_q12" -> operators.SqlSurface.Q12Sql,
     // SLA share over the same closed form; exact ppm, BETWEEN inclusive
     "q_sla_compliance" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority,

@@ -379,7 +379,6 @@ object Curation {
         col("supp_tri"), col("supp_ante"), col("supp_cons"),
         col("confidence"), col("lift"))
       .orderBy("ante1", "ante2", "cons")
-      .orderBy("ante1", "ante2", "cons")
   }
 
   /** SON partition-candidate frequent-itemset mining (Savasere,
@@ -1000,7 +999,7 @@ object Curation {
       """stack(6,
         |  'key',    CAST(o_orderkey AS STRING),
         |  'cust',   CAST(o_custkey AS STRING),
-        |  'price',  CAST(o_totalprice AS STRING),
+        |  'price',  CAST(o_totalprice + 0.0 AS STRING),
         |  'status', o_orderstatus,
         |  'prio',   o_orderpriority,
         |  'date',   CAST(o_orderdate AS STRING)
@@ -1034,8 +1033,8 @@ object Curation {
     * counts plus a per-column verdict that the sketch landed within 10%
     * (≥5σ at rsd 0.02). The exact companions are computed WITHOUT Expand:
     * a 6-way `stack` unpivot to (column_name, value-string) pairs — all
-    * casts injective on distinct values (Spark doubles/dates round-trip
-    * through strings) — then ONE single-distinct groupBy(column_name)
+    * casts injective on distinct values (doubles normalized with `+ 0.0`
+    * so -0.0/0.0 share a string form; dates round-trip exactly) — then ONE single-distinct groupBy(column_name)
     * aggregate, whose partial pass dedups map-side before the shuffle. At
     * 100 TB the exact companion is what you'd drop (keep the sketch,
     * trust its proven envelope); here it is what makes the datasheet
@@ -1073,7 +1072,7 @@ object Curation {
       """stack(6,
         |  'o_orderkey',      CAST(o_orderkey AS STRING),
         |  'o_custkey',       CAST(o_custkey AS STRING),
-        |  'o_totalprice',    CAST(o_totalprice AS STRING),
+        |  'o_totalprice',    CAST(o_totalprice + 0.0 AS STRING),
         |  'o_orderstatus',   o_orderstatus,
         |  'o_orderpriority', o_orderpriority,
         |  'o_orderdate',     CAST(o_orderdate AS STRING)

@@ -1106,15 +1106,21 @@ object Relational {
         coalesce(col("cr"), lit(0L)).as("cr"))
     // fan-out products in DECIMAL(38,0) — the olsTrend overflow
     // discipline: a hot key at 100 TB can put cl*cr past Long range,
-    // where a long product would wrap silently (ANSI off)
+    // where a long product would wrap silently (ANSI off). The product
+    // columns KEEP full decimal precision in the readout (no cast back
+    // to long, which would null on overflow and lose exactly the safety
+    // claimed here) but are RENDERED as strings — plain digit strings
+    // are the one decimal form the driver's pandas hash renders
+    // identically from Spark parquet and DuckDB (raw DECIMAL output is
+    // the q_scd2 round-10 hash hazard; selfcheck.py bans it).
     val dec = "decimal(38,0)"
     j.agg(
         sum(col("cl")).as("lhs_rows"),
         sum(col("cr")).as("rhs_rows"),
         sum(when(col("cl") > 0, 1L).otherwise(0L)).as("lhs_keys"),
         sum(when(col("cr") > 0, 1L).otherwise(0L)).as("rhs_keys"),
-        sum(col("cl").cast(dec) * col("cr").cast(dec)).cast("long").as("est_out_rows"),
-        max(col("cl").cast(dec) * col("cr").cast(dec)).cast("long").as("max_key_fanout"),
+        sum(col("cl").cast(dec) * col("cr").cast(dec)).cast(dec).cast("string").as("est_out_rows"),
+        max(col("cl").cast(dec) * col("cr").cast(dec)).cast(dec).cast("string").as("max_key_fanout"),
         sum(when(col("cl") > 0 && col("cr") > 0, 1L).otherwise(0L)).as("matched_keys"))
   }
 }

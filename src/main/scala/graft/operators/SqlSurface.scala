@@ -280,8 +280,13 @@ object SqlSurface {
     * plus the usual star spine. */
   def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
-    spark.sql(
-      """SELECT supp_nation, cust_nation, l_year,
+    spark.sql(Q7Sql)
+  }
+
+  /** The exact text [[tpchQ7]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
         |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -299,8 +304,8 @@ object SqlSurface {
         |    AND l_shipdate < TIMESTAMP '1998-01-01'
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
-  }
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
 
   /** TPC-H Q10 (returned items): revenue lost to returns per customer in
     * one order quarter, top 20 — the corpus schema carries every needed
@@ -311,8 +316,13 @@ object SqlSurface {
     * a TakeOrderedAndProject top-20. */
   def tpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
-    spark.sql(
-      """SELECT c_custkey, c_name,
+    spark.sql(Q10Sql)
+  }
+
+  /** The exact text [[tpchQ10]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q10Sql: String =
+    """SELECT c_custkey, c_name,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
         |    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
         |  round(c_acctbal, 2) AS c_acctbal, n_name
@@ -323,8 +333,8 @@ object SqlSurface {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
-  }
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
 
   /** TPC-H Q12 (shipping priority pivot), schema-adapted: the reference
     * splits late lines by ship MODE and commit/receipt lateness — columns
@@ -337,8 +347,13 @@ object SqlSurface {
     * map-side CASE pivot, a tiny grouped aggregate. */
   def tpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
-    spark.sql(
-      """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+    spark.sql(Q12Sql)
+  }
+
+  /** The exact text [[tpchQ12]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q12Sql: String =
+    """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
         |            WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'normal'
         |            ELSE 'slow' END AS ship_bucket,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -348,8 +363,8 @@ object SqlSurface {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
 
   /** TPC-H Q5: revenue through LOCAL suppliers (customer and supplier in
     * the same nation) per Asian nation over two order years. */
@@ -368,4 +383,50 @@ object SqlSurface {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
   }
+
+  /** TPC-H Q8 (national market share — VERDICT r12 ask #1, the last
+    * schema-supported classic): the share of one supplier-nation's revenue
+    * within one region's customer demand for one part type, per order
+    * year. The full 8-relation join graph — part prunes the fact first,
+    * nation joins BOTH ends of the chain like Q7 (n1 decodes the
+    * CUSTOMER side through region, n2 tags the SUPPLIER side for the
+    * share CASE), and the two-level aggregation (CASE share inside a year
+    * group) runs over exact DECIMAL volume sums with the double
+    * cast+round applied only at the final ratio (the Q14 discipline).
+    * Literals: p_type='ECONOMY' (1/6 of parts), r_name='AMERICA',
+    * share nation NATION_1 (an AMERICA member, so the share is
+    * non-vacuous), order years 1996-1997 inside the synthetic span.
+    * Plans as: pushed p_type filter → broadcast part-key prune of
+    * lineitem → the orders/customer spine → four broadcast dim decodes
+    * (nation twice, region) → a 2-row final aggregate. */
+  def tpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(Q8Sql)
+  }
+
+  /** The exact text [[tpchQ8]] executes — exported so the oracle map
+    * registers the IDENTICAL string (one source of truth). */
+  val Q8Sql: String =
+    """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume
+        |                 ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,6))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND p_type = 'ECONOMY'
+        |) all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin
 }

@@ -107,7 +107,12 @@ object StreamingOps {
         .find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(dir, s"batch-$b.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1000000000000L + b * 60000L)
+      val stamp = 1000000000000L + b * 60000L
+      // The whole replay-determinism story rests on this ordering: the
+      // file source sorts oldest-first, so a failed setLastModified would
+      // silently fall back to write mtimes (possible same-ms ties).
+      require(dst.setLastModified(stamp) && dst.lastModified() == stamp,
+        s"could not pin mtime of ${dst.getName}; micro-batch order would be nondeterministic")
     }
     val sink = "graft_replay_sink_" + java.lang.Long.toHexString(System.nanoTime())
     val stream = spark.readStream.schema(batches.head.schema)
@@ -239,6 +244,56 @@ object StreamingOps {
     })
     import spark.implicits._
     rows.toSeq.toDF("stage", "stage_ord", "n_users").orderBy("stage_ord")
+  }
+
+  private val ssJoinReplayMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[(Long, Long, Long)]]()
+
+  /** ORACLE-CHECKED STREAM-STREAM JOIN (r13, VERDICT r12 ask #2 — the
+    * last oracle-convertible B8 species): [[clickToPurchase]] run as a
+    * REAL StreamingSymmetricHashJoin over THREE CHRONOLOGICAL SLICES
+    * (the funnel replay's fixed day boundaries), then compared against
+    * the plain batch interval join in DuckDB.
+    *
+    * Why chronological arrival makes the inner join EXACTLY the batch
+    * join (closed form, no judgment): under the microbatch engine's
+    * two-watermark model (probed for q_watermark_windows — late filter
+    * uses the watermark from batches ≤ b−2, eviction from ≤ b−1), a
+    * slice-ordered replay can neither drop nor miss a pair. No input is
+    * ever late: every batch-b row's event time exceeds all earlier
+    * slices' (day boundaries ≫ the 2 h delay). And no needed state is
+    * ever evicted: a click c matches only purchases in (c, c+1 h], and a
+    * purchase p arriving in slice k has p ≥ slice-k start, so the
+    * partner click c > p − 1 h sits ABOVE the eviction watermark
+    * max(slice k−1) − 2 h ≤ slice-k start − 2 h; the converse direction
+    * is vacuous (a purchase never precedes its click in event time, so
+    * chronological slices never deliver the click in a later batch than
+    * its purchase... the purchase is joined in its arrival batch against
+    * click state that provably still exists). Emitted pairs therefore =
+    * the batch join verbatim — a premature eviction or a spurious late
+    * drop hash-mismatches by name.
+    *
+    * Streamed once per (session, sfDir) and memoized (the MV
+    * build-once/serve lifecycle, like the other replays).
+    */
+  def streamStreamJoinReplay(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String): DataFrame = {
+    graft.operators.SessionMemos.arm(spark, ssJoinReplayMemo)
+    val rows = ssJoinReplayMemo.computeIfAbsent((spark, sfDir), _ => {
+      import spark.implicits._
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("ts_us"), col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+      val out = runFileStreamReplay(spark,
+        Seq(ev.filter(col("day") < 10), ev.filter(col("day") >= 10 && col("day") < 20),
+          ev.filter(col("day") >= 20)).map(_.drop("day")),
+        OutputMode.Append())(s => clickToPurchase(s, s))
+      out.select(col("click_id"), col("purchase_id"), col("user_id"))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    })
+    import spark.implicits._
+    rows.toSeq.toDF("click_id", "purchase_id", "user_id")
+      .orderBy("click_id", "purchase_id")
   }
 
   /** Streaming exact dedup on event_id with bounded state: duplicates

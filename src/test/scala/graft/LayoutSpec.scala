@@ -96,9 +96,13 @@ class LayoutSpec extends SparkSpec {
     val p = graft.operators.Relational.joinSizeProfile(spark, sf).head()
     val actual = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
       col("o_orderkey") === col("l_orderkey")).count()
-    assert(p.getLong(4) == actual, s"est_out_rows ${p.getLong(4)} vs actual $actual")
+    // est_out_rows/max_key_fanout render as decimal digit strings (the
+    // overflow-proof DECIMAL(38,0) kept to the readout — ADVICE r12)
+    assert(p.getString(4).toLong == actual,
+      s"est_out_rows ${p.getString(4)} vs actual $actual")
     assert(p.getLong(0) == Tables.orders(spark, sf).count())
     assert(p.getLong(1) == Tables.lineitem(spark, sf).count())
-    assert(p.getLong(5) >= 1L && p.getLong(6) <= p.getLong(2))
+    assert(p.getString(5).forall(_.isDigit) && p.getString(5).toLong >= 1L
+      && p.getLong(6) <= p.getLong(2))
   }
 }

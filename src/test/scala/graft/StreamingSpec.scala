@@ -672,6 +672,28 @@ class StreamingSpec extends SparkSpec {
     assert(sf3.map(r => (r._1, r._3)) == batch.map(r => (r._1, r._3)))
   }
 
+  test("r13 replay: stream-stream join over chronological slices equals the batch interval join") {
+    import spark.implicits._
+    val got = StreamingOps.streamStreamJoinReplay(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_us").as("purchase_ts"))
+    val want = c.join(p,
+      col("c_user") === col("p_user")
+        && col("purchase_ts") > col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("c_user"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty, "fixture must produce matched pairs")
+    assert(got == want,
+      "streamed symmetric-hash join diverged from the batch interval join")
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val got = runToTable(StreamingOps.dedupWithinWatermark(eventsStream),
       "t_dedup", "append")
