@@ -254,6 +254,12 @@ object ScaleCurve {
       // track the item stream like Apriori's while the driver-collected
       // candidate set stays floor-bounded in both vocab regimes
       "son"         -> ((d, _) => graft.operators.Curation.sonRules(spark, d)),
+      // r13 (VERDICT ask #8): FP-Growth — no candidate generation at all;
+      // the pattern-base pair expansion is map-side over per-doc paths,
+      // so the only corpus-tracking costs are the doc grouping exchange
+      // and the pair-key partial agg; 10x vocab grows the f-list 10x but
+      // paths stay basket-sized
+      "fpg"         -> ((d, _) => graft.operators.Curation.fpGrowthRules(spark, d)),
       // r11 (VERDICT ask #4): one more prune-then-join level — growth must
       // stay ~linear if the closure prune (all 2-subsets frequent, joined
       // BEFORE the triple count) holds in the 10x-vocab regime
@@ -280,6 +286,9 @@ object ScaleCurve {
       // bounded while the exact recount grows with the corpus — same
       // linear claim as assoc_shared, no broadcast axis at all
       "son_shared"  -> ((d, _) => graft.operators.Curation.sonRules(spark, d)),
+      // fixed vocabulary, 10x docs: the f-list is constant, paths and the
+      // pair partial-agg grow with the corpus — linear like the siblings
+      "fpg_shared"  -> ((d, _) => graft.operators.Curation.fpGrowthRules(spark, d)),
       // fixed vocabulary, 10x docs: frequent triples constant, the item
       // stream and triple supports grow with the corpus
       "assoc3_shared" -> ((d, _) => graft.operators.Curation.assocRules3(spark, d)),

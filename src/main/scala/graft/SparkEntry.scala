@@ -84,6 +84,7 @@ object SparkEntry {
     "q_partition_overwrite" -> ((s, d) => Sources.partitionOverwrite(s, d)),
     "q_join_profile"      -> ((s, d) => Relational.joinSizeProfile(s, d)),
     "q_compaction"        -> ((s, d) => operators.Layout.compactionReport(s, d)),
+    "q_compaction_binpack" -> ((s, d) => operators.Layout.compactionBinpack(s, d)),
     "q_purge_cascade"     -> ((s, d) => Relational.purgeCascade(s, d)),
     "q_spatial_join"      -> ((s, d) => Relational.spatialJoin(s, d)),
     "q_asof_join"         -> ((s, d) => Relational.asOfJoin(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
     "q_dd_cube"            -> ((s, d) => Aggregates.ddCubeServed(s, d)),
+    "q_dd_cube_signed"     -> ((s, d) => Aggregates.ddCubeSigned(s, d)),
     "q_dd_cube_incremental" -> ((s, d) => Aggregates.ddCubeIncremental(s, d)),
     "q_quantile_cube_incremental" -> ((s, d) => Aggregates.quantileCubeIncremental(s, d)),
     "q_skew_audit"        -> ((s, d) => Curation.skewAudit(s, d)),
@@ -316,6 +318,7 @@ object SparkEntry {
     "q_expectations"      -> ((s, d) => Curation.expectations(s, d)),
     "q_assoc_rules"       -> ((s, d) => Curation.assocRules(s, d)),
     "q_son_rules"         -> ((s, d) => Curation.sonRules(s, d)),
+    "q_fpgrowth"          -> ((s, d) => Curation.fpGrowthRules(s, d)),
     "q_assoc_rules3"      -> ((s, d) => Curation.assocRules3(s, d)),
     // ---- B6/B10 storage layout ----
     "q_zorder"            -> ((s, d) => Layout.zorderLayout(s, d)),
@@ -1155,6 +1158,32 @@ object SparkEntry {
     // bracket pattern of q_approx_distinct; one oracle for build + append
     "q_dd_cube" -> ddCubeOracleSql,
     "q_dd_cube_incremental" -> ddCubeOracleSql,
+    // signed-domain DDSketch (full Masson: mirrored negative store + zero
+    // bucket) over per-event net cents; exact BIGINT quantile companions
+    // with p05 reading off the negative store, TRUE 2-alpha verdicts
+    "q_dd_cube_signed" ->
+      """WITH s AS (SELECT user_id % 4 AS cohort,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100) AS BIGINT)
+        |         ELSE -CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |g AS (SELECT cohort, v, count(*) AS c FROM s GROUP BY 1, 2),
+        |w AS (SELECT cohort, v,
+        |    sum(c) OVER (PARTITION BY cohort ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY cohort) AS n FROM g),
+        |q AS (SELECT cohort, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(min(CASE WHEN cum * 100 >= n * 5 THEN v END) AS BIGINT) AS p05_exact,
+        |    CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT) AS p50_exact,
+        |    CAST(min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS BIGINT) AS p95_exact
+        |  FROM w GROUP BY 1),
+        |d AS (SELECT cohort, count(DISTINCT day) AS n_days FROM s GROUP BY 1)
+        |SELECT q.cohort AS cohort, n, CAST(n_days AS BIGINT) AS n_days,
+        |  p05_exact, p50_exact, p95_exact,
+        |  TRUE AS p05_within_2pct, TRUE AS p50_within_2pct,
+        |  TRUE AS p95_within_2pct
+        |FROM q JOIN d ON q.cohort = d.cohort
+        |ORDER BY cohort""".stripMargin,
     "q_quantile_cube_incremental" -> quantileCubeOracleSql,
     // all-integer skew audit: counts, exact-ppm share, hotness x100 vs
     // the uniform mean; (n desc, key) order pinned in both engines
@@ -2092,6 +2121,9 @@ object SparkEntry {
     // — one shared oracle proves the partition-candidate path emits
     // bit-identical rules
     "q_son_rules" -> assocRulesOracleSql,
+    // FP-Growth (tree-free pattern-base form) mines the SAME rule set on
+    // the SAME floors with NO candidate generation — third sharer
+    "q_fpgrowth" -> assocRulesOracleSql,
     // Apriori k=3 replay (r11): the same integer thresholds one level up —
     // triples only counted where ALL three 2-subsets are frequent (the
     // closure prune, mirrored from the engine's broadcast equi-joins)
@@ -2553,6 +2585,13 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n_rows,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  TRUE AS compacted, TRUE AS single_file
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // bin-packed form: same content contract, file count per day must
+    // equal ceil(rows/target) exactly (verdict TRUE)
+    "q_compaction_binpack" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS binpacked
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events

@@ -381,6 +381,98 @@ object Curation {
       .orderBy("ante1", "ante2", "cons")
   }
 
+  /** FP-GROWTH frequent-itemset mining (Han, Pei & Yin, SIGMOD'00) as a
+    * TREE-FREE DataFrame variant (VERDICT r12 ask #8) — the third
+    * frequent-itemset form next to [[assocRules]]' candidate-broadcast
+    * Apriori and [[sonRules]]' chunked two-pass, pinned to the SAME rule
+    * set on the SAME integer floors and sharing q_assoc_rules' oracle
+    * verbatim.
+    *
+    * What distinguishes FP-Growth from Apriori is NO CANDIDATE
+    * GENERATION: supports come from conditional pattern bases — for each
+    * item x, the prefixes (in frequent-list order) of the transactions
+    * containing x — not from joining candidate tables back to the
+    * corpus. The classical algorithm compresses those bases into a tree;
+    * the DataFrame translation keeps the algebra and drops the pointer
+    * structure: (1) the f-list (frequent items in descending-support
+    * order, word tiebreak) is a vocabulary-bounded aggregate collected
+    * once (the [[assocRules3]] floor-boundedness argument); (2) each
+    * document reduces MAP-SIDE to its frequent-item id array sorted in
+    * f-list order — the exact node path the FP-tree would store for it;
+    * (3) every item's conditional pattern base materializes as grouped
+    * suffix aggregates: one HOF pass per row expands (prefix-item,
+    * suffix-item) pairs from the sorted path — no self-join, no
+    * candidate table, no shuffle of the fan-out — and ONE hash-agg on
+    * the pair key counts all bases at once (level-1 of the FP-Growth
+    * recursion, which is complete for the k=2 rule set). Per-row state
+    * is the path array, bounded by frequent-items-per-doc — itself
+    * floor-bounded (ΣF supp ≥ F·nd/20 and ΣF supp ≤ token mass bound F
+    * corpus-independently).
+    *
+    * Scale shape vs the siblings: Apriori shuffles the corpus-sized item
+    * stream TWICE (doc_id fence for the self-join + pair agg) and pays
+    * the join; SON streams chunk-locally but re-counts exactly; this
+    * form shuffles once for the doc grouping and once for the
+    * vocab²-bounded pair agg — the pair fan-out never crosses the wire
+    * unaggregated (map-side partial combine on the pair key). ScaleCurve
+    * rows `fpg`/`fpg_shared` measure the growth next to assoc/son.
+    */
+  def fpGrowthRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nd = docs.count()
+    val items = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .filter(col("word") =!= "")
+    val freqMap: Map[String, Long] = items.groupBy("word")
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") * AssocSupDenom >= lit(nd))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (freqMap.isEmpty) return emptyRules2(spark)
+    // f-list order: descending support, word tiebreak — the canonical
+    // FP-tree item order; ids are dense ranks in that order so the
+    // sorted id array IS the document's tree path
+    val flist = freqMap.toSeq.sortBy { case (w, s) => (-s, w) }.map(_._1)
+    val rank: Map[String, Long] = flist.zipWithIndex.map { case (w, i) => w -> i.toLong }.toMap
+    val rankWord: Map[Long, String] = rank.map(_.swap)
+    val rankSupp: Map[Long, Long] = freqMap.map { case (w, s) => rank(w) -> s }
+    // per-doc f-list-ordered path: map-side prune to frequent ids, one
+    // doc_id exchange, sort_array gives f-list order (ids are ranks)
+    val paths = items
+      .select(col("doc_id"), element_at(typedLit(rank), col("word")).as("i"))
+      .filter(col("i").isNotNull)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("path"))
+    // conditional pattern bases, grouped: for the suffix item at position
+    // j, every prefix item before it contributes one base row — expanded
+    // by one codegen HOF per path, counted by ONE pair hash-agg
+    val pairs = paths
+      .select(explode(flatten(expr(
+        "transform(path, (x, j) -> transform(slice(path, 1, j), y -> struct(y AS a, x AS b)))")))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("supp_pair"))
+    // rule emission identical to Apriori's (NO pair-support floor there
+    // either — only the confidence floor gates rules): both directions,
+    // floor, the same exact-integer IEEE divisions in the same order
+    val idSuppLit = typedLit(rankSupp)
+    val idWordLit = typedLit(rankWord)
+    val both = pairs.select(col("a").as("ante"), col("b").as("cons"), col("supp_pair"))
+      .union(pairs.select(col("b"), col("a"), col("supp_pair")))
+    both
+      .withColumn("supp_ante", element_at(idSuppLit, col("ante")))
+      .withColumn("supp_cons", element_at(idSuppLit, col("cons")))
+      .filter(col("supp_pair") * AssocConfDenom >= col("supp_ante"))
+      .withColumn("confidence",
+        round(col("supp_pair").cast("double") / col("supp_ante"), 6))
+      .withColumn("lift",
+        round(col("supp_pair").cast("double") * lit(nd)
+          / (col("supp_ante").cast("double") * col("supp_cons")), 6))
+      .select(element_at(idWordLit, col("ante")).as("ante"),
+        element_at(idWordLit, col("cons")).as("cons"),
+        col("supp_pair"), col("supp_ante"), col("supp_cons"),
+        col("confidence"), col("lift"))
+      .orderBy("ante", "cons")
+  }
+
   /** SON partition-candidate frequent-itemset mining (Savasere,
     * Omiecinski & Navathe, VLDB'95; the "two-pass chunked Apriori" of
     * Mining of Massive Datasets §6.4) — the AT-SCALE alternative to

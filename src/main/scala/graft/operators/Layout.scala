@@ -112,16 +112,8 @@ object Layout {
         .write.partitionBy("day").mode("overwrite").parquet(comp)
       (frag, comp)
     })
-    def filesPerDay(dir: String): DataFrame = {
-      import spark.implicits._
-      new java.io.File(dir).listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("day="))
-        .map(d => (d.getName.stripPrefix("day=").toLong,
-          d.listFiles().count(_.getName.endsWith(".parquet")).toLong))
-        .toDF("day", "n_files")
-    }
-    val before = filesPerDay(fragDir).select(col("day"), col("n_files").as("nf_before"))
-    val after = filesPerDay(compactDir).select(col("day"), col("n_files").as("nf_after"))
+    val before = filesPerDay(spark, fragDir).select(col("day"), col("n_files").as("nf_before"))
+    val after = filesPerDay(spark, compactDir).select(col("day"), col("n_files").as("nf_after"))
     val content = spark.read.parquet(compactDir)
       .groupBy(col("day").cast("long").as("day"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
@@ -129,6 +121,60 @@ object Layout {
       .select(col("day"), col("n_rows"), col("sum_cents"),
         (col("nf_after") < col("nf_before")).as("compacted"),
         (col("nf_after") === 1L).as("single_file"))
+      .orderBy("day")
+  }
+
+  /** Per-day parquet file counts under a partitioned dir — the layout
+    * fact both compaction readouts verify against. */
+  private def filesPerDay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(d => (d.getName.stripPrefix("day=").toLong,
+        d.listFiles().count(_.getName.endsWith(".parquet")).toLong))
+      .toDF("day", "n_files")
+  }
+
+  private val binpackMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Long)]()
+
+  /** SIZE-TARGETED COMPACTION (r13, VERDICT r12 ask #5) — the bin-packing
+    * form that does NOT re-fragment at 100 TB day sizes: one file per
+    * partition ([[compactionReport]]) is right only while a day fits one
+    * task's output; a real OPTIMIZE targets a file SIZE, rolling a new
+    * file every `maxRecordsPerFile` rows. Here the target is
+    * ⌈corpus/120⌉ rows (≈4 files/day at every SF — scale-proportional so
+    * the fixture genuinely splits at sf0.001 without exploding into
+    * thousands of files at sf0.1; the target never appears in the
+    * output, so the oracle stays SF-independent). Because
+    * `repartition(day)` gives each day exactly one task and the writer
+    * rolls per (task, partition-dir), the per-day file count is EXACTLY
+    * ⌈rows_day/target⌉ — the readout's expected-TRUE `binpacked` verdict
+    * asserts that equality per day, alongside the hash-checked content
+    * columns (rows + exact cents — the rewrite changed nothing). At
+    * 100 TB the same one-exchange shape runs per partition subset,
+    * embarrassingly parallel, idempotent on re-run.
+    */
+  def compactionBinpack(spark: SparkSession, sfDir: String): DataFrame = {
+    SessionMemos.arm(spark, binpackMemo)
+    val (dir, target) = binpackMemo.computeIfAbsent((spark, sfDir), _ => {
+      val out = SessionMemos.tempDir(spark, "graft-compact-binpack")
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), expr("ts div 86400000000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val tgt = math.max(1L, (ev.count() + 119L) / 120L)
+      ev.repartition(col("day"))
+        .write.option("maxRecordsPerFile", tgt)
+        .partitionBy("day").mode("overwrite").parquet(out)
+      (out, tgt)
+    })
+    val content = spark.read.parquet(dir)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    content.join(filesPerDay(spark, dir), "day")
+      .select(col("day"), col("n_rows"), col("sum_cents"),
+        (col("n_files") === expr(s"(n_rows + ${target - 1}) div $target"))
+          .as("binpacked"))
       .orderBy("day")
   }
 }

@@ -272,6 +272,61 @@ class AggregatesSpec extends SparkSpec {
     assert(cells < 1200, s"bucket count $cells not log-bounded")
   }
 
+  test("dd cube signed: mirrored stores, zero bucket, and a driver replay of the read-off (r13)") {
+    import spark.implicits._
+    // kernel over a handcrafted zero-containing fixture (the corpus has
+    // no zero cents): zeros land in (store 0, bucket 0), negatives
+    // mirror their |v| bucket into store -1
+    val fix = Seq(
+      (0L, 0L, -1000L), (0L, 0L, -10L), (0L, 1L, 0L), (0L, 1L, 10L), (0L, 1L, 1000L),
+      (1L, 0L, -7L), (1L, 0L, 0L), (1L, 1L, 0L), (1L, 1L, 7L))
+      .toDF("cohort", "day", "v")
+    // cells are (cohort, day, store, bucket) grain — fold out the day
+    val cells = Aggregates.ddSignedCells(fix).collect()
+      .groupBy(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(4)).sum }
+    def bucket(x: Long): Long =
+      math.ceil(math.log(x.toDouble) / math.log(Aggregates.DDGamma)).toLong
+    assert(cells((0L, 0, 0L)) == 1L && cells((1L, 0, 0L)) == 2L, "zero bucket")
+    assert(cells((0L, -1, bucket(1000))) == 1L && cells((0L, 1, bucket(1000))) == 1L,
+      "negative values mirror the |v| bucket")
+    // serve over the fixture: cohort 1's p50 is exactly 0 (rank 2 of
+    // {-7, 0, 0, 7}), and the verdict demands est == 0 from the zero
+    // bucket — the sign-boundary case the corpus never exercises
+    val servedFix = Aggregates.serveDdCubeSigned(Aggregates.ddSignedCells(fix), fix)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(servedFix(1L).getLong(4) == 0L, "fixture p50 exact")
+    assert(servedFix(1L).getBoolean(7), "zero-quantile verdict: est must be 0")
+    assert(servedFix(0L).getLong(3) == -1000L && servedFix(0L).getLong(5) == 1000L)
+    assert((3 to 5).forall(i => !servedFix(0L).isNullAt(i)))
+    assert((6 to 8).forall(servedFix(0L).getBoolean), "fixture verdicts")
+    // corpus replay: exact signed quantiles by nearest rank, all verdicts
+    val flows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select((col("user_id") % 4).as("cohort"),
+        when(col("event_type") === "purchase", expr("CAST(round(value*100) AS BIGINT)"))
+          .otherwise(expr("-CAST(round(value*100) AS BIGINT)")).as("v"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val got = Aggregates.ddCubeSigned(spark, sf).collect()
+    assert(got.length == flows.size)
+    got.foreach { r =>
+      val sorted = flows(r.getLong(0)).map(_._2).sorted
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong)
+      def rank(num: Long, den: Long): Long = sorted(((num * n + den - 1) / den).toInt - 1)
+      assert(r.getLong(3) == rank(5, 100), s"cohort ${r.getLong(0)} p05")
+      assert(r.getLong(4) == rank(1, 2), s"cohort ${r.getLong(0)} p50")
+      assert(r.getLong(5) == rank(95, 100), s"cohort ${r.getLong(0)} p95")
+      assert(r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8),
+        s"cohort ${r.getLong(0)} verdicts")
+      // the negative store is genuinely loaded
+      assert(r.getLong(3) < 0, "p05 must read off the negative store")
+    }
+    // serving reads the stored signed cube
+    val plan = Aggregates.ddCubeSigned(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("graft-dd-cube-signed"))
+  }
+
   test("dd cube incremental: appended day-partitioned cells equal the single build") {
     val full = Aggregates.ddCubeServed(spark, sf).collect().toSeq
     val incr = Aggregates.ddCubeIncremental(spark, sf).collect().toSeq

@@ -551,6 +551,22 @@ class CurationSpec extends SparkSpec {
     assert(son.nonEmpty)
   }
 
+  test("FP-Growth rules equal Apriori rules row-for-row, with no join in the pair phase (r13)") {
+    val apriori = Curation.assocRules(spark, sf).collect().toSeq
+    val fpg = Curation.fpGrowthRules(spark, sf).collect().toSeq
+    assert(fpg == apriori, "pattern-base FP-Growth diverged from Apriori")
+    assert(fpg.nonEmpty)
+    // no candidate generation: the executed plan joins NOTHING — pair
+    // supports come from the map-side path expansion, not a self-join
+    // (Apriori's plan has the doc_id self-join; this one must not)
+    // (match join NODE names, not the bare word — 'join' is literally a
+    // vocabulary word inside the plan's typedLit support maps)
+    val plan = Curation.fpGrowthRules(spark, sf).queryExecution.executedPlan.toString.toLowerCase
+    Seq("sortmergejoin", "broadcasthashjoin", "shuffledhashjoin",
+      "cartesianproduct", "broadcastnestedloopjoin").foreach(j =>
+      assert(!plan.contains(j), s"FP-Growth plan unexpectedly contains $j"))
+  }
+
   test("SON candidate completeness survives a skewed partitioning") {
     // repartitioning the docs changes every chunk's local floor; the SON
     // lemma says the exact recount still reproduces the full rule set
