@@ -372,7 +372,7 @@ object Dedup {
     * [[neardupClusters]], which immediately re-shuffles by node id and
     * would waste the range-partition exchange a global sort costs.
     */
-  private def minhashPairsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def minhashPairsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val bandsDf = fence(shingleSets(spark, sfDir)
       .select(col("doc_id"), minHashBands(col("hs")).as("bands")),
       "doc_id") // fence: materialize the 16 band keys before the self-join
@@ -559,16 +559,6 @@ object Dedup {
     // symmetric edge list: propagate labels in both directions (lazy — two
     // map-side reads of the checkpointed blocks, nothing recomputes)
     val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    def step(lbl: DataFrame): DataFrame =
-      lbl.join(edges, col("doc_id") === col("doc_a"))
-        .select(col("doc_b").as("doc_id"), col("cluster").as("lbl"))
-        .union(lbl.select(col("doc_id"), col("cluster").as("lbl")))
-        .groupBy("doc_id").agg(min("lbl").as("cluster"))
-    def shortcut(lbl: DataFrame): DataFrame = {
-      val grand = lbl.select(col("doc_id").as("p"), col("cluster").as("gp"))
-      lbl.join(grand, col("cluster") === col("p"))
-        .select(col("doc_id"), least(col("cluster"), col("gp")).as("cluster"))
-    }
     def labelSum(lbl: DataFrame): java.math.BigDecimal = {
       val s = lbl.agg(sum(col("cluster").cast("decimal(38,0)"))).first().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty node set
@@ -584,7 +574,7 @@ object Dedup {
       // truncate, don't just persist: the next round's plan references
       // `labels` four times, so an untruncated tree grows ~4x per round
       // (see the iteration-mechanics scaladoc)
-      val next = truncate(shortcut(step(labels)))
+      val next = truncate(ccRound(labels, edges))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -598,6 +588,22 @@ object Dedup {
     truncate(labels
       .select(col("doc_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("is_survivor")))
+  }
+
+  /** ONE hash-min + pointer-halving round of [[connectedComponents]] —
+    * the loop body the fixpoint iterates, exposed package-private so
+    * PlanHygieneSpec can assert the PER-ROUND physical plan (two hash
+    * equi-joins + one min-aggregate; never a nested loop), not just the
+    * checkpoint-truncated serve plan. `labels` is (doc_id, cluster),
+    * `edges` the symmetric pair list. */
+  private[graft] def ccRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val stepped = labels.join(edges, col("doc_id") === col("doc_a"))
+      .select(col("doc_b").as("doc_id"), col("cluster").as("lbl"))
+      .union(labels.select(col("doc_id"), col("cluster").as("lbl")))
+      .groupBy("doc_id").agg(min("lbl").as("cluster"))
+    val grand = stepped.select(col("doc_id").as("p"), col("cluster").as("gp"))
+    stepped.join(grand, col("cluster") === col("p"))
+      .select(col("doc_id"), least(col("cluster"), col("gp")).as("cluster"))
   }
 
   /** First 8 MinHash signature values per doc as columns — the direct

@@ -1208,10 +1208,7 @@ object Similarity {
         s"unknown k-means seeding '$other' (use $KmeansSeedLowestId | $KmeansSeedParallel)")
     }
     (1 to KmeansRounds).foldLeft(seeds) { (cents, _) =>
-      val cells = withAssignment(qv, cents)
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      val cells = lloydRoundCells(qv, cents)
         .collect() // k×64 rows — the only driver-side state between rounds
         .groupBy(_.getLong(0))
       cents.indices.map { cid =>
@@ -1225,6 +1222,29 @@ object Similarity {
         }
       }
     }
+  }
+
+  /** ONE Lloyd round's distributed body — the assignment pass feeding the
+    * k×64-cell (cluster, pos) aggregate that [[trainCentroids]] collects
+    * each round. Exposed package-private so PlanHygieneSpec can assert
+    * the PER-ROUND physical plan (map-side argmin over literal centroids
+    * + one hash aggregate; no join of any kind), not just the final
+    * assignment plan the registry-wide sweep sees. */
+  private[graft] def lloydRoundCells(qv: DataFrame,
+                                     cents: IndexedSeq[Array[Long]]): DataFrame =
+    withAssignment(qv, cents)
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+
+  /** [[lloydRoundCells]] wired to the corpus at round-1 seeds — the
+    * plan probe PlanHygieneSpec uses (round r's plan differs from round
+    * 1's only in the centroid LITERALS, so one round represents all). */
+  private[graft] def lloydRoundFor(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
+    val seeds = qv.orderBy("vec_id").limit(KmeansK)
+      .select("qv").collect().toIndexedSeq.map(_.getSeq[Long](0).toArray)
+    lloydRoundCells(qv, seeds)
   }
 
   /** [[kmeansAssigned]] over an arbitrary (vec_id, label, embedding) frame —

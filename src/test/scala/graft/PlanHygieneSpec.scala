@@ -10,16 +10,20 @@ package graft
   * broadcast, a rewrite rule gone wrong) fails here by name before it
   * ever reaches a benchmark.
   *
-  * LIMITATION: for the driver-iterative queries (q_textrank,
-  * q_neardup_clusters family), `fn(spark, sf)` runs the full multi-round
-  * job just to build the final frame, and the assertions below see only
-  * that final presentation plan — each round's intermediate plan is
-  * checkpoint-truncated out of it. The representative-round test at the
-  * bottom covers the textrank loop body directly (on its FULL lineage, a
-  * stricter check than the checkpointed form the loop actually runs);
-  * the connected-components round is join+agg on (long,long) labels with
-  * the same shape. The BPE trainer no longer iterates Spark jobs at all
-  * (driver-local replay over the collected vocabulary).
+  * For the driver-iterative queries (q_textrank, the
+  * q_neardup_clusters connected-components family, the k-means Lloyd
+  * trainer), `fn(spark, sf)` builds only the final presentation plan —
+  * each round's intermediate plan is checkpoint-truncated out of it. The
+  * per-round tests at the bottom therefore assert every iterative LOOP
+  * BODY directly, on its FULL lineage (a stricter check than the
+  * checkpointed form the loops actually run): the textrank rank update,
+  * one hash-min + pointer-halving components round ([[Dedup.ccRound]]),
+  * and one Lloyd assignment/re-centroid round
+  * ([[Similarity.lloydRoundCells]] — map-side only, zero joins). Round r
+  * differs from round 1 only in label values / centroid literals, so one
+  * round's plan represents all rounds. The BPE trainer no longer
+  * iterates Spark jobs at all (driver-local replay over the collected
+  * vocabulary).
   */
 class PlanHygieneSpec extends SparkSpec {
 
@@ -269,5 +273,28 @@ class PlanHygieneSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "textrank round plans a cartesian")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "textrank round plans a BNLJ")
+  }
+
+  test("a connected-components round plans two hash equi-joins, never a nested loop (r13)") {
+    import org.apache.spark.sql.functions.col
+    // the real corpus edge shape: the minhash pair list, symmetrized like
+    // connectedComponents does, with round-0 labels — full lineage
+    val pairs = operators.Dedup.minhashPairsRaw(spark, sf).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val labels0 = edges.select(col("doc_a").as("doc_id"), col("doc_a").as("cluster"))
+      .distinct()
+    val plan = operators.Dedup.ccRound(labels0, edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cc round plans a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "cc round plans a BNLJ")
+  }
+
+  test("a k-means Lloyd round is map-side assignment + one aggregate, no join at all (r13)") {
+    val plan = operators.Similarity.lloydRoundFor(spark, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    Seq("sortmergejoin", "broadcasthashjoin", "shuffledhashjoin",
+      "cartesianproduct", "broadcastnestedloopjoin").foreach(j =>
+      assert(!plan.contains(j), s"lloyd round unexpectedly plans $j"))
+    assert(plan.contains("hashaggregate"), "lloyd round must aggregate cells")
   }
 }

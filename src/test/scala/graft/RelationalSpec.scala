@@ -486,6 +486,22 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(5) > 150.0))
   }
 
+  test("SQL surface r13: Q8 pushes the part filter, broadcasts all four dim decodes, no nested loop") {
+    import graft.operators.SqlSurface
+    val q8 = SqlSurface.tpchQ8(spark, sf)
+    val p8 = q8.queryExecution.executedPlan.toString
+    // the p_type filter reaches the part scan pushed; nation (twice) and
+    // region are broadcast decodes; the 8-relation graph never devolves
+    assert(p8.contains("PushedFilters") && p8.contains("p_type"), p8.take(2000))
+    assert(p8.contains("BroadcastHashJoin"), p8.take(2000))
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"),
+      p8.take(2000))
+    // shares are genuine ratios in [0, 1]; row content is the driver
+    // oracle's job at sf0.01
+    val rows = q8.collect()
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
   test("spatial grid join equals the quadratic reference; no cartesian stage in the plan") {
     import spark.implicits._
     val keys = Tables.customer(spark, sf).select("c_custkey").as[Long].collect()
