@@ -134,6 +134,18 @@ object Bench {
     val total = ok.values.map(_.best).sum
     val totalFirst = ok.values.map(_.first).sum
     val noise = if (total > 0) totalFirst / total else 1.0
+    // WARM-REP SPREAD (r13, VERDICT r12 ask #6): first/min conflates real
+    // contention with structural rep-1 costs — per-query codegen/JIT
+    // warm-up and the memoized build-once queries (streaming replays,
+    // stored indexes, cubes) whose rep 1 IS the build. The spread across
+    // the warm reps (2..N totals, max/min) isolates host contention:
+    // ~1.0-1.1 on a quiet box regardless of how many memos exist.
+    // (Measured on a verified-solo run: first/min 2.19, warm spread 1.09.)
+    val warmTotals = (1 until reps).map(i =>
+      ok.values.collect { case r if r.secs.length > i => r.secs(i) }.sum)
+      .filter(_ > 0)
+    val warmSpread =
+      if (warmTotals.size >= 2) warmTotals.max / warmTotals.min else 1.0
     // full per-query record → file: the driver captures only a 2000-char
     // stdout tail, and with 150+ queries the full line overflows it
     val detail = results.map { case (k, r) =>
@@ -144,7 +156,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, r) => s""""$k":${j(r.best)}""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""n_err":$nErr,"noise_first_over_min":${j(noise)},"queries":$qs,"per_query":$detail,"sf":"$sfDir"}"""
+      s""""n_err":$nErr,"noise_first_over_min":${j(noise)},""" +
+      s""""noise_warm_spread":${j(warmSpread)},"queries":$qs,"per_query":$detail,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
@@ -169,7 +182,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
       s""""headline_shuffle_rows":$hs,""" +
       s""""n_queries":${results.size},"n_err":$nErr,"err_queries":$errNames,""" +
-      s""""reps":$reps,"noise_first_over_min":${j(noise)},"detail":"bench_out.json","sf":"$sfDir"}""")
+      s""""reps":$reps,"noise_first_over_min":${j(noise)},""" +
+      s""""noise_warm_spread":${j(warmSpread)},"detail":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
   * worth keeping move into the docstring of the operator they informed
   * (e.g. the candidate counts in Dedup.ppjoinPairs, the r9 plan-growth
   * OOM fix in Dedup.connectedComponents, the r12 two-watermark micro-
-  * batch probe in StreamingOps.watermarkedWindowsReplay).
+  * batch probe in StreamingOps.watermarkedWindowsReplay, the r13
+  * outer-join eviction-horizon probe in
+  * StreamingOps.streamStreamOuterReplay — the terminal watermark is the
+  * MIN of the two sides' own floor-ms maxima, not the corpus max).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {

@@ -256,6 +256,7 @@ object SparkEntry {
     "q_stream_enrich"     -> ((s, d) => graft.streaming.StreamingOps.streamEnrichReplay(s, d)),
     "q_stream_funnel"     -> ((s, d) => graft.streaming.StreamingOps.streamFunnelReplay(s, d)),
     "q_stream_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoinReplay(s, d)),
+    "q_stream_stream_outer" -> ((s, d) => graft.streaming.StreamingOps.streamStreamOuterReplay(s, d)),
     "q_sliding_1h15m"     -> ((s, d) => StreamingTwins.sliding1h15m(s, d)),
     "q_sessions_10m"      -> ((s, d) => StreamingTwins.sessions10m(s, d)),
     // ---- B5/B8 behavioral analytics over events ----
@@ -2601,6 +2602,27 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+    // left-outer streamed join: matched pairs = the batch join verbatim;
+    // unmatched clicks null-emit iff their 1h match window closed below
+    // the PROBED terminal eviction watermark — the minimum of the two
+    // sides' own floor-ms maxima, each minus the 2h delay (see
+    // streamStreamOuterReplay's probe notes)
+    "q_stream_stream_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(cus) // 1000 * 1000 FROM c),
+        |    (SELECT max(pus) // 1000 * 1000 FROM p)) - 7200000000 AS w),
+        |m AS (SELECT c.click_id, p.purchase_id, c.user_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.pus > c.cus AND p.pus <= c.cus + 3600000000),
+        |u AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+        |  FROM c, wm WHERE c.cus + 3600000000 < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.pus > c.cus AND p.pus <= c.cus + 3600000000))
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // streamed symmetric-hash interval join over chronological slices =
     // the plain batch interval join (see streamStreamJoinReplay's proof)
     "q_stream_stream_join" ->

@@ -395,6 +395,80 @@ object StreamingOps {
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
   }
 
+  /** LEFT-OUTER stream-stream join: every click, enriched with its
+    * within-1h purchase when one exists — unmatched clicks emit with a
+    * NULL purchase once the watermark proves no future match is possible
+    * (Spark emits the null row when the left state row is evicted, i.e.
+    * when the watermark passes click_ts + 1 h, the condition's upper
+    * bound). Same fencing as [[clickToPurchase]]: watermarks both sides +
+    * the event-time range bound make both state stores reclaimable.
+    */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_us").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("c_user") === col("p_user")
+        && col("purchase_ts") > col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        col("click_ts"))
+  }
+
+  private val ssOuterReplayMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[(Long, Option[Long], Long)]]()
+
+  /** ORACLE-CHECKED LEFT-OUTER STREAM-STREAM JOIN (r13) — the
+    * null-emission semantics the inner replay cannot observe: the same
+    * chronological three-slice fixture runs [[clickToPurchaseOuter]], so
+    * MATCHED pairs equal the batch join exactly (the
+    * [[streamStreamJoinReplay]] losslessness argument applies verbatim),
+    * and every UNMATCHED click at or below the null-emission horizon
+    * emits exactly one null row. The horizon (probed live, Spark 4.1, on
+    * this fixture): each watermarked SIDE tracks its own column, so the
+    * join's terminal eviction watermark is
+    * min(floor_ms(max click_ts), floor_ms(max purchase_ts)) − 2 h — NOT
+    * the corpus max (the corpus-max event is usually neither a click nor
+    * a purchase; the first probe's corpus-max candidate left exactly the
+    * two clicks between the horizons unemitted). The AvailableNow
+    * no-data final batch advances to that terminal value and evicts left
+    * state whose match window has closed — eviction is when Spark emits
+    * the outer nulls — so an unmatched click emits iff
+    * click_ts + 1 h < terminal (strict; no fixture click lands exactly
+    * ON a floor-ms boundary, so strict-vs-inclusive is unobservable
+    * here and strict is Spark's documented state-removal predicate).
+    * Unmatched clicks above the horizon are still in state when the
+    * stream ends and emit nothing. The oracle states the same closed
+    * form, so the hash pins matched completeness, the null set, AND the
+    * two-sided-minimum horizon convention.
+    */
+  def streamStreamOuterReplay(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String): DataFrame = {
+    graft.operators.SessionMemos.arm(spark, ssOuterReplayMemo)
+    val rows = ssOuterReplayMemo.computeIfAbsent((spark, sfDir), _ => {
+      import spark.implicits._
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("ts_us"), col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+      val out = runFileStreamReplay(spark,
+        Seq(ev.filter(col("day") < 10), ev.filter(col("day") >= 10 && col("day") < 20),
+          ev.filter(col("day") >= 20)).map(_.drop("day")),
+        OutputMode.Append())(s => clickToPurchaseOuter(s, s).drop("click_ts"))
+      out.select(col("click_id"), col("purchase_id"), col("user_id"))
+        .as[(Long, Option[Long], Long)].collect()
+        .sortBy(r => (r._1, r._2.getOrElse(Long.MinValue)))
+    })
+    import spark.implicits._
+    rows.toSeq.toDF("click_id", "purchase_id", "user_id")
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** One event for the typed stateful API. */
   case class Ev(user_id: Long, ts_us: java.sql.Timestamp, value: Double)
 

@@ -694,6 +694,39 @@ class StreamingSpec extends SparkSpec {
       "streamed symmetric-hash join diverged from the batch interval join")
   }
 
+  test("r13 replay: left-outer stream-stream join — matched = batch join, nulls = closed-form horizon") {
+    import spark.implicits._
+    val out = StreamingOps.streamStreamOuterReplay(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        unix_micros(col("ts_us")).as("cus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        unix_micros(col("ts_us")).as("pus"))
+    val joinCond = col("cu") === col("pu") &&
+      col("pus") > col("cus") && col("pus") <= col("cus") + 3600000000L
+    // matched pairs equal the batch inner join exactly
+    val gotM = out.filter(col("purchase_id").isNotNull)
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    val wantM = c.join(p, joinCond).select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(gotM == wantM, "outer replay's matched set diverged from the batch join")
+    // null rows: exactly the unmatched clicks whose 1h window closed
+    // below the probed two-sided-minimum terminal watermark
+    val maxC = c.agg(max(col("cus"))).head.getLong(0)
+    val maxP = p.agg(max(col("pus"))).head.getLong(0)
+    val wm = math.min(maxC / 1000L * 1000L, maxP / 1000L * 1000L) - 7200000000L
+    val gotN = out.filter(col("purchase_id").isNull)
+      .select("click_id").as[Long].collect().toSet
+    val wantN = c.join(p, joinCond, "left_anti")
+      .filter(col("cus") + 3600000000L < wm)
+      .select("click_id").as[Long].collect().toSet
+    assert(gotN == wantN, "outer replay's null set diverged from the horizon closed form")
+    assert(gotN.nonEmpty, "fixture must exercise null emission")
+    assert(out.count() == gotM.size + gotN.size)
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val got = runToTable(StreamingOps.dedupWithinWatermark(eventsStream),
       "t_dedup", "append")
