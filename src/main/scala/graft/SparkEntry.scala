@@ -103,6 +103,7 @@ object SparkEntry {
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
     "q_dd_cube"            -> ((s, d) => Aggregates.ddCubeServed(s, d)),
     "q_dd_cube_signed"     -> ((s, d) => Aggregates.ddCubeSigned(s, d)),
+    "q_dd_cube_signed_incremental" -> ((s, d) => Aggregates.ddCubeSignedIncremental(s, d)),
     "q_dd_cube_incremental" -> ((s, d) => Aggregates.ddCubeIncremental(s, d)),
     "q_quantile_cube_incremental" -> ((s, d) => Aggregates.quantileCubeIncremental(s, d)),
     "q_skew_audit"        -> ((s, d) => Curation.skewAudit(s, d)),
@@ -497,6 +498,34 @@ object SparkEntry {
       |  TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
       |FROM q JOIN d ON q.event_type = d.event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Shared signed-cube oracle (q_dd_cube_signed /
+    * q_dd_cube_signed_incremental): exact BIGINT signed quantile
+    * companions + TRUE 2-alpha verdicts; additivity makes the appended
+    * cube serve bit-identically to the single build. */
+  private val ddSignedOracleSql: String =
+    """WITH s AS (SELECT user_id % 4 AS cohort,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100) AS BIGINT)
+        |         ELSE -CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |g AS (SELECT cohort, v, count(*) AS c FROM s GROUP BY 1, 2),
+        |w AS (SELECT cohort, v,
+        |    sum(c) OVER (PARTITION BY cohort ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY cohort) AS n FROM g),
+        |q AS (SELECT cohort, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(min(CASE WHEN cum * 100 >= n * 5 THEN v END) AS BIGINT) AS p05_exact,
+        |    CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT) AS p50_exact,
+        |    CAST(min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS BIGINT) AS p95_exact
+        |  FROM w GROUP BY 1),
+        |d AS (SELECT cohort, count(DISTINCT day) AS n_days FROM s GROUP BY 1)
+        |SELECT q.cohort AS cohort, n, CAST(n_days AS BIGINT) AS n_days,
+        |  p05_exact, p50_exact, p95_exact,
+        |  TRUE AS p05_within_2pct, TRUE AS p50_within_2pct,
+        |  TRUE AS p95_within_2pct
+        |FROM q JOIN d ON q.cohort = d.cohort
+        |ORDER BY cohort""".stripMargin
 
   /** Shared funnel oracle (q_funnel / q_funnel_fold / q_stream_funnel):
     * the declarative, fold, and streaming-stateful formulations all emit
@@ -1162,29 +1191,8 @@ object SparkEntry {
     // signed-domain DDSketch (full Masson: mirrored negative store + zero
     // bucket) over per-event net cents; exact BIGINT quantile companions
     // with p05 reading off the negative store, TRUE 2-alpha verdicts
-    "q_dd_cube_signed" ->
-      """WITH s AS (SELECT user_id % 4 AS cohort,
-        |    epoch_ns(ts) // 86400000000000 AS day,
-        |    CASE WHEN event_type = 'purchase'
-        |         THEN CAST(round(value * 100) AS BIGINT)
-        |         ELSE -CAST(round(value * 100) AS BIGINT) END AS v
-        |  FROM events WHERE event_type IN ('purchase', 'error')),
-        |g AS (SELECT cohort, v, count(*) AS c FROM s GROUP BY 1, 2),
-        |w AS (SELECT cohort, v,
-        |    sum(c) OVER (PARTITION BY cohort ORDER BY v) AS cum,
-        |    sum(c) OVER (PARTITION BY cohort) AS n FROM g),
-        |q AS (SELECT cohort, CAST(max(n) AS BIGINT) AS n,
-        |    CAST(min(CASE WHEN cum * 100 >= n * 5 THEN v END) AS BIGINT) AS p05_exact,
-        |    CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT) AS p50_exact,
-        |    CAST(min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS BIGINT) AS p95_exact
-        |  FROM w GROUP BY 1),
-        |d AS (SELECT cohort, count(DISTINCT day) AS n_days FROM s GROUP BY 1)
-        |SELECT q.cohort AS cohort, n, CAST(n_days AS BIGINT) AS n_days,
-        |  p05_exact, p50_exact, p95_exact,
-        |  TRUE AS p05_within_2pct, TRUE AS p50_within_2pct,
-        |  TRUE AS p95_within_2pct
-        |FROM q JOIN d ON q.cohort = d.cohort
-        |ORDER BY cohort""".stripMargin,
+    "q_dd_cube_signed" -> ddSignedOracleSql,
+    "q_dd_cube_signed_incremental" -> ddSignedOracleSql,
     "q_quantile_cube_incremental" -> quantileCubeOracleSql,
     // all-integer skew audit: counts, exact-ppm share, hotness x100 vs
     // the uniform mean; (n desc, key) order pinned in both engines

@@ -58,9 +58,13 @@ object SpillRehearsal {
     // iterative clusters, and the standing-index incremental pass —
     // plus the r11 heavyweights (VERDICT ask #8): the Apriori triple
     // fan-out, the histogram-cube build+serve, and the grid spatial join
+    // — plus the r13 additions: the double-aggregate TPC-H Q18 (this
+    // round's heaviest shuffle, 176k records at sf0.1) and FP-Growth's
+    // path-grouped pattern-base aggregate
     val queries = Seq("q_neardup_jaccard", "q_neardup_minhash",
       "q_neardup_clusters", "q_dedup_incremental",
-      "q_assoc_rules3", "q_quantile_cube", "q_spatial_join")
+      "q_assoc_rules3", "q_quantile_cube", "q_spatial_join",
+      "q_tpch_q18", "q_fpgrowth")
     val results = queries.map { name =>
       val rows = SparkEntry.queries(name)(spark, sfDir)
         .collect().map(_.toString).sorted

@@ -834,6 +834,41 @@ object Aggregates {
     })
   }
 
+  private val ddSignedIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Day-partitioned APPEND twin of [[ddSignedCubeDir]] — the same
+    * incremental lifecycle as the positive cube's ([[ddCubeIncrDir]]):
+    * history written once partitioned by day, the last day appended into
+    * its own partition; signed cells are plain counts, so additivity
+    * makes the serve-time re-sum bit-identical to the single build and
+    * both forms share one oracle. */
+  private[graft] def ddSignedIncrDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, ddSignedIncrMemo)
+    ddSignedIncrMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = SessionMemos.tempDir(spark, "graft-dd-signed-incr")
+      val hist = graft.operators.Dedup.fence(
+        ddSignedCells(signedFlows(spark, sfDir)), "day")
+      try {
+        val maxDay = hist.agg(max("day")).head.getLong(0)
+        hist.filter(col("day") < maxDay)
+          .write.partitionBy("day").mode("overwrite").parquet(dir)
+        hist.filter(col("day") === maxDay)
+          .write.partitionBy("day").mode("append").parquet(dir)
+      } finally hist.unpersist()
+      dir
+    })
+  }
+
+  /** The appended signed-cube readout — shares [[serveDdCubeSigned]] and
+    * the single-build form's oracle (additivity ⇒ identical fold). */
+  def ddCubeSignedIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    serveDdCubeSigned(
+      spark.read.parquet(ddSignedIncrDir(spark, sfDir))
+        .select(col("cohort"), col("store"), col("bucket"), col("c"),
+          col("day").cast("long").as("day")),
+      signedFlows(spark, sfDir))
+
   /** Per-cohort p05/p50/p95 SERVED from the stored SIGNED log-bucket cube
     * — [[ddCubeServed]]'s bracket-oracle pattern extended to the full
     * signed construction. The global value order over cells is

@@ -325,6 +325,14 @@ class AggregatesSpec extends SparkSpec {
     // serving reads the stored signed cube
     val plan = Aggregates.ddCubeSigned(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("graft-dd-cube-signed"))
+    // append lifecycle: the day-partitioned incremental twin folds
+    // bit-identically to the single build (additive signed cells)
+    val full = Aggregates.ddCubeSigned(spark, sf).collect().toSeq
+    val incr = Aggregates.ddCubeSignedIncremental(spark, sf).collect().toSeq
+    assert(incr == full, "appended signed cube diverged from the single build")
+    val parts = new java.io.File(Aggregates.ddSignedIncrDir(spark, sf))
+      .listFiles().count(_.getName.startsWith("day="))
+    assert(parts > 1)
   }
 
   test("dd cube incremental: appended day-partitioned cells equal the single build") {
