@@ -186,6 +186,7 @@ object SparkEntry {
     "q_skipgram"          -> ((s, d) => TextAnalysis.skipgramPairs(s, d)),
     // ---- B9 corpus curation: LM scoring, vocab, collocations, PII ----
     "q_lm_perplexity"     -> ((s, d) => Curation.lmPerplexity(s, d)),
+    "q_char_entropy"      -> ((s, d) => Curation.charEntropy(s, d)),
     "q_vocab_prune"       -> ((s, d) => Curation.vocabPrune(s, d)),
     "q_pmi_bigrams"       -> ((s, d) => Curation.pmiBigrams(s, d)),
     "q_fuzzy_vocab"       -> ((s, d) => Curation.fuzzyVocabPairs(s, d)),
@@ -1876,6 +1877,20 @@ object SparkEntry {
         |         ELSE list_concat(t.w[1:b.start], t.w[b.start+b.cnt+3:]) END AS cw
         |  FROM t LEFT JOIN best b USING (doc_id))
         |ORDER BY doc_id""".stripMargin,
+    // char-level gibberish signal: per-(doc,char) c*ln(c) rounded once
+    // into DECIMAL(18,8) (order-insensitive sum), one closed-form chain
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |g AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |    count(*)::BIGINT AS n_distinct_chars,
+        |    sum(round(c::DOUBLE * ln(c::DOUBLE), 8)::DECIMAL(18,8)) AS s
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  round(ln(n_chars::DOUBLE) - s::DOUBLE / n_chars::DOUBLE, 6)
+        |    AS entropy_nats
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |bg AS (SELECT doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b FROM t),

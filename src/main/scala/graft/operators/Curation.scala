@@ -103,6 +103,40 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** PER-DOCUMENT CHARACTER ENTROPY (r13) — the Gopher-family gibberish
+    * signal next to [[lmPerplexity]]'s word-level one: repeated-char spam,
+    * base64 blobs and boilerplate all sit at the entropy extremes where
+    * natural prose does not. H = ln(n) − (Σ c·ln c)/n nats over the
+    * document's character histogram (spaces included — word-length
+    * structure is part of the signal).
+    *
+    * Determinism discipline (the lm-perplexity pattern): each
+    * per-(doc, char) term c·ln(c) is one double op chain rounded ONCE to
+    * DECIMAL(18,8), so the per-doc sum is exact and order-insensitive;
+    * the closed form then takes one decimal→double cast, one division,
+    * one ln and one subtraction in the same IEEE order both engines.
+    *
+    * Scale shape: char histograms are map-side (per-doc state ≤ charset
+    * size), the only shuffle is the (doc, char) partial-aggregated key —
+    * charset-bounded fan-out per document, corpus-linear overall.
+    */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    g.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 8)
+          .cast("decimal(18,8)")).as("sclnc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round(log(col("n_chars").cast("double"))
+          - col("sclnc").cast("double") / col("n_chars").cast("double"), 6)
+          .as("entropy_nats"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary pruning with OOV accounting: the vocabulary is every token
     * whose corpus count clears a RELATIVE floor (count ≥ total/1000 —
     * sf-invariant, unlike an absolute cutoff), and each document reports

@@ -551,6 +551,30 @@ class CurationSpec extends SparkSpec {
     assert(son.nonEmpty)
   }
 
+  test("char entropy matches an independent driver-side Shannon computation (r13)") {
+    import spark.implicits._
+    val got = Curation.charEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val hist = text.toSeq.groupBy(identity).map(_._2.size.toLong)
+      val n = hist.sum
+      // the engine's lattice: per-char terms rounded to 8dp, summed, one
+      // closed-form chain — replicate it exactly, then a plain-H sanity
+      // band that doesn't share the lattice
+      val s = hist.map(c => BigDecimal(math.rint(c.toDouble * math.log(c.toDouble) * 1e8) / 1e8)).sum
+      val h = math.rint((math.log(n.toDouble) - s.toDouble / n) * 1e6) / 1e6
+      val (gn, gd, gh) = got(id)
+      assert(gn == n && gd == hist.size, s"doc $id histogram")
+      assert(math.abs(gh - h) < 1e-9, s"doc $id entropy: $gh vs $h")
+      val plain = math.log(n.toDouble) -
+        hist.map(c => c * math.log(c.toDouble)).sum / n
+      assert(math.abs(gh - plain) < 1e-4 && gh >= 0.0 && gh <= math.log(n.toDouble) + 1e-9)
+    }
+  }
+
   test("FP-Growth rules equal Apriori rules row-for-row, with no join in the pair phase (r13)") {
     val apriori = Curation.assocRules(spark, sf).collect().toSeq
     val fpg = Curation.fpGrowthRules(spark, sf).collect().toSeq
