@@ -177,6 +177,7 @@ object SparkEntry {
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidfTop3(s, d)),
     "q_bigrams"           -> ((s, d) => TextAnalysis.bigramCounts(s, d)),
     "q_langid"            -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_langid_audit"      -> ((s, d) => TextAnalysis.langIdAudit(s, d)),
     "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_winnow"            -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
@@ -499,6 +500,25 @@ object SparkEntry {
       |  TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
       |FROM q JOIN d ON q.event_type = d.event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Shared language-ID scoring CTE (q_langid / q_langid_audit): the
+    * marker-vocabulary scores and the ordered argmax CASE chain — one
+    * constant so the classifier and its confusion audit cannot drift. */
+  private val langIdCtes: String =
+    """WITH s AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x -> list_contains(['customer','hash','join','row'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['hash','order','table','window'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['slow','agg','hash','merge'], x))) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['scan','data','query','batch'], x))) AS s_fr,
+        |  len(list_filter(w, x -> list_contains(['join','small','row','customer'], x))) AS s_zh
+        |  FROM (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)),
+        |pr AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
+        |         WHEN s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+        |         WHEN s_es>=s_fr AND s_es>=s_zh THEN 'es'
+        |         WHEN s_fr>=s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+        |  FROM s)""".stripMargin
 
   /** Shared signed-cube oracle (q_dd_cube_signed /
     * q_dd_cube_signed_incremental): exact BIGINT signed quantile
@@ -1733,22 +1753,21 @@ object SparkEntry {
         |  SELECT a AS center, b AS context FROM f
         |  UNION ALL SELECT b AS center, a AS context FROM f)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_langid" ->
-      """WITH s AS (SELECT doc_id, lang,
-        |  len(list_filter(w, x -> list_contains(['customer','hash','join','row'], x))) AS s_de,
-        |  len(list_filter(w, x -> list_contains(['hash','order','table','window'], x))) AS s_en,
-        |  len(list_filter(w, x -> list_contains(['slow','agg','hash','merge'], x))) AS s_es,
-        |  len(list_filter(w, x -> list_contains(['scan','data','query','batch'], x))) AS s_fr,
-        |  len(list_filter(w, x -> list_contains(['join','small','row','customer'], x))) AS s_zh
-        |  FROM (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents))
-        |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_correct FROM (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
-        |         WHEN s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
-        |         WHEN s_es>=s_fr AND s_es>=s_zh THEN 'es'
-        |         WHEN s_fr>=s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
-        |  FROM s)
-        |ORDER BY doc_id""".stripMargin,
+    "q_langid" -> (langIdCtes + """
+        |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_correct
+        |FROM pr ORDER BY doc_id""".stripMargin),
+    // confusion matrix over the SAME scoring CTE (one shared constant, no
+    // drift): per (true, predicted) cell count + exact-ppm share of the
+    // true language's documents
+    "q_langid_audit" -> (langIdCtes + """,
+        |cells AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+        |  FROM pr GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+        |  FROM cells GROUP BY 1)
+        |SELECT cells.lang AS lang, pred_lang, n_docs,
+        |  CAST(n_docs * 1000000 // n_lang AS BIGINT) AS share_ppm
+        |FROM cells JOIN t ON cells.lang = t.lang
+        |ORDER BY lang, pred_lang""".stripMargin),
     "q_quality" ->
       """WITH m AS (SELECT doc_id, n_chars, len(w)::BIGINT AS n_tokens,
         |  len(list_distinct(w))::BIGINT AS n_distinct,

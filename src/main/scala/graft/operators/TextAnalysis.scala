@@ -95,6 +95,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** LANGUAGE-ID CONFUSION AUDIT (r13) — the eval harness the audit
+    * family ships next to its classifiers (q_ann_recall / q_pq_recall /
+    * q_ivf_audit precedent): the full confusion matrix of [[langId]]'s
+    * prediction against the corpus's ground-truth `lang` label, one row
+    * per (true, predicted) cell with the count and its exact-ppm share
+    * of the true language's documents. The diagonal is per-language
+    * recall; off-diagonal cells name exactly which languages the marker
+    * vocabularies confuse (the actionable readout — q_langid's
+    * per-doc is_correct flags can't say WHERE the mass went).
+    * Scale shape: one map-side classify pass (no shuffle in [[langId]]'s
+    * scoring), one |langs|²-bounded aggregate.
+    */
+  def langIdAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = langId(spark, sfDir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("lang").agg(sum("n_docs").as("n_lang"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 1000000 div n_lang").as("share_ppm"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Per-document quality score: type-token ratio, stopword ratio, and a
     * length prior, combined 0.4/0.3/0.3. All integer-derived doubles — the
     * formula is written identically in the oracle so rounding is safe.

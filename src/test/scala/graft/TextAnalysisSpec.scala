@@ -25,6 +25,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(l.filter(!col("pred_lang").isin("de", "en", "es", "fr", "zh")).count() == 0)
   }
 
+  test("langid confusion audit: cells tile the corpus, diagonal = is_correct counts (r13)") {
+    import spark.implicits._
+    val cells = TextAnalysis.langIdAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // the matrix tiles the corpus: per-true-lang cell sums = corpus counts
+    val want = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val byLang = cells.toSeq.groupBy(_._1._1).map { case (l, cs) => l -> cs.map(_._2._1).sum }
+    assert(byLang == want, "confusion cells do not tile the corpus")
+    // diagonal cells equal q_langid's per-language correct counts
+    val correct = TextAnalysis.langId(spark, sf)
+      .filter(col("is_correct")).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    want.keys.foreach { l =>
+      assert(cells.get((l, l)).map(_._1).getOrElse(0L) == correct.getOrElse(l, 0L),
+        s"diagonal mismatch for $l")
+    }
+    // ppm shares are the exact integer division of the cell by its row total
+    cells.foreach { case ((l, _), (n, ppm)) =>
+      assert(ppm == n * 1000000L / byLang(l))
+    }
+  }
+
   test("quality metrics are within their ranges") {
     val q = TextAnalysis.qualityScore(spark, sf)
     val bad = q.filter(
