@@ -326,6 +326,7 @@ object SparkEntry {
     "q_assoc_rules3"      -> ((s, d) => Curation.assocRules3(s, d)),
     // ---- B6/B10 storage layout ----
     "q_zorder"            -> ((s, d) => Layout.zorderLayout(s, d)),
+    "q_hilbert"           -> ((s, d) => Layout.hilbertLayout(s, d)),
   )
 
   /** DuckDB SQL twins. Table names resolve to the same parquet files.
@@ -3403,6 +3404,34 @@ object SparkEntry {
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |  l_partkey, l_suppkey, CAST($mortonSqlTerms AS BIGINT) AS zcode
          |FROM lineitem ORDER BY zcode, l_orderkey, l_linenumber""".stripMargin,
+    // bit-exact twin of the HilbertIndex kernel: the classic xy2d walk
+    // replayed as a 16-step recursive CTE carrying (x, y, d, s) state —
+    // per level the quadrant offset s*s*xor(3*rx, ry) accumulates and the
+    // frame rotates (ry=0: full-grid point reflection when rx=1, then an
+    // axis swap), exactly the Expression's loop
+    "q_hilbert" ->
+      """WITH RECURSIVE hb AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_partkey, l_suppkey,
+        |    l_partkey & 65535 AS x, l_suppkey & 65535 AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CASE WHEN (y & s) > 0 THEN x
+        |         WHEN (x & s) > 0 THEN 65535 - y
+        |         ELSE y END AS x,
+        |    CASE WHEN (y & s) > 0 THEN y
+        |         WHEN (x & s) > 0 THEN 65535 - x
+        |         ELSE x END AS y,
+        |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+        |    s // 2 AS s
+        |  FROM hb WHERE s > 0)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(d AS BIGINT) AS hcode
+        |FROM hb WHERE s = 0
+        |ORDER BY hcode, l_orderkey, l_linenumber""".stripMargin,
   )
 
   /** Shared BM25 oracle for q_bm25_topk AND q_bm25_served: idf rounded

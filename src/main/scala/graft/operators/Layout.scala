@@ -43,6 +43,33 @@ object Layout {
       .orderBy("zcode", "l_orderkey", "l_linenumber")
   }
 
+  /** Hilbert-curve key per lineitem row over (l_partkey, l_suppkey) —
+    * the better-locality sibling of [[zorderLayout]] (r13): consecutive
+    * Hilbert indexes are always ADJACENT grid cells, where the Z-curve
+    * jumps a long diagonal at every power-of-two seam — LayoutSpec
+    * measures the walk over this corpus's real occupied key cells and
+    * Hilbert's total Manhattan path is strictly shorter. Honesty note,
+    * also in the spec: per-partition BOUNDING BOXES on this corpus came
+    * out ~4% in Z's favor — its key domain is a thin strip (≈200-2000
+    * partkeys × ~10-1000 suppkeys), and the textbook square-grid box
+    * advantage (the comparison behind the industry move to Hilbert
+    * clustering) does not transfer to extreme aspect ratios; on
+    * square-normalized grids the unit-step property is what delivers it
+    * (kernel-proven by the round-trip/unit-step test). Same 16-bit
+    * masking contract and the
+    * same sorted-emission shape as the Z form; the oracle replays the
+    * exact xy2d walk as a 16-step recursive CTE, bit-exact.
+    */
+  def hilbertLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HilbertFunctions.hilbert
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        hilbert(col("l_partkey").bitwiseAND(0xFFFFL), col("l_suppkey").bitwiseAND(0xFFFFL))
+          .as("hcode"))
+      .orderBy("hcode", "l_orderkey", "l_linenumber")
+  }
+
   /** Z-key over RANGE-NORMALIZED columns — the production layout path.
     * Interleaving raw values only clusters both dimensions when they span
     * similar bit widths; real Z-order writers first map each column onto
