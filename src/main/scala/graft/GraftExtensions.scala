@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "graft_minhash_bands", exprs => MinHashBands(exprs.head))
     fn(e, "graft_simhash60", exprs => SimHash60(exprs.head))
     fn(e, "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)))
+    fn(e, "graft_bigrams", exprs => Bigrams(exprs.head))
+    fn(e, "graft_morton", exprs => MortonInterleave(exprs(0), exprs(1)))
+    fn(e, "graft_hilbert", exprs => HilbertIndex(exprs(0), exprs(1)))
     e.injectOptimizerRule(_ => TopKRewriteRule)
     e.injectOptimizerRule(_ => SimJoinRewriteRule)
     e.injectOptimizerRule(_ => MvRewriteRule)

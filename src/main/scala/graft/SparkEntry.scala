@@ -99,6 +99,7 @@ object SparkEntry {
     "q_global_agg"        -> ((s, d) => Aggregates.globalAgg(s, d)),
     "q_count_distinct"    -> ((s, d) => Aggregates.countDistinctUsers(s, d)),
     "q_approx_distinct"   -> ((s, d) => Aggregates.approxDistinctUsers(s, d)),
+    "q_hll_overlap"       -> ((s, d) => Aggregates.hllOverlap(s, d)),
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
     "q_dd_cube"            -> ((s, d) => Aggregates.ddCubeServed(s, d)),
@@ -1190,6 +1191,25 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS hll_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // inclusion-exclusion overlap of two customer sets from three HLL
+    // sketches: exact set sizes + exact Jaccard ppm portable, the
+    // composed-estimate verdict bracketed against the UNION scale
+    "q_hll_overlap" ->
+      """WITH s AS (SELECT
+        |    count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN o_custkey END) AS n_a,
+        |    count(DISTINCT CASE WHEN year(o_orderdate) = 1996
+        |      THEN o_custkey END) AS n_b,
+        |    count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |      OR year(o_orderdate) = 1996 THEN o_custkey END) AS n_union
+        |  FROM orders)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_union AS BIGINT) AS n_union,
+        |  CAST(n_a + n_b - n_union AS BIGINT) AS n_intersect,
+        |  CAST((n_a + n_b - n_union) * 1000000 // n_union AS BIGINT)
+        |    AS jaccard_ppm,
+        |  TRUE AS inter_within_10pct_of_union
+        |FROM s""".stripMargin,
     // the sketch-cube serving shape: exact companions + the cube grain
     // (distinct days) are portable; the merged-union estimate is the
     // bracket verdict, like q_approx_distinct

@@ -105,6 +105,48 @@ object Aggregates {
           <= col("exact_users").cast("double") * 0.10).as("hll_within_10pct"))
       .orderBy("event_type")
 
+  /** HLL SET-OVERLAP AUDIT (r13) — the inclusion-exclusion composition a
+    * sketch warehouse actually runs: |A ∩ B| estimated as
+    * est(A) + est(B) − est(A ∪ B) from three HLL sketches, never from a
+    * join. Sets here: customers with an URGENT order (A) vs customers
+    * ordering in 1996 (B) — genuinely overlapping-but-distinct at every
+    * SF (probed: 1 297 / 1 168 / ∩ 1 019 at sf0.01). All three sketches
+    * are conditional `approx_count_distinct` columns of ONE
+    * map-combinable pass over the fact (CASE→NULL rows are ignored by
+    * the sketch), so the audit never shuffles a fact row.
+    *
+    * BRACKET ORACLE (the [[approxDistinctUsers]] pattern): estimates are
+    * not portable, so the output carries the EXACT |A|, |B|, |A ∪ B|,
+    * |A ∩ B| and the exact Jaccard in ppm (all integers, hash-checked)
+    * plus a verdict that the composed estimate lands within 10% OF THE
+    * UNION — the honest envelope for inclusion-exclusion, whose absolute
+    * errors add across the three sketches and scale with the union, not
+    * the intersection (a tiny intersection of huge sets is exactly where
+    * the composition degrades, and the verdict's denominator says so).
+    * At 100 TB the exact arm (one multi-distinct Expand) is what you
+    * drop; the sketch pass is the registered shape.
+    */
+  def hllOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val inA = when(col("o_orderpriority") === "1-URGENT", col("o_custkey"))
+    val inB = when(year(col("o_orderdate")) === 1996, col("o_custkey"))
+    val inU = when(col("o_orderpriority") === "1-URGENT"
+      || year(col("o_orderdate")) === 1996, col("o_custkey"))
+    o.agg(
+        countDistinct(inA).as("n_a"),
+        countDistinct(inB).as("n_b"),
+        countDistinct(inU).as("n_union"),
+        approx_count_distinct(inA, 0.02).as("ea"),
+        approx_count_distinct(inB, 0.02).as("eb"),
+        approx_count_distinct(inU, 0.02).as("eu"))
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+        expr("(n_a + n_b - n_union) * 1000000 div n_union").as("jaccard_ppm"),
+        (abs((col("ea") + col("eb") - col("eu"))
+            - (col("n_a") + col("n_b") - col("n_union"))).cast("double")
+          <= col("n_union").cast("double") * 0.10).as("inter_within_10pct_of_union"))
+  }
+
   /** Approximate percentile sketch (companion to the HLL approx-distinct):
     * per-event-type p50/p95 via Spark's QuantileSummaries with a 100-row
     * accuracy budget.

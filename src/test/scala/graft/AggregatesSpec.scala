@@ -358,6 +358,23 @@ class AggregatesSpec extends SparkSpec {
       .select("source").distinct().count())
   }
 
+  test("hll overlap: exact arithmetic replays driver-side, sets genuinely differ, envelope holds (r13)") {
+    import spark.implicits._
+    val r = Aggregates.hllOverlap(spark, sf).head()
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("y"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2)))
+    val a = o.collect { case (k, p, _) if p == "1-URGENT" => k }.toSet
+    val b = o.collect { case (k, _, y) if y == 1996 => k }.toSet
+    assert(r.getLong(0) == a.size && r.getLong(1) == b.size)
+    assert(r.getLong(2) == (a ++ b).size && r.getLong(3) == (a & b).size)
+    assert(r.getLong(4) == (a & b).size.toLong * 1000000L / (a ++ b).size)
+    assert(r.getBoolean(5), "inclusion-exclusion estimate outside the union envelope")
+    // the audit is non-vacuous: the sets overlap AND differ
+    assert((a & b).nonEmpty && a != b && (a -- b).nonEmpty && (b -- a).nonEmpty)
+  }
+
   test("hll sketch cube serving arm scans only the stored artifact, never the fact table") {
     // the serving arm (sketch read + union) must resolve to the cube dir;
     // the fact scan in the registered query belongs to the exact-audit

@@ -128,4 +128,24 @@ class TextHashSpec extends SparkSpec {
       "SELECT graft_simhash60(graft_shingle_hashes('a b c d')) AS f").head.getLong(0)
     assert(n != 0L)
   }
+
+  test("every custom kernel is SQL-callable via GraftExtensions (r13)") {
+    // the extension-injected registry (no runtime register() call): the
+    // test session loads graft.GraftExtensions via config, so all eight
+    // kernels must resolve as bare SQL functions
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  size(graft_shingle_hashes('a b c d')) AS sh,
+        |  size(graft_minhash_bands(graft_shingle_hashes('a b c d'))) AS mb,
+        |  graft_simhash60(graft_shingle_hashes('a b c d')) AS f,
+        |  graft_jaccard_sorted(array(1L, 2L), array(2L, 3L)) AS j,
+        |  size(graft_bigrams('a b c')) AS bg,
+        |  graft_morton(3L, 5L) AS z,
+        |  graft_hilbert(3L, 5L) AS h""".stripMargin).head
+    assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2 && r.getInt(2) == 16)
+    assert(r.getLong(3) != 0L && r.getInt(5) == 2)
+    assert(r.getLong(6) == graft.functions.MortonInterleave(null, null)
+      .nullSafeEval(3L, 5L).asInstanceOf[Long])
+    assert(r.getLong(7) == graft.functions.HilbertFunctions.xy2d(3L, 5L))
+  }
 }
