@@ -179,6 +179,7 @@ object SparkEntry {
     "q_bigrams"           -> ((s, d) => TextAnalysis.bigramCounts(s, d)),
     "q_langid"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_langid_audit"      -> ((s, d) => TextAnalysis.langIdAudit(s, d)),
+    "q_langid_kappa"      -> ((s, d) => TextAnalysis.langIdKappa(s, d)),
     "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_winnow"            -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
@@ -1789,6 +1790,26 @@ object SparkEntry {
         |  CAST(n_docs * 1000000 // n_lang AS BIGINT) AS share_ppm
         |FROM cells JOIN t ON cells.lang = t.lang
         |ORDER BY lang, pred_lang""".stripMargin),
+    // Cohen's kappa over the same scoring CTE: truncating integer-ppm
+    // ratios computed in the same expression order as the Spark side
+    // (kappa from the ALREADY-truncated po/pe ppms) — bit-exact parity.
+    "q_langid_kappa" -> (langIdCtes + """,
+        |f AS (SELECT lang, pred_lang, count(*) AS c FROM pr GROUP BY 1, 2),
+        |t AS (SELECT sum(CASE WHEN lang = pred_lang THEN c ELSE 0 END) AS diag,
+        |             sum(c) AS n FROM f),
+        |rm AS (SELECT lang AS l, sum(c) AS n_true FROM f GROUP BY 1),
+        |cm AS (SELECT pred_lang AS l, sum(c) AS n_pred FROM f GROUP BY 1),
+        |pe AS (SELECT sum(CAST(coalesce(n_true, 0) AS HUGEINT)
+        |                  * CAST(coalesce(n_pred, 0) AS HUGEINT)) AS pe_num
+        |       FROM rm FULL JOIN cm USING (l)),
+        |k AS (SELECT CAST(n AS BIGINT) AS n_docs,
+        |        CAST(diag AS HUGEINT) * 1000000 // CAST(n AS HUGEINT) AS po_ppm,
+        |        pe_num * 1000000 // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS pe_ppm
+        |      FROM t, pe)
+        |SELECT n_docs, CAST(po_ppm AS BIGINT) AS po_ppm,
+        |  CAST(pe_ppm AS BIGINT) AS pe_ppm,
+        |  CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT) AS kappa_ppm
+        |FROM k""".stripMargin),
     "q_quality" ->
       """WITH m AS (SELECT doc_id, n_chars, len(w)::BIGINT AS n_tokens,
         |  len(list_distinct(w))::BIGINT AS n_distinct,

@@ -117,6 +117,48 @@ object TextAnalysis {
       .orderBy("lang", "pred_lang")
   }
 
+  /** COHEN'S KAPPA (r13) over [[langIdAudit]]'s confusion matrix — the
+    * chance-corrected agreement scalar (Cohen 1960): observed agreement
+    * po minus expected-by-marginals agreement pe, over 1 − pe. The audit
+    * names WHERE the mass went; kappa says whether the classifier beats
+    * the marginal-frequency coin at all — the single number a curation
+    * run gates on before trusting per-language mixture weights.
+    *
+    * Exactness discipline: all three ratios are truncating integer ppm
+    * (`div`), computed from the ALREADY-truncated po/pe ppms — the same
+    * expression order is written in the DuckDB oracle, so the result is
+    * bit-exact across engines (no double arithmetic anywhere). Products
+    * are DECIMAL(38,0) so the n² and pe terms cannot wrap at corpus
+    * scale (the q_join_profile lesson, ADVICE r12).
+    *
+    * Scale shape: one map-side classify pass (no shuffle in [[langId]]'s
+    * scoring), one |langs|²-bounded cell aggregate, then |langs|-sized
+    * marginal frames full-outer-joined (a predicted-never language has a
+    * zero column marginal) — everything after the first aggregate is
+    * constant-sized regardless of corpus rows.
+    */
+  def langIdKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    // fence: the cell matrix feeds the diagonal/total scalars AND both marginals
+    val cells = Dedup.fence(
+      langId(spark, sfDir).groupBy("lang", "pred_lang").agg(count(lit(1)).as("c")),
+      "lang")
+    val tot = cells.agg(
+      sum(when(col("lang") === col("pred_lang"), col("c")).otherwise(lit(0L))).as("diag"),
+      sum("c").as("n"))
+    val rowM = cells.groupBy(col("lang").as("l")).agg(sum("c").as("n_true"))
+    val colM = cells.groupBy(col("pred_lang").as("l")).agg(sum("c").as("n_pred"))
+    val pe = rowM.join(colM, Seq("l"), "full_outer")
+      .agg(sum(coalesce(col("n_true"), lit(0L)).cast("decimal(38,0)") *
+        coalesce(col("n_pred"), lit(0L)).cast("decimal(38,0)")).as("pe_num"))
+    tot.crossJoin(pe)
+      .select(
+        col("n").as("n_docs"),
+        expr("cast(diag as decimal(38,0)) * 1000000 div cast(n as decimal(38,0))").as("po_ppm"),
+        expr("pe_num * 1000000 div (cast(n as decimal(38,0)) * cast(n as decimal(38,0)))").as("pe_ppm"))
+      .select(col("n_docs"), col("po_ppm"), col("pe_ppm"),
+        expr("(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)").as("kappa_ppm"))
+  }
+
   /** Per-document quality score: type-token ratio, stopword ratio, and a
     * length prior, combined 0.4/0.3/0.3. All integer-derived doubles — the
     * formula is written identically in the oracle so rounding is safe.

@@ -48,6 +48,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langid kappa: matches a scratch recomputation from the audit cells (r13)") {
+    val r = TextAnalysis.langIdKappa(spark, sf).collect()
+    assert(r.length == 1)
+    val (nDocs, po, pe, kappa) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // recompute from the confusion cells with plain BigInt arithmetic
+    val cells = TextAnalysis.langIdAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = cells.values.sum
+    val diag = cells.collect { case ((t, p), c) if t == p => c }.sum
+    val rowM = cells.groupBy(_._1._1).map { case (l, cs) => l -> cs.values.sum }
+    val colM = cells.groupBy(_._1._2).map { case (l, cs) => l -> cs.values.sum }
+    val peNum = (rowM.keySet ++ colM.keySet).toSeq
+      .map(l => BigInt(rowM.getOrElse(l, 0L)) * BigInt(colM.getOrElse(l, 0L))).sum
+    val poPpm = BigInt(diag) * 1000000 / n
+    val pePpm = peNum * 1000000 / (BigInt(n) * n)
+    assert(nDocs == n)
+    assert(po == poPpm.toLong && pe == pePpm.toLong)
+    assert(kappa == ((poPpm - pePpm) * 1000000 / (1000000 - pePpm)).toLong)
+    // a classifier this much better than chance must land in (pe, 1]
+    assert(po > pe && kappa > 0 && kappa <= 1000000)
+  }
+
   test("quality metrics are within their ranges") {
     val q = TextAnalysis.qualityScore(spark, sf)
     val bad = q.filter(
