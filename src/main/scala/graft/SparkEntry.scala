@@ -180,6 +180,9 @@ object SparkEntry {
     "q_langid"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_langid_audit"      -> ((s, d) => TextAnalysis.langIdAudit(s, d)),
     "q_langid_kappa"      -> ((s, d) => TextAnalysis.langIdKappa(s, d)),
+    "q_naive_bayes"       -> ((s, d) => TextAnalysis.naiveBayes(s, d)),
+    "q_zipf_slope"        -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    "q_heaps_curve"       -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q_winnow"            -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
@@ -244,6 +247,9 @@ object SparkEntry {
     "q_ivf_audit"         -> ((s, d) => Similarity.ivfAudit(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
+    "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
+    "q_pca_scores"        -> ((s, d) => Similarity.pcaScores(s, d)),
+    "q_pca_cov"           -> ((s, d) => Similarity.pcaCov(s, d)),
     "q_pq_topk"           -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ivfpq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q_pq_recall"         -> ((s, d) => Similarity.pqRecall(s, d)),
@@ -262,6 +268,7 @@ object SparkEntry {
     "q_stream_funnel"     -> ((s, d) => graft.streaming.StreamingOps.streamFunnelReplay(s, d)),
     "q_stream_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoinReplay(s, d)),
     "q_stream_stream_outer" -> ((s, d) => graft.streaming.StreamingOps.streamStreamOuterReplay(s, d)),
+    "q_stream_sessions"   -> ((s, d) => graft.streaming.StreamingOps.streamSessionsReplay(s, d)),
     "q_sliding_1h15m"     -> ((s, d) => StreamingTwins.sliding1h15m(s, d)),
     "q_sessions_10m"      -> ((s, d) => StreamingTwins.sessions10m(s, d)),
     // ---- B5/B8 behavioral analytics over events ----
@@ -1810,6 +1817,70 @@ object SparkEntry {
         |  CAST(pe_ppm AS BIGINT) AS pe_ppm,
         |  CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT) AS kappa_ppm
         |FROM k""".stripMargin),
+    // Zipf fit: integer-scaled logs (1e-8 units), exact HUGEINT OLS sums,
+    // doubles only in the final divisions — the q_ols_trend discipline
+    "q_zipf_slope" ->
+      """WITH f AS (SELECT w AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY 1),
+        |r AS (SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank FROM f),
+        |p AS (SELECT CAST(round(ln(rank::DOUBLE) * 100000000) AS HUGEINT) AS x,
+        |             CAST(round(ln(cnt::DOUBLE) * 100000000) AS HUGEINT) AS y FROM r),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_vocab,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) / 100000000, 6) AS intercept,
+        |  round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+        |        / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+        |FROM s""".stripMargin,
+    // Heaps growth: each word counts at its FIRST doc; bucket-grain
+    // cumulative sums (bounded window)
+    "q_heaps_curve" ->
+      """WITH d AS (SELECT doc_id, doc_id // 10 AS bucket,
+        |    len(string_split(text,' '))::BIGINT AS n_tokens FROM documents),
+        |pb AS (SELECT bucket, count(*) AS n_docs, sum(n_tokens) AS toks
+        |       FROM d GROUP BY 1),
+        |fw AS (SELECT w AS word, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |nw AS (SELECT first_doc // 10 AS bucket, count(*) AS n_new FROM fw GROUP BY 1)
+        |SELECT pb.bucket, pb.n_docs,
+        |  CAST(sum(pb.toks) OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_vocab
+        |FROM pb LEFT JOIN nw USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+    // multinomial Naive Bayes, trained on the corpus itself: Laplace
+    // likelihoods and priors each rounded ONCE into DECIMAL(18,8) (the
+    // lm_perplexity log discipline), per-doc scores exact integer×decimal
+    // sums, argmax ties on lang ascending — identical on both engines
+    "q_naive_bayes" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS word
+        |          FROM documents),
+        |dw AS (SELECT doc_id, lang, word, count(*) AS cnt FROM t GROUP BY 1, 2, 3),
+        |cw AS (SELECT lang AS c, word, sum(cnt) AS cwc FROM dw GROUP BY 1, 2),
+        |ct AS (SELECT c, sum(cwc) AS tokc FROM cw GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT word) AS v FROM cw),
+        |grid AS (SELECT w.word, ct.c,
+        |    CAST(round(ln((coalesce(cw.cwc, 0) + 1.0) / (ct.tokc + vv.v)), 8)
+        |         AS DECIMAL(18,8)) AS lik
+        |  FROM (SELECT DISTINCT word FROM cw) w
+        |  CROSS JOIN ct CROSS JOIN vv
+        |  LEFT JOIN cw ON cw.word = w.word AND cw.c = ct.c),
+        |pri AS (SELECT lang AS c,
+        |    CAST(round(ln(count(*)::DOUBLE / (SELECT count(*) FROM documents)), 8)
+        |         AS DECIMAL(18,8)) AS prior
+        |  FROM documents GROUP BY 1),
+        |sc AS (SELECT dw.doc_id, dw.lang, g.c, sum(dw.cnt * g.lik) AS s
+        |       FROM dw JOIN grid g USING (word) GROUP BY 1, 2, 3),
+        |sp AS (SELECT sc.doc_id, sc.lang, sc.c, sc.s + p.prior AS score
+        |       FROM sc JOIN pri p USING (c)),
+        |pr AS (SELECT doc_id, lang, c AS pred_lang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+        |       FROM sp)
+        |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_correct
+        |FROM pr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """WITH m AS (SELECT doc_id, n_chars, len(w)::BIGINT AS n_tokens,
         |  len(list_distinct(w))::BIGINT AS n_distinct,
@@ -2474,6 +2545,31 @@ object SparkEntry {
       s"""WITH $KmeansCtes
          |SELECT q.vec_id, q.label, af.cid::BIGINT AS cluster, af.dist::BIGINT AS dist
          |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin,
+    // power-iteration PCA: the trained eigenvector (max-norm micro-units)
+    // + explained-variance ppm, replayed round-for-round in exact integers
+    "q_pca_power" ->
+      s"""WITH $PcaCtes
+         |SELECT CAST(u.i - 1 AS BIGINT) AS pos,
+         |  CAST(v[u.i] AS BIGINT) AS loading,
+         |  CAST(explained_ppm AS BIGINT) AS explained_ppm
+         |FROM vf, ex, (SELECT unnest(range(1, 65)) AS i) u
+         |ORDER BY pos""".stripMargin,
+    // the serve path: every vector's exact projection, micro-units,
+    // sign-abs truncating division (same construction Spark-side)
+    "q_pca_scores" ->
+      s"""WITH $PcaCtes
+         |SELECT vec_id, CAST(CASE WHEN dd < 0 THEN -((-dd) // 1000000)
+         |  ELSE dd // 1000000 END AS BIGINT) AS score_mu
+         |FROM f ORDER BY vec_id""".stripMargin,
+    // exact Gram/covariance upper triangle: the same centered corpus,
+    // self-joined on vec_id; DECIMAL(38,0) sums rendered as strings (the
+    // q_join_profile no-silent-wrap pattern)
+    "q_pca_cov" ->
+      s"""WITH $PcaCtes
+         |SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
+         |  CAST(CAST(sum(CAST(a.dvp AS HUGEINT) * b.dvp) AS DECIMAL(38,0)) AS VARCHAR) AS cov_sum
+         |FROM du a JOIN du b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
     // full PQ replay: subspace Lloyd training, encode, LUT, ADC ranking
     "q_pq_topk" -> operators.Similarity.pqOracleSql,
     // exact-L2 + PQ + IVFADC rankings replayed and joined in one statement
@@ -2727,6 +2823,29 @@ object SparkEntry {
         |WHERE ((us // 3600000000) + 1) * 3600000000 <= fin.final_wm
         |  AND event_id % 2 = 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // streamed session windows: gap-sessionize the stateful rows
+    // (even event_ids ∪ the corpus-max watermark pin), emit only
+    // sessions closing at or below the terminal watermark — the probed
+    // append-mode semantics, session-merge edition
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id, event_id FROM events),
+        |fin AS (SELECT (max(us)//1000 - 7200000)*1000 AS final_wm FROM e),
+        |mx AS (SELECT max(us) AS mus FROM e),
+        |st AS (SELECT us, user_id, event_id FROM e, mx
+        |       WHERE event_id % 2 = 0 OR us = mus),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 600000000 THEN 1 ELSE 0 END AS ns
+        |      FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |g AS (SELECT user_id, sid, min(us) AS start_us,
+        |        max(us) + 600000000 AS end_us, count(*) AS n_events,
+        |        min(event_id) AS min_eid, max(event_id) AS max_eid
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(start_us AS BIGINT) AS start_us,
+        |  CAST(end_us AS BIGINT) AS end_us, n_events, min_eid, max_eid
+        |FROM g, fin WHERE end_us <= final_wm
+        |ORDER BY user_id, start_us""".stripMargin,
     "q_sessions_10m" ->
       """WITH m AS (SELECT user_id, epoch_ns(ts) AS tns, value,
         |  CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) IS NULL
@@ -3589,6 +3708,54 @@ object SparkEntry {
        |  FROM (SELECT q.vec_id, q.qv, c.cid,
        |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist
        |        FROM q CROSS JOIN c$fr c))""".stripMargin
+  }
+
+  /** Unrolled power-iteration PCA replay (q_pca_power / q_pca_scores):
+    * exactly Similarity.trainedPc1's integer arithmetic — micro-unit
+    * quantization (the KmeansCtes cast), truncating per-dimension mean,
+    * PcaRounds rounds of w = Σ d·dv in HUGEINT with sign-abs max-norm
+    * normalization, ending in `vf` = the trained eigenvector list, `f` =
+    * per-vector exact projections, `ex` = the explained-variance ppm with
+    * the same n-independent truncation order (sd2 // trace first). All
+    * integer; DuckDB `//` and Spark `div` both truncate toward zero, and
+    * every division is wrapped sign-abs anyway. */
+  private val PcaCtes: String = {
+    val dim = 64
+    val muSums = (1 to dim)
+      .map(i => s"CAST(sum(qv[$i]) AS HUGEINT) // count(*)")
+      .mkString("list_value(", ", ", ")")
+    // every chained CTE is MATERIALIZED: DuckDB otherwise inlines each
+    // reference, and the 64-round v←m←w←(du,p←d,v) chain re-plans the
+    // parquet scan per inlining — hundreds of concurrent file opens and
+    // exponential plan growth (observed as "Too many open files")
+    val rounds = (1 to graft.operators.Similarity.PcaRounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT vec_id, list_sum([dv[i] * v[i] for i in range(1,65)]) AS dd
+         |  FROM d CROSS JOIN v${r - 1}),
+         |w$r AS MATERIALIZED (SELECT pos, sum(CAST(dd AS HUGEINT) * dvp) AS w
+         |  FROM du JOIN p$r USING (vec_id) GROUP BY pos),
+         |m$r AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w$r),
+         |v$r AS MATERIALIZED (SELECT list(CAST(CASE WHEN w < 0 THEN -((-w) * 1000000 // mx)
+         |    ELSE w * 1000000 // mx END AS BIGINT) ORDER BY pos) AS v FROM w$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    val fr = graft.operators.Similarity.PcaRounds
+    s"""q AS MATERIALIZED (SELECT vec_id,
+       |  [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
+       |  FROM embeddings),
+       |mu AS MATERIALIZED (SELECT $muSums AS m FROM q),
+       |d AS MATERIALIZED (SELECT vec_id, [qv[i] - CAST(m[i] AS BIGINT) for i in range(1,65)] AS dv
+       |      FROM q CROSS JOIN mu),
+       |du AS MATERIALIZED (SELECT vec_id, u.i AS pos, dv[u.i] AS dvp
+       |       FROM d, (SELECT unnest(range(1, 65)) AS i) u),
+       |v0 AS (SELECT [CAST(1000000 AS BIGINT) for i in range(1,65)] AS v),
+       |$rounds,
+       |vf AS (SELECT v FROM v$fr),
+       |f AS (SELECT vec_id, dv, list_sum([dv[i] * v[i] for i in range(1,65)]) AS dd
+       |      FROM d CROSS JOIN vf),
+       |tr AS (SELECT sum(list_sum([CAST(dv[i] AS HUGEINT) * dv[i] for i in range(1,65)])) AS trace
+       |       FROM d),
+       |s2 AS (SELECT sum(CAST(dd AS HUGEINT) * dd) AS sd2 FROM f),
+       |vv AS (SELECT list_sum([CAST(v[i] AS HUGEINT) * v[i] for i in range(1,65)]) AS vtv FROM vf),
+       |ex AS (SELECT (sd2 // trace) * 1000000 // vtv AS explained_ppm FROM s2, tr, vv)""".stripMargin
   }
 
   /** Shared CTE block (no WITH keyword) producing `np` = the exact all-pairs

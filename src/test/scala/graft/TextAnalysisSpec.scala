@@ -71,6 +71,75 @@ class TextAnalysisSpec extends SparkSpec {
     assert(po > pe && kappa > 0 && kappa <= 1000000)
   }
 
+  test("zipf fit: matches a driver BigInt/double OLS replay; slope negative, r2 in range (r13)") {
+    import spark.implicits._
+    val r = TextAnalysis.zipfSlope(spark, sf).collect()(0)
+    val (n, slope, icept, r2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // independent replay from raw word counts
+    val wc = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect()
+      .sortBy { case (w, c) => (-c, w) }
+    assert(n == wc.length)
+    val pts = wc.zipWithIndex.map { case ((_, c), i) =>
+      (BigInt(math.round(math.log(i + 1.0) * 1e8)), BigInt(math.round(math.log(c.toDouble) * 1e8)))
+    }
+    val bn = BigInt(pts.length)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    def d(b: BigInt) = b.toDouble
+    val den = d(bn * sxx - sx * sx)
+    val eSlope = d(bn * sxy - sx * sy) / den
+    val eIcept = d(sy * sxx - sx * sxy) / den / 1e8
+    // compare the UNROUNDED replay within half-ulp-of-6dp (the query
+    // rounds half-up; rint here would round half-even)
+    assert(math.abs(slope - eSlope) <= 5.1e-7, s"slope $slope vs replay $eSlope")
+    assert(math.abs(icept - eIcept) <= 5.1e-7, s"intercept $icept vs replay $eIcept")
+    assert(slope < 0 && r2 >= 0 && r2 <= 1)
+  }
+
+  test("heaps curve: endpoints equal corpus totals, both cumulatives monotone (r13)") {
+    import spark.implicits._
+    val rows = TextAnalysis.heapsCurve(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    val toks = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n")).agg(sum("n"))
+      .first().getLong(0)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).distinct().count()
+    assert(rows.last._3 == toks && rows.last._4 == vocab)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 > a._3 && b._4 >= a._4, "cumulatives must be monotone")
+      case _ => ()
+    }
+  }
+
+  test("naive bayes: one prediction per doc, learns past the majority guess AND the hand markers (r13)") {
+    import spark.implicits._
+    val nb = TextAnalysis.naiveBayes(spark, sf)
+      .as[(Long, String, String, Boolean)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(nb.length == nDocs, "every doc classified exactly once")
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(nb.forall(r => langs.contains(r._3)))
+    assert(nb.forall(r => r._4 == (r._2 == r._3)), "is_correct consistent")
+    val acc = nb.count(_._4).toDouble / nb.length
+    // chance-corrected learning: beat the majority-class prior...
+    val majority = Tables.documents(spark, sf).groupBy("lang").count()
+      .agg(max("count")).first().getLong(0).toDouble / nDocs
+    assert(acc > majority, s"NB acc $acc does not beat majority guess $majority")
+    // ...and the hand-written marker classifier on the same corpus
+    val langidAcc = TextAnalysis.langId(spark, sf)
+      .filter(col("is_correct")).count().toDouble / nDocs
+    assert(acc > langidAcc, s"NB acc $acc does not beat langid $langidAcc")
+  }
+
   test("quality metrics are within their ranges") {
     val q = TextAnalysis.qualityScore(spark, sf)
     val bad = q.filter(
