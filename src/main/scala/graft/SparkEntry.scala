@@ -250,6 +250,7 @@ object SparkEntry {
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_pca_scores"        -> ((s, d) => Similarity.pcaScores(s, d)),
     "q_pca_cov"           -> ((s, d) => Similarity.pcaCov(s, d)),
+    "q_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "q_pq_topk"           -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ivfpq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q_pq_recall"         -> ((s, d) => Similarity.pqRecall(s, d)),
@@ -2545,6 +2546,24 @@ object SparkEntry {
       s"""WITH $KmeansCtes
          |SELECT q.vec_id, q.label, af.cid::BIGINT AS cluster, af.dist::BIGINT AS dist
          |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin,
+    // per-cluster distance z-scores off the same deterministic k-means
+    // replay: μ/σ from exact HUGEINT moment sums, doubles only at the end
+    "q_embedding_outliers" ->
+      s"""WITH $KmeansCtes,
+         |s AS (SELECT cid, count(*) AS n, sum(CAST(dist AS HUGEINT)) AS sd,
+         |        sum(CAST(dist AS HUGEINT) * dist) AS sdd
+         |      FROM af WHERE rn = 1 GROUP BY 1),
+         |u AS (SELECT cid,
+         |        CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |        sqrt(greatest(CAST(sdd AS DOUBLE)/CAST(n AS DOUBLE)
+         |          - (CAST(sd AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)), 0.0))
+         |          AS std
+         |      FROM s)
+         |SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster,
+         |  CAST(af.dist AS BIGINT) AS dist,
+         |  round(CASE WHEN u.std > 0 THEN (af.dist - u.mean) / u.std ELSE 0.0 END, 6) AS z,
+         |  (af.dist > u.mean + 2 * u.std) AS is_outlier
+         |FROM af JOIN u USING (cid) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin,
     // power-iteration PCA: the trained eigenvector (max-norm micro-units)
     // + explained-variance ppm, replayed round-for-round in exact integers
     "q_pca_power" ->

@@ -59,12 +59,14 @@ object SpillRehearsal {
     // plus the r11 heavyweights (VERDICT ask #8): the Apriori triple
     // fan-out, the histogram-cube build+serve, and the grid spatial join
     // — plus the r13 additions: the double-aggregate TPC-H Q18 (this
-    // round's heaviest shuffle, 176k records at sf0.1) and FP-Growth's
-    // path-grouped pattern-base aggregate
+    // round's heaviest shuffle, 176k records at sf0.1), FP-Growth's
+    // path-grouped pattern-base aggregate, and the PCA covariance
+    // triangle (2080-struct per-row expansion into a partial-combined
+    // DECIMAL aggregate — the widest map-side fan-out on the board)
     val queries = Seq("q_neardup_jaccard", "q_neardup_minhash",
       "q_neardup_clusters", "q_dedup_incremental",
       "q_assoc_rules3", "q_quantile_cube", "q_spatial_join",
-      "q_tpch_q18", "q_fpgrowth")
+      "q_tpch_q18", "q_fpgrowth", "q_pca_cov")
     val results = queries.map { name =>
       val rows = SparkEntry.queries(name)(spark, sfDir)
         .collect().map(_.toString).sorted

@@ -1384,6 +1384,43 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** EMBEDDING OUTLIERS (r13) — the vector-space quality gate a curation
+    * pipeline runs after clustering: each vector's integer k-means
+    * distance z-scored against its OWN cluster's distance distribution,
+    * flagging dist > μ_c + 2σ_c (the points no centroid explains —
+    * mislabeled media, encoder failures, adversarial junk).
+    *
+    * Exactness: dist is already an exact micro²-unit long (the k-means
+    * assignment); per-cluster n/Σd/Σd² aggregate in DECIMAL(38,0)
+    * (HUGEINT in the oracle — d² ~1e30 overflows a long), and the
+    * μ/σ/z doubles are derived from those exact sums in the same
+    * expression order both engines, so the 2σ boundary cannot disagree.
+    *
+    * Scale shape: rides the memoized k-means assignment (one map-side
+    * argmin pass), one k-cell moment aggregate, then a k-row stats join
+    * back (planner-broadcast — k rows). Nothing but the scan tracks n.
+    */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // fence: the assignment feeds the moment aggregate AND the stats join
+    val a = Dedup.fence(
+      kmeansAssigned(spark, sfDir).select(col("vec_id"), col("cluster"), col("dist")),
+      "vec_id")
+    val u = a.groupBy("cluster").agg(count(lit(1)).as("n"),
+      sum(col("dist").cast("decimal(38,0)")).as("sd"),
+      sum(col("dist").cast("decimal(38,0)") * col("dist")).as("sdd"))
+      .select(col("cluster"),
+        expr("cast(sd as double) / cast(n as double)").as("mean"),
+        expr("sqrt(greatest(cast(sdd as double)/cast(n as double) " +
+          "- (cast(sd as double)/cast(n as double))*(cast(sd as double)/cast(n as double)), 0.0d))")
+          .as("std"))
+    a.join(u, "cluster")
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        round(when(col("std") > 0, (col("dist") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)), 6).as("z"),
+        (col("dist") > col("mean") + lit(2.0) * col("std")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   // --------------------------------------------------------------------
   // Power-iteration PCA (r13) — the fourth deterministic iterative-ML
   // trainer (k-means, PQ, BPE precedents), and the first spectral one.
@@ -1507,10 +1544,22 @@ object Similarity {
 
   /** Centered micro-unit corpus (vec_id, dv): μ is ONE exact 64-cell
     * aggregate (truncating integer division, positive domain), then the
-    * centering is a map-side zip against the literal μ. Fenced: feeds
-    * every round, the final stats pass, and the score serve. */
+    * centering is a map-side zip against the literal μ. PERSISTED but
+    * deliberately NOT fenced: every consumer (rounds, stats, scores,
+    * covariance) is a global aggregate or map-side pass, so the fence's
+    * co-locating repartition would be the family's ONLY corpus-tracking
+    * shuffle — ScaleCurve measured it as exactly the +18k shuffle-row
+    * growth at 10×; without it the spectral family's shuffle is
+    * corpus-size-independent end to end (cells × partitions). */
   private def pcaDeltas(spark: SparkSession, sfDir: String): DataFrame = {
-    val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
+    // same micro-unit quantization expression as quantizedVectors, but
+    // WITHOUT its fence: the k-means family fences because its self-joins
+    // need co-location; PCA's consumers are all global aggregates, so the
+    // fence's repartition would be this family's only corpus-tracking
+    // shuffle (ScaleCurve measured it as exactly the 10× growth term)
+    val qv = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
+        .as("qv"))
     val r = qv.agg(count(lit(1)).as("n"),
       (1 to PcaDim).map(i =>
         sum(element_at(col("qv"), i).cast("decimal(38,0)")).as(s"s$i")): _*).collect()(0)
@@ -1518,10 +1567,9 @@ object Similarity {
     require(n > 0, "pca: empty corpus")
     val mu: Seq[Long] = (1 to PcaDim).map(i =>
       (BigInt(r.getDecimal(i).toBigIntegerExact) / n).toLong)
-    Dedup.fence(
-      qv.select(col("vec_id"),
-        zip_with(col("qv"), typedlit(mu), (x, y) => x - y).as("dv")),
-      "vec_id")
+    qv.select(col("vec_id"),
+        zip_with(col("qv"), typedlit(mu), (x, y) => x - y).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Per-row exact projection d = dv·v against the LITERAL eigenvector —

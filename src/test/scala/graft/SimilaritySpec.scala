@@ -456,6 +456,34 @@ class SimilaritySpec extends SparkSpec {
       s"explained_ppm ${gotPpm(0)} vs double $expectPpm")
   }
 
+  test("embedding outliers: z/flags equal a driver replay of the cluster moments (r13)") {
+    import spark.implicits._
+    val got = Similarity.embeddingOutliers(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got.length == graft.Tables.embeddings(spark, sf).count())
+    // replay from the same memoized assignment with BigInt moments
+    val a = Similarity.kmeans(spark, sf)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .as[(Long, Long, Long)].collect()
+    val byC: Map[Long, (Double, Double)] = a.groupBy(_._2).map { case (c, rs) =>
+      val n = rs.length
+      val sd = rs.map(r => BigInt(r._3)).sum
+      val sdd = rs.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      val mean = sd.toDouble / n.toDouble
+      val std = math.sqrt(math.max(sdd.toDouble / n.toDouble - mean * mean, 0.0))
+      c -> ((mean, std))
+    }
+    got.foreach { case (v, c, d, z, flag) =>
+      val (mean, std) = byC(c)
+      val ez = if (std > 0) (d - mean) / std else 0.0
+      assert(math.abs(z - ez) <= 5.1e-7, s"vec $v z $z vs $ez")
+      assert(flag == (d > mean + 2 * std), s"vec $v flag")
+    }
+    // non-vacuous: some outliers exist, most points are not outliers
+    val nOut = got.count(_._5)
+    assert(nOut > 0 && nOut < got.length / 4, s"outlier count $nOut")
+  }
+
   test("pca covariance cells equal a driver BigInt replay, exactly (r13)") {
     import spark.implicits._
     // replay the integer pipeline: quantize, truncating mean, products
