@@ -254,9 +254,11 @@ object TextAnalysis {
       "doc_id")
     val cw = dw.groupBy(col("lang").as("c"), col("word")).agg(sum("cnt").as("cwc"))
     val ct = cw.groupBy("c").agg(sum("cwc").as("tokc"))
-    // bounded driver scalars: vocabulary size and the class list
-    val vSize = cw.select("word").distinct().count()
-    val langs = ct.select("c").collect().map(_.getString(0)).sorted.toSeq
+    // bounded driver scalars (ONE job): vocabulary size + the class list
+    val meta = cw.agg(countDistinct(col("word")).as("v"),
+      sort_array(collect_set(col("c"))).as("langs")).collect()(0)
+    val vSize = meta.getLong(0)
+    val langs = meta.getSeq[String](1)
     val grid = cw.select("word").distinct()
       .withColumn("c", explode(typedlit(langs)))
       .join(broadcast(ct), "c")
