@@ -182,6 +182,7 @@ object SparkEntry {
     "q_langid_kappa"      -> ((s, d) => TextAnalysis.langIdKappa(s, d)),
     "q_naive_bayes"       -> ((s, d) => TextAnalysis.naiveBayes(s, d)),
     "q_zipf_slope"        -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    "q_gopher_rules"      -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_heaps_curve"       -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "q_quality"           -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q_fingerprint"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
@@ -1818,6 +1819,25 @@ object SparkEntry {
         |  CAST(pe_ppm AS BIGINT) AS pe_ppm,
         |  CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT) AS kappa_ppm
         |FROM k""".stripMargin),
+    // Gopher-style quality gate: every threshold an integer
+    // cross-multiplication — no doubles, bit-deterministic flags
+    "q_gopher_rules" ->
+      """WITH m AS (SELECT doc_id, len(w)::BIGINT AS nt,
+        |    len(list_distinct(w))::BIGINT AS nd,
+        |    len(list_filter(w, x -> list_contains(['a','the','of','and','to','in'], x)))::BIGINT AS ns,
+        |    CASE WHEN len(w) >= 3 THEN (len(w)-2)::BIGINT ELSE 0 END AS n3,
+        |    CASE WHEN len(w) >= 3
+        |         THEN len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]))::BIGINT
+        |         ELSE 0 END AS n3d
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+        |SELECT doc_id, nt AS n_tokens,
+        |  (nt >= 40 AND nt <= 95) AS flag_len,
+        |  (ns*50 >= nt) AS flag_stop,
+        |  (nd*10 >= nt*3) AS flag_ttr,
+        |  ((n3-n3d)*20 <= n3) AS flag_rep,
+        |  (nt >= 40 AND nt <= 95 AND ns*50 >= nt AND nd*10 >= nt*3
+        |   AND (n3-n3d)*20 <= n3) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Zipf fit: integer-scaled logs (1e-8 units), exact HUGEINT OLS sums,
     // doubles only in the final divisions — the q_ols_trend discipline
     "q_zipf_slope" ->

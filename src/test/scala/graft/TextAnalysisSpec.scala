@@ -120,6 +120,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: flags equal an exact driver replay; gate is live, not vacuous (r13)") {
+    import spark.implicits._
+    val got = TextAnalysis.gopherRules(spark, sf)
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(got.length == docs.size)
+    got.foreach { case (id, nt, fl, fs, ft, fr, keep) =>
+      val w = docs(id).split(" ")
+      val nd = w.distinct.length.toLong
+      val ns = w.count(Set("a", "the", "of", "and", "to", "in")).toLong
+      val n3 = if (w.length >= 3) (w.length - 2).toLong else 0L
+      val n3d = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq.distinct.length.toLong else 0L
+      assert(nt == w.length.toLong)
+      assert(fl == (nt >= 40 && nt <= 95), s"doc $id len")
+      assert(fs == (ns * 50 >= nt), s"doc $id stop")
+      assert(ft == (nd * 10 >= nt * 3), s"doc $id ttr")
+      assert(fr == ((n3 - n3d) * 20 <= n3), s"doc $id rep")
+      assert(keep == (fl && fs && ft && fr), s"doc $id keep")
+    }
+    // the gate is live: it keeps some and drops some, and at least three
+    // of the four rules individually reject at least one doc here
+    val nKeep = got.count(_._7)
+    assert(nKeep > 0 && nKeep < got.length)
+    val ruleBites = Seq(got.exists(!_._3), got.exists(!_._4),
+      got.exists(!_._5), got.exists(!_._6)).count(identity)
+    assert(ruleBites >= 3, s"only $ruleBites rules reject anything")
+  }
+
   test("naive bayes: one prediction per doc, learns past the majority guess AND the hand markers (r13)") {
     import spark.implicits._
     val nb = TextAnalysis.naiveBayes(spark, sf)
