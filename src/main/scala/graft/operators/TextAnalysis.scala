@@ -155,8 +155,17 @@ object TextAnalysis {
         col("n").as("n_docs"),
         expr("cast(diag as decimal(38,0)) * 1000000 div cast(n as decimal(38,0))").as("po_ppm"),
         expr("pe_num * 1000000 div (cast(n as decimal(38,0)) * cast(n as decimal(38,0)))").as("pe_ppm"))
+      // degenerate-corpus guard (ADVICE r13): on a single-language corpus
+      // the marginal product makes pe_ppm = 1e6 and the denominator
+      // vanishes — both engines would silently emit NULL; fail loud
+      // instead, like the pca require guards (never hit on this corpus:
+      // five languages, pe_ppm ≈ 2e5)
       .select(col("n_docs"), col("po_ppm"), col("pe_ppm"),
-        expr("(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)").as("kappa_ppm"))
+        expr("CASE WHEN pe_ppm >= 1000000 THEN CAST(raise_error(" +
+          "'langIdKappa: degenerate corpus — pe_ppm = 1e6 (single-language " +
+          "marginals), kappa undefined') AS BIGINT) " +
+          "ELSE (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm) END")
+          .as("kappa_ppm"))
   }
 
   /** ZIPF RANK-FREQUENCY FIT (r13) — the corpus-statistics readout next
@@ -190,6 +199,10 @@ object TextAnalysis {
           .as("r2"))
   }
 
+  /** Bucket-count ceiling for [[heapsCurve]]'s readout grain: the bucket
+    * width is derived so the curve never exceeds this many rows. */
+  val HeapsMaxBuckets = 1000L
+
   /** HEAPS-LAW VOCABULARY GROWTH (r13) — cumulative distinct-vocabulary
     * vs cumulative tokens in doc_id order, read out at BUCKET grain
     * (doc_id div 10): the companion corpus statistic to [[zipfSlope]]
@@ -200,18 +213,28 @@ object TextAnalysis {
     * running distinct: a word contributes to the cumulative vocabulary
     * exactly at its FIRST document (min doc_id per word, one
     * vocabulary-sized aggregate); per-bucket news then cumulative-sum
-    * over the BUCKET-sized frame — the window is bounded by bucket
-    * count, never corpus rows (at a real corpus, widen the bucket to
-    * keep it so; the width is a readout knob, not a semantics change). */
+    * over the BUCKET-sized frame.
+    *
+    * The bucket width is SCALE-DERIVED (VERDICT r13 ask #7), not fixed:
+    * width = ⌈(max_id+1)/[[HeapsMaxBuckets]]⌉ from a one-cell max
+    * aggregate (the bin-pack target precedent), so the readout is
+    * bounded at ≤ 1000 rows and the single-partition cum-sum window is
+    * O(1) at ANY corpus size — the r13 form's fixed `div 10` grew the
+    * window linearly with corpus docs. The oracle derives the identical
+    * width from the same max, all integer. */
   def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr("doc_id div 10").as("bucket"),
+    val docsT = Tables.documents(spark, sfDir)
+    // bounded driver scalar: the id range (ceil division, all integer)
+    val maxId = docsT.agg(max("doc_id")).collect()(0).getLong(0)
+    val bw = (maxId + HeapsMaxBuckets) / HeapsMaxBuckets
+    val docs = docsT
+      .select(col("doc_id"), expr(s"doc_id div $bw").as("bucket"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val perBucket = docs.groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"))
     val news = tokens(spark, sfDir)
       .groupBy("word").agg(min("doc_id").as("first_doc"))
-      .groupBy(expr("first_doc div 10").as("bucket"))
+      .groupBy(expr(s"first_doc div $bw").as("bucket"))
       .agg(count(lit(1)).as("n_new"))
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -259,6 +282,15 @@ object TextAnalysis {
       sort_array(collect_set(col("c"))).as("langs")).collect()(0)
     val vSize = meta.getLong(0)
     val langs = meta.getSeq[String](1)
+    // ENFORCED vocabulary bound (ADVICE r13): the V×|langs| likelihood
+    // grid broadcasts, so an unbounded real-corpus vocabulary (URLs,
+    // hashes, OCR junk) would blow past executor/driver broadcast limits
+    // silently — fail loud at 10^7 grid rows (≈ hundreds of MB); beyond
+    // it, swap the two `broadcast(grid)` hints for a shuffled hash join
+    // on `word` (same semantics, corpus-sized shuffle instead)
+    require(vSize * langs.size <= 10000000L,
+      s"naiveBayes: likelihood grid ${vSize}x${langs.size} exceeds the 1e7-row " +
+        "broadcast bound; use a shuffled hash join on word beyond this vocabulary")
     val grid = cw.select("word").distinct()
       .withColumn("c", explode(typedlit(langs)))
       .join(broadcast(ct), "c")
@@ -285,6 +317,86 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
         (col("c") === col("lang")).as("is_correct"))
       .orderBy("doc_id")
+  }
+
+  /** HELD-OUT NAIVE BAYES EVAL (r14, VERDICT r13 ask #3) — the honest
+    * generalization number next to [[naiveBayes]]'s training accuracy:
+    * the likelihood grid and priors are trained ONLY on
+    * `q_train_val_test`'s 98% train band (Sampling.splitCol — the
+    * deterministic hash banding, so the holdout can never leak or
+    * migrate), then BOTH bands are scored by that model and the readout
+    * reports per-(language, split) accuracy — the train row is the fit,
+    * the val row is the generalization gap a datasheet quotes.
+    *
+    * Semantics pinned for exactness: V = TRAIN vocabulary (Laplace
+    * denominator); a val word unseen in training is IGNORED (the inner
+    * grid join drops it — the standard ignore-unknowns NB convention,
+    * written identically in the oracle; never exercised on this corpus's
+    * 31 shared words, but pinned); priors from train-band counts;
+    * accuracies are exact integer ppm of per-split counts, so every
+    * group divides by its own nonzero n (a language with zero val docs
+    * simply has no val row — no NULL arithmetic). The test band is
+    * scored by NEITHER side: it stays untouched, as a real holdout
+    * protocol demands.
+    *
+    * Scale shape: [[naiveBayes]]'s exactly — the split label is a pure
+    * row-local hash compare fused into the same (doc, lang, word) pass,
+    * training is the one vocab-sized hash-agg over the train rows, the
+    * vocab-bounded grid broadcasts into the one corpus-sized scoring
+    * aggregate, and the readout collapses to |langs|×2 rows.
+    */
+  def nbHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    // fence: the per-(doc, split, word) counts feed training AND scoring
+    val dw = Dedup.fence(
+      tokens(spark, sfDir)
+        .withColumn("split", Sampling.splitCol)
+        .filter(col("split") =!= "test")
+        .groupBy("doc_id", "lang", "split", "word")
+        .agg(count(lit(1)).as("cnt")),
+      "doc_id")
+    val cw = dw.filter(col("split") === "train")
+      .groupBy(col("lang").as("c"), col("word")).agg(sum("cnt").as("cwc"))
+    val ct = cw.groupBy("c").agg(sum("cwc").as("tokc"))
+    val meta = cw.agg(countDistinct(col("word")).as("v"),
+      sort_array(collect_set(col("c"))).as("langs")).collect()(0)
+    val vSize = meta.getLong(0)
+    val langs = meta.getSeq[String](1)
+    require(vSize * langs.size <= 10000000L,
+      s"nbHoldout: likelihood grid ${vSize}x${langs.size} exceeds the 1e7-row " +
+        "broadcast bound; use a shuffled hash join on word beyond this vocabulary")
+    val grid = cw.select("word").distinct()
+      .withColumn("c", explode(typedlit(langs)))
+      .join(broadcast(ct), "c")
+      .join(cw, Seq("word", "c"), "left")
+      .select(col("word"), col("c"),
+        round(log((coalesce(col("cwc"), lit(0L)) + lit(1.0)) /
+          (col("tokc") + lit(vSize.toDouble))), 8)
+          .cast("decimal(18,8)").as("lik"))
+    val trainDocs = Tables.documents(spark, sfDir)
+      .withColumn("split", Sampling.splitCol)
+      .filter(col("split") === "train")
+    val nDocs = trainDocs.agg(count(lit(1)).as("nd"))
+    val priors = trainDocs
+      .groupBy(col("lang").as("c")).agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("c"),
+        round(log(col("nc") / col("nd")), 8).cast("decimal(18,8)").as("prior"))
+    val scores = dw.join(broadcast(grid), "word")
+      .groupBy("doc_id", "lang", "split", "c")
+      .agg(sum(col("cnt") * col("lik")).as("s"))
+      .join(broadcast(priors), "c")
+      .select(col("doc_id"), col("lang"), col("split"), col("c"),
+        (col("s") + col("prior")).as("score"))
+    scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("c"))))
+      .filter(col("rn") === 1)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("lang"), col("split"), col("n_docs"), col("n_correct"),
+        expr("n_correct * 1000000 div n_docs").as("acc_ppm"))
+      .orderBy("lang", "split")
   }
 
   /** Per-document quality score: type-token ratio, stopword ratio, and a

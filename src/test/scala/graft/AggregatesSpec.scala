@@ -375,6 +375,53 @@ class AggregatesSpec extends SparkSpec {
     assert((a & b).nonEmpty && a != b && (a -- b).nonEmpty && (b -- a).nonEmpty)
   }
 
+  test("hll overlap sketch form: exact columns equal the audit form, verdict TRUE, NO Expand plans (r14)") {
+    val sk = Aggregates.hllOverlapSketch(spark, sf)
+    // the 100 TB shape: the three-way multi-distinct Expand is gone —
+    // sketches are plain aggregates, exacts ride the unpivot
+    // single-distinct construction (the profile_approx precedent)
+    val physical = sk.queryExecution.executedPlan.toString
+    assert(!physical.contains("Expand"),
+      s"hllOverlapSketch planned an Expand multi-distinct:\n$physical")
+    val got = sk.head()
+    val audit = Aggregates.hllOverlap(spark, sf).head()
+    // every exact column (all but the verdict) matches the Expand form
+    assert(got.toSeq.dropRight(1) == audit.toSeq.dropRight(1))
+    assert(got.getBoolean(5), "composed estimate outside the union envelope")
+  }
+
+  test("kmv distinct: estimate equals a pure-JVM replay exactly; heap node planned (r14)") {
+    import spark.implicits._
+    val q = Aggregates.kmvDistinct(spark, sf)
+    // the rank window plans as the bounded-heap GroupTopK node — the
+    // k·groups-state shape, never a per-type full sort
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("GroupTopK"),
+      s"kmv k-minima did not plan the bounded-heap node:\n$physical")
+    val got = q.as[(String, Long, Long, Long)].collect()
+    // independent replay: JVM md5, top-60-bit hash, k smallest, estimator
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id").cast("string"))
+      .as[(String, String)].collect().groupBy(_._1)
+    assert(got.map(_._1).toSet == byType.keySet)
+    got.foreach { case (t, nExact, est, errPpm) =>
+      val hs = byType(t).map(_._2).distinct.map(h60).sorted
+      assert(nExact == hs.length.toLong)
+      val want =
+        if (hs.length < Aggregates.KmvK) hs.length.toLong
+        else ((BigInt(Aggregates.KmvK - 1) * (BigInt(1) << 60)) / hs(Aggregates.KmvK - 1)).toLong
+      assert(est == want, s"$t: est $est vs replay $want")
+      assert(errPpm == math.abs(est - nExact) * 1000000L / nExact)
+      // the estimator is honest at k=64: within ~4 sigma of truth
+      assert(errPpm <= 520000L, s"$t: err $errPpm ppm beyond the 4-sigma envelope")
+    }
+  }
+
   test("hll sketch cube serving arm scans only the stored artifact, never the fact table") {
     // the serving arm (sketch read + union) must resolve to the cube dir;
     // the fact scan in the registered query belongs to the exact-audit

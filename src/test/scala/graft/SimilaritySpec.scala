@@ -522,4 +522,109 @@ class SimilaritySpec extends SparkSpec {
     // centered corpus ⇒ projections must straddle zero
     assert(scores.values.max > 0 && scores.values.min < 0)
   }
+
+  test("pca covariance append twin: re-summed cells equal the one-shot build bit-for-bit; halves non-trivial (r14)") {
+    import spark.implicits._
+    val full = Similarity.pcaCov(spark, sf)
+      .as[(Long, Long, String)].collect().map { case (i, j, s) => (i, j) -> s }.toMap
+    val incr = Similarity.pcaCovIncremental(spark, sf)
+      .as[(Long, Long, String)].collect().map { case (i, j, s) => (i, j) -> s }.toMap
+    assert(incr.size == 2080)
+    assert(incr == full, "appended scatter cells diverge from the one-shot build")
+    // non-vacuous: both halves contribute (even and odd vec_ids exist)
+    val par = graft.Tables.embeddings(spark, sf)
+      .select((col("vec_id") % 2).as("p")).distinct().as[Long].collect().toSet
+    assert(par == Set(0L, 1L), "fixture degenerate: one parity class missing")
+  }
+
+  test("pca topk: every eigen-verdict TRUE, trace exact vs BigInt replay, jacobiEig agrees with the independent solver (r14)") {
+    import spark.implicits._
+    val rows = Similarity.pcaTopk(spark, sf)
+      .as[(Long, Long, String, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    rows.foreach { case (c, _, _, ray, res, orth, ord, beat) =>
+      assert(ray, s"component $c: Rayleigh disagrees with the eigensolve")
+      assert(res, s"component $c: distributed residual too large")
+      assert(orth && ord && beat, s"component $c: orth/order/beats-iterate failed")
+    }
+    // trace replay: same integer pipeline as the covariance cells test
+    val Q = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x => math.round((x.toDouble + 1.0) * 1e6)).toArray }
+    val n = Q.length
+    val mu = Array.tabulate(64)(j => Q.map(_._2(j)).map(BigInt(_)).sum / n)
+    val trace = Q.map { case (_, q) =>
+      (0 until 64).map(j => { val d = BigInt(q(j)) - mu(j); d * d }).foldLeft(BigInt(0))(_ + _)
+    }.foldLeft(BigInt(0))(_ + _)
+    assert(rows.forall(r => r._2 == n.toLong && r._3 == trace.toString))
+    // the production full solver's top eigenvalue equals the spec's
+    // INDEPENDENT top-eig-only Jacobi on the same exact cells
+    val s = Similarity.pcaCovMatrix(spark, sf).map(_.map(_.toDouble))
+    val (evals, evecs) = Similarity.jacobiEig(s)
+    val top = evals.max
+    val topIndep = jacobiTopEig(s)
+    assert(math.abs(top - topIndep) <= 1e-9 * topIndep,
+      s"jacobiEig top $top vs independent $topIndep")
+    // and its eigenvectors are mutually orthonormal to solver precision
+    val k = evals.indices.sortBy(i => -evals(i)).take(2)
+    val (v1, v2) = (evecs(k(0)), evecs(k(1)))
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(v1, v2)) <= 1e-9)
+    assert(math.abs(dot(v1, v1) - 1.0) <= 1e-9 && math.abs(dot(v2, v2) - 1.0) <= 1e-9)
+  }
+
+  test("pca pc2: integer deflated trainer tracks a double-precision replay of the same rounds (r14)") {
+    val D = pcaCenteredDoubles()
+    val dim = 64
+    // double deflated power iteration, SAME rounds / start / projection /
+    // max-norm scheme as trainPc2Rounds
+    val v1 = Similarity.trainedPc1(spark, sf).map(_.toDouble)
+    val vv1 = v1.map(x => x * x).sum
+    var u = Array.fill(dim)(1.0)
+    for (_ <- 1 to Similarity.Pc2Rounds) {
+      val w = Array.fill(dim)(0.0)
+      D.foreach { dv =>
+        var d = 0.0; var j = 0
+        while (j < dim) { d += dv(j) * u(j); j += 1 }
+        j = 0; while (j < dim) { w(j) += d * dv(j); j += 1 }
+      }
+      val q = (0 until dim).map(i => w(i) * v1(i)).sum / vv1
+      val w2 = (0 until dim).map(i => w(i) - q * v1(i)).toArray
+      val mx = w2.map(math.abs).max
+      u = w2.map(_ / mx)
+    }
+    val ui = Similarity.trainedPc2(spark, sf).map(_.toDouble)
+    val cos = math.abs(
+      (0 until dim).map(j => ui(j) * u(j)).sum /
+        (math.sqrt(ui.map(x => x * x).sum) * math.sqrt(u.map(x => x * x).sum)))
+    assert(cos > 0.9999, s"integer deflated iterate diverges from double replay: cos=$cos")
+    assert(ui.map(math.abs).max == Similarity.PcaScale.toDouble) // max-norm invariant
+    // deflation contract: the iterate is orthogonal to the trained PC1
+    // up to integer truncation (each round projects v1 off exactly)
+    val vi1 = Similarity.trainedPc1(spark, sf)
+    val ui2 = Similarity.trainedPc2(spark, sf)
+    val d12 = (0 until dim).map(i => BigInt(vi1(i)) * BigInt(ui2(i))).foldLeft(BigInt(0))(_ + _)
+    val n1 = math.sqrt(vi1.map(x => x.toDouble * x).sum)
+    val n2 = math.sqrt(ui2.map(x => x.toDouble * x).sum)
+    assert(d12.abs.toDouble <= 1e-3 * n1 * n2,
+      s"PC2 iterate not orthogonal to PC1: cos=${d12.toDouble / (n1 * n2)}")
+  }
+
+  test("pca scores2: per-vector projections are the exact dots; ppms in range (r14)") {
+    import spark.implicits._
+    val got = Similarity.pcaScores2(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == graft.Tables.embeddings(spark, sf).count())
+    val ex1 = got.map(_._4).distinct
+    val ex2 = got.map(_._5).distinct
+    assert(ex1.length == 1 && ex2.length == 1)
+    assert(ex1(0) > 0 && ex1(0) <= 1000000 && ex2(0) > 0 && ex2(0) <= 1000000)
+    // score1 must agree with the already-proven single-component serve
+    val s1 = Similarity.pcaScores(spark, sf).as[(Long, Long)].collect().toMap
+    got.foreach { case (id, a, _, _, _) => assert(a == s1(id)) }
+    // both components straddle zero on the centered corpus
+    assert(got.map(_._2).max > 0 && got.map(_._2).min < 0)
+    assert(got.map(_._3).max > 0 && got.map(_._3).min < 0)
+  }
 }

@@ -106,6 +106,9 @@ class TextAnalysisSpec extends SparkSpec {
     val rows = TextAnalysis.heapsCurve(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
+    // scale-derived width (r14): the readout is bounded at any SF
+    assert(rows.length <= TextAnalysis.HeapsMaxBuckets,
+      s"heaps readout ${rows.length} rows exceeds the derived-width bound")
     assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
     val toks = Tables.documents(spark, sf)
       .select(size(split(col("text"), " ")).cast("long").as("n")).agg(sum("n"))
@@ -167,6 +170,32 @@ class TextAnalysisSpec extends SparkSpec {
     val langidAcc = TextAnalysis.langId(spark, sf)
       .filter(col("is_correct")).count().toDouble / nDocs
     assert(acc > langidAcc, s"NB acc $acc does not beat langid $langidAcc")
+  }
+
+  test("nb holdout: protocol honest — test band untouched, bands exact, ppm arithmetic exact (r14)") {
+    import spark.implicits._
+    val rows = TextAnalysis.nbHoldout(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the holdout protocol: ONLY train and val rows — the test band is
+    // scored by neither side and never appears
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val")))
+    // band totals equal the deterministic split's own counts per band
+    val splits = graft.operators.Sampling.trainValTest(spark, sf)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val got = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(got("train") == splits("train"), s"train band ${got("train")} vs ${splits("train")}")
+    assert(got.getOrElse("val", 0L) == splits.getOrElse("val", 0L))
+    // exact integer ppm per row; correctness never exceeds the band
+    rows.foreach { case (lang, split, n, ok, ppm) =>
+      assert(ok >= 0 && ok <= n, s"$lang/$split")
+      assert(ppm == ok * 1000000L / n, s"$lang/$split ppm")
+    }
+    // the trained model fits its own band better than chance: weighted
+    // train accuracy beats the uniform 1/|langs| guess
+    val trainRows = rows.filter(_._2 == "train")
+    val trainAcc = trainRows.map(_._4).sum.toDouble / trainRows.map(_._3).sum
+    assert(trainAcc > 1.0 / 5, s"train accuracy $trainAcc at or under uniform chance")
   }
 
   test("quality metrics are within their ranges") {
