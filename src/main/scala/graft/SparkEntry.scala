@@ -102,6 +102,7 @@ object SparkEntry {
     "q_hll_overlap"       -> ((s, d) => Aggregates.hllOverlap(s, d)),
     "q_hll_overlap_sketch" -> ((s, d) => Aggregates.hllOverlapSketch(s, d)),
     "q_kmv_distinct"      -> ((s, d) => Aggregates.kmvDistinct(s, d)),
+    "q_kmv_cube"          -> ((s, d) => Aggregates.kmvCubeServed(s, d)),
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
     "q_dd_cube"            -> ((s, d) => Aggregates.ddCubeServed(s, d)),
@@ -251,6 +252,7 @@ object SparkEntry {
     "q_ivf_audit"         -> ((s, d) => Similarity.ivfAudit(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
+    "q_label_purity"      -> ((s, d) => Similarity.labelPurity(s, d)),
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_pca_scores"        -> ((s, d) => Similarity.pcaScores(s, d)),
     "q_pca_cov"           -> ((s, d) => Similarity.pcaCov(s, d)),
@@ -1247,26 +1249,11 @@ object SparkEntry {
     // KMV: the sketch is a pure function of the data under the house
     // 60-bit md5 hash, so the ESTIMATE ITSELF replays exactly — no
     // bracket needed, full oracle (unlike HLL's engine-private registers)
-    "q_kmv_distinct" ->
-      """WITH dh AS (SELECT DISTINCT event_type,
-        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
-        |  FROM events),
-        |tk AS (SELECT event_type, h,
-        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-        |       FROM dh),
-        |kk AS (SELECT event_type, max(h) AS hk, count(*) AS nk
-        |       FROM tk WHERE rn <= 64 GROUP BY 1),
-        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
-        |       FROM events GROUP BY 1),
-        |est AS (SELECT k.event_type, e.n_exact,
-        |          CASE WHEN k.nk < 64 THEN k.nk
-        |               ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // k.hk
-        |          END AS kmv_est
-        |        FROM kk k JOIN ex e USING (event_type))
-        |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
-        |  CAST(kmv_est AS BIGINT) AS kmv_est,
-        |  CAST(abs(kmv_est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
-        |FROM est ORDER BY event_type""".stripMargin,
+    "q_kmv_distinct" -> KmvOracle,
+    // the served day-cube merge (union + re-rank + truncate) is EXACTLY
+    // the one-shot top-k — the merged estimate equals q_kmv_distinct
+    // bit-for-bit, so the oracle is shared verbatim
+    "q_kmv_cube" -> KmvOracle,
     // the sketch-cube serving shape: exact companions + the cube grain
     // (distinct days) are portable; the merged-union estimate is the
     // bracket verdict, like q_approx_distinct
@@ -2685,6 +2672,22 @@ object SparkEntry {
       s"""WITH $KmeansCtes
          |SELECT q.vec_id, q.label, af.cid::BIGINT AS cluster, af.dist::BIGINT AS dist
          |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin,
+    // cluster-label purity: majority-label share per cluster off the same
+    // deterministic k-means replay; all-integer, tie on (n DESC, label)
+    "q_label_purity" ->
+      s"""WITH $KmeansCtes,
+         |cl AS (SELECT af.cid AS cluster, q.label, count(*) AS n
+         |       FROM af JOIN q USING (vec_id) WHERE af.rn = 1 GROUP BY 1, 2),
+         |t AS (SELECT cluster, sum(n) AS n_vecs FROM cl GROUP BY 1),
+         |mj AS (SELECT cluster, label AS maj_label, n AS n_maj,
+         |         row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+         |       FROM cl)
+         |SELECT CAST(t.cluster AS BIGINT) AS cluster,
+         |  CAST(t.n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(m.maj_label AS BIGINT) AS maj_label,
+         |  CAST(m.n_maj AS BIGINT) AS n_maj,
+         |  CAST(m.n_maj * 1000000 // t.n_vecs AS BIGINT) AS purity_ppm
+         |FROM t JOIN mj m USING (cluster) WHERE m.rn = 1 ORDER BY cluster""".stripMargin,
     // per-cluster distance z-scores off the same deterministic k-means
     // replay: μ/σ from exact HUGEINT moment sums, doubles only at the end
     "q_embedding_outliers" ->
@@ -3951,6 +3954,30 @@ object SparkEntry {
        |vv AS (SELECT list_sum([CAST(v[i] AS HUGEINT) * v[i] for i in range(1,65)]) AS vtv FROM vf),
        |ex AS (SELECT (sd2 // trace) * 1000000 // vtv AS explained_ppm FROM s2, tr, vv)""".stripMargin
   }
+
+  /** Shared KMV replay (q_kmv_distinct and the served cube — the
+    * union-merge of per-day synopses is exactly the global top-k, so one
+    * oracle serves both). */
+  private val KmvOracle: String =
+    """WITH dh AS (SELECT DISTINCT event_type,
+      |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      |  FROM events),
+      |tk AS (SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |       FROM dh),
+      |kk AS (SELECT event_type, max(h) AS hk, count(*) AS nk
+      |       FROM tk WHERE rn <= 64 GROUP BY 1),
+      |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |       FROM events GROUP BY 1),
+      |est AS (SELECT k.event_type, e.n_exact,
+      |          CASE WHEN k.nk < 64 THEN k.nk
+      |               ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // k.hk
+      |          END AS kmv_est
+      |        FROM kk k JOIN ex e USING (event_type))
+      |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(kmv_est AS BIGINT) AS kmv_est,
+      |  CAST(abs(kmv_est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+      |FROM est ORDER BY event_type""".stripMargin
 
   /** Shared exact-scatter-cell replay (q_pca_cov and its appended twin —
     * additivity over row partitions at a fixed mean makes them

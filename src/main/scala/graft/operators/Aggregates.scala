@@ -259,10 +259,8 @@ object Aggregates {
   def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val two60 = BigInt(1) << 60
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    val dh = Tables.events(spark, sfDir)
-      .select(col("event_type"), h.as("h")).distinct()
+    val dh = kmvHashes(spark, sfDir)
+      .select(col("event_type"), col("h")).distinct()
     val kth = dh
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("h")))
@@ -272,6 +270,70 @@ object Aggregates {
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
     kth.join(exact, "event_type")
+      .withColumn("kmv_est",
+        when(col("nk") < KmvK, col("nk")).otherwise(
+          expr(s"cast((cast(${KmvK - 1} as decimal(38,0)) * $two60) div hk as bigint)")))
+      .select(col("event_type"), col("n_exact"), col("kmv_est"),
+        expr("abs(kmv_est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val kmvCubeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** The (event_type, hash) distinct stream under the house 60-bit hash —
+    * shared by the one-shot sketch and the cube builder. */
+  private def kmvHashes(spark: SparkSession, sfDir: String) =
+    Tables.events(spark, sfDir).select(col("event_type"),
+      expr("ts div 86400000000000").as("day"),
+      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+
+  /** Stored per-(type, day) KMV synopses — k smallest distinct hashes per
+    * grain cell, built once per session (the CMS/HLL/histogram cube
+    * lifecycle at k·8 bytes per cell). */
+  private[graft] def kmvCubeDir(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    SessionMemos.arm(spark, kmvCubeMemo)
+    kmvCubeMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = SessionMemos.tempDir(spark, "graft-kmv-cube")
+      kmvHashes(spark, sfDir).distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "day").orderBy("h")))
+        .filter(col("rn") <= KmvK)
+        .select("event_type", "day", "h")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+  }
+
+  /** KMV CUBE, SERVED (r14) — the mergeability half of [[kmvDistinct]]'s
+    * story, exercised for real: per-(type, day) k-minima synopses are
+    * STORED (build-once), and an all-days rollup merges them by
+    * union + re-rank + truncate-to-k. The merge is EXACT, not
+    * approximate-on-approximate: any hash in the union's global top-k
+    * has ≤ k−1 smaller hashes in the whole union, hence ≤ k−1 smaller
+    * in its own day — so it survived its day's synopsis, and the merged
+    * top-k IS the top-k of the full distinct set. The served estimate
+    * therefore equals the one-shot [[kmvDistinct]] bit-for-bit and the
+    * oracle is shared verbatim (the ddCube additivity precedent, in
+    * union-semilattice form). Serving scans ONLY the stored synopses
+    * (days·types·k rows); the exact countDistinct companion is the
+    * droppable audit arm, as everywhere.
+    */
+  def kmvCubeServed(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val two60 = BigInt(1) << 60
+    val merged = spark.read.parquet(kmvCubeDir(spark, sfDir))
+      .select(col("event_type"), col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .groupBy("event_type")
+      .agg(max("h").as("hk"), count(lit(1)).as("nk"))
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, "event_type")
       .withColumn("kmv_est",
         when(col("nk") < KmvK, col("nk")).otherwise(
           expr(s"cast((cast(${KmvK - 1} as decimal(38,0)) * $two60) div hk as bigint)")))

@@ -1384,6 +1384,42 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** CLUSTER-LABEL PURITY (r14) — the external-validation eval for the
+    * k-means family (the confusion-audit / recall-audit precedent): each
+    * cluster scored against the corpus's ground-truth `label` column by
+    * majority-label share. Purity is THE first number a clustering
+    * datasheet quotes (Manning, Raghavan & Schütze, IR book §16.3);
+    * read honestly it also documents this corpus's measured limitation —
+    * the embeddings are near-isotropic (λ2/λ1 ≈ 0.93), so geometric
+    * clusters align only weakly with labels and purity sits near the
+    * 1/|labels| chance floor. The eval exists to SAY that with a pinned
+    * number rather than leave it implied.
+    *
+    * Exactness: counts and the tie order (n DESC, label ASC) are
+    * integers end-to-end; purity is exact integer ppm. Scale shape:
+    * rides the memoized k-means assignment — one (cluster, label)
+    * hash-agg (k·|labels| cells), fenced once for its two bounded
+    * consumers (totals + the majority window over k·|labels| rows).
+    */
+  def labelPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Dedup.fence(
+      kmeans(spark, sfDir)
+        .select(col("cluster"), col("label").cast("long").as("label"))
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n")),
+      "cluster")
+    val tot = cells.groupBy("cluster").agg(sum("n").as("n_vecs"))
+    val maj = cells
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(desc("n"), asc("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("maj_label"), col("n").as("n_maj"))
+    tot.join(maj, "cluster")
+      .select(col("cluster"), col("n_vecs"), col("maj_label"), col("n_maj"),
+        expr("n_maj * 1000000 div n_vecs").as("purity_ppm"))
+      .orderBy("cluster")
+  }
+
   /** EMBEDDING OUTLIERS (r13) — the vector-space quality gate a curation
     * pipeline runs after clustering: each vector's integer k-means
     * distance z-scored against its OWN cluster's distance distribution,

@@ -422,6 +422,32 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("kmv cube: served merge equals the one-shot sketch; sketch arm reads only the stored synopses (r14)") {
+    import spark.implicits._
+    val served = Aggregates.kmvCubeServed(spark, sf)
+    // the union-merge theorem in practice: served == one-shot, bit-for-bit
+    val oneShot = Aggregates.kmvDistinct(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = served.as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == oneShot, "merged day synopses diverge from the one-shot KMV")
+    // the SKETCH arm scans only the stored artifact (the exact
+    // countDistinct companion is the audit arm and may scan the fact)
+    val dir = Aggregates.kmvCubeDir(spark, sf)
+    // AQE hides FileSourceScanExec pre-execution — read the relations off
+    // the analyzed logical plan (the hll-cube test's idiom)
+    val scans = served.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("graft-kmv-cube")),
+      s"serving arm never read the synopsis store $dir: $scans")
+    // synopsis store is grain-bounded: <= k rows per (type, day) cell
+    val cells = spark.read.parquet(dir)
+      .groupBy("event_type", "day").count().as[(String, Long, Long)].collect()
+    assert(cells.nonEmpty && cells.forall(_._3 <= Aggregates.KmvK))
+  }
+
   test("hll sketch cube serving arm scans only the stored artifact, never the fact table") {
     // the serving arm (sketch read + union) must resolve to the cube dir;
     // the fact scan in the registered query belongs to the exact-audit

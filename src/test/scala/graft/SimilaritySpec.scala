@@ -523,6 +523,35 @@ class SimilaritySpec extends SparkSpec {
     assert(scores.values.max > 0 && scores.values.min < 0)
   }
 
+  test("label purity: majority stats equal a driver replay of the assignment; chance-floor honesty (r14)") {
+    import spark.implicits._
+    val got = Similarity.labelPurity(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val a = Similarity.kmeans(spark, sf)
+      .select(col("cluster"), col("label").cast("long"))
+      .as[(Long, Long)].collect()
+    val byCluster = a.groupBy(_._1)
+    assert(got.map(_._1).toSet == byCluster.keySet)
+    var totMaj = 0L
+    got.foreach { case (c, n, majL, nMaj, ppm) =>
+      val labels = byCluster(c).map(_._2)
+      assert(n == labels.length.toLong)
+      val counts = labels.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (wantL, wantN) = counts.toSeq.minBy { case (l, cnt) => (-cnt, l) }
+      assert((majL, nMaj) == (wantL, wantN), s"cluster $c majority")
+      assert(ppm == nMaj * 1000000L / n)
+      totMaj += nMaj
+    }
+    // honesty pin: on this near-isotropic corpus purity sits above the
+    // 1/|labels| chance floor but FAR below a separable corpus's — the
+    // eval's job is to report that, so pin both sides
+    val nAll = a.length
+    val nLabels = a.map(_._2).distinct.length
+    val overall = totMaj.toDouble / nAll
+    assert(overall >= 1.0 / nLabels, s"purity $overall under the chance floor")
+    assert(overall < 0.9, s"purity $overall suspiciously separable — fixture changed?")
+  }
+
   test("pca covariance append twin: re-summed cells equal the one-shot build bit-for-bit; halves non-trivial (r14)") {
     import spark.implicits._
     val full = Similarity.pcaCov(spark, sf)
