@@ -253,6 +253,7 @@ object SparkEntry {
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_label_purity"      -> ((s, d) => Similarity.labelPurity(s, d)),
+    "q_rand_proj"         -> ((s, d) => Similarity.randProjPairs(s, d)),
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_pca_scores"        -> ((s, d) => Similarity.pcaScores(s, d)),
     "q_pca_cov"           -> ((s, d) => Similarity.pcaCov(s, d)),
@@ -2672,6 +2673,35 @@ object SparkEntry {
       s"""WITH $KmeansCtes
          |SELECT q.vec_id, q.label, af.cid::BIGINT AS cluster, af.dist::BIGINT AS dist
          |FROM af JOIN q USING (vec_id) WHERE af.rn = 1 ORDER BY vec_id""".stripMargin,
+    // JL random projection: the ±1 matrix derives from the house md5 hash
+    // ("rp:r:c" low bit), so projections, fingerprints AND the per-pair
+    // distortion ratio replay exactly — a fully deterministic sketch
+    "q_rand_proj" ->
+      """WITH qe AS (SELECT vec_id,
+        |    [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
+        |  FROM embeddings),
+        |sg AS (SELECT r.r, c.c,
+        |    CASE WHEN ('0x'||substr(md5('rp:'||CAST(r.r AS VARCHAR)||':'||CAST(c.c AS VARCHAR)),1,1))::INT % 2 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 16)) AS r) r,
+        |       (SELECT unnest(range(1, 65)) AS c) c),
+        |pe AS (SELECT q.vec_id, sg.r, CAST(sum(sg.s * q.qv[sg.c]) AS BIGINT) AS p
+        |       FROM qe q, sg GROUP BY 1, 2),
+        |pl AS (SELECT vec_id,
+        |         list(p ORDER BY r) AS p,
+        |         md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY r)) AS fp
+        |       FROM pe GROUP BY 1),
+        |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         a.fp AS proj_fp_a, b.fp AS proj_fp_b,
+        |         CAST(list_sum([(qa.qv[i] - qb.qv[i])*(qa.qv[i] - qb.qv[i]) for i in range(1,65)]) AS BIGINT) AS d64,
+        |         CAST(list_sum([(a.p[i] - b.p[i])*(a.p[i] - b.p[i]) for i in range(1,17)]) AS BIGINT) AS d16
+        |       FROM pl a JOIN pl b ON b.vec_id = a.vec_id + 1
+        |       JOIN qe qa ON qa.vec_id = a.vec_id
+        |       JOIN qe qb ON qb.vec_id = b.vec_id
+        |       WHERE a.vec_id % 2 = 0)
+        |SELECT vec_a, vec_b, proj_fp_a, proj_fp_b, d64, d16,
+        |  CAST(CAST(d16 AS HUGEINT) * 1000000 // (16 * CAST(d64 AS HUGEINT)) AS BIGINT) AS ratio_ppm
+        |FROM pr ORDER BY vec_a""".stripMargin,
     // cluster-label purity: majority-label share per cluster off the same
     // deterministic k-means replay; all-integer, tie on (n DESC, label)
     "q_label_purity" ->

@@ -1384,6 +1384,73 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Projected dimensionality for [[randProjPairs]] — 64 → 16, the 4×
+    * compression a JL sketch buys before exact re-ranking. */
+  val RpDim = 16
+
+  /** The deterministic ±1 projection matrix: sign(r, c) from the low bit
+    * of the house md5 hash of "rp:r:c" — a pure function both engines
+    * compute bit-for-bit, which is what makes the whole sketch (and its
+    * distortion audit) FULLY hash-checkable, where a seeded-RNG matrix
+    * would be engine-private state. Rademacher entries satisfy the JL
+    * guarantee with the same constants as Gaussians (Achlioptas, JCSS'03). */
+  private lazy val rpSigns: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDim, PcaDim) { (r, c) =>
+      val hex = md.digest(s"rp:$r:${c + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 1) 1L else -1L
+    }
+  }
+
+  /** JOHNSON-LINDENSTRAUSS RANDOM PROJECTION + DISTORTION AUDIT (r14) —
+    * the cheap dimensionality reduction a 100 TB vector pipeline runs
+    * BEFORE anything quadratic (JL lemma; Rademacher form per Achlioptas
+    * 2003): each micro-unit vector maps to [[RpDim]] signed sums, and
+    * because E‖R(x−y)‖² = RpDim·‖x−y‖², squared distances survive at
+    * 1/√RpDim relative noise — 4× less data per vector with a known
+    * distortion envelope. The readout is pair-grained over the
+    * deterministic (even id, id+1) panel: both projections fingerprinted,
+    * the exact 64-dim and 16-dim squared distances, and their
+    * scale-normalized ratio in ppm (expected 1e6) — all exact integers,
+    * so the DISTORTION ITSELF is hash-pinned, per pair, with no bracket.
+    *
+    * Scale shape: the projection is one map-side pass (16 literal-sign
+    * dot HOFs per row — the pcaWithD idiom), zero shuffle; the audit
+    * joins adjacent ids (a sampled-pair panel in production — never
+    * all-pairs; PlanHygieneSpec sweeps it like everything else). The
+    * projected table at RpDim·8 bytes/vector is what the ANN families
+    * would ingest at d too large to scan raw.
+    */
+  def randProjPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
+    def proj(r: Int) =
+      aggregate(zip_with(col("qv"), typedlit(rpSigns(r).toSeq), (x, y) => x * y),
+        lit(0L), (s, x) => s + x)
+    val withP = qv.select(col("vec_id"), col("qv"),
+      array((0 until RpDim).map(proj): _*).as("p"))
+    def fp(c: org.apache.spark.sql.Column) =
+      md5(array_join(transform(c, x => x.cast("string")), ","))
+    val a = withP.select(col("vec_id").as("vec_a"),
+      col("qv").as("qa"), col("p").as("pa"))
+    val b = withP.select((col("vec_id") - 1L).as("vec_a"),
+      col("vec_id").as("vec_b"), col("qv").as("qb"), col("p").as("pb"))
+    a.join(b, "vec_a")
+      .filter(col("vec_a") % 2 === 0)
+      .withColumn("d64", aggregate(
+        zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x))
+      .withColumn("d16", aggregate(
+        zip_with(col("pa"), col("pb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x))
+      .select(col("vec_a"), col("vec_b"),
+        fp(col("pa")).as("proj_fp_a"), fp(col("pb")).as("proj_fp_b"),
+        col("d64"), col("d16"),
+        expr(s"cast(d16 as decimal(38,0)) * 1000000 div (cast($RpDim as decimal(38,0)) * d64)")
+          .as("ratio_ppm"))
+      .orderBy("vec_a")
+  }
+
   /** CLUSTER-LABEL PURITY (r14) — the external-validation eval for the
     * k-means family (the confusion-audit / recall-audit precedent): each
     * cluster scored against the corpus's ground-truth `label` column by

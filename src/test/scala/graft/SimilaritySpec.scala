@@ -523,6 +523,47 @@ class SimilaritySpec extends SparkSpec {
     assert(scores.values.max > 0 && scores.values.min < 0)
   }
 
+  test("rand proj: pairs equal an independent JVM replay; JL envelope holds in aggregate (r14)") {
+    import spark.implicits._
+    val got = Similarity.randProjPairs(spark, sf)
+      .as[(Long, Long, String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // independent replay: rebuild the sign matrix from its definition
+    // (md5 low bit of "rp:r:c"), quantize, project, distance
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val signs = Array.tabulate(16, 64) { (r, c) =>
+      if (Integer.parseInt(hex(s"rp:$r:${c + 1}").substring(0, 1), 16) % 2 == 1) 1L else -1L
+    }
+    val Q = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x => math.round((x.toDouble + 1.0) * 1e6)).toArray }
+      .toMap
+    def proj(q: Array[Long]) = Array.tabulate(16)(r =>
+      (0 until 64).map(c => signs(r)(c) * q(c)).sum)
+    got.foreach { case (va, vb, fpa, fpb, d64, d16, ppm) =>
+      assert(va % 2 == 0 && vb == va + 1)
+      val (qa, qb) = (Q(va), Q(vb))
+      val (pa, pb) = (proj(qa), proj(qb))
+      val wd64 = (0 until 64).map(c => { val d = qa(c) - qb(c); d * d }).sum
+      val wd16 = (0 until 16).map(r => { val d = pa(r) - pb(r); d * d }).sum
+      assert(d64 == wd64 && d16 == wd16, s"pair $va distances")
+      assert(ppm == (BigInt(wd16) * 1000000 / (16 * BigInt(wd64))).toLong)
+      def md5s(p: Array[Long]) = {
+        val m = java.security.MessageDigest.getInstance("MD5")
+        m.digest(p.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      assert(fpa == md5s(pa) && fpb == md5s(pb), s"pair $va fingerprints")
+    }
+    // the JL claim in aggregate: mean normalized ratio near 1, and no
+    // pair catastrophically distorted (4 sigma at 1/sqrt(16) rsd)
+    val ratios = got.map(_._7.toDouble / 1e6)
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) <= 0.1, s"mean distortion $mean off unity")
+    assert(ratios.forall(r => r > 0.05 && r < 3.0),
+      s"pair distortion outside the envelope: ${ratios.min} .. ${ratios.max}")
+  }
+
   test("label purity: majority stats equal a driver replay of the assignment; chance-floor honesty (r14)") {
     import spark.implicits._
     val got = Similarity.labelPurity(spark, sf)
