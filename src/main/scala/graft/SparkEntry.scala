@@ -254,6 +254,7 @@ object SparkEntry {
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_label_purity"      -> ((s, d) => Similarity.labelPurity(s, d)),
     "q_rand_proj"         -> ((s, d) => Similarity.randProjPairs(s, d)),
+    "q_rand_proj_topk"    -> ((s, d) => Similarity.randProjTopk(s, d)),
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_pca_scores"        -> ((s, d) => Similarity.pcaScores(s, d)),
     "q_pca_cov"           -> ((s, d) => Similarity.pcaCov(s, d)),
@@ -2677,31 +2678,39 @@ object SparkEntry {
     // ("rp:r:c" low bit), so projections, fingerprints AND the per-pair
     // distortion ratio replay exactly — a fully deterministic sketch
     "q_rand_proj" ->
-      """WITH qe AS (SELECT vec_id,
-        |    [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
-        |  FROM embeddings),
-        |sg AS (SELECT r.r, c.c,
-        |    CASE WHEN ('0x'||substr(md5('rp:'||CAST(r.r AS VARCHAR)||':'||CAST(c.c AS VARCHAR)),1,1))::INT % 2 = 1
-        |         THEN 1 ELSE -1 END AS s
-        |  FROM (SELECT unnest(range(0, 16)) AS r) r,
-        |       (SELECT unnest(range(1, 65)) AS c) c),
-        |pe AS (SELECT q.vec_id, sg.r, CAST(sum(sg.s * q.qv[sg.c]) AS BIGINT) AS p
-        |       FROM qe q, sg GROUP BY 1, 2),
-        |pl AS (SELECT vec_id,
-        |         list(p ORDER BY r) AS p,
-        |         md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY r)) AS fp
-        |       FROM pe GROUP BY 1),
-        |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         a.fp AS proj_fp_a, b.fp AS proj_fp_b,
-        |         CAST(list_sum([(qa.qv[i] - qb.qv[i])*(qa.qv[i] - qb.qv[i]) for i in range(1,65)]) AS BIGINT) AS d64,
-        |         CAST(list_sum([(a.p[i] - b.p[i])*(a.p[i] - b.p[i]) for i in range(1,17)]) AS BIGINT) AS d16
-        |       FROM pl a JOIN pl b ON b.vec_id = a.vec_id + 1
-        |       JOIN qe qa ON qa.vec_id = a.vec_id
-        |       JOIN qe qb ON qb.vec_id = b.vec_id
-        |       WHERE a.vec_id % 2 = 0)
-        |SELECT vec_a, vec_b, proj_fp_a, proj_fp_b, d64, d16,
-        |  CAST(CAST(d16 AS HUGEINT) * 1000000 // (16 * CAST(d64 AS HUGEINT)) AS BIGINT) AS ratio_ppm
-        |FROM pr ORDER BY vec_a""".stripMargin,
+      s"""WITH $RpCtes,
+         |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         a.fp AS proj_fp_a, b.fp AS proj_fp_b,
+         |         CAST(list_sum([(qa.qv[i] - qb.qv[i])*(qa.qv[i] - qb.qv[i]) for i in range(1,65)]) AS BIGINT) AS d64,
+         |         CAST(list_sum([(a.p[i] - b.p[i])*(a.p[i] - b.p[i]) for i in range(1,17)]) AS BIGINT) AS d16
+         |       FROM pl a JOIN pl b ON b.vec_id = a.vec_id + 1
+         |       JOIN qe qa ON qa.vec_id = a.vec_id
+         |       JOIN qe qb ON qb.vec_id = b.vec_id
+         |       WHERE a.vec_id % 2 = 0)
+         |SELECT vec_a, vec_b, proj_fp_a, proj_fp_b, d64, d16,
+         |  CAST(CAST(d16 AS HUGEINT) * 1000000 // (16 * CAST(d64 AS HUGEINT)) AS BIGINT) AS ratio_ppm
+         |FROM pr ORDER BY vec_a""".stripMargin,
+    // projected-space top-10 vs the exact top-10 — both rankings total-
+    // ordered and the matrix hash-derived, so the RECALL replays exactly
+    "q_rand_proj_topk" ->
+      s"""WITH $RpCtes,
+         |al AS (SELECT pl.vec_id, qe.qv, pl.p FROM pl JOIN qe USING (vec_id)),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq, p AS pq FROM al WHERE vec_id % 25 = 0),
+         |pr AS (SELECT q.q_id, a.vec_id,
+         |        list_sum([(q.qq[i] - a.qv[i])*(q.qq[i] - a.qv[i]) for i in range(1,65)]) AS d64,
+         |        list_sum([(q.pq[i] - a.p[i])*(q.pq[i] - a.p[i]) for i in range(1,17)]) AS d16
+         |       FROM qs q CROSS JOIN al a WHERE a.vec_id <> q.q_id),
+         |rk AS (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY d16, vec_id) AS rp,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY d64, vec_id) AS re
+         |       FROM pr)
+         |SELECT q_id,
+         |  CAST(sum(CASE WHEN rp <= 10 AND re <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN rp <= 10 AND re <= 10 THEN 1 ELSE 0 END) * 1000000 // 10
+         |       AS BIGINT) AS recall_ppm,
+         |  CAST(min(CASE WHEN rp = 1 THEN vec_id END) AS BIGINT) AS proj_top1,
+         |  CAST(min(CASE WHEN re = 1 THEN vec_id END) AS BIGINT) AS exact_top1
+         |FROM rk GROUP BY q_id ORDER BY q_id""".stripMargin,
     // cluster-label purity: majority-label share per cluster off the same
     // deterministic k-means replay; all-integer, tie on (n DESC, label)
     "q_label_purity" ->
@@ -3984,6 +3993,25 @@ object SparkEntry {
        |vv AS (SELECT list_sum([CAST(v[i] AS HUGEINT) * v[i] for i in range(1,65)]) AS vtv FROM vf),
        |ex AS (SELECT (sd2 // trace) * 1000000 // vtv AS explained_ppm FROM s2, tr, vv)""".stripMargin
   }
+
+  /** Shared JL-projection replay (q_rand_proj / q_rand_proj_topk): the
+    * ±1 matrix from the "rp:r:c" md5 low bit, micro-unit quantization,
+    * per-vector 16-cell projections `pl` with ordered fingerprints. */
+  private val RpCtes: String =
+    """qe AS MATERIALIZED (SELECT vec_id,
+      |    [CAST(round((x::DOUBLE + 1.0) * 1000000) AS BIGINT) for x in embedding] AS qv
+      |  FROM embeddings),
+      |sg AS MATERIALIZED (SELECT r.r, c.c,
+      |    CASE WHEN ('0x'||substr(md5('rp:'||CAST(r.r AS VARCHAR)||':'||CAST(c.c AS VARCHAR)),1,1))::INT % 2 = 1
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 16)) AS r) r,
+      |       (SELECT unnest(range(1, 65)) AS c) c),
+      |pe AS MATERIALIZED (SELECT q.vec_id, sg.r, CAST(sum(sg.s * q.qv[sg.c]) AS BIGINT) AS p
+      |       FROM qe q, sg GROUP BY 1, 2),
+      |pl AS MATERIALIZED (SELECT vec_id,
+      |         list(p ORDER BY r) AS p,
+      |         md5(string_agg(CAST(p AS VARCHAR), ',' ORDER BY r)) AS fp
+      |       FROM pe GROUP BY 1)""".stripMargin
 
   /** Shared KMV replay (q_kmv_distinct and the served cube — the
     * union-merge of per-day synopses is exactly the global top-k, so one

@@ -1451,6 +1451,53 @@ object Similarity {
       .orderBy("vec_a")
   }
 
+  /** PROJECTED-SPACE TOP-K + EXACT RECALL (r14) — the serve half of
+    * [[randProjPairs]]: rank the panel's neighbors in the 16-dim
+    * projected space (4× less data per candidate), and measure per query
+    * how much of the exact 64-dim top-10 the projected ranking keeps.
+    * Both rankings are deterministic (total (dist, vec_id) tie order)
+    * and the projection matrix is hash-derived, so — unusually for an
+    * ANN recall readout — the ENTIRE audit replays in SQL and the recall
+    * is hash-checked exactly, not bracketed (contrast `q_ivf_topk`,
+    * whose k-means buckets made recall the one probabilistic row).
+    * Honesty: on this near-isotropic corpus pairwise distances
+    * concentrate, so the projected ordering is noisy and recall sits
+    * well below a clustered corpus's — the readout IS that measurement.
+    *
+    * Scale shape: the same broadcast-panel single corpus scan as
+    * [[cosineTopK]] (pairs = corpus × corpus/25, never corpus²), one
+    * q_id exchange serving BOTH rank windows, per-query aggregate out.
+    */
+  def randProjTopk(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
+    def proj = array((0 until RpDim).map(r =>
+      aggregate(zip_with(col("qv"), typedlit(rpSigns(r).toSeq), (x, y) => x * y),
+        lit(0L), (s, x) => s + x)): _*)
+    val withP = qv.select(col("vec_id"), col("qv"), proj.as("p"))
+    val q = withP.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"), col("p").as("pq"))
+    def sq(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x)
+    val ranked = withP.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d64", sq("qq", "qv"))
+      .withColumn("d16", sq("pq", "p"))
+      .withColumn("rp", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d16"), col("vec_id"))))
+      .withColumn("re", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d64"), col("vec_id"))))
+      .filter(col("rp") <= k || col("re") <= k)
+    ranked.groupBy("q_id")
+      .agg(
+        sum(when(col("rp") <= k && col("re") <= k, 1L).otherwise(0L)).as("n_hit"),
+        min(when(col("rp") === 1, col("vec_id"))).as("proj_top1"),
+        min(when(col("re") === 1, col("vec_id"))).as("exact_top1"))
+      .select(col("q_id"), col("n_hit"),
+        expr(s"n_hit * 1000000 div $k").as("recall_ppm"),
+        col("proj_top1"), col("exact_top1"))
+      .orderBy("q_id")
+  }
+
   /** CLUSTER-LABEL PURITY (r14) — the external-validation eval for the
     * k-means family (the confusion-audit / recall-audit precedent): each
     * cluster scored against the corpus's ground-truth `label` column by

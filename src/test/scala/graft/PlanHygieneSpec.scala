@@ -75,7 +75,13 @@ class PlanHygieneSpec extends SparkSpec {
       // the PQ recall audit embeds the exact integer-L2 companion scan
       // (broadcast panel) alongside both approximate arms — the same
       // exact-companion allowance as q_ivf_audit / q_ann_recall
-      "q_pq_recall")
+      "q_pq_recall",
+      // the JL projected-vs-exact recall audit is the cosine family's
+      // broadcast-panel scan with a 16-term distance per pair — the
+      // exact-companion allowance again; at scale the projected table is
+      // what an ANN index ingests, and the exact arm is the droppable
+      // audit (the q_ivf_audit stance)
+      "q_rand_proj_topk")
 
   test("every BroadcastNestedLoopJoin broadcasts a global aggregate (a scalar row)") {
     // a BNLJ is scale-safe in exactly one shape: the broadcast side is a
@@ -190,7 +196,10 @@ class PlanHygieneSpec extends SparkSpec {
     // unlike its PQ parent this query plans no nested loop at all (the
     // BNLJ test above verifies that for free); only the panel-derived
     // broadcast side needs the family allowance
-    "q_ivfpq_topk", "q_pq_recall")
+    "q_ivfpq_topk", "q_pq_recall",
+    // the JL recall audit broadcasts the same corpus/25 query panel as
+    // the rest of the cosine family (projected + raw vectors per query)
+    "q_rand_proj_topk")
 
   test("every explicit broadcast side is provably bounded or allowlisted (r10)") {
     import org.apache.spark.sql.catalyst.expressions._

@@ -564,6 +564,41 @@ class SimilaritySpec extends SparkSpec {
       s"pair distortion outside the envelope: ${ratios.min} .. ${ratios.max}")
   }
 
+  test("rand proj topk: recall equals an exhaustive JVM replay; projected top-1 often wrong — honestly measured (r14)") {
+    import spark.implicits._
+    val got = Similarity.randProjTopk(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // exhaustive replay: same sign matrix, same total tie orders
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val signs = Array.tabulate(16, 64) { (r, c) =>
+      if (Integer.parseInt(hex(s"rp:$r:${c + 1}").substring(0, 1), 16) % 2 == 1) 1L else -1L
+    }
+    val Q = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x => math.round((x.toDouble + 1.0) * 1e6)).toArray }
+    val P = Q.map { case (id, q) =>
+      id -> Array.tabulate(16)(r => (0 until 64).map(c => signs(r)(c) * q(c)).sum)
+    }.toMap
+    val qm = Q.toMap
+    got.foreach { case (qid, nHit, ppm, pt1, et1) =>
+      def d(a: Array[Long], b: Array[Long]) =
+        a.indices.map(i => { val x = a(i) - b(i); x * x }).sum
+      val cands = Q.filter(_._1 != qid).map(_._1)
+      val byProj = cands.sortBy(v => (d(P(qid), P(v)), v))
+      val byExact = cands.sortBy(v => (d(qm(qid), qm(v)), v))
+      val hit = byProj.take(10).toSet.intersect(byExact.take(10).toSet).size
+      assert(nHit == hit.toLong, s"q $qid recall")
+      assert(ppm == nHit * 1000000L / 10)
+      assert(pt1 == byProj.head && et1 == byExact.head, s"q $qid top1s")
+    }
+    // the honest aggregate: some signal survives the 4x compression on
+    // this distance-concentrated corpus, but far from perfect recall
+    val mean = got.map(_._2).sum.toDouble / (10.0 * got.length)
+    assert(mean > 0.05 && mean < 0.95, s"mean recall@10 $mean outside the honest band")
+  }
+
   test("label purity: majority stats equal a driver replay of the assignment; chance-floor honesty (r14)") {
     import spark.implicits._
     val got = Similarity.labelPurity(spark, sf)
