@@ -129,6 +129,30 @@ object Bench {
     }
 
     def j(d: Double) = f"$d%.6f"
+    // ---- run metadata + machine-readable run history (VERDICT r14 ask
+    // #7): this host's same-day solo totals have swung +30% on identical
+    // boards (host weather), and until now the archaeology lived in
+    // COVERAGE.md prose. Every run now (a) stamps itself with an id,
+    // UTC timestamp and the 1-min load average, and (b) appends its
+    // summary to bench_history.jsonl and embeds the prior runs for the
+    // same SF into bench_out.json — so weather-vs-regression is decidable
+    // from the artifact alone.
+    val runTsMs = System.currentTimeMillis()
+    val runTs = java.time.Instant.ofEpochMilli(runTsMs).toString
+    val runId = s"bench-$runTsMs-${ProcessHandle.current().pid()}"
+    val load1 =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val historyPath = java.nio.file.Paths.get("bench_history.jsonl")
+    val priorRuns: Seq[String] =
+      try {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(historyPath))
+          java.nio.file.Files.readAllLines(historyPath).asScala.toSeq
+            .filter(_.contains(s""""sf":"$sfDir""""))
+            .takeRight(8)
+        else Seq.empty
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val ok = results.filter(_._2.err.isEmpty)
     val nErr = results.size - ok.size
     val total = ok.values.map(_.best).sum
@@ -155,11 +179,23 @@ object Bench {
         s""""shuffle_rows":${r.shuffleRows},"jobs":${r.jobs},"err":$errJson}"""
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, r) => s""""$k":${j(r.best)}""" }.mkString("{", ",", "}")
+    val runMetaObj = s"""{"id":"$runId","ts":"$runTs","load1":${j(load1)},""" +
+      s""""n_queries":${results.size},"total":${j(total)},""" +
+      s""""noise_first_over_min":${j(noise)},"noise_warm_spread":${j(warmSpread)},""" +
+      s""""sf":"$sfDir"}"""
+    val runMeta = s""""run":$runMetaObj"""
+    val historyJson = priorRuns.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""n_err":$nErr,"noise_first_over_min":${j(noise)},""" +
-      s""""noise_warm_spread":${j(warmSpread)},"queries":$qs,"per_query":$detail,"sf":"$sfDir"}"""
+      s""""noise_warm_spread":${j(warmSpread)},$runMeta,"run_history":$historyJson,""" +
+      s""""queries":$qs,"per_query":$detail,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    // append this run's summary to the cross-run ledger (one line per run;
+    // prior lines are what run_history embeds next time)
+    try java.nio.file.Files.write(historyPath, (runMetaObj + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case scala.util.control.NonFatal(_) => () }
     println(line)
     // compact summary LAST so it lands complete inside the captured tail:
@@ -179,11 +215,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errNames = results.collect { case (k, r) if r.err.isDefined => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // prior same-sf totals inline (id + total only — the captured tail is
+    // size-bounded; full prior lines live in bench_out.json/run_history)
+    val histBrief = priorRuns.flatMap { l =>
+      val m = """"ts":"([^"]+)".*"total":([0-9.]+)""".r.unanchored
+      l match { case m(ts, t) => Some(s"""{"ts":"$ts","total":$t}"""); case _ => None }
+    }.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
       s""""headline_shuffle_rows":$hs,""" +
       s""""n_queries":${results.size},"n_err":$nErr,"err_queries":$errNames,""" +
       s""""reps":$reps,"noise_first_over_min":${j(noise)},""" +
-      s""""noise_warm_spread":${j(warmSpread)},"detail":"bench_out.json","sf":"$sfDir"}""")
+      s""""noise_warm_spread":${j(warmSpread)},$runMeta,"prior_runs":$histBrief,""" +
+      s""""detail":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,6 +103,9 @@ object SparkEntry {
     "q_hll_overlap_sketch" -> ((s, d) => Aggregates.hllOverlapSketch(s, d)),
     "q_kmv_distinct"      -> ((s, d) => Aggregates.kmvDistinct(s, d)),
     "q_kmv_cube"          -> ((s, d) => Aggregates.kmvCubeServed(s, d)),
+    "q_kmv_cube_incremental" -> ((s, d) => Aggregates.kmvCubeIncremental(s, d)),
+    "q_kmv_cube_sketch"   -> ((s, d) => Aggregates.kmvCubeSketch(s, d)),
+    "q_kmv_overlap"       -> ((s, d) => Aggregates.kmvOverlap(s, d)),
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
     "q_dd_cube"            -> ((s, d) => Aggregates.ddCubeServed(s, d)),
@@ -204,6 +207,7 @@ object SparkEntry {
     "q_pii_scrub"         -> ((s, d) => Curation.piiScrub(s, d)),
     "q_dup_ngrams"        -> ((s, d) => Dedup.dupNgramFractions(s, d)),
     "q_dup_spans"         -> ((s, d) => Dedup.dupSpans(s, d)),
+    "q_suffix_dedup"      -> ((s, d) => SuffixDedup.suffixDedup(s, d)),
     "q_span_scrub"        -> ((s, d) => Dedup.spanScrub(s, d)),
     "q_containment"       -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_minhash_est"       -> ((s, d) => Dedup.minhashEstimate(s, d)),
@@ -243,11 +247,11 @@ object SparkEntry {
     "q_ann_served"        -> ((s, d) => Similarity.annServed(s, d)),
     "q_ann_incremental"   -> ((s, d) => Similarity.annIncremental(s, d)),
     "q_ann_recall"        -> ((s, d) => Similarity.annRecall(s, d)),
-    // the raw IVF operator benches as itself (rows-only: probabilistic
-    // recall, floor-asserted in SimilaritySpec); its bracket audit is the
-    // separately registered q_ivf_audit, so round-over-round bench
-    // comparisons of "IVF ANN" measure the operator, not the audit's
-    // embedded exact scan (ADVICE r8)
+    // the raw IVF operator benches as itself (fully hash-checked since
+    // r15's deterministic integer-Lloyd coarse quantizer); its recall
+    // eval is the separately registered q_ivf_audit, so round-over-round
+    // bench comparisons of "IVF ANN" measure the operator, not the
+    // audit's embedded exact scan (ADVICE r8)
     "q_ivf_topk"          -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_ivf_audit"         -> ((s, d) => Similarity.ivfAudit(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -255,12 +259,15 @@ object SparkEntry {
     "q_label_purity"      -> ((s, d) => Similarity.labelPurity(s, d)),
     "q_rand_proj"         -> ((s, d) => Similarity.randProjPairs(s, d)),
     "q_rand_proj_topk"    -> ((s, d) => Similarity.randProjTopk(s, d)),
+    "q_jl_ivf_topk"       -> ((s, d) => Similarity.jlIvfTopK(s, d)),
+    "q_jl_ivf_recall"     -> ((s, d) => Similarity.jlIvfRecall(s, d)),
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_pca_scores"        -> ((s, d) => Similarity.pcaScores(s, d)),
     "q_pca_cov"           -> ((s, d) => Similarity.pcaCov(s, d)),
     "q_pca_topk"          -> ((s, d) => Similarity.pcaTopk(s, d)),
     "q_pca_scores2"       -> ((s, d) => Similarity.pcaScores2(s, d)),
     "q_pca_cov_incremental" -> ((s, d) => Similarity.pcaCovIncremental(s, d)),
+    "q_pca_cov_recentered" -> ((s, d) => Similarity.pcaCovRecentered(s, d)),
     "q_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "q_pq_topk"           -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ivfpq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
@@ -1256,6 +1263,72 @@ object SparkEntry {
     // the one-shot top-k — the merged estimate equals q_kmv_distinct
     // bit-for-bit, so the oracle is shared verbatim
     "q_kmv_cube" -> KmvOracle,
+    // the appended store's union-truncate fold is exact (≤ k−1-smaller
+    // argument) — oracle shared verbatim a third time
+    "q_kmv_cube_incremental" -> KmvOracle,
+    // the sketch-only serve (no exact arm in the PLAN — asserted off the
+    // analyzed relations); the oracle still replays the deterministic
+    // estimate from the raw events and hash-checks it
+    "q_kmv_cube_sketch" ->
+      s"""WITH dh AS (SELECT DISTINCT event_type,
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+         |  FROM events),
+         |tk AS (SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |       FROM dh),
+         |kk AS (SELECT event_type, max(h) AS hk, count(*) AS nk
+         |       FROM tk WHERE rn <= ${operators.Aggregates.KmvK} GROUP BY 1)
+         |SELECT event_type,
+         |  CAST(CASE WHEN nk < ${operators.Aggregates.KmvK} THEN nk
+         |       ELSE (CAST(${operators.Aggregates.KmvK - 1} AS HUGEINT) * ${operators.Aggregates.KmvTwo60}) // hk
+         |       END AS BIGINT) AS kmv_est
+         |FROM kk ORDER BY event_type""".stripMargin,
+    // KMV set algebra: the theta-style union/intersection estimator whose
+    // ESTIMATES hash-check (deterministic synopses — q_hll_overlap's
+    // bracket retired for this family); exact companions = audit arm
+    "q_kmv_overlap" ->
+      s"""WITH dh AS (SELECT DISTINCT event_type,
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+         |  FROM events),
+         |tk AS (SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM dh) WHERE rn <= ${operators.Aggregates.KmvK}),
+         |tp AS (SELECT DISTINCT event_type FROM dh),
+         |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |       FROM tp a JOIN tp b ON a.event_type < b.event_type),
+         |u AS (SELECT DISTINCT pr.ta, pr.tb, s.h
+         |      FROM pr JOIN tk s ON s.event_type = pr.ta OR s.event_type = pr.tb),
+         |ku AS (SELECT ta, tb, h FROM (
+         |    SELECT ta, tb, h,
+         |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |    FROM u) WHERE rn <= ${operators.Aggregates.KmvK}),
+         |ag AS (SELECT k.ta, k.tb, max(k.h) AS hk, count(*) AS nk,
+         |        sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS c
+         |      FROM ku k
+         |      LEFT JOIN tk a ON a.event_type = k.ta AND a.h = k.h
+         |      LEFT JOIN tk b ON b.event_type = k.tb AND b.h = k.h
+         |      GROUP BY 1, 2),
+         |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         |uu AS (SELECT pr.ta, pr.tb, t.user_id, t.event_type
+         |       FROM pr JOIN tu t ON t.event_type = pr.ta OR t.event_type = pr.tb),
+         |pu AS (SELECT ta, tb, user_id, count(DISTINCT event_type) AS ntp
+         |       FROM uu GROUP BY 1, 2, 3),
+         |ex AS (SELECT ta, tb, count(*) AS n_union,
+         |        sum(CASE WHEN ntp = 2 THEN 1 ELSE 0 END) AS n_inter
+         |       FROM pu GROUP BY 1, 2),
+         |est AS (SELECT g.ta, g.tb, e.n_union, e.n_inter, g.c, g.nk,
+         |         CASE WHEN g.nk < ${operators.Aggregates.KmvK} THEN g.nk
+         |              ELSE (CAST(${operators.Aggregates.KmvK - 1} AS HUGEINT) * ${operators.Aggregates.KmvTwo60}) // g.hk
+         |         END AS union_est
+         |        FROM ag g JOIN ex e ON e.ta = g.ta AND e.tb = g.tb)
+         |SELECT ta AS type_a, tb AS type_b,
+         |  CAST(n_union AS BIGINT) AS n_union, CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST(union_est AS BIGINT) AS union_est,
+         |  CAST((CAST(c AS HUGEINT) * union_est) // nk AS BIGINT) AS inter_est,
+         |  CAST(n_inter * 1000000 // n_union AS BIGINT) AS jaccard_ppm,
+         |  CAST(c * 1000000 // nk AS BIGINT) AS jaccard_est_ppm
+         |FROM est ORDER BY type_a, type_b""".stripMargin,
     // the sketch-cube serving shape: exact companions + the cube grain
     // (distinct days) are portable; the merged-union estimate is the
     // bracket verdict, like q_approx_distinct
@@ -1853,7 +1926,8 @@ object SparkEntry {
         |      FROM t, pe)
         |SELECT n_docs, CAST(po_ppm AS BIGINT) AS po_ppm,
         |  CAST(pe_ppm AS BIGINT) AS pe_ppm,
-        |  CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT) AS kappa_ppm
+        |  CAST(CASE WHEN pe_ppm >= 1000000 THEN error('langIdKappa: degenerate corpus — pe_ppm = 1e6 (single-language marginals), kappa undefined')
+        |       ELSE (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END AS BIGINT) AS kappa_ppm
         |FROM k""".stripMargin),
     // Gopher-style quality gate: every threshold an integer
     // cross-multiplication — no doubles, bit-deterministic flags
@@ -1893,7 +1967,7 @@ object SparkEntry {
     // Heaps growth: each word counts at its FIRST doc; bucket-grain
     // cumulative sums (bounded window)
     "q_heaps_curve" ->
-      """WITH wd AS (SELECT (max(doc_id) + 1000) // 1000 AS bw FROM documents),
+      s"""WITH wd AS (SELECT (max(doc_id) + ${operators.TextAnalysis.HeapsMaxBuckets}) // ${operators.TextAnalysis.HeapsMaxBuckets} AS bw FROM documents),
         |d AS (SELECT doc_id, doc_id // bw AS bucket,
         |    len(string_split(text,' '))::BIGINT AS n_tokens FROM documents, wd),
         |pb AS (SELECT bucket, count(*) AS n_docs, sum(n_tokens) AS toks
@@ -2053,6 +2127,10 @@ object SparkEntry {
         |  (sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 5 >= count(*) * 4) AS mostly_dup
         |FROM sh JOIN df USING (s)
         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    // suffix-array exact-substring dedup: all doubling rounds + the
+    // descending LCP walk unrolled as materialized CTEs (the BpeCtes
+    // discipline); dense_rank replays the distributed dense index exactly
+    "q_suffix_dedup" -> operators.SuffixDedup.suffixDedupOracleSql,
     // positional trigrams under the same portable 60-bit md5 hash the
     // winnowing/sampling oracles use; runs via gaps-and-islands
     "q_dup_spans" ->
@@ -2220,20 +2298,30 @@ object SparkEntry {
          |) ORDER BY merge_rank""".stripMargin,
     // encode = one join against the replayed wd16 word→symbols table
     // (complete on this corpus: the 1-ppm floor prunes nothing), flattened
-    // in (position, within-word) order; same unit-separator fingerprint
+    // in (position, within-word) order; same unit-separator fingerprint.
+    // The `gap` guard (ADVICE r14) makes the completeness assumption
+    // STRUCTURAL: on a corpus where the 1-ppm vocabulary floor prunes any
+    // word, the inner join would silently drop that word's tokens — the
+    // guard raises instead, so the oracle fails loud rather than
+    // corpus-conditionally wrong.
     "q_bpe_encode" ->
       s"""WITH $BpeCtes,
          |dt AS MATERIALIZED (
          |  SELECT doc_id, i AS pos, toks[i] AS w
          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i
          |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+         |gap AS (SELECT count(*) AS n_missing
+         |        FROM dt d LEFT JOIN wd${operators.Curation.BpeRounds} v ON d.w = v.word
+         |        WHERE v.word IS NULL),
          |enc0 AS MATERIALIZED (
          |  SELECT d.doc_id, d.pos, v.syms AS syms, unnest(range(1, len(v.syms)+1)) AS j
          |  FROM dt d JOIN wd${operators.Curation.BpeRounds} v ON d.w = v.word),
          |enc AS MATERIALIZED (
          |  SELECT doc_id, pos, j, syms[j] AS sym FROM enc0)
          |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) + (SELECT CASE WHEN n_missing > 0 THEN error(
+         |    'q_bpe_encode oracle: ' || n_missing || ' document tokens have no wd${operators.Curation.BpeRounds} vocabulary entry — the 1-ppm floor pruned a word; oracle incomplete on this corpus')
+         |    ELSE 0 END FROM gap) AS BIGINT) AS n_tokens,
          |  CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct,
          |  md5(string_agg(sym, chr(31) ORDER BY pos, j)) AS tok_fp
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -2682,13 +2770,13 @@ object SparkEntry {
          |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         a.fp AS proj_fp_a, b.fp AS proj_fp_b,
          |         CAST(list_sum([(qa.qv[i] - qb.qv[i])*(qa.qv[i] - qb.qv[i]) for i in range(1,65)]) AS BIGINT) AS d64,
-         |         CAST(list_sum([(a.p[i] - b.p[i])*(a.p[i] - b.p[i]) for i in range(1,17)]) AS BIGINT) AS d16
+         |         CAST(list_sum([(a.p[i] - b.p[i])*(a.p[i] - b.p[i]) for i in range(1,${operators.Similarity.RpDim + 1})]) AS BIGINT) AS d16
          |       FROM pl a JOIN pl b ON b.vec_id = a.vec_id + 1
          |       JOIN qe qa ON qa.vec_id = a.vec_id
          |       JOIN qe qb ON qb.vec_id = b.vec_id
          |       WHERE a.vec_id % 2 = 0)
          |SELECT vec_a, vec_b, proj_fp_a, proj_fp_b, d64, d16,
-         |  CAST(CAST(d16 AS HUGEINT) * 1000000 // (16 * CAST(d64 AS HUGEINT)) AS BIGINT) AS ratio_ppm
+         |  CAST(CAST(d16 AS HUGEINT) * 1000000 // (${operators.Similarity.RpDim} * CAST(d64 AS HUGEINT)) AS BIGINT) AS ratio_ppm
          |FROM pr ORDER BY vec_a""".stripMargin,
     // projected-space top-10 vs the exact top-10 — both rankings total-
     // ordered and the matrix hash-derived, so the RECALL replays exactly
@@ -2698,19 +2786,36 @@ object SparkEntry {
          |qs AS (SELECT vec_id AS q_id, qv AS qq, p AS pq FROM al WHERE vec_id % 25 = 0),
          |pr AS (SELECT q.q_id, a.vec_id,
          |        list_sum([(q.qq[i] - a.qv[i])*(q.qq[i] - a.qv[i]) for i in range(1,65)]) AS d64,
-         |        list_sum([(q.pq[i] - a.p[i])*(q.pq[i] - a.p[i]) for i in range(1,17)]) AS d16
+         |        list_sum([(q.pq[i] - a.p[i])*(q.pq[i] - a.p[i]) for i in range(1,${operators.Similarity.RpDim + 1})]) AS d16
          |       FROM qs q CROSS JOIN al a WHERE a.vec_id <> q.q_id),
          |rk AS (SELECT q_id, vec_id,
          |        row_number() OVER (PARTITION BY q_id ORDER BY d16, vec_id) AS rp,
          |        row_number() OVER (PARTITION BY q_id ORDER BY d64, vec_id) AS re
          |       FROM pr)
          |SELECT q_id,
-         |  CAST(sum(CASE WHEN rp <= 10 AND re <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  CAST(sum(CASE WHEN rp <= 10 AND re <= 10 THEN 1 ELSE 0 END) * 1000000 // 10
+         |  CAST(sum(CASE WHEN rp <= ${operators.Similarity.RpTopK} AND re <= ${operators.Similarity.RpTopK} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN rp <= ${operators.Similarity.RpTopK} AND re <= ${operators.Similarity.RpTopK} THEN 1 ELSE 0 END) * 1000000 // ${operators.Similarity.RpTopK}
          |       AS BIGINT) AS recall_ppm,
          |  CAST(min(CASE WHEN rp = 1 THEN vec_id END) AS BIGINT) AS proj_top1,
          |  CAST(min(CASE WHEN re = 1 THEN vec_id END) AS BIGINT) AS exact_top1
          |FROM rk GROUP BY q_id ORDER BY q_id""".stripMargin,
+    // JL-composed IVF: project (RpCtes) → coarse-assign (the SAME integer
+    // Lloyd replayed in 16 dims over the projections) → exact 64-dim
+    // re-rank of the survivors; hash-derived + integer end-to-end, so the
+    // whole composition replays (VERDICT r14 ask #6)
+    "q_jl_ivf_topk" ->
+      s"""WITH $RpCtes,
+         |${operators.Similarity.jlScoreCtes}
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, dist FROM (
+         |  SELECT q_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM jlsc)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // its recall row beside q_ann_recall/q_ivf_audit — values hash-pinned
+    "q_jl_ivf_recall" ->
+      s"""WITH $RpCtes,
+         |${operators.Similarity.jlScoreCtes},
+         |${operators.Similarity.l2RecallOracleTail(10, "jlsc", "jl", "qe")}""".stripMargin,
     // cluster-label purity: majority-label share per cluster off the same
     // deterministic k-means replay; all-integer, tie on (n DESC, label)
     "q_label_purity" ->
@@ -2768,6 +2873,10 @@ object SparkEntry {
     // the appended-store twin re-sums to the identical cells (scatter
     // additivity over row partitions at fixed mean) — oracle verbatim
     "q_pca_cov_incremental" -> PcaCovOracle,
+    // the raw-moment store recenters at the merged mean at serve time;
+    // the recentering identity is exact in integers, so the served cells
+    // equal a from-scratch build — oracle shared verbatim again
+    "q_pca_cov_recentered" -> PcaCovOracle,
     // top-k eigensolve from the stored covariance: the eigenpairs are
     // driver doubles (not SQL-replayable), so the portable columns are
     // n_vectors + the exact scatter trace, and the five eigen-verdicts
@@ -2780,10 +2889,10 @@ object SparkEntry {
          |  SELECT CAST(1 AS BIGINT) AS component, CAST(n AS BIGINT) AS n_vectors,
          |    CAST(trace AS VARCHAR) AS trace_str, TRUE AS rayleigh_ok,
          |    TRUE AS resid_ok, TRUE AS orth_ok, TRUE AS order_ok,
-         |    TRUE AS top_beats_iterate FROM tr, nn
+         |    TRUE AS top_beats_iterate, 'ok' AS diag FROM tr, nn
          |  UNION ALL
          |  SELECT CAST(2 AS BIGINT), CAST(n AS BIGINT), CAST(trace AS VARCHAR),
-         |    TRUE, TRUE, TRUE, TRUE, TRUE FROM tr, nn
+         |    TRUE, TRUE, TRUE, TRUE, TRUE, 'ok' FROM tr, nn
          |) ORDER BY component""".stripMargin,
     // two-component serve path: PC1's 64 rounds + PC2's 32 deflated
     // rounds replayed exactly; sign-abs truncating projections
@@ -2891,12 +3000,26 @@ object SparkEntry {
     // both pipelines replayed in SQL (deterministic end-to-end), so the
     // hash gate checks the recall VALUES, not a floor
     "q_ann_recall" -> Similarity.annRecallOracleSql,
-    // BRACKET oracle (HLL recipe): float Lloyd training is not bit-portable,
-    // so the oracle recomputes the EXACT companions and expects the
-    // recall/slack verdicts TRUE. Registered as its own query (r9) so the
-    // raw q_ivf_topk benches the operator alone (rows-only by design —
-    // probabilistic recall, floor-asserted in SimilaritySpec).
-    "q_ivf_audit" -> Similarity.ivfAuditOracleSql,
+    // IVFFlat serving (r15): the coarse quantizer is the deterministic
+    // integer-lattice Lloyd (KmeansCtes, shared with q_kmeans/q_ivfpq),
+    // so bucketing + nprobe probing + the exact in-list re-rank replay
+    // in DuckDB and the query hash-checks — the last probabilistic
+    // registered row retired (VERDICT r14 ask #1)
+    "q_ivf_topk" ->
+      s"""WITH $KmeansCtes,
+         |${Similarity.ivfScoreCtes}
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, dist FROM (
+         |  SELECT q_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM ivsc)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // the recall eval now carries a FULL oracle too (both arms replay on
+    // the shared integer lattice — the pqRecall discipline); the recall
+    // VALUES are hash-pinned, honestly mid-band on this isotropic corpus
+    "q_ivf_audit" ->
+      s"""WITH $KmeansCtes,
+         |${Similarity.ivfScoreCtes},
+         |${Similarity.ivfAuditOracleTail()}""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
@@ -4017,19 +4140,19 @@ object SparkEntry {
     * union-merge of per-day synopses is exactly the global top-k, so one
     * oracle serves both). */
   private val KmvOracle: String =
-    """WITH dh AS (SELECT DISTINCT event_type,
+    s"""WITH dh AS (SELECT DISTINCT event_type,
       |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
       |  FROM events),
       |tk AS (SELECT event_type, h,
       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
       |       FROM dh),
       |kk AS (SELECT event_type, max(h) AS hk, count(*) AS nk
-      |       FROM tk WHERE rn <= 64 GROUP BY 1),
+      |       FROM tk WHERE rn <= ${operators.Aggregates.KmvK} GROUP BY 1),
       |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
       |       FROM events GROUP BY 1),
       |est AS (SELECT k.event_type, e.n_exact,
-      |          CASE WHEN k.nk < 64 THEN k.nk
-      |               ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // k.hk
+      |          CASE WHEN k.nk < ${operators.Aggregates.KmvK} THEN k.nk
+      |               ELSE (CAST(${operators.Aggregates.KmvK - 1} AS HUGEINT) * ${operators.Aggregates.KmvTwo60}) // k.hk
       |          END AS kmv_est
       |        FROM kk k JOIN ex e USING (event_type))
       |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,

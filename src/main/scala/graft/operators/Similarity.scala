@@ -181,90 +181,65 @@ object Similarity {
       .orderBy("doc_id")
   }
 
-  /** Coarse-quantizer seed stride: every 128th vector is a centroid, so the
-    * centroid count scales with the corpus (n/128 lists of ~128 vectors)
-    * with NO driver-side count — the stride is a plan-time constant and
-    * centroid selection is a pushed-down filter. Swap in trained (k-means)
-    * centroids for production; the plan shape is identical.
-    */
-  private val CentroidStride = 128
+  /** Clusters the IVF serving query probes per panel query: 4 of the
+    * [[KmeansK]] = 10 coarse lists — a real 60% candidate prune on this
+    * clusterless corpus, wide enough that the hash-pinned recall readout
+    * in [[ivfAudit]] stays meaningful rather than vacuous. */
+  val IvfNProbe = 4
 
-  /** IVF-style ANN: a coarse quantizer seeded from every CentroidStride-th
-    * vector and refined with one in-plan Lloyd (k-means) iteration — each
-    * centroid becomes the element-wise mean of the vectors assigned to it,
-    * computed relationally (posexplode to (list, dim, x), partial-agg mean
-    * per (list, dim), re-collect via sort_array) so training shuffles only
-    * C*64 aggregated cells, never raw vectors. Every vector then joins its
-    * nearest trained centroid's inverted list; queries probe the nProbe
-    * nearest lists. Candidate volume per query is ~corpus*nProbe/C
-    * regardless of dimensionality — the at-scale alternative to the
-    * hyperplane buckets below when data has cluster structure. Rows-only
-    * (probabilistic recall, floor asserted in SimilaritySpec). Entirely
-    * lazy: no Spark job runs until the returned DataFrame is acted on
-    * (asserted by listener in SimilaritySpec).
+  /** IVF ANN serving (`q_ivf_topk`) — r15: the coarse quantizer is the
+    * DETERMINISTIC integer-lattice Lloyd shared with `q_kmeans` and
+    * `q_ivfpq_topk` ([[trainedCentroids]] — lowest-id seeding,
+    * [[KmeansRounds]] half-up integer-mean rounds), which retires the
+    * last probabilistic registered row: bucketing, probing and the exact
+    * in-list re-rank all replay in DuckDB, so the query hash-checks like
+    * its IVFADC sibling instead of settling for a bracket audit (the
+    * r14 float-Lloyd formulation's one soft spot).
+    *
+    * Serving shape — the FAISS IVFFlat layout: every corpus vector
+    * carries a map-side-computed cluster id (argmin integer L2 against
+    * the k literal centroids — no shuffle, no join); each panel query
+    * probes its [[IvfNProbe]] nearest clusters; candidate generation is
+    * a hash EQUI-join on the cluster id (broadcast side = panel × nprobe
+    * probe rows), so per-query work is the probed lists' population ×
+    * one 64-term integer distance — never the corpus. Ranking is exact
+    * micro-unit L2 within the candidates (IVFFlat re-ranks raw vectors;
+    * the ADC-coded variant is [[ivfPqTopK]]), ties to lowest vec_id.
+    * At 100 TB: k grows with the corpus (k ≈ n/target-list-size), the
+    * centroid table stays a broadcast literal, and the probe join's
+    * candidate volume is corpus·nprobe/k regardless of dimensionality.
     */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
-              nProbe: Int = 4, trainIters: Int = 1): DataFrame = {
-    import graft.functions.VectorFunctions.dot
-    val all = vectors(spark, sfDir, "vec_id", "v", "nn")
-    // assign: nearest centroid(s) per vector (broadcast C rows, argmax
-    // cosine). The corpus-sized rankCols=1 case is a hash aggregate
-    // (max_by with (csim, -c_id) tie-break) — partial-aggregated map-side,
-    // no corpus-wide window sort; the window form only runs on the tiny
-    // query side (nProbe > 1).
-    // fence only frames that feed MORE than one downstream consumer — the
-    // training intermediates are single-use and exchanges/caches would be
-    // pure overhead
-    def assign(cents: DataFrame, df: DataFrame, idCol: String, vCol: String,
-               nCol: String, rankCols: Int, shared: Boolean): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("csim", dot(col(vCol), col("cv")) / (sqrt(col(nCol)) * sqrt(col("cn"))))
-      val assigned =
-        if (rankCols == 1) {
-          // argmax over SLIM columns only (24 B/row) — carrying the vector
-          // arrays through aggregate buffers forces SortAggregate; the
-          // arrays rejoin afterwards from the already-partitioned frame
-          val best = scored.select(col(idCol), col("c_id"), col("csim"))
-            .groupBy(idCol)
-            .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("list_id"))
-          df.join(best, idCol).select(col(idCol), col(vCol), col(nCol), col("list_id"))
-        } else
-          scored.withColumn("crn", row_number().over(
-              Window.partitionBy(idCol).orderBy(desc("csim"), asc("c_id"))))
-            .filter(col("crn") <= rankCols)
-            .select(col(idCol), col(vCol), col(nCol), col("c_id").as("list_id"))
-      if (shared) Dedup.fence(assigned, idCol) else assigned
-    }
-    // one Lloyd step: centroid <- mean of its assigned vectors
-    def lloyd(cents: DataFrame): DataFrame = {
-      val assigned = assign(cents, all, "vec_id", "v", "nn", 1, shared = false)
-      val cellMeans = assigned
-        .select(col("list_id"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("list_id", "d").agg(avg("x").as("m")) // map-side partials: C*64 cells
-      Dedup.fence(cellMeans
-        .groupBy("list_id")
-        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("list_id").as("c_id"), expr("transform(dm, p -> p.m)").as("cv"))
-        .withColumn("cn", dot(col("cv"), col("cv"))),
-        "c_id") // fence: trained centroids feed corpus AND query assignment
-    }
-    val seeds = all.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nn").as("cn"))
-    val cents = (1 to trainIters).foldLeft(seeds)((c, _) => lloyd(c))
-    val corpusLists = assign(cents, all, "vec_id", "v", "nn", 1, shared = true)
-    val queryProbes = assign(cents,
-      queriesFrom(all, "vec_id", "v", "nn", "q_id", "vq", "nq"),
-      "q_id", "vq", "nq", nProbe, shared = true)
-    corpusLists.join(queryProbes, Seq("list_id"))
+              nprobe: Int = IvfNProbe): DataFrame = {
+    val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
+    val cdists = transform(sequence(lit(0), lit(KmeansK - 1)),
+      c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int"))))
+    val corpus = qv
+      .withColumn("cdists", cdists)
+      .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .select("vec_id", "qv", "cluster")
+    // nprobe nearest clusters per panel query: sorted (dist, cid) structs —
+    // lexicographic struct order IS the engine's (dist, lowest-cid) rule
+    val probes = qv.filter(col("vec_id") % 25 === 0)
+      .withColumn("cdists", cdists)
+      .withColumn("probes", slice(array_sort(transform(
+        sequence(lit(0), lit(KmeansK - 1)),
+        c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
+          c.cast("long").as("cid")))), 1, nprobe))
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"),
+        explode(col("probes")).as("probe"))
+      .select(col("q_id"), col("qq"), col("probe.cid").as("cluster"))
+    corpus.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("vq"), col("v")) / (sqrt(col("nq")) * sqrt(col("nn"))))
+      .withColumn("dist", pqSqDist(col("qv"), col("qq")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+        Window.partitionBy("q_id").orderBy(asc("dist"), asc("vec_id"))))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("dist"))
       .orderBy("q_id", "rn")
   }
+
 
   /** Few planes + wide multi-probe beats many planes here: the corpus has
     * no cluster structure (max pair cosine ~0.5), so fine buckets would
@@ -597,59 +572,228 @@ object Similarity {
        |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
   }
 
-  /** Per-query slack for the IVF bracket verdicts: measured gap at every
-    * SF is 0.0 (sf0.01 has ≤ nProbe lists, so recall is exactly 1);
-    * 0.1 of cosine headroom keeps the verdict TRUE across testdata
-    * regenerations without weakening it into vacuity. */
-  val IvfKthSlack = 0.1
+  /** RECALL EVAL for [[ivfTopK]] (r15 — upgraded from the r9 bracket):
+    * with the coarse quantizer now the deterministic integer-lattice
+    * Lloyd, BOTH arms replay in DuckDB, so the audit carries a FULL
+    * oracle that hash-checks the recall VALUES per query — the
+    * [[pqRecall]]/[[annRecall]] discipline, closing the one family whose
+    * audit had to settle for cosine-envelope verdicts. Ground truth is
+    * [[l2TopK]] (exact integer L2 on the same micro-unit lattice — the
+    * metric IVF actually prunes, not cosine), joined per (q_id, vec_id):
+    * n_ivf pins the row contract, n_hit/recall_ppm pin candidate
+    * quality, ivf_kth/exact_kth pin the serving distance envelope. On
+    * this near-isotropic corpus recall is honestly mid-band (neighbors
+    * scatter across coarse lists — the [[randProjTopk]] reading); the
+    * hash gate pins the measured value instead of asserting a flattering
+    * floor, and SimilaritySpec keeps the behavioral floor at the SF it
+    * measures. */
+  def ivfAudit(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    l2RecallReadout(spark, sfDir, ivfTopK(spark, sfDir, k), "ivf", k)
 
-  /** BRACKET-oracle audit for [[ivfTopK]] (the HLL/percentile recipe —
-    * exact companion columns the oracle recomputes independently, plus
-    * verdict booleans the oracle expects TRUE). A full oracle is off the
-    * table here on principle: the one-iteration Lloyd trainer averages
-    * doubles, and float summation order is engine-private — so the audit
-    * checks the ivf result against the EXACT top-k (computed in-plan from
-    * the same fenced vector frame) instead:
-    *   - n_ivf          exactly k rows came back per query
-    *   - exact_best_cos / exact_kth_cos   oracle recomputes via cross join
-    *   - kth_within_slack ivf's 10th-best cosine within [[IvfKthSlack]]
-    *     of the exact 10th-best (measured: gap 0.0 at sf0.01 where
-    *     nProbe ≥ list count, 100% within 0.1 at sf0.1's 15 lists)
-    * Per-query RECALL verdicts deliberately stay OUT of the oracle: on a
-    * direction-uniform corpus recall is an SF-dependent dial (1.0 when
-    * nProbe covers the lists, ~0.67 at sf0.1), so a hash-gated floor
-    * would encode the current testdata's geometry, not the operator's
-    * contract. SimilaritySpec owns the recall floors at the SFs it pins;
-    * this query makes the driver's hash gate see candidate-quality drift
-    * through the cosine envelope instead.
-    */
-  def ivfAudit(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    val e = cosineTopK(spark, sfDir, k).groupBy("q_id").agg(
-      max("cos").as("exact_best_cos"), min("cos").as("exact_kth_cos"))
-    val i = ivfTopK(spark, sfDir, k).groupBy("q_id").agg(
-      count(lit(1)).as("n_ivf"), min("cos").as("ivf_kth"))
-    i.join(e, "q_id")
-      .select(col("q_id"), col("n_ivf"), col("exact_best_cos"), col("exact_kth_cos"),
-        (col("ivf_kth") >= col("exact_kth_cos") - IvfKthSlack).as("kth_within_slack"))
+  /** Per-query recall/envelope readout of an approximate integer-L2
+    * ranking vs [[l2TopK]] — shared by the IVF audit and its
+    * JL-composed sibling; `label` names the approximate arm's columns
+    * (n_<label>, <label>_kth). */
+  private def l2RecallReadout(spark: SparkSession, sfDir: String,
+                              approx: DataFrame, label: String, k: Int): DataFrame = {
+    val ex = l2TopK(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"), col("dist").as("ed"))
+    val i = approx.select(col("q_id"), col("vec_id"), col("dist").as("id"))
+    val hits = ex.join(i.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        max(col("ed")).as("exact_kth"))
+    val kth = i.groupBy("q_id")
+      .agg(count(lit(1)).as(s"n_$label"), max(col("id")).as(s"${label}_kth"))
+    kth.join(hits, "q_id")
+      .select(col("q_id"), col(s"n_$label"), col("n_hit"),
+        expr(s"n_hit * 1000000 div $k").as("recall_ppm"),
+        col(s"${label}_kth"), col("exact_kth"))
       .orderBy("q_id")
   }
 
-  /** Oracle for [[ivfAudit]]: the exact companions via brute-force rerank
-    * (independent formulation — no LSH, no lists), verdicts as literals. */
-  def ivfAuditOracleSql: String =
-    """WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |nn AS (SELECT vec_id, v, list_inner_product(v, v) AS nrm FROM vv),
-      |q AS (SELECT vec_id AS q_id, v AS vq, nrm AS nq FROM nn WHERE vec_id % 25 = 0),
-      |cand AS (SELECT q_id, nn.vec_id AS vec_id,
-      |           list_inner_product(vq, nn.v) / (sqrt(nq) * sqrt(nn.nrm)) AS cos
-      |         FROM q, nn WHERE nn.vec_id <> q_id),
-      |ranked AS (SELECT q_id, vec_id, cos,
-      |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM cand),
-      |top AS (SELECT q_id, round(cos, 6) AS cos FROM ranked WHERE rn <= 10)
-      |SELECT q_id, CAST(10 AS BIGINT) AS n_ivf,
-      |  max(cos) AS exact_best_cos, min(cos) AS exact_kth_cos,
-      |  TRUE AS kth_within_slack
-      |FROM top GROUP BY q_id ORDER BY q_id""".stripMargin
+  /** FULL oracle for [[ivfAudit]] — replays the trained coarse lists
+    * (KmeansCtes, prepended by [[SparkEntry]]), the probe/candidate/
+    * re-rank pipeline, and the exact-L2 reference, then joins the two
+    * rankings; everything is int64 on the shared lattice. */
+  def ivfAuditOracleTail(k: Int = 10): String =
+    l2RecallOracleTail(k, "ivsc", "ivf", "q")
+
+  /** The recall-readout CTE tail over any `src` = (q_id, vec_id, dist)
+    * scored-candidate CTE and `corpus` = (vec_id, qv) exact table; the
+    * exact-L2 reference is recomputed inline (brute-force rerank — the
+    * droppable audit arm). */
+  def l2RecallOracleTail(k: Int, src: String, label: String,
+                         corpus: String): String =
+    s"""exr AS (SELECT q_id, vec_id, dist FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id,
+       |      CAST(list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i]) for i in range(1,65)]) AS BIGINT) AS dist,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i]) for i in range(1,65)]),
+       |        b.vec_id) AS rn
+       |    FROM $corpus a JOIN $corpus b ON b.vec_id <> a.vec_id WHERE a.vec_id % 25 = 0)
+       |  WHERE rn <= $k),
+       |apr AS (SELECT q_id, vec_id, dist FROM (
+       |    SELECT q_id, vec_id, dist,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+       |    FROM $src) WHERE rn <= $k),
+       |hits AS (SELECT e.q_id, count(i.vec_id) AS n_hit, max(e.dist) AS exact_kth
+       |         FROM exr e LEFT JOIN apr i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+       |         GROUP BY e.q_id),
+       |kth AS (SELECT q_id, count(*) AS n_ap, max(dist) AS ap_kth FROM apr GROUP BY q_id)
+       |SELECT k.q_id, CAST(k.n_ap AS BIGINT) AS n_$label,
+       |  CAST(h.n_hit AS BIGINT) AS n_hit,
+       |  CAST(h.n_hit * 1000000 // $k AS BIGINT) AS recall_ppm,
+       |  k.ap_kth AS ${label}_kth, h.exact_kth
+       |FROM kth k JOIN hits h USING (q_id) ORDER BY k.q_id""".stripMargin
+
+  /** The IVF probe → candidate → exact-score CTE chain over a trained
+    * KmeansCtes replay (exposes `ivsc` = (q_id, vec_id, dist)); shared
+    * by the q_ivf_topk oracle and the recall audit. */
+  def ivfScoreCtes: String =
+    s"""ivprobe AS (SELECT vec_id AS q_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansRounds c
+       |    WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= $IvfNProbe),
+       |ivasg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |ivcand AS (SELECT p.q_id, a.vec_id FROM ivprobe p
+       |           JOIN ivasg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+       |ivsc AS (SELECT c.q_id, c.vec_id,
+       |           CAST(list_sum([(v.qv[i]-w.qv[i])*(v.qv[i]-w.qv[i]) for i in range(1,65)]) AS BIGINT) AS dist
+       |         FROM ivcand c JOIN q v ON v.vec_id = c.vec_id
+       |           JOIN q w ON w.vec_id = c.q_id)""".stripMargin
+
+  /** Dimension/prefix-parameterized DuckDB replay of the deterministic
+    * integer Lloyd — SparkEntry's KmeansCtes construction generalized
+    * over an arbitrary `(vec_id, qv)` source CTE, so the 16-dim
+    * projected-space quantizer of [[jlIvfTopK]] replays with the same
+    * algebra as the 64-dim original. Exposes `${p}af` (final assignment,
+    * rn=1 = argmin) and `${p}c{KmeansRounds}` (trained centroids). */
+  private[graft] def kmeansReplayCtes(p: String, src: String, dim: Int): String = {
+    val (k, rr) = (KmeansK, KmeansRounds)
+    val sums = (1 to dim).map(i => s"sum(qv[$i])").mkString("list_value(", ", ", ")")
+    val rng = s"range(1,${dim + 1})"
+    val rounds = (1 to rr).map { r =>
+      s"""${p}a$r AS (SELECT vec_id, qv, cid, dist,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT q.vec_id, q.qv, c.cid,
+         |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in $rng]) AS dist
+         |        FROM $src q CROSS JOIN ${p}c${r - 1} c)),
+         |${p}g$r AS (SELECT cid, count(*) AS n, $sums AS sv FROM ${p}a$r WHERE rn = 1 GROUP BY cid),
+         |${p}c$r AS (SELECT c.cid, CASE WHEN g.cid IS NULL THEN c.cv
+         |          ELSE [CAST((2*g.sv[i] + g.n) // (2*g.n) AS BIGINT) for i in $rng] END AS cv
+         |        FROM ${p}c${r - 1} c LEFT JOIN ${p}g$r g USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+       |       FROM (SELECT vec_id, qv FROM $src ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${p}af AS (SELECT vec_id, cid, dist,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT q.vec_id, c.cid,
+       |          list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in $rng]) AS dist
+       |        FROM $src q CROSS JOIN ${p}c$rr c))""".stripMargin
+  }
+
+  /** The JL-IVF probe → candidate → exact-score CTE chain, to be
+    * composed after SparkEntry's RpCtes (needs `pl` for projections and
+    * `qe` for the exact re-rank). Exposes `jlsc` = (q_id, vec_id, dist).
+    */
+  def jlScoreCtes: String =
+    s"""jq AS MATERIALIZED (SELECT vec_id, p AS qv FROM pl),
+       |${kmeansReplayCtes("jl", "jq", RpDim)},
+       |jlprobe AS (SELECT vec_id AS q_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,${RpDim + 1})]) AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cid) AS rn
+       |    FROM jq q CROSS JOIN jlc$KmeansRounds c
+       |    WHERE q.vec_id % 25 = 0)
+       |  WHERE rn <= $IvfNProbe),
+       |jlasg AS (SELECT vec_id, cid FROM jlaf WHERE rn = 1),
+       |jlcand AS (SELECT p.q_id, a.vec_id FROM jlprobe p
+       |           JOIN jlasg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+       |jlsc AS (SELECT c.q_id, c.vec_id,
+       |           CAST(list_sum([(v.qv[i]-w.qv[i])*(v.qv[i]-w.qv[i]) for i in range(1,65)]) AS BIGINT) AS dist
+       |         FROM jlcand c JOIN qe v ON v.vec_id = c.vec_id
+       |           JOIN qe w ON w.vec_id = c.q_id)""".stripMargin
+
+  /** The 16-dim projection of the micro-unit corpus under the hash-derived
+    * ±1 JL matrix — the coarse space [[jlIvfTopK]] buckets in. */
+  private def jlProjCol: Column = array((0 until RpDim).map(r =>
+    aggregate(zip_with(col("qv"), typedlit(rpSigns(r).toSeq), (x, y) => x * y),
+      lit(0L), (s, x) => s + x)): _*)
+
+  /** Session memo for the PROJECTED-SPACE coarse centroids (k×16 longs —
+    * bounded driver state; deterministic trainer, so memoizing changes
+    * nothing but job count). */
+  private val jlCentMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IndexedSeq[Array[Long]]]()
+
+  /** [[KmeansK]] centroids trained by the SAME deterministic integer
+    * Lloyd as [[trainedCentroids]], but in the 16-dim JL-projected space
+    * — the trainer is dimension-agnostic (posexplode cells), so the
+    * whole k-means machinery reuses verbatim; per-round distances cost
+    * 16 terms instead of 64. Negative coordinates are fine: both engines
+    * truncate integer division toward zero, so the half-up mean replays. */
+  private[graft] def jlCentroids(spark: SparkSession, sfDir: String): IndexedSeq[Array[Long]] = {
+    SessionMemos.arm(spark, jlCentMemo)
+    jlCentMemo.computeIfAbsent((spark, sfDir), _ =>
+      trainCentroids(quantizedVectors(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), jlProjCol.as("qv")), KmeansSeedLowestId))
+  }
+
+  /** JL-COMPOSED IVF SERVING (r15 — VERDICT r14 ask #6): the pipeline
+    * [[randProjPairs]]'s 16-dim sketch exists to justify, measured end
+    * to end — PROJECT (map-side, zero-shuffle ±1 sums), COARSE-ASSIGN
+    * (integer Lloyd trained IN the projected space, so training and
+    * every serving distance run on 16-cell arrays — 4× less arithmetic
+    * and state than the raw-space quantizer), then EXACT RE-RANK of the
+    * survivors in full 64-dim integer L2. This is the billion-scale
+    * composition JL buys: the index (projections + coarse lists) never
+    * touches raw vectors; only the probed candidates do. Everything is
+    * hash-derived or integer-deterministic, so the composition carries a
+    * FULL oracle like its two parents ([[randProjTopk]], [[ivfTopK]]).
+    * Same serving shape as [[ivfTopK]]: broadcast probe list into a
+    * cluster equi-join, candidates = corpus·nprobe/k.
+    */
+  def jlIvfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+                nprobe: Int = IvfNProbe): DataFrame = {
+    val centLit = typedlit(jlCentroids(spark, sfDir).map(_.toSeq))
+    val base = quantizedVectors(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("qv"), jlProjCol.as("pv"))
+    val cdists = transform(sequence(lit(0), lit(KmeansK - 1)),
+      c => pqSqDist(col("pv"), element_at(centLit, (c + 1).cast("int"))))
+    val corpus = base
+      .withColumn("cdists", cdists)
+      .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .select("vec_id", "qv", "cluster")
+    val probes = base.filter(col("vec_id") % 25 === 0)
+      .withColumn("cdists", cdists)
+      .withColumn("probes", slice(array_sort(transform(
+        sequence(lit(0), lit(KmeansK - 1)),
+        c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
+          c.cast("long").as("cid")))), 1, nprobe))
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"),
+        explode(col("probes")).as("probe"))
+      .select(col("q_id"), col("qq"), col("probe.cid").as("cluster"))
+    corpus.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist", pqSqDist(col("qv"), col("qq")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("dist"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("dist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Recall of the JL-composed pipeline vs exact integer L2 — the row
+    * beside q_ann_recall/q_ivf_audit; hash-pinned like both (honestly
+    * mid-band on this distance-concentrated corpus). */
+  def jlIvfRecall(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    l2RecallReadout(spark, sfDir, jlIvfTopK(spark, sfDir, k), "jl", k)
 
   /** Symmetric per-vector int8 scalar quantization — the 4× compression
     * pass an embedding store runs before indexing (float32 → int8 with a
@@ -1388,6 +1532,11 @@ object Similarity {
     * compression a JL sketch buys before exact re-ranking. */
   val RpDim = 16
 
+  /** Top-k depth for [[randProjTopk]]'s projected-vs-exact recall readout
+    * (interpolated into the oracle, so changing it cannot silently
+    * diverge the two engines). */
+  val RpTopK = 10
+
   /** The deterministic ±1 projection matrix: sign(r, c) from the low bit
     * of the house md5 hash of "rp:r:c" — a pure function both engines
     * compute bit-for-bit, which is what makes the whole sketch (and its
@@ -1458,8 +1607,9 @@ object Similarity {
     * Both rankings are deterministic (total (dist, vec_id) tie order)
     * and the projection matrix is hash-derived, so — unusually for an
     * ANN recall readout — the ENTIRE audit replays in SQL and the recall
-    * is hash-checked exactly, not bracketed (contrast `q_ivf_topk`,
-    * whose k-means buckets made recall the one probabilistic row).
+    * is hash-checked exactly, not bracketed (since r15 the IVF family
+    * joined it: the integer-Lloyd quantizer made `q_ivf_audit` and
+    * `q_jl_ivf_recall` fully replayable too).
     * Honesty: on this near-isotropic corpus pairwise distances
     * concentrate, so the projected ordering is noisy and recall sits
     * well below a clustered corpus's — the readout IS that measurement.
@@ -1468,7 +1618,7 @@ object Similarity {
     * [[cosineTopK]] (pairs = corpus × corpus/25, never corpus²), one
     * q_id exchange serving BOTH rank windows, per-query aggregate out.
     */
-  def randProjTopk(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  def randProjTopk(spark: SparkSession, sfDir: String, k: Int = RpTopK): DataFrame = {
     val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
     def proj = array((0 until RpDim).map(r =>
       aggregate(zip_with(col("qv"), typedlit(rpSigns(r).toSeq), (x, y) => x * y),
@@ -1716,15 +1866,19 @@ object Similarity {
     deltasMemo.computeIfAbsent((spark, sfDir), _ => pcaDeltasBuild(spark, sfDir))
   }
 
-  private def pcaDeltasBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    // same micro-unit quantization expression as quantizedVectors, but
-    // WITHOUT its fence: the k-means family fences because its self-joins
-    // need co-location; PCA's consumers are all global aggregates, so the
-    // fence's repartition would be this family's only corpus-tracking
-    // shuffle (ScaleCurve measured it as exactly the 10× growth term)
-    val qv = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+  /** The UNFENCED micro-unit corpus the PCA family runs on — same
+    * quantization expression as quantizedVectors, but WITHOUT its fence:
+    * the k-means family fences because its self-joins need co-location;
+    * PCA's consumers are all global aggregates, so the fence's
+    * repartition would be this family's only corpus-tracking shuffle
+    * (ScaleCurve measured it as exactly the 10× growth term). */
+  private def pcaQv(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"),
       expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
         .as("qv"))
+
+  private def pcaDeltasBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = pcaQv(spark, sfDir)
     val r = qv.agg(count(lit(1)).as("n"),
       (1 to PcaDim).map(i =>
         sum(element_at(col("qv"), i).cast("decimal(38,0)")).as(s"s$i")): _*).collect()(0)
@@ -1915,12 +2069,11 @@ object Similarity {
     * never a corpus rescan. Fixture: the even-vec_id half builds the
     * store, the odd half appends; the re-summed cells equal the one-shot
     * [[pcaCov]] bit-for-bit, so the oracle is shared verbatim (the
-    * ddCubeSignedIncremental additivity argument). Honesty note: the
-    * centering mean is the TRAINED model constant here (the standard
-    * serving convention — score new data against the stored model);
-    * maintaining the mean itself incrementally needs the
-    * (n₁μ₁+n₂μ₂)/(n₁+n₂) + cross-term update or a periodic re-center,
-    * which is a model-refresh decision, not a cell-store limitation.
+    * ddCubeSignedIncremental additivity argument). The centering mean is
+    * the TRAINED model constant here (the standard serving convention —
+    * score new data against the stored model); the sibling store that
+    * lets an appended batch SHIFT the mean without rescan is
+    * [[pcaCovRecentered]] (raw moments, re-centered exactly at serve).
     */
   def pcaCovIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     SessionMemos.arm(spark, covIncrMemo)
@@ -1936,6 +2089,76 @@ object Similarity {
     spark.read.parquet(dir)
       .groupBy("i", "j")
       .agg(sum(col("s")).cast("decimal(38,0)").cast("string").as("cov_sum"))
+      .orderBy("i", "j")
+  }
+
+  private val covRawMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Per-batch RAW moments on the micro-unit lattice, as (i, j, s) cells:
+    * (-1, -1) → row count, (i, -1) → Σ x_i, (i ≤ j) → Σ x_i·x_j. ONE
+    * map-side expansion per row (the [[pcaCovAgg]] flatten plus 65 extra
+    * cells), partial-combined before a (d²/2 + d + 1)·partitions-cell
+    * exchange — additive over any row partition by construction. */
+  private def rawMomentCells(qv: DataFrame): DataFrame =
+    qv.select(explode(concat(
+        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p"))),
+        expr("transform(qv, (x, i) -> struct(i AS i, -1 AS j, x AS p))"),
+        expr("flatten(transform(qv, (x, i) -> " +
+          "transform(slice(qv, i + 1, 64 - i), (y, k) -> " +
+          "struct(i AS i, i + k AS j, x * y AS p))))")
+      )).as("c"))
+      .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"),
+        col("c.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+
+  /** MEAN-REFRESHING COVARIANCE STORE (r15 — VERDICT r14 ask #4): the
+    * raw-moment recentering identity closes [[pcaCovIncremental]]'s one
+    * caveat. The store keeps RAW moments (n, Σx per dim, Σx_ux_v cells)
+    * instead of centered scatter cells; since the centering mean μ is an
+    * INTEGER vector (truncating mean, the [[pcaDeltas]] definition), the
+    * centered scatter recovers EXACTLY at serve time:
+    *
+    *   S_uv = Σx_ux_v − μ_u·Σx_v − μ_v·Σx_u + n·μ_u·μ_v
+    *
+    * — all int64-products summed in DECIMAL(38,0), no doubles anywhere.
+    * So an appended batch can SHIFT the global mean (the even half and
+    * odd half of this fixture have different means) and the served
+    * matrix still equals a from-scratch [[pcaCov]] at the merged mean
+    * bit-for-bit, with no rescan: serve = one (d²/2+d+1)-cell re-sum +
+    * a 64-row broadcast recenter. Oracle shared verbatim with q_pca_cov.
+    */
+  def pcaCovRecentered(spark: SparkSession, sfDir: String): DataFrame = {
+    SessionMemos.arm(spark, covRawMemo)
+    val dir = covRawMemo.computeIfAbsent((spark, sfDir), _ => {
+      val d = SessionMemos.tempDir(spark, "graft-pca-cov-raw")
+      val qv = pcaQv(spark, sfDir)
+      rawMomentCells(qv.filter(col("vec_id") % 2 === 0))
+        .write.mode("overwrite").parquet(d)
+      rawMomentCells(qv.filter(col("vec_id") % 2 === 1))
+        .write.mode("append").parquet(d)
+      d
+    })
+    val store = spark.read.parquet(dir)
+    val nRow = store.filter(col("i") === -1).groupBy().agg(sum("s").as("n"))
+    val sx = store.filter(col("i") >= 0 && col("j") === -1)
+      .groupBy("i").agg(sum("s").as("sx"))
+    // μ_i = Σx_i div n — truncating integral division on the positive
+    // lattice, exactly pcaDeltas' mean; broadcast hygiene: nRow is a
+    // groupless aggregate, mu/sx are value-domain-grouped (64 dim cells)
+    val mu = sx.crossJoin(broadcast(nRow))
+      .select(col("i"), col("sx"), expr("sx div n").as("mu"), col("n"))
+    val sxx = store.filter(col("j") >= 0).groupBy("i", "j").agg(sum("s").as("sxx"))
+    sxx
+      .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"),
+        col("sx").as("sx_i"), col("n"))), "i")
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"),
+        col("sx").as("sx_j"))), "j")
+      .select(col("i"), col("j"),
+        (col("sxx") - col("mu_i") * col("sx_j") - col("mu_j") * col("sx_i")
+          + col("n") * col("mu_i") * col("mu_j"))
+          .cast("decimal(38,0)").cast("string").as("cov_sum"))
       .orderBy("i", "j")
   }
 
@@ -2079,14 +2302,28 @@ object Similarity {
     val dot12 = (0 until PcaDim).map(i => BigInt(vq1(i)) * BigInt(vq2(i)))
       .foldLeft(BigInt(0))(_ + _)
     val orthOk = dot12.abs.toDouble <= 1e-3 * math.sqrt(vv1.toDouble * vv2.toDouble)
+    // diag (ADVICE r14): the verdicts are expected-TRUE brackets whose
+    // oracle side is constant, so a future flip would otherwise fail the
+    // hash with no readout. 'ok' while every verdict holds (hash-stable);
+    // on any flip the column carries the measured quantities, so the
+    // Verify parquet itself says WHICH threshold moved and by how much.
+    def rel(ray: Double, lam: Double) = math.abs(ray - lam) / math.abs(lam)
+    def diag(rayRel: Double, ok: Seq[Boolean]): String =
+      if (ok.forall(identity)) "ok"
+      else f"rayleigh_rel=$rayRel%.3e;r1=$r1%.6e;r2=$r2%.6e;rit=$rit%.6e;" +
+        f"orth_rel=${dot12.abs.toDouble / math.sqrt(vv1.toDouble * vv2.toDouble)}%.3e"
+    val v1 = Seq(rayleighOk(r1, evals(order(0))), residOk(w1, vq1, r1, vv1),
+      orthOk, r1 >= r2, r1 >= rit * (1 - 1e-9))
+    val v2 = Seq(rayleighOk(r2, evals(order(1))), residOk(w2, vq2, r2, vv2),
+      orthOk, r1 >= r2, r1 >= rit * (1 - 1e-9))
     import spark.implicits._
     Seq(
-      (1L, n, trace.toString, rayleighOk(r1, evals(order(0))),
-        residOk(w1, vq1, r1, vv1), orthOk, r1 >= r2, r1 >= rit * (1 - 1e-9)),
-      (2L, n, trace.toString, rayleighOk(r2, evals(order(1))),
-        residOk(w2, vq2, r2, vv2), orthOk, r1 >= r2, r1 >= rit * (1 - 1e-9)))
+      (1L, n, trace.toString, v1(0), v1(1), v1(2), v1(3), v1(4),
+        diag(rel(r1, evals(order(0))), v1)),
+      (2L, n, trace.toString, v2(0), v2(1), v2(2), v2(3), v2(4),
+        diag(rel(r2, evals(order(1))), v2)))
       .toDF("component", "n_vectors", "trace_str", "rayleigh_ok",
-        "resid_ok", "orth_ok", "order_ok", "top_beats_iterate")
+        "resid_ok", "orth_ok", "order_ok", "top_beats_iterate", "diag")
       .orderBy("component")
   }
 }

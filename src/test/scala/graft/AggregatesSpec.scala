@@ -448,6 +448,42 @@ class AggregatesSpec extends SparkSpec {
     assert(cells.nonEmpty && cells.forall(_._3 <= Aggregates.KmvK))
   }
 
+  test("kmv sketch-only serve: estimates equal the audited form's; the PLAN never reads the fact table (r15)") {
+    import spark.implicits._
+    val sk = Aggregates.kmvCubeSketch(spark, sf)
+    // the whole registered plan resolves to the synopsis store — unlike
+    // q_kmv_cube there is no exact arm anywhere to excuse a fact scan
+    val paths = sk.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(paths.nonEmpty && paths.forall(_.contains("graft-kmv-cube")),
+      s"sketch-only serve read something beyond the synopsis store: $paths")
+    val got = sk.as[(String, Long)].collect().sortBy(_._1).toSeq
+    val audited = Aggregates.kmvDistinct(spark, sf)
+      .select("event_type", "kmv_est").as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == audited, "sketch-only estimates diverge from the audited form")
+  }
+
+  test("kmv overlap: exact-regime identity, membership bounds, estimator sanity (r15)") {
+    import spark.implicits._
+    val rows = Aggregates.kmvOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ta, tb, nU, nI, eU, eI, jac, jacEst) =>
+      assert(ta < tb, "pair not canonically ordered")
+      assert(nI <= nU && eI <= eU, s"($ta,$tb): intersection exceeds union")
+      assert(jac >= 0 && jac <= 1000000 && jacEst >= 0 && jacEst <= 1000000)
+      // when the union sketch held the WHOLE union (nk < k ⇒ est == n),
+      // the intersection count is exact too — the theta-rule degenerates
+      // to set arithmetic and every estimate must equal its exact twin
+      if (eU == nU && nU < Aggregates.KmvK)
+        assert(eI == nI && jacEst == jac,
+          s"($ta,$tb): exact-regime sketch disagrees with set arithmetic")
+    }
+  }
+
   test("hll sketch cube serving arm scans only the stored artifact, never the fact table") {
     // the serving arm (sketch read + union) must resolve to the cube dir;
     // the fact scan in the registered query belongs to the exact-audit

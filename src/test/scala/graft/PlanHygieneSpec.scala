@@ -48,11 +48,12 @@ class PlanHygieneSpec extends SparkSpec {
     */
   private val allowBoundedBroadcast =
     Set("q_cosine_topk", "q_hard_negatives", "q_centroid_classify",
-      // the IVF operator scores vectors against the broadcast centroid
-      // table (n/CentroidStride rows — the coarse quantizer, not the
-      // corpus); its bracket audit additionally embeds q_cosine_topk's
-      // exact companion with the same bounded query-panel broadcast
-      "q_ivf_topk", "q_ivf_audit",
+      // the IVF recall evals embed the exact integer-L2 companion scan
+      // (broadcast query panel) beside the list-pruned serving arms; the
+      // serving queries themselves (q_ivf_topk / q_jl_ivf_topk) join
+      // candidates by cluster id — hash equi-joins, no nested loop, so
+      // they need no entry here
+      "q_ivf_audit", "q_jl_ivf_recall",
       // hybrid retrieval's lexical arm shares the cosine family's kernel
       // shape (per-query 0/1 vocab masks broadcast against per-doc weight
       // vectors, one codegen'd dot per pair — the broadcast side is the
@@ -180,16 +181,22 @@ class PlanHygieneSpec extends SparkSpec {
       // calendar span, not the corpus row count — the same allowance the
       // gapfill/chi2 domain frames ride (r11, q_rolling_dau's day panel);
       // h_bucket is chi2's hour-div-6 lattice (4 values, plan-constant)
-      "day", "h_bucket")
+      "day", "h_bucket",
+      // dimension-index keys (r15): the covariance raw-moment store's
+      // (i, j) cells live on the plan-constant 64-dim lattice — an
+      // aggregate grouped on them is d/d²-bounded, corpus-independent
+      // (q_pca_cov_recentered's broadcast mean/first-moment frames)
+      "i", "j")
 
   /** Corpus-slice query panels, documented since r6: the ~corpus/25 query
     * side of the brute-force scorers (at-scale substitute = the ANN/IVF
-    * family), plus the centroid tables the IVF trainer broadcasts
-    * (n/CentroidStride rows — sublinear but not structurally provable
-    * here). One entry per registered query that NEEDS it. */
+    * family) and the panel-derived probe lists the IVF family broadcasts
+    * into their cluster equi-joins. One entry per registered query that
+    * NEEDS it. */
   private val allowPanelBroadcast = Set(
     "q_cosine_topk", "q_hard_negatives", "q_ann_topk", "q_ann_served",
     "q_ann_incremental", "q_ivf_topk", "q_ivf_audit", "q_ann_recall",
+    "q_jl_ivf_topk", "q_jl_ivf_recall",
     "q_rrf_fusion", "q_pq_topk",
     // IVFADC's probe list (panel × nprobe rows) broadcasts into a hash
     // EQUI-join on cluster id — candidate generation is list-pruned, so
@@ -296,6 +303,31 @@ class PlanHygieneSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "cc round plans a cartesian")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "cc round plans a BNLJ")
+  }
+
+  test("a suffix doubling round plans hash equi-joins and a range-partitioned dense index — no nested loop, no single-partition exchange (r15)") {
+    val docs = Tables.documents(spark, sf)
+    val r0 = operators.SuffixDedup.rank0Of(docs)
+    val plan = operators.SuffixDedup.rankRoundBody(r0, 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "suffix round plans a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "suffix round plans a BNLJ")
+    // the dense index must never degrade to a corpus-wide global window:
+    // no single-partition exchange may appear anywhere in the round
+    assert(!plan.contains("SinglePartition"),
+      s"suffix round plans a single-partition exchange:\n$plan")
+    // the range exchange itself lives BEHIND the denseIndex checkpoint
+    // (lineage-truncated out of the round plan) — assert it on the
+    // pre-checkpoint frame directly: distinct pairs must range-exchange,
+    // never hash into one partition
+    val pairs = r0.select(org.apache.spark.sql.functions.col("rk").as("r1"),
+      org.apache.spark.sql.functions.col("rk").as("r2"))
+    val idxPlan = pairs.distinct()
+      .repartitionByRange(org.apache.spark.sql.functions.col("r1"),
+        org.apache.spark.sql.functions.col("r2"))
+      .queryExecution.executedPlan.toString
+    assert(idxPlan.contains("rangepartitioning"),
+      "dense index construction lost its range exchange")
   }
 
   test("a k-means Lloyd round is map-side assignment + one aggregate, no join at all (r13)") {
