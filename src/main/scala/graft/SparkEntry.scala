@@ -208,6 +208,7 @@ object SparkEntry {
     "q_dup_ngrams"        -> ((s, d) => Dedup.dupNgramFractions(s, d)),
     "q_dup_spans"         -> ((s, d) => Dedup.dupSpans(s, d)),
     "q_suffix_dedup"      -> ((s, d) => SuffixDedup.suffixDedup(s, d)),
+    "q_suffix_mask"       -> ((s, d) => SuffixDedup.suffixMask(s, d)),
     "q_span_scrub"        -> ((s, d) => Dedup.spanScrub(s, d)),
     "q_containment"       -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_minhash_est"       -> ((s, d) => Dedup.minhashEstimate(s, d)),
@@ -253,6 +254,8 @@ object SparkEntry {
     // bench comparisons of "IVF ANN" measure the operator, not the
     // audit's embedded exact scan (ADVICE r8)
     "q_ivf_topk"          -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_ivf_served"        -> ((s, d) => Similarity.ivfServed(s, d)),
+    "q_ivf_incremental"   -> ((s, d) => Similarity.ivfIncremental(s, d)),
     "q_ivf_audit"         -> ((s, d) => Similarity.ivfAudit(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
@@ -2131,6 +2134,9 @@ object SparkEntry {
     // descending LCP walk unrolled as materialized CTEs (the BpeCtes
     // discipline); dense_rank replays the distributed dense index exactly
     "q_suffix_dedup" -> operators.SuffixDedup.suffixDedupOracleSql,
+    // the removal step: per-doc duplicated-token coverage off the same
+    // fin frame (max adjacent lcp per start → exploded spans → distinct)
+    "q_suffix_mask" -> operators.SuffixDedup.suffixMaskOracleSql,
     // positional trigrams under the same portable 60-bit md5 hash the
     // winnowing/sampling oracles use; runs via gaps-and-islands
     "q_dup_spans" ->
@@ -3006,6 +3012,25 @@ object SparkEntry {
     // in DuckDB and the query hash-checks — the last probabilistic
     // registered row retired (VERDICT r14 ask #1)
     "q_ivf_topk" ->
+      s"""WITH $KmeansCtes,
+         |${Similarity.ivfScoreCtes}
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, dist FROM (
+         |  SELECT q_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM ivsc)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // the stored and appended index forms serve the IDENTICAL ranking
+    // (per-row cluster facts under the fixed trained quantizer — append
+    // == rebuild trivially and exactly) — oracle shared verbatim
+    "q_ivf_served" ->
+      s"""WITH $KmeansCtes,
+         |${Similarity.ivfScoreCtes}
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, dist FROM (
+         |  SELECT q_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM ivsc)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q_ivf_incremental" ->
       s"""WITH $KmeansCtes,
          |${Similarity.ivfScoreCtes}
          |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, dist FROM (

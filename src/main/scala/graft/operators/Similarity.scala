@@ -219,10 +219,16 @@ object Similarity {
       .withColumn("cdists", cdists)
       .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
       .select("vec_id", "qv", "cluster")
-    // nprobe nearest clusters per panel query: sorted (dist, cid) structs —
-    // lexicographic struct order IS the engine's (dist, lowest-cid) rule
-    val probes = qv.filter(col("vec_id") % 25 === 0)
-      .withColumn("cdists", cdists)
+    ivfRerank(corpus, ivfProbesFor(centLit, qv, nprobe), k)
+  }
+
+  /** nprobe nearest clusters per panel query: sorted (dist, cid) structs —
+    * lexicographic struct order IS the engine's (dist, lowest-cid) rule.
+    * Shared by the in-plan, stored and incremental serving forms. */
+  private def ivfProbesFor(centLit: Column, qv: DataFrame, nprobe: Int): DataFrame =
+    qv.filter(col("vec_id") % 25 === 0)
+      .withColumn("cdists", transform(sequence(lit(0), lit(KmeansK - 1)),
+        c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int")))))
       .withColumn("probes", slice(array_sort(transform(
         sequence(lit(0), lit(KmeansK - 1)),
         c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
@@ -230,6 +236,10 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("qv").as("qq"),
         explode(col("probes")).as("probe"))
       .select(col("q_id"), col("qq"), col("probe.cid").as("cluster"))
+
+  /** Probe-list equi-join + exact in-list re-rank — the serving tail
+    * every IVF form (raw, JL-composed, stored, incremental) shares. */
+  private def ivfRerank(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
     corpus.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dist", pqSqDist(col("qv"), col("qq")))
@@ -238,7 +248,78 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("dist"))
       .orderBy("q_id", "rn")
+
+  private val ivfIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val ivfIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Append ONE embedding batch to a stored IVF index: rows carry the
+    * batch's quantized vectors with their map-side cluster assignment
+    * under the TRAINED coarse quantizer (the standard serving
+    * convention — index new data with the stored model). Assignments
+    * are per-row facts, so serving never recomputes them; shared by the
+    * registered stored/incremental forms and StreamingSpec's
+    * foreachBatch ingest twin. */
+  private[graft] def appendIvfFrame(spark: SparkSession, sfDir: String,
+                                    embeddings: DataFrame, dir: String,
+                                    batch: Long): Unit = {
+    val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
+    embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
+          .as("qv"))
+      .withColumn("cdists", transform(sequence(lit(0), lit(KmeansK - 1)),
+        c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int")))))
+      .withColumn("cluster",
+        array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .select(col("vec_id"), col("qv"), col("cluster"), lit(batch).as("batch"))
+      .write.mode("append").parquet(dir)
   }
+
+  private[graft] def ivfIndexDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, ivfIndexMemo)
+    ivfIndexMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = SessionMemos.tempDir(spark, "graft-ivf-index")
+      appendIvfFrame(spark, sfDir, Tables.embeddings(spark, sfDir), dir, 0L)
+      dir
+    })
+  }
+
+  private[graft] def ivfIncrIndexDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, ivfIncrMemo)
+    ivfIncrMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = SessionMemos.tempDir(spark, "graft-ivf-index-incr")
+      val emb = Tables.embeddings(spark, sfDir)
+      appendIvfFrame(spark, sfDir, emb.filter(col("vec_id") % 2 === 0), dir, 0L)
+      appendIvfFrame(spark, sfDir, emb.filter(col("vec_id") % 2 === 1), dir, 1L)
+      dir
+    })
+  }
+
+  /** Serve the IVF ranking off a STORED index dir — the lifecycle form
+    * ([[annServed]]'s shape for the IVF family): the corpus side reads
+    * only the index artifact (vec_id, qv, cluster — per-row facts), the
+    * query panel probes with the same trained centroids, and the result
+    * equals [[ivfTopK]] bit-for-bit, so all three forms share one
+    * oracle. */
+  private[graft] def ivfServeFrom(spark: SparkSession, sfDir: String, dir: String,
+                                  k: Int = 10, nprobe: Int = IvfNProbe): DataFrame = {
+    val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
+    val corpus = spark.read.parquet(dir).select("vec_id", "qv", "cluster")
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
+    ivfRerank(corpus, ivfProbesFor(centLit, qv, nprobe), k)
+  }
+
+  /** `q_ivf_served`: build-once stored index, serve from the artifact. */
+  def ivfServed(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    ivfServeFrom(spark, sfDir, ivfIndexDir(spark, sfDir), k)
+
+  /** `q_ivf_incremental`: the appendable lifecycle — two parity batches
+    * land their own assigned segments; serving the union equals the
+    * one-shot build (assignments are per-row facts under a fixed trained
+    * model, so append == rebuild trivially and exactly). */
+  def ivfIncremental(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    ivfServeFrom(spark, sfDir, ivfIncrIndexDir(spark, sfDir), k)
 
 
   /** Few planes + wide multi-probe beats many planes here: the corpus has
@@ -779,14 +860,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("qv").as("qq"),
         explode(col("probes")).as("probe"))
       .select(col("q_id"), col("qq"), col("probe.cid").as("cluster"))
-    corpus.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dist", pqSqDist(col("qv"), col("qq")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("dist"), asc("vec_id"))))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("dist"))
-      .orderBy("q_id", "rn")
+    ivfRerank(corpus, probes, k)
   }
 
   /** Recall of the JL-composed pipeline vs exact integer L2 — the row

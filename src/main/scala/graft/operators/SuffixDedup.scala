@@ -149,15 +149,77 @@ object SuffixDedup {
       _ => buildRanks(Tables.documents(spark, sfDir)))
   }
 
+  /** Span length at which [[suffixMask]] marks tokens as duplicated
+    * content (Lee et al. use 50 BPE tokens at web scale; 10 here sits
+    * cleanly above this corpus's ~6-token random-collision ceiling —
+    * 31-word vocabulary, ~1e9 position pairs at sf0.01 — while catching
+    * the planted full-document duplicates at lcp ≈ 90). */
+  val MaskMinLen = 10
+
+  /** Session memo for the capped adjacency-LCP frame — the expensive
+    * half (suffix order + the 2·R-join walk), shared by the span top-k
+    * and the masking readout; checkpointed so consumers replan from a
+    * materialized leaf. */
+  private val lcpsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def adjacentLcpsMemo(spark: SparkSession, sfDir: String): DataFrame = {
+    SessionMemos.arm(spark, lcpsMemo)
+    lcpsMemo.computeIfAbsent((spark, sfDir), _ =>
+      adjacentLcps(Tables.documents(spark, sfDir), suffixRanks(spark, sfDir))
+        .localCheckpoint())
+  }
+
   /** The registered query: top [[SuffixTopK]] duplicated spans by
     * (lcp DESC, doc_a, pos_a, doc_b, pos_b) with the span's md5
     * fingerprint (sliced from the source document — a 20-row bounded
     * join). */
   def suffixDedup(spark: SparkSession, sfDir: String): DataFrame =
-    suffixDedupFrom(Tables.documents(spark, sfDir), suffixRanks(spark, sfDir))
+    spanTopK(Tables.documents(spark, sfDir), adjacentLcpsMemo(spark, sfDir))
+
+  /** THE REMOVAL STEP (`q_suffix_mask`) — what Lee et al.'s ExactSubstr
+    * dedup actually does to the corpus: every token covered by some
+    * duplicated span of ≥ [[MaskMinLen]] tokens is flagged, per
+    * document. A position p's longest duplicated prefix is the max of
+    * its two ADJACENT lcps in suffix order (the classic suffix-array
+    * identity: LCP(p, q) over all q maximizes at a rank neighbor), so
+    * coverage = ∪ [p, p + maxAdjLcp(p) − 1] over qualifying starts —
+    * exact, from the same walk frame the top-k readout shares. Output:
+    * per-doc token counts, duplicated-token counts and the exact ppm —
+    * the per-document removal budget an ExactSubstr pass reports. */
+  def suffixMask(spark: SparkSession, sfDir: String): DataFrame =
+    maskOf(Tables.documents(spark, sfDir), adjacentLcpsMemo(spark, sfDir))
+
+  private[graft] def suffixMaskFrom(docs: DataFrame): DataFrame =
+    maskOf(docs, adjacentLcps(docs, buildRanks(docs)))
+
+  private[graft] def maskOf(docs: DataFrame, al: DataFrame): DataFrame = {
+    val md = al.select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
+      .union(al.select(col("db").as("doc_id"), col("pb").as("pos"), col("lcp")))
+      .groupBy("doc_id", "pos").agg(max("lcp").as("md"))
+      .filter(col("md") >= MaskMinLen)
+    val covered = md
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("md") - 1)).as("cpos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_tokens"),
+        expr("coalesce(nd, 0) * 1000000 div n_tokens").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
 
   private[graft] def suffixDedupFrom(docs: DataFrame,
-                                     ranks: IndexedSeq[DataFrame]): DataFrame = {
+                                     ranks: IndexedSeq[DataFrame]): DataFrame =
+    spanTopK(docs, adjacentLcps(docs, ranks))
+
+  /** Suffix order + adjacent pairs + the descending LCP walk + the
+    * min-length cap and round guard — every adjacent pair with its exact
+    * LCP (unfiltered). The shared expensive half. */
+  private[graft] def adjacentLcps(docs: DataFrame,
+                                  ranks: IndexedSeq[DataFrame]): DataFrame = {
     val rFinal = ranks(SuffixRounds)
     val sa = denseIndex(rFinal.select("rk", "doc_id", "pos"),
       Seq("rk", "doc_id", "pos"), "gidx")
@@ -191,22 +253,55 @@ object SuffixDedup {
         expr(s"""CASE WHEN mx > ${1L << SuffixRounds} THEN
                  CAST(raise_error('suffixDedup: a document exceeds 2^$SuffixRounds tokens — raise SuffixRounds to cover it') AS BIGINT)
                  ELSE least(lcp, la - pa + 1, lb - pb + 1) END""").as("lcp"))
-      .filter(col("lcp") >= SuffixMinLcp)
+    capped
+  }
+
+  private def spanTopK(docs: DataFrame, al: DataFrame): DataFrame =
+    al.filter(col("lcp") >= SuffixMinLcp)
       .orderBy(desc("lcp"), col("da"), col("pa"), col("db"), col("pb"))
       .limit(SuffixTopK)
-    capped
       .join(docs.select(col("doc_id").as("da"), col("text")), "da")
       .select(col("lcp"), col("da").as("doc_a"), col("pa").as("pos_a"),
         col("db").as("doc_b"), col("pb").as("pos_b"),
         md5(array_join(slice(split(col("text"), " "),
           col("pa").cast("int"), col("lcp").cast("int")), " ")).as("span_fp"))
       .orderBy(desc("lcp"), col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
-  }
 
   /** Full DuckDB oracle: every doubling round and every walk level
     * unrolled as materialized CTEs; dense_rank/row_number reproduce the
     * distributed dense indexes exactly. */
-  def suffixDedupOracleSql: String = {
+  def suffixDedupOracleSql: String =
+    s"""WITH $suffixCtes,
+       |top AS (SELECT * FROM fin WHERE lcp >= $SuffixMinLcp
+       |        ORDER BY lcp DESC, da, pa, db, pb LIMIT $SuffixTopK)
+       |SELECT CAST(t.lcp AS BIGINT) AS lcp, t.da AS doc_a, CAST(t.pa AS BIGINT) AS pos_a,
+       |  t.db AS doc_b, CAST(t.pb AS BIGINT) AS pos_b,
+       |  md5(array_to_string(list_slice(string_split(d.text, ' '), t.pa, t.pa + t.lcp - 1), ' ')) AS span_fp
+       |FROM top t JOIN documents d ON d.doc_id = t.da
+       |ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b""".stripMargin
+
+  /** Oracle for [[suffixMask]] — the same fin frame folded into per-doc
+    * coverage: max adjacent lcp per start, explode qualifying spans,
+    * distinct positions, count per document. */
+  def suffixMaskOracleSql: String =
+    s"""WITH $suffixCtes,
+       |md AS (SELECT doc_id, pos, max(lcp) AS md FROM (
+       |    SELECT da AS doc_id, pa AS pos, lcp FROM fin
+       |    UNION ALL SELECT db, pb, lcp FROM fin)
+       |  GROUP BY 1, 2 HAVING max(lcp) >= $MaskMinLen),
+       |cov AS (SELECT DISTINCT doc_id, cpos FROM (
+       |    SELECT doc_id, unnest(range(pos, pos + md)) AS cpos FROM md)),
+       |cnt AS (SELECT doc_id, count(*) AS nd FROM cov GROUP BY 1)
+       |SELECT l.doc_id, CAST(l.len AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_tokens,
+       |  CAST(coalesce(c.nd, 0) * 1000000 // l.len AS BIGINT) AS dup_ppm
+       |FROM ln l LEFT JOIN cnt c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The shared CTE body (no WITH): tokens → doubling rounds → suffix
+    * order → adjacency → walk → `fin` = every adjacent pair with its
+    * capped exact LCP, plus `ln` (doc lengths). */
+  private def suffixCtes: String = {
     val rounds = (1 to SuffixRounds).map { r =>
       val gap = 1L << (r - 1)
       s"""sp$r AS MATERIALIZED (SELECT a.doc_id, a.pos, a.rk AS r1, coalesce(b.rk, -1) AS r2
@@ -223,7 +318,7 @@ object SuffixDedup {
          |  LEFT JOIN sr$lvl x ON x.doc_id = w.da AND x.pos = w.pa + w.lcp
          |  LEFT JOIN sr$lvl y ON y.doc_id = w.db AND y.pos = w.pb + w.lcp)""".stripMargin
     }.mkString(",\n")
-    s"""WITH t AS MATERIALIZED (
+    s"""t AS MATERIALIZED (
        |  SELECT doc_id, i AS pos, toks[i] AS w
        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i
        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
@@ -237,17 +332,10 @@ object SuffixDedup {
        |  FROM sa a JOIN sa b ON b.gidx = a.gidx + 1),
        |wk$SuffixRounds AS (SELECT da, pa, db, pb, CAST(0 AS BIGINT) AS lcp FROM adj),
        |$walk,
-       |fin AS (SELECT w.da, w.pa, w.db, w.pb,
+       |fin AS MATERIALIZED (SELECT w.da, w.pa, w.db, w.pb,
        |    CASE WHEN (SELECT mx FROM mxl) > ${1L << SuffixRounds}
        |         THEN error('suffixDedup oracle: a document exceeds 2^$SuffixRounds tokens — raise SuffixRounds to cover it')
        |         ELSE least(w.lcp, la.len - w.pa + 1, lb.len - w.pb + 1) END AS lcp
-       |  FROM wk0 w JOIN ln la ON la.doc_id = w.da JOIN ln lb ON lb.doc_id = w.db),
-       |top AS (SELECT * FROM fin WHERE lcp >= $SuffixMinLcp
-       |        ORDER BY lcp DESC, da, pa, db, pb LIMIT $SuffixTopK)
-       |SELECT CAST(t.lcp AS BIGINT) AS lcp, t.da AS doc_a, CAST(t.pa AS BIGINT) AS pos_a,
-       |  t.db AS doc_b, CAST(t.pb AS BIGINT) AS pos_b,
-       |  md5(array_to_string(list_slice(string_split(d.text, ' '), t.pa, t.pa + t.lcp - 1), ' ')) AS span_fp
-       |FROM top t JOIN documents d ON d.doc_id = t.da
-       |ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b""".stripMargin
+       |  FROM wk0 w JOIN ln la ON la.doc_id = w.da JOIN ln lb ON lb.doc_id = w.db)""".stripMargin
   }
 }

@@ -195,7 +195,8 @@ class PlanHygieneSpec extends SparkSpec {
     * NEEDS it. */
   private val allowPanelBroadcast = Set(
     "q_cosine_topk", "q_hard_negatives", "q_ann_topk", "q_ann_served",
-    "q_ann_incremental", "q_ivf_topk", "q_ivf_audit", "q_ann_recall",
+    "q_ann_incremental", "q_ivf_topk", "q_ivf_served", "q_ivf_incremental",
+    "q_ivf_audit", "q_ann_recall",
     "q_jl_ivf_topk", "q_jl_ivf_recall",
     "q_rrf_fusion", "q_pq_topk",
     // IVFADC's probe list (panel × nprobe rows) broadcasts into a hash

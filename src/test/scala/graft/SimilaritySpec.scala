@@ -69,6 +69,21 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivf stored and appended indexes serve the identical ranking (r15)") {
+    import spark.implicits._
+    val inPlan = Similarity.ivfTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val served = Similarity.ivfServed(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val incr = Similarity.ivfIncremental(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(served == inPlan, "stored-index serve diverges from the in-plan ranking")
+    assert(incr == inPlan, "appended-index serve diverges from the in-plan ranking")
+    // both parity segments really landed
+    val segs = spark.read.parquet(Similarity.ivfIncrIndexDir(spark, sf))
+    assert(segs.select("batch").distinct().count() == 2)
+  }
+
   test("jl-composed ivf: cluster equi-join serving, honest recall readout (r15)") {
     val df = Similarity.jlIvfTopK(spark, sf)
     assert(df.columns.sameElements(Array("q_id", "rn", "vec_id", "dist")))

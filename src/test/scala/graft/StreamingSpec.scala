@@ -527,6 +527,37 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(artDir).listFiles().count(_.getName.startsWith("day=")) > 1)
   }
 
+  test("streaming IVF index ingest: foreachBatch appends assigned segments, serving equals the in-plan ranking") {
+    // the IVF face of the ANN ingest test: vector micro-batches land
+    // with their cluster assignment under the TRAINED coarse quantizer
+    // (per-row facts — zero serve-time recompute); after the stream
+    // drains, serving from the accumulated index must equal the in-plan
+    // deterministic IVF ranking bit-for-bit.
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val idxDir = Files.createTempDirectory("graft-ivfstream-idx").toString
+    val srcDir = writeSlices((0 until 3).map(i => emb.filter(col("vec_id") % 3 === i)))
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Similarity.appendIvfFrame(spark, sf, batch, idxDir, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val segments = spark.read.parquet(idxDir)
+    assert(segments.select("batch").distinct().count() == 3,
+      "expected one index segment per micro-batch")
+    assert(segments.count() == emb.count())
+    val served = Similarity.ivfServeFrom(spark, sf, idxDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val inPlan = Similarity.ivfTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(served == inPlan, "stream-ingested IVF index diverges from the in-plan ranking")
+  }
+
   test("streaming KMV maintenance: foreachBatch appends k-minima segments, serve equals batch cube") {
     // the streaming face of q_kmv_cube_incremental: event micro-batches
     // each land their own per-(type, day) k-minima segment (batch-local

@@ -64,6 +64,49 @@ class SuffixDedupSpec extends SparkSpec {
     }
   }
 
+  test("mask coverage: planted fixture marks exactly the duplicated run and nothing else") {
+    import spark.implicits._
+    // docs 1 and 2 share a MaskMinLen-long run; doc 3 is clean — the mask
+    // must cover exactly those positions on both sides
+    val run = ('a' to 'j').map(c => s"$c$c").mkString(" ") // 10 unique-ish shared tokens
+    val docs = Seq(
+      (1L, s"u1 u2 $run u3"),
+      (2L, s"v1 $run v2 v3"),
+      (3L, "w1 w2 w3 w4")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.SuffixDedup.suffixMaskFrom(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 13L, 10L), (2L, 13L, 10L), (3L, 4L, 0L)),
+      s"mask coverage wrong: $got")
+    assert(got.head._4 == 10L * 1000000 / 13L)
+  }
+
+  test("mask honesty on the real corpus: every covered doc's count is within its length; full-dup docs are fully covered") {
+    import spark.implicits._
+    val mask = graft.operators.SuffixDedup.suffixMask(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(mask.nonEmpty)
+    mask.foreach { case (d, n, nd, ppm) =>
+      assert(nd >= 0 && nd <= n, s"doc $d: coverage $nd outside [0, $n]")
+      assert(ppm == nd * 1000000 / n)
+    }
+    // the corpus plants whole-document duplicates (q_dedup_exact's
+    // fixture); a doc whose top span runs pos 1 → its full length has a
+    // verbatim twin and must be 100% covered
+    val byDoc = mask.map(r => r._1 -> r).toMap
+    val top = graft.operators.SuffixDedup.suffixDedup(spark, sf)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    val fullDup = top.collect {
+      case (lcp, da, 1L, _, _, _) if lcp == byDoc(da)._2 => da
+    }.toSet
+    assert(fullDup.nonEmpty, "no whole-document duplicate in the top spans?")
+    fullDup.foreach { d =>
+      val (_, n, nd, _) = byDoc(d)
+      assert(nd == n, s"full-duplicate doc $d only covered $nd of $n tokens")
+    }
+  }
+
   test("top lcp equals the brute-force longest duplicated substring on the real corpus") {
     val spans = SuffixDedup.suffixDedup(spark, sf).collect()
     val top = spans.head.getLong(0)
