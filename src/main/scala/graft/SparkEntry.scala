@@ -106,6 +106,7 @@ object SparkEntry {
     "q_kmv_cube_incremental" -> ((s, d) => Aggregates.kmvCubeIncremental(s, d)),
     "q_kmv_cube_sketch"   -> ((s, d) => Aggregates.kmvCubeSketch(s, d)),
     "q_kmv_overlap"       -> ((s, d) => Aggregates.kmvOverlap(s, d)),
+    "q_kmv_overlap_sketch" -> ((s, d) => Aggregates.kmvOverlapSketch(s, d)),
     "q_hll_cube"          -> ((s, d) => Aggregates.hllCubeServed(s, d)),
     "q_quantile_cube"     -> ((s, d) => Aggregates.quantileCubeServed(s, d)),
     "q_dd_cube"            -> ((s, d) => Aggregates.ddCubeServed(s, d)),
@@ -257,6 +258,7 @@ object SparkEntry {
     "q_ivf_served"        -> ((s, d) => Similarity.ivfServed(s, d)),
     "q_ivf_incremental"   -> ((s, d) => Similarity.ivfIncremental(s, d)),
     "q_ivf_audit"         -> ((s, d) => Similarity.ivfAudit(s, d)),
+    "q_ivf_probe_curve"   -> ((s, d) => Similarity.ivfProbeCurve(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_kmeans"            -> ((s, d) => Similarity.kmeans(s, d)),
     "q_label_purity"      -> ((s, d) => Similarity.labelPurity(s, d)),
@@ -1286,6 +1288,43 @@ object SparkEntry {
          |       ELSE (CAST(${operators.Aggregates.KmvK - 1} AS HUGEINT) * ${operators.Aggregates.KmvTwo60}) // hk
          |       END AS BIGINT) AS kmv_est
          |FROM kk ORDER BY event_type""".stripMargin,
+    // the store-only overlap serve: per-type synopses recovered from the
+    // cube by the exact union-truncate, same theta-rule estimates — the
+    // oracle replays them from raw events (values identical to
+    // q_kmv_overlap's sketch arm)
+    "q_kmv_overlap_sketch" ->
+      s"""WITH dh AS (SELECT DISTINCT event_type,
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+         |  FROM events),
+         |tk AS (SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM dh) WHERE rn <= ${operators.Aggregates.KmvK}),
+         |tp AS (SELECT DISTINCT event_type FROM dh),
+         |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |       FROM tp a JOIN tp b ON a.event_type < b.event_type),
+         |u AS (SELECT DISTINCT pr.ta, pr.tb, s.h
+         |      FROM pr JOIN tk s ON s.event_type = pr.ta OR s.event_type = pr.tb),
+         |ku AS (SELECT ta, tb, h FROM (
+         |    SELECT ta, tb, h,
+         |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |    FROM u) WHERE rn <= ${operators.Aggregates.KmvK}),
+         |ag AS (SELECT k.ta, k.tb, max(k.h) AS hk, count(*) AS nk,
+         |        sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS c
+         |      FROM ku k
+         |      LEFT JOIN tk a ON a.event_type = k.ta AND a.h = k.h
+         |      LEFT JOIN tk b ON b.event_type = k.tb AND b.h = k.h
+         |      GROUP BY 1, 2),
+         |est AS (SELECT ta, tb, c, nk,
+         |         CASE WHEN nk < ${operators.Aggregates.KmvK} THEN nk
+         |              ELSE (CAST(${operators.Aggregates.KmvK - 1} AS HUGEINT) * ${operators.Aggregates.KmvTwo60}) // hk
+         |         END AS union_est
+         |        FROM ag)
+         |SELECT ta AS type_a, tb AS type_b,
+         |  CAST(union_est AS BIGINT) AS union_est,
+         |  CAST((CAST(c AS HUGEINT) * union_est) // nk AS BIGINT) AS inter_est,
+         |  CAST(c * 1000000 // nk AS BIGINT) AS jaccard_est_ppm
+         |FROM est ORDER BY type_a, type_b""".stripMargin,
     // KMV set algebra: the theta-style union/intersection estimator whose
     // ESTIMATES hash-check (deterministic synopses — q_hll_overlap's
     // bracket retired for this family); exact companions = audit arm
@@ -3038,6 +3077,68 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
          |  FROM ivsc)
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // the probe-width tuning curve: one exact reference + one pipeline
+    // per nprobe point, curve values hash-pinned (candidate sets nested
+    // ⇒ recall monotone — the spec asserts it, the oracle pins it)
+    "q_ivf_probe_curve" ->
+      s"""WITH $KmeansCtes,
+         |${operators.Similarity.ivfScoreCtesFor("p1", 1)},
+         |${operators.Similarity.ivfScoreCtesFor("p2", 2)},
+         |${operators.Similarity.ivfScoreCtesFor("p4", 4)},
+         |${operators.Similarity.ivfScoreCtesFor("p8", 8)},
+         |exr AS (SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i]) for i in range(1,65)]),
+         |        b.vec_id) AS rn
+         |    FROM q a JOIN q b ON b.vec_id <> a.vec_id WHERE a.vec_id % 25 = 0)
+         |  WHERE rn <= 10),
+         |nq AS (SELECT count(DISTINCT q_id) AS n FROM exr),
+         |h1 AS (SELECT count(*) AS nh FROM exr e JOIN (
+         |    SELECT q_id, vec_id FROM (
+         |      SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |      FROM p1sc) WHERE rn <= 10) r
+         |  ON r.q_id = e.q_id AND r.vec_id = e.vec_id),
+         |h2 AS (SELECT count(*) AS nh FROM exr e JOIN (
+         |    SELECT q_id, vec_id FROM (
+         |      SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |      FROM p2sc) WHERE rn <= 10) r
+         |  ON r.q_id = e.q_id AND r.vec_id = e.vec_id),
+         |h4 AS (SELECT count(*) AS nh FROM exr e JOIN (
+         |    SELECT q_id, vec_id FROM (
+         |      SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |      FROM p4sc) WHERE rn <= 10) r
+         |  ON r.q_id = e.q_id AND r.vec_id = e.vec_id),
+         |h8 AS (SELECT count(*) AS nh FROM exr e JOIN (
+         |    SELECT q_id, vec_id FROM (
+         |      SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |      FROM p8sc) WHERE rn <= 10) r
+         |  ON r.q_id = e.q_id AND r.vec_id = e.vec_id)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS nprobe, CAST(nq.n AS BIGINT) AS n_queries,
+         |    CAST(h1.nh AS BIGINT) AS n_hits,
+         |    CAST(h1.nh * 1000000 // (nq.n * 10) AS BIGINT) AS recall_ppm
+         |  FROM nq, h1
+         |UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS nprobe, CAST(nq.n AS BIGINT) AS n_queries,
+         |    CAST(h2.nh AS BIGINT) AS n_hits,
+         |    CAST(h2.nh * 1000000 // (nq.n * 10) AS BIGINT) AS recall_ppm
+         |  FROM nq, h2
+         |UNION ALL
+         |  SELECT CAST(4 AS BIGINT) AS nprobe, CAST(nq.n AS BIGINT) AS n_queries,
+         |    CAST(h4.nh AS BIGINT) AS n_hits,
+         |    CAST(h4.nh * 1000000 // (nq.n * 10) AS BIGINT) AS recall_ppm
+         |  FROM nq, h4
+         |UNION ALL
+         |  SELECT CAST(8 AS BIGINT) AS nprobe, CAST(nq.n AS BIGINT) AS n_queries,
+         |    CAST(h8.nh AS BIGINT) AS n_hits,
+         |    CAST(h8.nh * 1000000 // (nq.n * 10) AS BIGINT) AS recall_ppm
+         |  FROM nq, h8
+         |) ORDER BY nprobe""".stripMargin,
     // the recall eval now carries a FULL oracle too (both arms replay on
     // the shared integer lattice — the pqRecall discipline); the recall
     // VALUES are hash-pinned, honestly mid-band on this isotropic corpus

@@ -425,6 +425,59 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** STORE-ONLY KMV OVERLAP (r15) — [[kmvOverlap]]'s set algebra served
+    * entirely FROM THE STORED CUBE: per-type synopses recovered by the
+    * exact union-truncate over the (type, day) cells (the ≤ k−1-smaller
+    * argument makes them equal the one-shot per-type k-minima), then the
+    * same theta-rule union/intersection/Jaccard — zero fact-table
+    * contact anywhere in the plan (asserted off the analyzed relations).
+    * This is the composition a warehouse actually runs: overlap
+    * questions answered from megabytes of synopses. Estimates identical
+    * to [[kmvOverlap]]'s sketch arm, so the oracle replays them from raw
+    * events and hash-checks; no exact companions by design (that is the
+    * point of the store-only form). */
+  def kmvOverlapSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val two60 = KmvTwo60
+    // NOT checkpointed, deliberately: each of the three consumers
+    // re-reads the (tiny) synopsis store, keeping the parquet relation
+    // visible in the analyzed plan for the store-only assertion — a
+    // checkpoint would truncate it into an opaque RDD leaf
+    val topk = spark.read.parquet(kmvCubeDir(spark, sfDir))
+      .select(col("event_type"), col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .select("event_type", "h")
+    val types = topk.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val session = spark
+    import session.implicits._
+    val pairs = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+      m <- Seq(types(i), types(j))
+    } yield (types(i), types(j), m)).toDF("ta", "tb", "member")
+    val u = topk.join(broadcast(pairs), col("event_type") === col("member"))
+      .select(col("ta"), col("tb"), col("h")).distinct()
+    val kU = u.withColumn("rn", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .select("ta", "tb", "h")
+    val sa = topk.select(col("event_type").as("ta"), col("h"), lit(1).as("ina"))
+    val sb = topk.select(col("event_type").as("tb"), col("h"), lit(1).as("inb"))
+    kU.join(sa, Seq("ta", "h"), "left").join(sb, Seq("tb", "h"), "left")
+      .groupBy("ta", "tb")
+      .agg(max("h").as("hk"), count(lit(1)).as("nk"),
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L).otherwise(0L)).as("c"))
+      .withColumn("union_est",
+        when(col("nk") < KmvK, col("nk")).otherwise(
+          expr(s"cast((cast(${KmvK - 1} as decimal(38,0)) * $two60) div hk as bigint)")))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"), col("union_est"),
+        expr("cast((cast(c as decimal(38,0)) * union_est) div nk as bigint)").as("inter_est"),
+        expr("c * 1000000 div nk").as("jaccard_est_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** KMV SET ALGEBRA (r15) — the theta-sketch-style union/intersection
     * estimator over the per-type k-minima synopses (Beyer et al.
     * SIGMOD'07 §4; the Theta Sketch framework's intersection rule), and —

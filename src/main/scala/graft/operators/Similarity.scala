@@ -730,23 +730,53 @@ object Similarity {
        |FROM kth k JOIN hits h USING (q_id) ORDER BY k.q_id""".stripMargin
 
   /** The IVF probe → candidate → exact-score CTE chain over a trained
-    * KmeansCtes replay (exposes `ivsc` = (q_id, vec_id, dist)); shared
-    * by the q_ivf_topk oracle and the recall audit. */
-  def ivfScoreCtes: String =
-    s"""ivprobe AS (SELECT vec_id AS q_id, cid FROM (
+    * KmeansCtes replay (exposes `${p}sc` = (q_id, vec_id, dist));
+    * prefix/nprobe-parameterized so the probe-curve oracle can stack one
+    * pipeline per curve point. */
+  def ivfScoreCtesFor(p: String, nprobe: Int): String =
+    s"""${p}probe AS (SELECT vec_id AS q_id, cid FROM (
        |    SELECT q.vec_id, c.cid,
        |      list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cid) AS rn
        |    FROM q CROSS JOIN c$KmeansRounds c
        |    WHERE q.vec_id % 25 = 0)
-       |  WHERE rn <= $IvfNProbe),
-       |ivasg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
-       |ivcand AS (SELECT p.q_id, a.vec_id FROM ivprobe p
-       |           JOIN ivasg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
-       |ivsc AS (SELECT c.q_id, c.vec_id,
+       |  WHERE rn <= $nprobe),
+       |${p}asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+       |${p}cand AS (SELECT p.q_id, a.vec_id FROM ${p}probe p
+       |           JOIN ${p}asg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+       |${p}sc AS (SELECT c.q_id, c.vec_id,
        |           CAST(list_sum([(v.qv[i]-w.qv[i])*(v.qv[i]-w.qv[i]) for i in range(1,65)]) AS BIGINT) AS dist
-       |         FROM ivcand c JOIN q v ON v.vec_id = c.vec_id
+       |         FROM ${p}cand c JOIN q v ON v.vec_id = c.vec_id
        |           JOIN q w ON w.vec_id = c.q_id)""".stripMargin
+
+  /** The fixed-nprobe chain the serving oracles share. */
+  def ivfScoreCtes: String = ivfScoreCtesFor("iv", IvfNProbe)
+
+  /** nprobe sweep for [[ivfProbeCurve]] — 1 of 10 lists up to 8 of 10. */
+  val IvfCurvePoints: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** PROBE-WIDTH TUNING CURVE (`q_ivf_probe_curve`) — the dial a vector
+    * serving team actually turns: recall@k against exact integer L2 at
+    * each nprobe in [[IvfCurvePoints]], in one readout. Deterministic
+    * end-to-end, so the CURVE VALUES hash-check (an unusual property for
+    * an ANN tuning sweep — the float-Lloyd formulation could never have
+    * pinned this). Each point re-probes the same trained lists (training
+    * is memoized once); recall is monotone non-decreasing in nprobe by
+    * construction (candidate sets are nested), which the spec asserts.
+    */
+  def ivfProbeCurve(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val ex = l2TopK(spark, sfDir, k).select(col("q_id"), col("vec_id"))
+      .localCheckpoint() // panel×k rows, reused by every curve point
+    val nq = ex.select("q_id").distinct().count() // panel-size bounded scalar
+    IvfCurvePoints.map { np =>
+      ex.join(ivfTopK(spark, sfDir, k, np).select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), lit(nq).as("n_queries"),
+          col("n_hits"),
+          expr(s"n_hits * 1000000 div ($nq * $k)").as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
 
   /** Dimension/prefix-parameterized DuckDB replay of the deterministic
     * integer Lloyd — SparkEntry's KmeansCtes construction generalized
@@ -843,8 +873,13 @@ object Similarity {
   def jlIvfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
                 nprobe: Int = IvfNProbe): DataFrame = {
     val centLit = typedlit(jlCentroids(spark, sfDir).map(_.toSeq))
-    val base = quantizedVectors(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("qv"), jlProjCol.as("pv"))
+    // fence: the projected frame feeds BOTH the corpus assignment and the
+    // query panel — without it each consumer recomputes the 16 ±1-sum
+    // HOFs over the whole corpus (measured ~2.5 s/rep at sf0.1)
+    val base = Dedup.fence(
+      quantizedVectors(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("qv"), jlProjCol.as("pv")),
+      "vec_id")
     val cdists = transform(sequence(lit(0), lit(KmeansK - 1)),
       c => pqSqDist(col("pv"), element_at(centLit, (c + 1).cast("int"))))
     val corpus = base

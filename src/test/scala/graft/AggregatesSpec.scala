@@ -484,6 +484,23 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("kmv overlap store-only serve: estimates equal the audited form's; the PLAN never reads the fact table (r15)") {
+    import spark.implicits._
+    val sk = Aggregates.kmvOverlapSketch(spark, sf)
+    val paths = sk.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+    assert(paths.nonEmpty && paths.forall(_.contains("graft-kmv-cube")),
+      s"store-only overlap read something beyond the synopsis store: $paths")
+    val got = sk.as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val audited = Aggregates.kmvOverlap(spark, sf)
+      .select("type_a", "type_b", "union_est", "inter_est", "jaccard_est_ppm")
+      .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == audited, "store-only overlap estimates diverge from the audited form")
+  }
+
   test("hll sketch cube serving arm scans only the stored artifact, never the fact table") {
     // the serving arm (sketch read + union) must resolve to the cube dir;
     // the fact scan in the registered query belongs to the exact-audit

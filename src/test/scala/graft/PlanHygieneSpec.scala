@@ -53,7 +53,7 @@ class PlanHygieneSpec extends SparkSpec {
       // serving queries themselves (q_ivf_topk / q_jl_ivf_topk) join
       // candidates by cluster id — hash equi-joins, no nested loop, so
       // they need no entry here
-      "q_ivf_audit", "q_jl_ivf_recall",
+      "q_ivf_audit", "q_jl_ivf_recall", "q_ivf_probe_curve",
       // hybrid retrieval's lexical arm shares the cosine family's kernel
       // shape (per-query 0/1 vocab masks broadcast against per-doc weight
       // vectors, one codegen'd dot per pair — the broadcast side is the
@@ -196,7 +196,7 @@ class PlanHygieneSpec extends SparkSpec {
   private val allowPanelBroadcast = Set(
     "q_cosine_topk", "q_hard_negatives", "q_ann_topk", "q_ann_served",
     "q_ann_incremental", "q_ivf_topk", "q_ivf_served", "q_ivf_incremental",
-    "q_ivf_audit", "q_ann_recall",
+    "q_ivf_audit", "q_ivf_probe_curve", "q_ann_recall",
     "q_jl_ivf_topk", "q_jl_ivf_recall",
     "q_rrf_fusion", "q_pq_topk",
     // IVFADC's probe list (panel × nprobe rows) broadcasts into a hash

@@ -69,6 +69,20 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivf probe curve: monotone recall, nested candidate sets, endpoints honest (r15)") {
+    import spark.implicits._
+    val curve = Similarity.ivfProbeCurve(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Similarity.IvfCurvePoints.map(_.toLong))
+    // candidate sets are nested in nprobe ⇒ recall never decreases
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._4 >= lo._4,
+        s"recall dropped: nprobe ${lo._1} → ${hi._1} gave ${lo._4} → ${hi._4}")
+    }
+    assert(curve.last._4 > 0, "widest probe found nothing — curve vacuous")
+    assert(curve.forall(r => r._3 <= r._2 * 10), "more hits than exact rows")
+  }
+
   test("ivf stored and appended indexes serve the identical ranking (r15)") {
     import spark.implicits._
     val inPlan = Similarity.ivfTopK(spark, sf)
