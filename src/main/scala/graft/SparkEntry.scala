@@ -219,6 +219,7 @@ object SparkEntry {
     "q_pipeline_keep"     -> ((s, d) => Pipeline.keepSet(s, d)),
     "q_pipeline_keep_neardup" -> ((s, d) => Pipeline.keepSetNearDup(s, d)),
     "q_pipeline_curated"  -> ((s, d) => Pipeline.curatedKeepSet(s, d)),
+    "q_pipeline_substr"   -> ((s, d) => Pipeline.curatedSubstrKeepSet(s, d)),
     "q_dataset_card"      -> ((s, d) => Pipeline.datasetCard(s, d)),
     "q_split_leakage"     -> ((s, d) => Pipeline.splitLeakage(s, d)),
     "q_pack_texts"        -> ((s, d) => Pipeline.packTexts(s, d)),
@@ -2654,34 +2655,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'mean_chars_ppm', sum_chars * 1000000 // n_docs FROM s)
         |ORDER BY metric""".stripMargin,
     "q_pipeline_curated" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
-        |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
-        |         ELSE w END)) AS s FROM toks),
-        |bench AS (SELECT DISTINCT s, 1 AS hit FROM sh WHERE doc_id % 97 = 0),
-        |ov AS (SELECT sh.doc_id, count(*) AS n_sh, count(hit) AS n_hit
-        |       FROM sh LEFT JOIN bench ON sh.s = bench.s
-        |       WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id),
-        |clean AS (SELECT doc_id FROM ov WHERE NOT (n_hit * 20 >= n_sh)),
-        |surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-        |m AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
-        |  len(list_distinct(w))::BIGINT AS n_distinct,
-        |  len(list_filter(w, x -> list_contains(['a','the','of','and','to','in'], x)))::BIGINT AS n_stop
-        |  FROM toks),
-        |q AS (SELECT doc_id, n_tokens,
-        |  round(0.4*(n_distinct::DOUBLE/n_tokens) + 0.3*(1.0 - n_stop::DOUBLE/n_tokens)
-        |        + 0.3*(least(n_tokens, 200)::DOUBLE/200.0), 6) AS quality FROM m),
-        |bg AS (SELECT doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b FROM toks),
-        |db AS (SELECT doc_id, b, count(*)::BIGINT AS nb FROM bg GROUP BY doc_id, b),
-        |c2 AS (SELECT b, sum(nb)::BIGINT AS c2 FROM db GROUP BY b),
-        |ch AS (SELECT string_split(b,' ')[1] AS w1, sum(c2)::BIGINT AS ch FROM c2 GROUP BY 1),
-        |v AS (SELECT count(DISTINCT tok)::BIGINT AS v
-        |      FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
-        |p AS (SELECT b, round(-ln((c2 + 0.5) / (ch + 0.5*v)), 8)::DECIMAL(18,8) AS nlp
-        |      FROM c2 JOIN ch ON string_split(c2.b,' ')[1] = ch.w1 CROSS JOIN v),
-        |lm AS (SELECT db.doc_id,
-        |  round(sum(nlp*nb::DECIMAL(10,0))::DOUBLE / sum(nb)::DOUBLE, 6) AS avg_nll
-        |  FROM db JOIN p USING (b) GROUP BY db.doc_id)
+      s"""WITH $CuratedCtes
         |SELECT q.doc_id, q.quality, lm.avg_nll, q.n_tokens
         |FROM q JOIN lm ON q.doc_id = lm.doc_id
         |WHERE q.doc_id IN (SELECT doc_id FROM clean)
@@ -2689,6 +2663,26 @@ object SparkEntry {
         |  AND q.quality >= 0.55
         |  AND lm.avg_nll >= 3.0 AND lm.avg_nll <= 4.0
         |  AND q.n_tokens >= 15 AND q.n_tokens <= 400
+        |ORDER BY q.doc_id""".stripMargin,
+    // the curated keep-set with the ExactSubstr gate on top: the suffix
+    // CTE chain computes each doc's duplicated-token ppm, and docs that
+    // are majority duplicated CONTENT are dropped even when they are the
+    // canonical exact-dup survivor (Lee et al. remove every occurrence)
+    "q_pipeline_substr" ->
+      s"""WITH $CuratedCtes,
+        |${operators.SuffixDedup.suffixMaskCtes},
+        |dupp AS (SELECT l.doc_id,
+        |    CAST(coalesce(c.nd, 0) * 1000000 // l.len AS BIGINT) AS dup_ppm
+        |  FROM ln l LEFT JOIN cnt c USING (doc_id))
+        |SELECT q.doc_id, q.quality, lm.avg_nll, q.n_tokens, dupp.dup_ppm
+        |FROM q JOIN lm ON q.doc_id = lm.doc_id
+        |  JOIN dupp ON dupp.doc_id = q.doc_id
+        |WHERE q.doc_id IN (SELECT doc_id FROM clean)
+        |  AND q.doc_id IN (SELECT doc_id FROM surv)
+        |  AND q.quality >= 0.55
+        |  AND lm.avg_nll >= 3.0 AND lm.avg_nll <= 4.0
+        |  AND q.n_tokens >= 15 AND q.n_tokens <= 400
+        |  AND dupp.dup_ppm <= ${operators.Pipeline.DupPpmMax}
         |ORDER BY q.doc_id""".stripMargin,
     // q_pipeline_keep plus the near-dup-survivor filter: drop docs that sit
     // in a near-dup connected component without being its minimum
@@ -4265,6 +4259,41 @@ object SparkEntry {
   /** Shared KMV replay (q_kmv_distinct and the served cube — the
     * union-merge of per-day synopses is exactly the global top-k, so one
     * oracle serves both). */
+  /** Shared CTE body (no WITH) of the curated-pipeline oracle — the five
+    * verified stages (shingle decontamination, exact-dup survivorship,
+    * heuristic quality, bigram-LM plausibility) whose final keep-set
+    * filter q_pipeline_curated and the ExactSubstr-gated
+    * q_pipeline_substr apply identically. */
+  private val CuratedCtes: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+      |         THEN [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)]
+      |         ELSE w END)) AS s FROM toks),
+      |bench AS (SELECT DISTINCT s, 1 AS hit FROM sh WHERE doc_id % 97 = 0),
+      |ov AS (SELECT sh.doc_id, count(*) AS n_sh, count(hit) AS n_hit
+      |       FROM sh LEFT JOIN bench ON sh.s = bench.s
+      |       WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id),
+      |clean AS (SELECT doc_id FROM ov WHERE NOT (n_hit * 20 >= n_sh)),
+      |surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      |m AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+      |  len(list_distinct(w))::BIGINT AS n_distinct,
+      |  len(list_filter(w, x -> list_contains(['a','the','of','and','to','in'], x)))::BIGINT AS n_stop
+      |  FROM toks),
+      |q AS (SELECT doc_id, n_tokens,
+      |  round(0.4*(n_distinct::DOUBLE/n_tokens) + 0.3*(1.0 - n_stop::DOUBLE/n_tokens)
+      |        + 0.3*(least(n_tokens, 200)::DOUBLE/200.0), 6) AS quality FROM m),
+      |bg AS (SELECT doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS b FROM toks),
+      |db AS (SELECT doc_id, b, count(*)::BIGINT AS nb FROM bg GROUP BY doc_id, b),
+      |c2 AS (SELECT b, sum(nb)::BIGINT AS c2 FROM db GROUP BY b),
+      |ch AS (SELECT string_split(b,' ')[1] AS w1, sum(c2)::BIGINT AS ch FROM c2 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok)::BIGINT AS v
+      |      FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
+      |p AS (SELECT b, round(-ln((c2 + 0.5) / (ch + 0.5*v)), 8)::DECIMAL(18,8) AS nlp
+      |      FROM c2 JOIN ch ON string_split(c2.b,' ')[1] = ch.w1 CROSS JOIN v),
+      |lm AS (SELECT db.doc_id,
+      |  round(sum(nlp*nb::DECIMAL(10,0))::DOUBLE / sum(nb)::DOUBLE, 6) AS avg_nll
+      |  FROM db JOIN p USING (b) GROUP BY db.doc_id)""".stripMargin
+
   private val KmvOracle: String =
     s"""WITH dh AS (SELECT DISTINCT event_type,
       |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h

@@ -191,6 +191,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-content budget for [[curatedSubstrKeepSet]]: a document
+    * whose tokens are MAJORITY-covered by duplicated spans (≥ 500 000
+    * ppm) is dropped — the whole-document duplicates sit at 1e6 ppm and
+    * fall to this gate even when they are the canonical exact-dup
+    * survivor, which is exactly Lee et al.'s ExactSubstr semantics
+    * (every occurrence of a duplicated span is removal material, not
+    * just the copies). */
+  val DupPpmMax = 500000L
+
+  /** The curated keep-set with the EXACT-SUBSTRING gate on top
+    * (`q_pipeline_substr`): [[curatedKeepSet]] ∧ suffix-mask
+    * dup_ppm ≤ [[DupPpmMax]], carrying the per-doc duplicated-content
+    * budget in the output so downstream mixing can re-weight partially
+    * duplicated docs instead of recomputing. Composition stays on the
+    * narrow doc_id key; the suffix family's walk frame is session-
+    * memoized, so the gate costs one synopsis-sized join at serve time.
+    */
+  def curatedSubstrKeepSet(spark: SparkSession, sfDir: String): DataFrame =
+    curatedKeepSet(spark, sfDir)
+      .join(SuffixDedup.suffixMask(spark, sfDir)
+        .select(col("doc_id"), col("dup_ppm")), "doc_id")
+      .filter(col("dup_ppm") <= DupPpmMax)
+      .select(col("doc_id"), col("quality"), col("avg_nll"),
+        col("n_tokens"), col("dup_ppm"))
+      .orderBy("doc_id")
+
   /** Cross-split leakage audit: for every val/test doc of the
     * [[Sampling.trainValTest]] holdout, how many of its distinct 3-gram
     * shingles also occur in the TRAIN split — the hygiene check a team

@@ -284,19 +284,25 @@ object SuffixDedup {
     * coverage: max adjacent lcp per start, explode qualifying spans,
     * distinct positions, count per document. */
   def suffixMaskOracleSql: String =
-    s"""WITH $suffixCtes,
+    s"""WITH $suffixMaskCtes
+       |SELECT l.doc_id, CAST(l.len AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_tokens,
+       |  CAST(coalesce(c.nd, 0) * 1000000 // l.len AS BIGINT) AS dup_ppm
+       |FROM ln l LEFT JOIN cnt c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The full coverage CTE chain (no WITH) — suffix replay + the mask
+    * fold, exposing `ln` (doc lengths) and `cnt` (covered counts); the
+    * pipeline-gate oracle composes it beside the curated stages. */
+  def suffixMaskCtes: String =
+    s"""$suffixCtes,
        |md AS (SELECT doc_id, pos, max(lcp) AS md FROM (
        |    SELECT da AS doc_id, pa AS pos, lcp FROM fin
        |    UNION ALL SELECT db, pb, lcp FROM fin)
        |  GROUP BY 1, 2 HAVING max(lcp) >= $MaskMinLen),
        |cov AS (SELECT DISTINCT doc_id, cpos FROM (
        |    SELECT doc_id, unnest(range(pos, pos + md)) AS cpos FROM md)),
-       |cnt AS (SELECT doc_id, count(*) AS nd FROM cov GROUP BY 1)
-       |SELECT l.doc_id, CAST(l.len AS BIGINT) AS n_tokens,
-       |  CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_tokens,
-       |  CAST(coalesce(c.nd, 0) * 1000000 // l.len AS BIGINT) AS dup_ppm
-       |FROM ln l LEFT JOIN cnt c USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |cnt AS (SELECT doc_id, count(*) AS nd FROM cov GROUP BY 1)""".stripMargin
 
   /** The shared CTE body (no WITH): tokens → doubling rounds → suffix
     * order → adjacency → walk → `fin` = every adjacent pair with its

@@ -158,4 +158,24 @@ class PipelineSpec extends SparkSpec {
     assert(card("mean_chars_ppm") == docs.map(_._4).sum * 1000000L / docs.length)
     assert(card.size == 7)
   }
+
+  test("substr gate: subset of curated, drops exactly the over-budget docs (r15)") {
+    import spark.implicits._
+    import graft.operators.SuffixDedup
+    val cur = Pipeline.curatedKeepSet(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val sub = Pipeline.curatedSubstrKeepSet(spark, sf).collect()
+    val subIds = sub.map(_.getLong(0)).toSet
+    assert(subIds.subsetOf(cur), "substr keep-set is not a subset of curated")
+    assert(sub.forall(_.getLong(4) <= Pipeline.DupPpmMax))
+    val mask = SuffixDedup.suffixMask(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val dropped = cur -- subIds
+    dropped.foreach(d => assert(mask(d) > Pipeline.DupPpmMax,
+      s"doc $d dropped but under budget (${mask(d)} ppm)"))
+    // honesty either way: if nothing was dropped, no curated doc may
+    // exceed the budget (the gate is vacuous only when the data says so)
+    if (dropped.isEmpty)
+      cur.foreach(d => assert(mask(d) <= Pipeline.DupPpmMax))
+  }
 }
