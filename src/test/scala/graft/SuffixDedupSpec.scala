@@ -46,6 +46,44 @@ class SuffixDedupSpec extends SparkSpec {
       == Set((1L, 2L), (2L, 2L)))
   }
 
+  test("degenerate repetition: self-overlapping all-same-token spans cap exactly, brute force agrees") {
+    import spark.implicits._
+    // the hardest walk path: suffixes of one repeated token tie at every
+    // level until the sentinel coordinate separates unequal tails — the
+    // top span must be doc 1's pos-1 vs pos-2 SELF-overlap at lcp 5
+    // (pos-2's full remaining length), not the power-sum overshoot
+    val docs = Seq(
+      (1L, "a a a a a a"),
+      (2L, "a a a a"),
+      (3L, "b c d e f")
+    ).toDF("doc_id", "text")
+    val got = SuffixDedup.suffixDedupFrom(docs, SuffixDedup.buildRanks(docs))
+      .collect()
+    assert(got.nonEmpty)
+    val top = got.head
+    assert(top.getLong(0) == 5L, s"expected top lcp 5, got ${top.getLong(0)}")
+    // every reported span must verify against the raw text (the honesty
+    // loop from the corpus test, on the adversarial fixture)
+    val toks = Map(1L -> Array.fill(6)("a"), 2L -> Array.fill(4)("a"),
+      3L -> Array("b", "c", "d", "e", "f"))
+    got.foreach { r =>
+      val (lcp, da, pa, db, pb) =
+        (r.getLong(0).toInt, r.getLong(1), r.getLong(2).toInt, r.getLong(3), r.getLong(4).toInt)
+      val sa = toks(da).slice(pa - 1, pa - 1 + lcp)
+      val sb = toks(db).slice(pb - 1, pb - 1 + lcp)
+      assert(sa.length == lcp && sb.length == lcp && sa.sameElements(sb),
+        s"degenerate span verification failed: ($da,$pa)/($db,$pb) lcp=$lcp")
+    }
+    // independent brute force: max duplicated length over ALL position
+    // pairs (self-overlaps included) is exactly 5
+    def hasDup(len: Int): Boolean = {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      toks.values.exists(t => (0 to t.length - len)
+        .exists(i => !seen.add(t.slice(i, i + len).mkString(" "))))
+    }
+    assert(hasDup(5) && !hasDup(6))
+  }
+
   test("every reported span is genuinely duplicated — tokens and fingerprint verified from raw text") {
     val spans = SuffixDedup.suffixDedup(spark, sf).collect()
     assert(spans.nonEmpty, "corpus has no duplicated span >= 2 tokens?")
