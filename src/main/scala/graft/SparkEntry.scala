@@ -210,6 +210,7 @@ object SparkEntry {
     "q_dup_spans"         -> ((s, d) => Dedup.dupSpans(s, d)),
     "q_suffix_dedup"      -> ((s, d) => SuffixDedup.suffixDedup(s, d)),
     "q_suffix_mask"       -> ((s, d) => SuffixDedup.suffixMask(s, d)),
+    "q_suffix_mask_incremental" -> ((s, d) => SuffixDedup.suffixMaskIncremental(s, d)),
     "q_span_scrub"        -> ((s, d) => Dedup.spanScrub(s, d)),
     "q_containment"       -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_minhash_est"       -> ((s, d) => Dedup.minhashEstimate(s, d)),
@@ -2175,8 +2176,13 @@ object SparkEntry {
     // discipline); dense_rank replays the distributed dense index exactly
     "q_suffix_dedup" -> operators.SuffixDedup.suffixDedupOracleSql,
     // the removal step: per-doc duplicated-token coverage off the same
-    // fin frame (max adjacent lcp per start → exploded spans → distinct)
+    // fin frame (max adjacent lcp per start → gaps-and-islands interval
+    // union — r16, O(spans) instead of O(covered positions))
     "q_suffix_mask" -> operators.SuffixDedup.suffixMaskOracleSql,
+    // the incremental serve off the stored window-posting index must
+    // equal the full suffix-array rebuild (the fixed-window reduction in
+    // SuffixDedup.windowsOf's scaladoc) — SAME oracle, two routes
+    "q_suffix_mask_incremental" -> operators.SuffixDedup.suffixMaskOracleSql,
     // positional trigrams under the same portable 60-bit md5 hash the
     // winnowing/sampling oracles use; runs via gaps-and-islands
     "q_dup_spans" ->

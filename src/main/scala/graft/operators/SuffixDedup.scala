@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,20 +40,48 @@ import org.apache.spark.sql.functions._
   * connected-components loop, so plan lineage stays round-local.
   *
   * Exactness: ranks, suffix order, walk and caps are all integer and
-  * total-ordered — the DuckDB oracle unrolls all [[SuffixRounds]] doubling
-  * rounds and the descending walk as materialized CTEs (the
-  * q_pca_power/BpeCtes precedent) and the top spans hash-check, span
-  * fingerprints included. [[SuffixRounds]] = 7 covers documents up to
-  * 2^7 = 128 tokens; both engines fail loud (raise_error / error()) if a
-  * longer document ever appears — at production, set rounds =
-  * ⌈log₂(max doc tokens)⌉ (each extra round is one more bounded exchange).
+  * total-ordered — the DuckDB oracle unrolls every doubling round and the
+  * descending walk as materialized CTEs (the q_pca_power/BpeCtes
+  * precedent) and the top spans hash-check, span fingerprints included.
+  *
+  * The round count is DERIVED from the corpus (r16 — VERDICT r15 ask #2
+  * + the ADVICE boundary finding): R = the smallest count whose walk
+  * reach 2^R − 1 covers the longest document, from a one-cell max
+  * aggregate (the heapsCurve derived-width discipline). The r15 form
+  * hardcoded R = 7 and guarded `maxLen > 2^R`, which silently capped a
+  * 128-token identical twin at lcp 127 (the walk's reach is 2^R − 1, not
+  * 2^R); the derivation makes the in-plan guard structurally unreachable,
+  * and it is also tightened to `>= 2^R` so even a hand-built ladder
+  * fails loud, never one token short.
   */
 object SuffixDedup {
 
-  /** Doubling rounds: 2^7 = 128 ≥ the max document token length (guarded
-    * in-plan on BOTH engines — a longer doc fails loud, never silently
-    * truncates). */
-  val SuffixRounds = 7
+  /** Doubling-round FALLBACK for oracle generation only: used when no
+    * corpus derivation has run in this JVM (a filtered Verify that never
+    * touched the suffix family — whose dumps then don't exist either, so
+    * the fallback oracle is never compared). The driver corpora max out
+    * near 95 tokens at every SF, where the derivation also lands on 7. */
+  val SuffixRoundsDefault = 7
+
+  /** The most recently DERIVED round count. Verify dumps `oracleSql`
+    * AFTER all queries ran in the same JVM, so the oracle generators
+    * below interpolate exactly the round count the engine computed with
+    * (one corpus per Verify run — the driver's contract). */
+  private val lastRounds =
+    new java.util.concurrent.atomic.AtomicInteger(SuffixRoundsDefault)
+
+  /** Smallest R with walk reach 2^R − 1 ≥ maxLen. */
+  private[graft] def roundsFor(maxLen: Long): Int = {
+    var r = 1
+    while (((1L << r) - 1) < maxLen) r += 1
+    r
+  }
+
+  /** R = ⌈log₂(max doc tokens + 1)⌉ from a one-cell corpus aggregate. */
+  private[graft] def derivedRounds(docs: DataFrame): Int = {
+    val row = docs.agg(max(size(split(col("text"), " ")).cast("long"))).collect()(0)
+    roundsFor(if (row.isNullAt(0)) 1L else row.getLong(0))
+  }
 
   /** Spans reported by [[suffixDedup]] — the top duplicated spans by
     * (length, position), the readout an ExactSubstr pass ranks removal
@@ -138,15 +166,21 @@ object SuffixDedup {
 
   /** Un-memoized ladder construction over an arbitrary documents frame —
     * the kmeansAssignedFrom precedent, so specs can plant corpora with
-    * known duplicated spans. */
-  private[graft] def buildRanks(docs: DataFrame): IndexedSeq[DataFrame] =
-    (1 to SuffixRounds).scanLeft(rank0Of(docs))((prev, r) =>
+    * known duplicated spans. The ladder length is the DERIVED round
+    * count + 1 (rank_0 .. rank_R); a planted corpus with longer docs
+    * simply gets more rounds, no constant to edit. */
+  private[graft] def buildRanks(docs: DataFrame): IndexedSeq[DataFrame] = {
+    val rounds = derivedRounds(docs)
+    (1 to rounds).scanLeft(rank0Of(docs))((prev, r) =>
       rankRound(prev, 1L << (r - 1))).toIndexedSeq
+  }
 
   private[graft] def suffixRanks(spark: SparkSession, sfDir: String): IndexedSeq[DataFrame] = {
     SessionMemos.arm(spark, ranksMemo)
-    ranksMemo.computeIfAbsent((spark, sfDir),
+    val ladder = ranksMemo.computeIfAbsent((spark, sfDir),
       _ => buildRanks(Tables.documents(spark, sfDir)))
+    lastRounds.set(ladder.length - 1)
+    ladder
   }
 
   /** Span length at which [[suffixMask]] marks tokens as duplicated
@@ -193,16 +227,39 @@ object SuffixDedup {
   private[graft] def suffixMaskFrom(docs: DataFrame): DataFrame =
     maskOf(docs, adjacentLcps(docs, buildRanks(docs)))
 
+  /** Qualifying spans [pos, pos + maxAdjLcp − 1] folded into per-doc
+    * coverage by the interval union in [[islandMask]] (r16 — VERDICT r15
+    * ask #1: the r15 form exploded every covered POSITION before a
+    * distinct, Σ per-start lcp ≈ O(doc_len × avg_lcp) map-side rows,
+    * which a majority-duplicated 50k-token web document turns into ~10⁹
+    * intermediate rows; the island fold costs O(qualifying starts) for
+    * the identical answer). */
   private[graft] def maskOf(docs: DataFrame, al: DataFrame): DataFrame = {
     val md = al.select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
       .union(al.select(col("db").as("doc_id"), col("pb").as("pos"), col("lcp")))
       .groupBy("doc_id", "pos").agg(max("lcp").as("md"))
       .filter(col("md") >= MaskMinLen)
-    val covered = md
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + col("md") - 1)).as("cpos"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    islandMask(docs, md.select(col("doc_id"), col("pos"),
+      (col("pos") + col("md") - 1).as("pend")))
+  }
+
+  /** Covered-token count per document from qualifying spans
+    * (doc_id, pos, pend), both bounds inclusive — the gaps-and-islands
+    * interval union (the q_dup_span idiom): per doc in start order, a
+    * span opens a new island iff it starts past the running max of prior
+    * ends; island coverage = max(end) − min(start) + 1 (each later span
+    * in an island starts at or before the running covered frontier, so
+    * the union is contiguous). O(spans) rows end-to-end; the only window
+    * is per-document. Output schema is the [[suffixMask]] contract. */
+  private def islandMask(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = spans
+      .withColumn("pmax", max(col("pend")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(when(col("pmax").isNull || col("pos") > col("pmax"), 1L)
+        .otherwise(0L)).over(byPos))
+      .groupBy("doc_id", "isl").agg(min("pos").as("s"), max("pend").as("e"))
+      .groupBy("doc_id").agg(sum(col("e") - col("s") + 1).as("nd"))
     docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -211,16 +268,101 @@ object SuffixDedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental substring masking (r16 — VERDICT r15 ask #3)
+  // ---------------------------------------------------------------------
+
+  /** THE FIXED-WINDOW REDUCTION that makes substring masking INCREMENTAL:
+    * a token is covered by some duplicated span of length ≥ L iff it is
+    * covered by some duplicated window of length EXACTLY L.
+    *
+    * Proof. (⊇) An L-window is a span of length L. (⊆) Let t lie in
+    * [p, p + m − 1] with m = lcp(p, q) ≥ L. For every offset
+    * j ∈ [0, m − L], lcp(p + j, q + j) ≥ m − j ≥ L, so the L-window at
+    * p + j is duplicated; s = min(max(p, t − L + 1), p + m − L) is such
+    * a start with t ∈ [s, s + L − 1]. ∎
+    *
+    * So the ≥[[MaskMinLen]] mask needs NO suffix ranks at all — only
+    * per-window occurrence counts — and window postings are per-row
+    * facts of their own document, which a stored index can APPEND: the
+    * Lee et al. production shape, where a new crawl batch is masked
+    * against the standing corpus without re-ranking it. The registered
+    * serve ([[suffixMaskIncremental]]) hash-equals the full suffix-array
+    * rebuild, so both share ONE oracle (the q_scd2_incremental /
+    * q_ivf_incremental discipline).
+    *
+    * The posting key is the window's exact token content, so the serve
+    * is token-exact like the suffix walk (no fingerprint collisions to
+    * excuse); at 100 TB the key would be the 128-bit md5 of the window
+    * (16 bytes/posting, collision odds ~2⁻¹²⁸·n² — the Lee et al.
+    * storage trade) with everything else unchanged. */
+  private[graft] def windowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= MaskMinLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $MaskMinLen), i -> array_join(slice(w, i + 1, $MaskMinLen), ' '))"))
+        .as(Seq("p0", "win")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("win"))
+
+  /** Append one document batch's window postings to a stored index dir —
+    * tokenizes ONLY the batch; the standing corpus is never re-read. */
+  private[graft] def appendWindowFrame(docs: DataFrame, dir: String, batch: Long): Unit =
+    windowsOf(docs).withColumn("batch", lit(batch))
+      .write.mode("append").parquet(dir)
+
+  private val winIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Two-parity-batch window index over the corpus — the appendable
+    * lifecycle fixture every other incremental family uses. */
+  private def winIndexDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, winIndexMemo)
+    winIndexMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = SessionMemos.tempDir(spark, "graft-suffix-win-index")
+      val docs = Tables.documents(spark, sfDir)
+      appendWindowFrame(docs.filter(col("doc_id") % 2 === 0), dir, 0L)
+      appendWindowFrame(docs.filter(col("doc_id") % 2 === 1), dir, 1L)
+      dir
+    })
+  }
+
+  /** `q_suffix_mask_incremental`: serve the ExactSubstr mask off the
+    * STORED window-posting index (two appended batches) — one
+    * index-grain count aggregate + one semi-join back to the postings +
+    * the per-doc island fold; the corpus text is touched only for the
+    * n_tokens readout. Result hash-equals [[suffixMask]]'s full rebuild
+    * (the reduction above), so both share one oracle. */
+  def suffixMaskIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    windowMaskFrom(Tables.documents(spark, sfDir),
+      spark.read.parquet(winIndexDir(spark, sfDir)))
+
+  /** The serve body over any postings frame (doc_id, pos, win): windows
+    * occurring at ≥ 2 distinct positions qualify; their starts fold into
+    * per-doc coverage with fixed span length [[MaskMinLen]]. Both joins
+    * are hint-free hash equi-joins on the window key — the duplicated-
+    * window side grows with true duplication, never broadcast. */
+  private[graft] def windowMaskFrom(docs: DataFrame, idx: DataFrame): DataFrame = {
+    val dup = idx.groupBy("win").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("win")
+    val starts = idx.join(dup, Seq("win"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(MaskMinLen.toLong) - 1).as("pend"))
+    islandMask(docs, starts)
+  }
+
   private[graft] def suffixDedupFrom(docs: DataFrame,
                                      ranks: IndexedSeq[DataFrame]): DataFrame =
     spanTopK(docs, adjacentLcps(docs, ranks))
 
   /** Suffix order + adjacent pairs + the descending LCP walk + the
     * min-length cap and round guard — every adjacent pair with its exact
-    * LCP (unfiltered). The shared expensive half. */
+    * LCP (unfiltered). The shared expensive half. The walk runs
+    * `ranks.length − 1` levels (the ladder's own derived round count),
+    * reaching 2^R − 1 ≥ max doc length by construction. */
   private[graft] def adjacentLcps(docs: DataFrame,
                                   ranks: IndexedSeq[DataFrame]): DataFrame = {
-    val rFinal = ranks(SuffixRounds)
+    val rounds = ranks.length - 1
+    val rFinal = ranks(rounds)
     val sa = denseIndex(rFinal.select("rk", "doc_id", "pos"),
       Seq("rk", "doc_id", "pos"), "gidx")
     val a = sa.select(col("gidx"), col("doc_id").as("da"), col("pos").as("pa"))
@@ -228,7 +370,7 @@ object SuffixDedup {
       col("pos").as("pb"))
     var wk = a.join(b, "gidx").select(col("da"), col("pa"), col("db"), col("pb"))
       .withColumn("lcp", lit(0L))
-    for (lvl <- (SuffixRounds - 1) to 0 by -1) {
+    for (lvl <- (rounds - 1) to 0 by -1) {
       val x = ranks(lvl).select(col("doc_id").as("xd"), col("pos").as("xp"),
         col("rk").as("xa"))
       val y = ranks(lvl).select(col("doc_id").as("yd"), col("pos").as("yp"),
@@ -248,10 +390,12 @@ object SuffixDedup {
       .join(lens.select(col("doc_id").as("db"), col("len").as("lb")), "db")
       .crossJoin(broadcast(mx))
       .select(col("da"), col("pa"), col("db"), col("pb"),
-        // guard BEFORE the cap: a doc longer than 2^R would make rank_R
-        // blind past 2^R tokens — fail loud, never silently truncate
-        expr(s"""CASE WHEN mx > ${1L << SuffixRounds} THEN
-                 CAST(raise_error('suffixDedup: a document exceeds 2^$SuffixRounds tokens — raise SuffixRounds to cover it') AS BIGINT)
+        // guard BEFORE the cap, structurally unreachable with the derived
+        // ladder (2^R − 1 ≥ maxLen by construction) but kept loud for a
+        // hand-built one: the walk's reach is 2^R − 1, so a doc of
+        // EXACTLY 2^R tokens would already under-report (ADVICE r15)
+        expr(s"""CASE WHEN mx >= ${1L << rounds} THEN
+                 CAST(raise_error('suffixDedup: walk reach ${(1L << rounds) - 1} < max doc tokens — the rank ladder is too short for this corpus') AS BIGINT)
                  ELSE least(lcp, la - pa + 1, lb - pb + 1) END""").as("lcp"))
     capped
   }
@@ -268,10 +412,11 @@ object SuffixDedup {
       .orderBy(desc("lcp"), col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
 
   /** Full DuckDB oracle: every doubling round and every walk level
-    * unrolled as materialized CTEs; dense_rank/row_number reproduce the
-    * distributed dense indexes exactly. */
+    * unrolled as materialized CTEs (at the DERIVED round count the
+    * engine ran with — see [[lastRounds]]); dense_rank/row_number
+    * reproduce the distributed dense indexes exactly. */
   def suffixDedupOracleSql: String =
-    s"""WITH $suffixCtes,
+    s"""WITH ${suffixCtes(lastRounds.get)},
        |top AS (SELECT * FROM fin WHERE lcp >= $SuffixMinLcp
        |        ORDER BY lcp DESC, da, pa, db, pb LIMIT $SuffixTopK)
        |SELECT CAST(t.lcp AS BIGINT) AS lcp, t.da AS doc_a, CAST(t.pa AS BIGINT) AS pos_a,
@@ -280,9 +425,10 @@ object SuffixDedup {
        |FROM top t JOIN documents d ON d.doc_id = t.da
        |ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b""".stripMargin
 
-  /** Oracle for [[suffixMask]] — the same fin frame folded into per-doc
-    * coverage: max adjacent lcp per start, explode qualifying spans,
-    * distinct positions, count per document. */
+  /** Oracle for [[suffixMask]] AND [[suffixMaskIncremental]] (one oracle,
+    * two registered routes — the incremental serve must equal the full
+    * rebuild): the fin frame folded into per-doc interval-union
+    * coverage. */
   def suffixMaskOracleSql: String =
     s"""WITH $suffixMaskCtes
        |SELECT l.doc_id, CAST(l.len AS BIGINT) AS n_tokens,
@@ -293,22 +439,32 @@ object SuffixDedup {
 
   /** The full coverage CTE chain (no WITH) — suffix replay + the mask
     * fold, exposing `ln` (doc lengths) and `cnt` (covered counts); the
-    * pipeline-gate oracle composes it beside the curated stages. */
+    * pipeline-gate oracle composes it beside the curated stages. The
+    * fold mirrors [[islandMask]]'s gaps-and-islands algebra: new island
+    * when a span starts past the running max of prior ends, island
+    * coverage = max(end) − min(start) + 1. */
   def suffixMaskCtes: String =
-    s"""$suffixCtes,
+    s"""${suffixCtes(lastRounds.get)},
        |md AS (SELECT doc_id, pos, max(lcp) AS md FROM (
        |    SELECT da AS doc_id, pa AS pos, lcp FROM fin
        |    UNION ALL SELECT db, pb, lcp FROM fin)
        |  GROUP BY 1, 2 HAVING max(lcp) >= $MaskMinLen),
-       |cov AS (SELECT DISTINCT doc_id, cpos FROM (
-       |    SELECT doc_id, unnest(range(pos, pos + md)) AS cpos FROM md)),
-       |cnt AS (SELECT doc_id, count(*) AS nd FROM cov GROUP BY 1)""".stripMargin
+       |isp AS (SELECT doc_id, pos, pos + md - 1 AS e,
+       |    CASE WHEN pos > coalesce(max(pos + md - 1) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS ni
+       |  FROM md),
+       |isg AS (SELECT doc_id, pos, e,
+       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM isp),
+       |cnt AS (SELECT doc_id, sum(mx - mn + 1) AS nd FROM
+       |  (SELECT doc_id, isl, min(pos) AS mn, max(e) AS mx FROM isg GROUP BY 1, 2)
+       |  GROUP BY 1)""".stripMargin
 
   /** The shared CTE body (no WITH): tokens → doubling rounds → suffix
     * order → adjacency → walk → `fin` = every adjacent pair with its
     * capped exact LCP, plus `ln` (doc lengths). */
-  private def suffixCtes: String = {
-    val rounds = (1 to SuffixRounds).map { r =>
+  private def suffixCtes(suffixRounds: Int): String = {
+    val rounds = (1 to suffixRounds).map { r =>
       val gap = 1L << (r - 1)
       s"""sp$r AS MATERIALIZED (SELECT a.doc_id, a.pos, a.rk AS r1, coalesce(b.rk, -1) AS r2
          |  FROM sr${r - 1} a LEFT JOIN sr${r - 1} b
@@ -316,7 +472,7 @@ object SuffixDedup {
          |sr$r AS MATERIALIZED (SELECT doc_id, pos,
          |    dense_rank() OVER (ORDER BY r1, r2) AS rk FROM sp$r)""".stripMargin
     }.mkString(",\n")
-    val walk = ((SuffixRounds - 1) to 0 by -1).map { lvl =>
+    val walk = ((suffixRounds - 1) to 0 by -1).map { lvl =>
       s"""wk$lvl AS MATERIALIZED (SELECT w.da, w.pa, w.db, w.pb,
          |    w.lcp + CASE WHEN x.rk IS NOT NULL AND y.rk IS NOT NULL AND x.rk = y.rk
          |                 THEN ${1L << lvl} ELSE 0 END AS lcp
@@ -333,14 +489,14 @@ object SuffixDedup {
        |sr0 AS MATERIALIZED (SELECT doc_id, pos, dense_rank() OVER (ORDER BY w) AS rk FROM t),
        |$rounds,
        |sa AS MATERIALIZED (SELECT doc_id, pos,
-       |    row_number() OVER (ORDER BY rk, doc_id, pos) AS gidx FROM sr$SuffixRounds),
+       |    row_number() OVER (ORDER BY rk, doc_id, pos) AS gidx FROM sr$suffixRounds),
        |adj AS MATERIALIZED (SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb
        |  FROM sa a JOIN sa b ON b.gidx = a.gidx + 1),
-       |wk$SuffixRounds AS (SELECT da, pa, db, pb, CAST(0 AS BIGINT) AS lcp FROM adj),
+       |wk$suffixRounds AS (SELECT da, pa, db, pb, CAST(0 AS BIGINT) AS lcp FROM adj),
        |$walk,
        |fin AS MATERIALIZED (SELECT w.da, w.pa, w.db, w.pb,
-       |    CASE WHEN (SELECT mx FROM mxl) > ${1L << SuffixRounds}
-       |         THEN error('suffixDedup oracle: a document exceeds 2^$SuffixRounds tokens — raise SuffixRounds to cover it')
+       |    CASE WHEN (SELECT mx FROM mxl) >= ${1L << suffixRounds}
+       |         THEN error('suffixDedup oracle: walk reach ${(1L << suffixRounds) - 1} < max doc tokens — the interpolated round count is too small for this corpus')
        |         ELSE least(w.lcp, la.len - w.pa + 1, lb.len - w.pb + 1) END AS lcp
        |  FROM wk0 w JOIN ln la ON la.doc_id = w.da JOIN ln lb ON lb.doc_id = w.db)""".stripMargin
   }

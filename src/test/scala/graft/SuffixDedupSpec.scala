@@ -84,6 +84,38 @@ class SuffixDedupSpec extends SparkSpec {
     assert(hasDup(5) && !hasDup(6))
   }
 
+  test("boundary: two identical 128-token docs report lcp exactly 128 (ADVICE r15 — the fixed-R=7 walk capped this at 127)") {
+    import spark.implicits._
+    // 128 distinct tokens, duplicated verbatim — derivation must pick
+    // R = ⌈log₂ 129⌉ = 8 so the walk reach 2^8 − 1 = 255 covers it; the
+    // r15 hardcoded R = 7 walked to 127 and its `> 128` guard never fired
+    val text = (1 to 128).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = SuffixDedup.suffixDedupFrom(docs, SuffixDedup.buildRanks(docs))
+      .collect()
+    assert(got.head.getLong(0) == 128L,
+      s"twin 128-token docs must report lcp 128, got ${got.head.getLong(0)}")
+    assert((got.head.getLong(1), got.head.getLong(2), got.head.getLong(3),
+      got.head.getLong(4)) == (1L, 1L, 2L, 1L))
+  }
+
+  test("derived rounds: a 200-token planted duplicate is found exactly, no constant to edit (VERDICT r15 ask #2)") {
+    import spark.implicits._
+    // 200-token docs (past the old 2^7 = 128 ceiling) sharing a planted
+    // 40-token run; filler tokens are all distinct so the top span is
+    // exactly the planted run — buildRanks must derive R = ⌈log₂ 201⌉ = 8
+    val run = (1 to 40).map(i => s"r$i").mkString(" ")
+    val d1 = ((1 to 100).map(i => s"a$i") ++ run.split(" ") ++ (1 to 60).map(i => s"b$i")).mkString(" ")
+    val d2 = ((1 to 80).map(i => s"c$i") ++ run.split(" ") ++ (1 to 80).map(i => s"d$i")).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val ranks = SuffixDedup.buildRanks(docs)
+    assert(ranks.length - 1 == 8, s"expected 8 derived rounds, got ${ranks.length - 1}")
+    val top = SuffixDedup.suffixDedupFrom(docs, ranks).collect().head
+    assert(top.getLong(0) == 40L, s"planted 40-token run not found: lcp=${top.getLong(0)}")
+    assert((top.getLong(2), top.getLong(4)) == (101L, 81L),
+      s"planted run at wrong positions: (${top.getLong(2)}, ${top.getLong(4)})")
+  }
+
   test("every reported span is genuinely duplicated — tokens and fingerprint verified from raw text") {
     val spans = SuffixDedup.suffixDedup(spark, sf).collect()
     assert(spans.nonEmpty, "corpus has no duplicated span >= 2 tokens?")
@@ -143,6 +175,67 @@ class SuffixDedupSpec extends SparkSpec {
       val (_, n, nd, _) = byDoc(d)
       assert(nd == n, s"full-duplicate doc $d only covered $nd of $n tokens")
     }
+  }
+
+  test("mask is island-folded, not position-exploded: a long self-overlapping doc masks fully with an explode-free coverage plan (VERDICT r15 ask #1)") {
+    import spark.implicits._
+    // 400 tokens of a repeated 20-token phrase: every start's adjacent
+    // lcp is huge (self-overlap), so the r15 per-position explode would
+    // emit Σ lcp ≈ 70k intermediate rows for this one doc; the island
+    // fold keeps O(starts). A clean doc pins the zero row.
+    val phrase = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(20)(phrase).mkString(" ")),
+      (2L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val mask = SuffixDedup.suffixMaskFrom(docs)
+    // plan shape: the coverage fold must NOT explode per-position
+    // sequences (the r15 scale flaw); the only explodes in the whole
+    // plan are the tokenizer's posexplode(split(...))
+    val plan = mask.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("explode(sequence"),
+      s"coverage still explodes per covered position:\n${plan.take(2000)}")
+    val got = mask.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1 is 100% self-duplicated (every position starts or sits inside
+    // a ≥MaskMinLen self-overlapping span); doc 2 is untouched
+    assert(got == Seq((1L, 400L, 400L, 1000000L), (2L, 30L, 0L, 0L)),
+      s"island mask wrong: $got")
+  }
+
+  test("incremental window mask equals the full suffix-array rebuild on a planted multi-batch corpus (VERDICT r15 ask #3)") {
+    import spark.implicits._
+    // base (even ids) and batch (odd ids) docs with duplication WITHIN
+    // base, WITHIN batch, and ACROSS the two — the incremental serve must
+    // see all three kinds through the combined posting counts
+    val runA = (1 to 12).map(i => s"a$i").mkString(" ") // base ↔ base
+    val runB = (1 to 15).map(i => s"b$i").mkString(" ") // batch ↔ batch
+    val runC = (1 to 11).map(i => s"c$i").mkString(" ") // base ↔ batch
+    val docs = Seq(
+      (2L, s"u1 u2 $runA u3 $runC"),
+      (4L, s"v1 $runA v2 v3"),
+      (6L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+      (1L, s"x1 $runB x2"),
+      (3L, s"$runB y1 y2 $runC"),
+      (5L, "z1 z2 z3")
+    ).toDF("doc_id", "text")
+    val full = SuffixDedup.suffixMaskFrom(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // the incremental route: base postings stored first, batch appended,
+    // serve off the union (the registered query's exact shape)
+    val dir = java.nio.file.Files.createTempDirectory("suffix-win-spec").toString
+    SuffixDedup.appendWindowFrame(docs.filter($"doc_id" % 2 === 0), dir, 0L)
+    SuffixDedup.appendWindowFrame(docs.filter($"doc_id" % 2 === 1), dir, 1L)
+    val incr = SuffixDedup.windowMaskFrom(docs, spark.read.parquet(dir))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(incr == full, s"incremental serve diverged:\n  full=$full\n  incr=$incr")
+    // and the cross-batch duplication is genuinely non-vacuous: docs 2
+    // and 3 share runC, so both must show coverage beyond their
+    // within-batch runs
+    val byDoc = full.map(r => r._1 -> r._3).toMap
+    assert(byDoc(6L) == 0L, "clean base doc must be uncovered")
+    assert(byDoc(5L) == 0L, "clean batch doc must be uncovered")
+    assert(byDoc(2L) >= (12L + 11L) && byDoc(3L) >= (15L + 11L),
+      s"cross-batch runC not masked: $full")
   }
 
   test("top lcp equals the brute-force longest duplicated substring on the real corpus") {
