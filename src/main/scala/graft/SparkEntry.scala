@@ -268,6 +268,8 @@ object SparkEntry {
     "q_rand_proj_topk"    -> ((s, d) => Similarity.randProjTopk(s, d)),
     "q_jl_ivf_topk"       -> ((s, d) => Similarity.jlIvfTopK(s, d)),
     "q_jl_ivf_recall"     -> ((s, d) => Similarity.jlIvfRecall(s, d)),
+    "q_jl_probe_curve"    -> ((s, d) => Similarity.jlProbeCurve(s, d)),
+    "q_ivfpq_probe_curve" -> ((s, d) => Similarity.ivfPqProbeCurve(s, d)),
     "q_pca_power"         -> ((s, d) => Similarity.pcaPower(s, d)),
     "q_pca_scores"        -> ((s, d) => Similarity.pcaScores(s, d)),
     "q_pca_cov"           -> ((s, d) => Similarity.pcaCov(s, d)),
@@ -278,7 +280,9 @@ object SparkEntry {
     "q_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "q_pq_topk"           -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ivfpq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "q_ivfpq_residual"    -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)),
     "q_pq_recall"         -> ((s, d) => Similarity.pqRecall(s, d)),
+    "q_pqres_recall"      -> ((s, d) => Similarity.pqResRecall(s, d)),
     "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
@@ -2861,6 +2865,72 @@ object SparkEntry {
       s"""WITH $RpCtes,
          |${operators.Similarity.jlScoreCtes},
          |${operators.Similarity.l2RecallOracleTail(10, "jlsc", "jl", "qe")}""".stripMargin,
+    // the JL-family probe-width sweep: shared projected-space quantizer,
+    // one probe/cand/exact-rerank chain per point, curve values pinned
+    "q_jl_probe_curve" ->
+      s"""WITH $RpCtes,
+         |${operators.Similarity.jlBaseCtes},
+         |${operators.Similarity.jlProbeCtesFor("j1", 1)},
+         |${operators.Similarity.jlProbeCtesFor("j2", 2)},
+         |${operators.Similarity.jlProbeCtesFor("j4", 4)},
+         |${operators.Similarity.jlProbeCtesFor("j8", 8)},
+         |jcex AS (SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i]) for i in range(1,65)]),
+         |        b.vec_id) AS rn
+         |    FROM qe a JOIN qe b ON b.vec_id <> a.vec_id WHERE a.vec_id % 25 = 0)
+         |  WHERE rn <= 10),
+         |jnq AS (SELECT count(DISTINCT q_id) AS n FROM jcex),
+         |jrows AS (
+         |  SELECT CAST(1 AS BIGINT) AS nprobe, (SELECT count(*) FROM jcex e JOIN (
+         |      SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM j1sc)
+         |      WHERE rn <= 10) r ON r.q_id = e.q_id AND r.vec_id = e.vec_id) AS nh
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), (SELECT count(*) FROM jcex e JOIN (
+         |      SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM j2sc)
+         |      WHERE rn <= 10) r ON r.q_id = e.q_id AND r.vec_id = e.vec_id)
+         |  UNION ALL
+         |  SELECT CAST(4 AS BIGINT), (SELECT count(*) FROM jcex e JOIN (
+         |      SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM j4sc)
+         |      WHERE rn <= 10) r ON r.q_id = e.q_id AND r.vec_id = e.vec_id)
+         |  UNION ALL
+         |  SELECT CAST(8 AS BIGINT), (SELECT count(*) FROM jcex e JOIN (
+         |      SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM j8sc)
+         |      WHERE rn <= 10) r ON r.q_id = e.q_id AND r.vec_id = e.vec_id))
+         |SELECT nprobe, CAST(jnq.n AS BIGINT) AS n_queries, CAST(nh AS BIGINT) AS n_hits,
+         |  CAST(nh * 1000000 // (jnq.n * 10) AS BIGINT) AS recall_ppm
+         |FROM jrows, jnq ORDER BY nprobe""".stripMargin,
+    // the IVFADC probe-width sweep: candidate-generation recall (monotone
+    // by nested probe lists) + served ADC recall (pinned, not
+    // order-asserted — coded ranking can trade a true neighbor away)
+    "q_ivfpq_probe_curve" ->
+      s"""WITH $KmeansCtes,
+         |${operators.Similarity.pqCtes("pq")},
+         |pcasg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+         |pcex AS (SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i]) for i in range(1,65)]),
+         |        b.vec_id) AS rn
+         |    FROM q a JOIN q b ON b.vec_id <> a.vec_id WHERE a.vec_id % 25 = 0)
+         |  WHERE rn <= ${operators.Similarity.PqTopK}),
+         |${operators.Similarity.ivfPqCurvePointCtes("x1", 1)},
+         |${operators.Similarity.ivfPqCurvePointCtes("x2", 2)},
+         |${operators.Similarity.ivfPqCurvePointCtes("x4", 4)},
+         |${operators.Similarity.ivfPqCurvePointCtes("x8", 8)}
+         |SELECT nprobe, CAST(n_queries AS BIGINT) AS n_queries,
+         |  CAST(n_cand_hits AS BIGINT) AS n_cand_hits,
+         |  CAST(n_cand_hits * 1000000 // (n_queries * ${operators.Similarity.PqTopK}) AS BIGINT) AS cand_ppm,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits * 1000000 // (n_queries * ${operators.Similarity.PqTopK}) AS BIGINT) AS recall_ppm
+         |FROM (SELECT * FROM x1row UNION ALL SELECT * FROM x2row
+         |      UNION ALL SELECT * FROM x4row UNION ALL SELECT * FROM x8row)
+         |ORDER BY nprobe""".stripMargin,
     // cluster-label purity: majority-label share per cluster off the same
     // deterministic k-means replay; all-integer, tie on (n DESC, label)
     "q_label_purity" ->
@@ -2984,6 +3054,59 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
          |  FROM scpq)
          |WHERE rn <= ${operators.Similarity.PqTopK} ORDER BY q_id, rn""".stripMargin,
+    // residual IVFADC (FAISS by_residual=true): KmeansCtes ∘ residual ∘
+    // PQ-core retraining on residuals ∘ per-(query, probed cluster) LUTs
+    // ∘ ADC — all integer, full replay
+    "q_ivfpq_residual" ->
+      s"""WITH $KmeansCtes,
+         |${operators.Similarity.pqResidualCtes}
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, adist FROM (
+         |  SELECT q_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+         |  FROM rzsc)
+         |WHERE rn <= ${operators.Similarity.PqTopK} ORDER BY q_id, rn""".stripMargin,
+    // raw-codes vs residual-codes IVFADC against exact integer L2 — both
+    // approximate arms and the reference replayed in one statement
+    "q_pqres_recall" ->
+      s"""WITH $KmeansCtes,
+         |${operators.Similarity.pqCtes("pq")},
+         |${operators.Similarity.pqResidualCtes},
+         |probe AS (SELECT vec_id AS q_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cid) AS rn
+         |    FROM q CROSS JOIN c${operators.Similarity.KmeansRounds} c
+         |    WHERE q.vec_id % 25 = 0)
+         |  WHERE rn <= ${operators.Similarity.IvfPqNProbe}),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probe p
+         |         JOIN rzasg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |scpq AS (SELECT c.q_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+         |        FROM cand c JOIN pqenc e ON e.vec_id = c.vec_id
+         |          JOIN pqlut l ON l.q_id = c.q_id AND l.sub = e.sub AND l.code = e.code
+         |        GROUP BY 1, 2),
+         |rawr AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+         |    FROM scpq) WHERE rn <= ${operators.Similarity.PqTopK}),
+         |resr AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+         |    FROM rzsc) WHERE rn <= ${operators.Similarity.PqTopK}),
+         |exr AS (SELECT q_id, vec_id FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i]) for i in range(1,65)]),
+         |        b.vec_id) AS rn
+         |    FROM q a JOIN q b ON b.vec_id <> a.vec_id WHERE a.vec_id % 25 = 0)
+         |  WHERE rn <= ${operators.Similarity.PqTopK}),
+         |j AS (SELECT e.q_id, r.vec_id AS rv, s.vec_id AS sv FROM exr e
+         |      LEFT JOIN rawr r ON r.q_id = e.q_id AND r.vec_id = e.vec_id
+         |      LEFT JOIN resr s ON s.q_id = e.q_id AND s.vec_id = e.vec_id)
+         |SELECT q_id, count(rv)::BIGINT AS n_ivfpq,
+         |  round(count(rv)::DOUBLE / ${operators.Similarity.PqTopK}, 6) AS recall_ivfpq,
+         |  count(sv)::BIGINT AS n_res,
+         |  round(count(sv)::DOUBLE / ${operators.Similarity.PqTopK}, 6) AS recall_res
+         |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin,
     // SemDeDup: within each k-means cluster, drop every vector with a
     // lower-id neighbor at cosine >= 0.45 (greedy lowest-id keep);
     // cross-cluster near-dups survive by design.

@@ -205,6 +205,15 @@ class PlanHygieneSpec extends SparkSpec {
     // BNLJ test above verifies that for free); only the panel-derived
     // broadcast side needs the family allowance
     "q_ivfpq_topk", "q_pq_recall",
+    // r16 members of the same two family allowances: the residual IVFADC
+    // broadcasts its panel-derived probe list (panel × nprobe rows, each
+    // carrying one M·Ks-bounded LUT) into the hash equi-join on cluster
+    // id, exactly like q_ivfpq_topk; the recall audit and the two probe
+    // curves additionally broadcast the probe lists of the arms they
+    // sweep — every broadcast side is panel-derived (vec_id % 25) and
+    // nprobe/LUT-bounded, never the growing corpus side
+    "q_ivfpq_residual", "q_pqres_recall",
+    "q_ivfpq_probe_curve", "q_jl_probe_curve",
     // the JL recall audit broadcasts the same corpus/25 query panel as
     // the rest of the cosine family (projected + raw vectors per query)
     "q_rand_proj_topk")

@@ -427,6 +427,119 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).sum >= 1)
   }
 
+  test("residual IVFADC: codebooks retrain on residuals, candidates honor the probe width, ADC matches a driver replay (r16)") {
+    import spark.implicits._
+    // the residual codebooks are genuinely different models (training on
+    // r = x − centroid(x), not x) — identical books would mean the
+    // residual step was a no-op
+    val rawCb = Similarity.pqCodebooks(spark, sf)
+    val resCb = Similarity.pqResCodebooks(spark, sf)
+    assert(rawCb.size == resCb.size)
+    assert(rawCb.zip(resCb).exists { case (a, b) => !a.sameElements(b) },
+      "residual codebooks identical to raw — residual training vacuous")
+    val got = Similarity.ivfPqResidualTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // pruning honors nprobe under the SHARED coarse quantizer
+    val km = Similarity.kmeans(spark, sf)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(r => km(r._3)).toSet.size <= Similarity.IvfPqNProbe,
+        s"query $q drew candidates from too many clusters")
+    }
+    // ADC distances replay exactly driver-side: encode the candidate's
+    // residual with the trained books, build the query's LUT against the
+    // CANDIDATE's cluster centroid (per-probe LUT semantics), sum M cells
+    val rv = Similarity.residualVectors(spark, sf)
+      .select("vec_id", "cluster", "rv").as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val qvs = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 1.0d) * 1000000) AS BIGINT))"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // recover each cluster's centroid from its members: cent = qv − rv
+    // (any member works; asserting they all agree checks the residual
+    // frame's internal consistency for free)
+    val cents: Map[Int, Seq[Long]] = rv.toSeq
+      .map { case (v, (c, r)) => c.toInt -> qvs(v).zip(r).map { case (x, d) => x - d } }
+      .groupBy(_._1).map { case (c, ms) =>
+        assert(ms.map(_._2).distinct.size == 1, s"cluster $c members disagree on the centroid")
+        c -> ms.head._2
+      }
+    val (m, sd, ks) = (8, 8, 16)
+    def sq(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def codesOf(v: Seq[Long]) = (0 until m).map { s =>
+      val sub = v.slice(s * sd, s * sd + sd)
+      val d = (0 until ks).map(j => sq(sub, resCb(s * ks + j).toSeq))
+      d.indexOf(d.min)
+    }
+    got.foreach { case (q, _, v, adist) =>
+      val (vc, vres) = rv(v)
+      val qres = qvs(q).zip(cents(vc.toInt)).map { case (x, cv) => x - cv }
+      val want = (0 until m).map { s =>
+        val qs = qres.slice(s * sd, s * sd + sd)
+        sq(qs, resCb(s * ks + codesOf(vres)(s)).toSeq)
+      }.sum
+      assert(want == adist, s"residual ADC mismatch for ($q, $v): $want != $adist")
+    }
+  }
+
+  test("raw-vs-residual recall audit agrees with driver joins; residual wins in aggregate on this corpus (r16)") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val ex = pairs(Similarity.l2TopK(spark, sfRecall))
+    val raw = pairs(Similarity.ivfPqTopK(spark, sfRecall))
+    val res = pairs(Similarity.ivfPqResidualTopK(spark, sfRecall))
+    val got = Similarity.pqResRecall(spark, sfRecall)
+      .select("q_id", "n_ivfpq", "n_res").as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == ex.keySet && got.nonEmpty)
+    got.foreach { case (q, nRaw, nRes) =>
+      assert(nRaw == (ex(q) & raw.getOrElse(q, Set.empty)).size.toLong, s"query $q raw overlap")
+      assert(nRes == (ex(q) & res.getOrElse(q, Set.empty)).size.toLong, s"query $q residual overlap")
+    }
+    // the aggregate relation the residual form exists for, measured where
+    // recall is non-vacuous (80-query sf0.01 panel): residual codes
+    // recover at least as many true neighbors as raw codes in total
+    // (deterministic pipelines — this is a fact of the corpus, not luck)
+    assert(got.map(_._3).sum >= got.map(_._2).sum,
+      s"residual recall ${got.map(_._3).sum} < raw ${got.map(_._2).sum}")
+    spark.catalog.clearCache()
+  }
+
+  test("IVFADC probe curve: candidate recall monotone by construction, served hits within candidates (r16)") {
+    import spark.implicits._
+    val curve = Similarity.ivfPqProbeCurve(spark, sf)
+      .select("nprobe", "n_queries", "n_cand_hits", "n_hits")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Similarity.IvfCurvePoints.map(_.toLong))
+    // probe lists are nested ⇒ candidate-generation recall never drops
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 >= lo._3,
+        s"cand recall dropped: nprobe ${lo._1} → ${hi._1} gave ${lo._3} → ${hi._3}")
+    }
+    // a served hit was necessarily a candidate; NO monotonicity asserted
+    // on served hits — the coded ranking can trade a true neighbor away
+    // as the probe widens (the trade this curve exists to show)
+    curve.foreach { r =>
+      assert(r._4 <= r._3, s"served hits ${r._4} exceed candidate hits ${r._3}")
+    }
+    assert(curve.last._3 > 0, "widest probe generated no true candidates — vacuous")
+  }
+
+  test("JL probe curve: monotone served recall (nested candidates + exact re-rank) (r16)") {
+    import spark.implicits._
+    val curve = Similarity.jlProbeCurve(spark, sf)
+      .select("nprobe", "n_queries", "n_hits")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Similarity.IvfCurvePoints.map(_.toLong))
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 >= lo._3,
+        s"recall dropped: nprobe ${lo._1} → ${hi._1} gave ${lo._3} → ${hi._3}")
+    }
+    assert(curve.last._3 > 0, "widest probe found nothing — curve vacuous")
+  }
+
   /** Centered double-precision corpus — shared by the three pca
     * cross-checks below. */
   private def pcaCenteredDoubles(): Array[Array[Double]] = {
