@@ -150,6 +150,15 @@ object Bench {
         if (java.nio.file.Files.exists(historyPath))
           java.nio.file.Files.readAllLines(historyPath).asScala.toSeq
             .filter(_.contains(s""""sf":"$sfDir""""))
+            // parse-check each line before embedding (ADVICE r15): one
+            // hand-edited / truncated / schema-drifted ledger line must
+            // not make bench_out.json itself invalid JSON — re-serialize
+            // through Jackson (on Spark's classpath) so only well-formed
+            // objects survive, normalized
+            .flatMap(l => scala.util.Try {
+              val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+              if (n.isObject) Some(n.toString) else None
+            }.toOption.flatten)
             .takeRight(8)
         else Seq.empty
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
@@ -218,8 +227,14 @@ object Bench {
     // prior same-sf totals inline (id + total only — the captured tail is
     // size-bounded; full prior lines live in bench_out.json/run_history)
     val histBrief = priorRuns.flatMap { l =>
-      val m = """"ts":"([^"]+)".*"total":([0-9.]+)""".r.unanchored
-      l match { case m(ts, t) => Some(s"""{"ts":"$ts","total":$t}"""); case _ => None }
+      // priorRuns lines are already parse-checked; extract the two brief
+      // fields through the same parser rather than a regex (ADVICE r15)
+      scala.util.Try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+        if (n.hasNonNull("ts") && n.hasNonNull("total"))
+          Some(s"""{"ts":${n.get("ts")},"total":${n.get("total")}}""")
+        else None
+      }.toOption.flatten
     }.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
       s""""headline_shuffle_rows":$hs,""" +
