@@ -214,6 +214,7 @@ object SparkEntry {
     "q_span_scrub"        -> ((s, d) => Dedup.spanScrub(s, d)),
     "q_containment"       -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_minhash_est"       -> ((s, d) => Dedup.minhashEstimate(s, d)),
+    "q_minhash_band_curve" -> ((s, d) => Dedup.minhashBandCurve(s, d)),
     // ---- B9 pipeline composition: decontamination + keep set ----
     "q_decontaminate"     -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_decontaminate_overlap" -> ((s, d) => Pipeline.decontaminateOverlap(s, d)),
@@ -284,6 +285,7 @@ object SparkEntry {
     "q_pq_recall"         -> ((s, d) => Similarity.pqRecall(s, d)),
     "q_pqres_recall"      -> ((s, d) => Similarity.pqResRecall(s, d)),
     "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
+    "q_semdedup_incremental" -> ((s, d) => Similarity.semDedupIncremental(s, d)),
     // ---- B9 multimodal ----
     "q_multimodal_join"   -> ((s, d) => Multimodal.multimodalJoin(s, d)),
     "q_binary_meta"       -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -1820,6 +1822,43 @@ object SparkEntry {
          |        JOIN sigs sb ON sb.doc_id = np.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // band-width tuning curve: signatures + all four hierarchically
+    // nested bandings + the exact-Jaccard truth join replayed per config —
+    // the S-curve threshold sweep with hash-pinned values
+    "q_minhash_band_curve" -> {
+      val mins = (0 until 64).map(i =>
+        s"min((${graft.functions.TextHash.coefA(i)} * hm + ${graft.functions.TextHash.coefB(i)}) % 2147483647)")
+        .mkString("list_value(", ", ", ")")
+      val cfg = Seq(2, 4, 8, 16).map { r =>
+        val b = 64 / r
+        s"""k$r AS (SELECT doc_id, i AS band,
+           |  array_to_string(sig[i*$r+1:i*$r+$r], ',') AS key
+           |  FROM sigs, range(0, $b) t(i)),
+           |c$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM k$r a JOIN k$r b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |row$r AS (SELECT CAST($r AS BIGINT) AS rows_per_band,
+           |    CAST($b AS BIGINT) AS n_bands,
+           |    (SELECT count(*) FROM c$r) AS n_cand,
+           |    (SELECT count(*) FROM tp) AS n_true,
+           |    (SELECT count(*) FROM c$r c JOIN tp
+           |       ON tp.doc_a = c.doc_a AND tp.doc_b = c.doc_b) AS n_hits)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $NearDupPairsCte,
+         |tp AS (SELECT doc_a, doc_b FROM np),
+         |hm AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647 AS hm
+         |  FROM (SELECT doc_id, unnest(ts) AS s FROM sh)),
+         |sigs AS MATERIALIZED (SELECT doc_id, $mins AS sig FROM hm GROUP BY doc_id),
+         |$cfg
+         |SELECT rows_per_band, n_bands,
+         |  CAST(n_cand AS BIGINT) AS n_cand, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits * 1000000 // n_cand AS BIGINT) AS precision_ppm,
+         |  CAST(n_hits * 1000000 // n_true AS BIGINT) AS recall_ppm
+         |FROM (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+         |      UNION ALL SELECT * FROM row8 UNION ALL SELECT * FROM row16)
+         |ORDER BY rows_per_band""".stripMargin
+    },
     // containment: exact all-pairs ground truth on the same shingle sets
     "q_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -3110,19 +3149,11 @@ object SparkEntry {
     // SemDeDup: within each k-means cluster, drop every vector with a
     // lower-id neighbor at cosine >= 0.45 (greedy lowest-id keep);
     // cross-cluster near-dups survive by design.
-    "q_semdedup" ->
-      s"""WITH $KmeansCtes,
-         |asg AS (SELECT vec_id, cid AS cluster FROM af WHERE rn = 1),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
-         |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
-         |m AS (SELECT n.vec_id, v, nn, cluster FROM n JOIN asg USING (vec_id)),
-         |dr AS (SELECT DISTINCT b.vec_id
-         |       FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |       WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
-         |             / (sqrt(a.nn)*sqrt(b.nn)) >= 0.45)
-         |SELECT m.vec_id, m.cluster::BIGINT AS cluster, (dr.vec_id IS NULL) AS is_kept
-         |FROM m LEFT JOIN dr ON dr.vec_id = m.vec_id
-         |ORDER BY m.vec_id""".stripMargin,
+    "q_semdedup" -> SemDedupOracle,
+    // the stored-segment serve must equal the scan-time keep set exactly
+    // (per-row assignment facts under a fixed model + a pure pair rule ⇒
+    // append == rebuild) — SAME oracle, two routes
+    "q_semdedup_incremental" -> SemDedupOracle,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
         |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
@@ -4583,6 +4614,23 @@ object SparkEntry {
   private val NearDupOracle: String =
     s"""WITH $NearDupPairsCte
        |SELECT doc_a, doc_b, jac FROM np ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared oracle for the SemDeDup keep set — the scan-time form and the
+    * stored-index serve (`q_semdedup` / `q_semdedup_incremental`) are
+    * bit-identical by construction, so one replay checks both. */
+  private lazy val SemDedupOracle: String =
+    s"""WITH $KmeansCtes,
+       |asg AS (SELECT vec_id, cid AS cluster FROM af WHERE rn = 1),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+       |n AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b) nn FROM e),
+       |m AS (SELECT n.vec_id, v, nn, cluster FROM n JOIN asg USING (vec_id)),
+       |dr AS (SELECT DISTINCT b.vec_id
+       |       FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |       WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+       |             / (sqrt(a.nn)*sqrt(b.nn)) >= 0.45)
+       |SELECT m.vec_id, m.cluster::BIGINT AS cluster, (dr.vec_id IS NULL) AS is_kept
+       |FROM m LEFT JOIN dr ON dr.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
 
   /** Shared oracle CTE for the SimHash fingerprint (md5-60-bit hash per
     * 3-gram shingle, sign-summed per bit — mirrors Dedup.simhashFingerprints

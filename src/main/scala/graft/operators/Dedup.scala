@@ -452,6 +452,75 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Band-width sweep configs for [[minhashBandCurve]]: rows-per-band over
+    * the 64-value signature. The configs are HIERARCHICALLY ALIGNED (each
+    * r doubles the previous, bands split on block boundaries), so an
+    * r-row band match implies both constituent r/2-row bands match —
+    * candidate sets NEST: cand(16) ⊆ cand(8) ⊆ cand(4) ⊆ cand(2). That
+    * makes candidate count and recall monotone in r BY CONSTRUCTION (the
+    * probe-curve discipline), which the spec asserts. */
+  val BandCurveRows: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** Candidate pairs of one banding config: b = 64/r bands of r signature
+    * values each, band key = the joined value string (exact — key equality
+    * ⟺ the r values equal, no mixing collisions to excuse), candidates =
+    * docs sharing any (band, key). A banded hash equi-join like every
+    * registered candidate generator — never all-pairs. */
+  private[graft] def bandCandidates(sigs: DataFrame, r: Int): DataFrame = {
+    val b = graft.functions.TextHash.NumHashes / r
+    val keys = sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${b - 1}), i -> array_join(transform(slice(sig, i*$r+1, $r), x -> cast(x as string)), ','))"))
+      .as(Seq("band", "key")))
+    keys.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .join(keys.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MINHASH BAND-WIDTH TUNING CURVE (`q_minhash_band_curve`, r16) — the
+    * dial a dedup team actually turns: the banding scheme's S-curve
+    * threshold t ≈ (1/b)^(1/r) against the exact Jaccard-≥-[[ShingleTau]]
+    * ground truth, one readout row per config in [[BandCurveRows]]
+    * (t ≈ 0.18, 0.50, 0.77, 0.92). Per config: candidate-pair count,
+    * true-pair count, hits, precision and recall — precision climbs and
+    * recall falls as bands get taller, and the numbers say where THIS
+    * corpus's operating point is, instead of leaving the (b, r) choice to
+    * folklore.
+    *
+    * Nested configs (see [[BandCurveRows]]) ⇒ n_cand and recall are
+    * monotone non-increasing in r by construction; precision is NOT
+    * order-asserted (a taller band can drop true and false candidates in
+    * any ratio) — the coded-ranking lesson from `q_ivfpq_probe_curve`
+    * applied to banding. Ground truth is the COMPLETE inverted-index
+    * exact-Jaccard pair set ([[jaccardPairs]] — never all-pairs), and
+    * the deterministic affine family makes every candidate set replayable:
+    * the DuckDB oracle recomputes signatures, all four bandings and the
+    * truth join, so the curve VALUES hash-check. n_true rides the same
+    * full-outer aggregate as the hit counts (no driver action).
+    *
+    * At 100 TB: each config is one banded equi-join over the stored
+    * signature frame — the sweep a team runs on a corpus sample to pick
+    * (b, r) before committing the dedup config, regression-gated like the
+    * ANN probe curves. */
+  def minhashBandCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.{minHashSig => sigFn}
+    val sigs = fence(shingleSets(spark, sfDir)
+      .select(col("doc_id"), sigFn(col("hs")).as("sig")), "doc_id")
+    val truth = jaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+    BandCurveRows.map { r =>
+      bandCandidates(sigs, r).withColumn("c", lit(1L))
+        .join(truth.withColumn("t", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("c")).as("n_cand"), count(col("t")).as("n_true"),
+          sum(when(col("c").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit((graft.functions.TextHash.NumHashes / r).toLong).as("n_bands"),
+          col("n_cand"), col("n_true"), col("n_hits"),
+          expr("n_hits * 1000000 div n_cand").as("precision_ppm"),
+          expr("n_hits * 1000000 div n_true").as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy("rows_per_band")
+  }
+
   /** Near-dup clusters: connected components over the near-dup pair graph,
     * labeled by the component's minimum doc_id, plus the survivor flag a
     * deletion list needs (survivor = the component minimum — "keep one doc

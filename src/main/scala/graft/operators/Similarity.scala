@@ -1895,9 +1895,15 @@ object Similarity {
     * per-cluster tiles) and measures the shuffle staying ~linear; the
     * registered query keeps the oracle-parity [[KmeansK]]. */
   private[graft] def semDedup(spark: SparkSession, sfDir: String, k: Int,
-                              memoTag: String = ""): DataFrame = {
+                              memoTag: String = ""): DataFrame =
+    semDedupFrom(assignedVectors(spark, sfDir, k, memoTag))
+
+  /** The SemDeDup keep-set rule over any (vec_id, v, nn, cluster) frame —
+    * cluster-local pairs, drop every vector with a lower-id same-cluster
+    * neighbor at cos ≥ τ. Shared by the scan-time and stored-index
+    * routes. */
+  private def semDedupFrom(m: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val m = assignedVectors(spark, sfDir, k, memoTag)
     val a = m.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nn").as("na"), col("cluster"))
     val b = m.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nn").as("nb"), col("cluster"))
     val dropped = a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))
@@ -1908,6 +1914,58 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("isdrop").isNull.as("is_kept"))
       .orderBy("vec_id")
   }
+
+  private val semIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Append one embedding batch's SemDeDup index segment: (vec_id, v, nn,
+    * cluster, batch) — every column a PER-ROW fact of the batch under the
+    * broadcast trained quantizer (the appendIvfFrame discipline: the
+    * standing corpus is never re-read, the model never retrained
+    * implicitly). */
+  private[graft] def appendSemFrame(spark: SparkSession, sfDir: String,
+                                    emb: DataFrame, dir: String, batch: Long): Unit = {
+    import graft.functions.VectorFunctions.dot
+    val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"),
+        expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))").as("qv"))
+      .withColumn("nn", dot(col("v"), col("v")))
+      .withColumn("cdists", transform(sequence(lit(0), lit(KmeansK - 1)),
+        c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int")))))
+      .withColumn("cluster",
+        array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .select(col("vec_id"), col("v"), col("nn"), col("cluster"), lit(batch).as("batch"))
+      .write.mode("append").parquet(dir)
+  }
+
+  private[graft] def semIncrIndexDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, semIncrMemo)
+    semIncrMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = SessionMemos.tempDir(spark, "graft-semdedup-index")
+      val emb = Tables.embeddings(spark, sfDir)
+      appendSemFrame(spark, sfDir, emb.filter(col("vec_id") % 2 === 0), dir, 0L)
+      appendSemFrame(spark, sfDir, emb.filter(col("vec_id") % 2 === 1), dir, 1L)
+      dir
+    })
+  }
+
+  /** `q_semdedup_incremental` (r16): the build-once/append/serve lifecycle
+    * for the LAST dedup family without one — semantic dedup. Batches land
+    * their own assigned segments under the fixed trained quantizer
+    * ([[appendSemFrame]]); the keep-set serve runs the identical
+    * cluster-local pair rule OFF THE STORE. Because the drop rule is a
+    * pure pair predicate and assignment is a per-row fact under a fixed
+    * model, append == rebuild exactly — the serve equals [[semDedup]]
+    * bit-for-bit and shares its oracle verbatim (the q_ivf_incremental
+    * discipline). At 100 TB this is how SemDeDup absorbs a new crawl
+    * batch: assign map-side, append the segment, and re-derive keep flags
+    * with cluster-local joins only — never a corpus re-cluster (model
+    * refresh is a deliberate reindex, as everywhere in the lifecycle
+    * family). */
+  def semDedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    semDedupFrom(spark.read.parquet(semIncrIndexDir(spark, sfDir))
+      .select("vec_id", "v", "nn", "cluster"))
 
   /** Projected dimensionality for [[randProjPairs]] — 64 → 16, the 4×
     * compression a JL sketch buys before exact re-ranking. */

@@ -35,6 +35,43 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("jac") < Dedup.ShingleTau).count() == 0)
   }
 
+  test("band curve: hierarchical configs nest, counts/recall monotone, curve agrees with driver-side banding (r16)") {
+    import spark.implicits._
+    import graft.functions.TextHashFunctions.{minHashSig => sigFn}
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"), sigFn(shingleHashes(col("text"))).as("sig"))
+    // candidate sets nest by construction: an r-row band match means both
+    // constituent r/2-row halves match
+    val cands = Dedup.BandCurveRows.map(r => r ->
+      Dedup.bandCandidates(sigs, r).as[(Long, Long)].collect().toSet).toMap
+    Dedup.BandCurveRows.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(cands(hi).subsetOf(cands(lo)),
+        s"cand(r=$hi) ⊄ cand(r=$lo): ${(cands(hi) -- cands(lo)).take(3)}")
+    }
+    val curve = Dedup.minhashBandCurve(spark, sf)
+      .select("rows_per_band", "n_cand", "n_true", "n_hits")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Dedup.BandCurveRows.map(_.toLong))
+    // registered counts equal the driver-side candidate sets + truth join
+    val truth = Dedup.jaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    curve.foreach { case (r, nCand, nTrue, nHits) =>
+      assert(nCand == cands(r.toInt).size.toLong, s"r=$r n_cand")
+      assert(nTrue == truth.size.toLong, s"r=$r n_true")
+      assert(nHits == (cands(r.toInt) & truth).size.toLong, s"r=$r n_hits")
+    }
+    // nesting ⇒ candidate count and recall monotone non-increasing in r
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"n_cand grew: r ${lo._1} → ${hi._1}")
+      assert(hi._4 <= lo._4, s"hits grew: r ${lo._1} → ${hi._1}")
+    }
+    // non-vacuous both ways: the tallest bands still catch the exact
+    // duplicates, and the widest config admits false candidates the
+    // verify step would prune (the precision trade is real on this data)
+    assert(curve.last._4 > 0, "r=16 caught no true pair")
+    assert(curve.head._2 > curve.head._4, "r=2 admitted no false candidate — precision arm vacuous")
+  }
+
   test("near-dup clusters match a driver-side union-find over the same pairs") {
     import spark.implicits._
     val pairs = Dedup.minhashPairs(spark, sf)

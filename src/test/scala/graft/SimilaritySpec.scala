@@ -427,6 +427,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).sum >= 1)
   }
 
+  test("semdedup stored segments serve the identical keep set, store-only plan (r16)") {
+    import spark.implicits._
+    val full = Similarity.semDedup(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val incr = Similarity.semDedupIncremental(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(incr == full, "stored-segment serve diverges from the scan-time keep set")
+    assert(full.exists(!_._3), "keep set vacuous — nothing dropped")
+    // both parity segments really landed
+    val dir = Similarity.semIncrIndexDir(spark, sf)
+    assert(spark.read.parquet(dir).select("batch").distinct().count() == 2)
+    // the serve plan touches ONLY the stored index — no embeddings rescan,
+    // no reassignment (the hll-cube analyzed-relations idiom)
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val paths = Similarity.semDedupIncremental(spark, sf)
+      .queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    assert(paths.nonEmpty && paths.forall(_.contains("graft-semdedup-index")),
+      s"serve plan reads beyond the stored index: $paths")
+  }
+
   test("residual IVFADC: codebooks retrain on residuals, candidates honor the probe width, ADC matches a driver replay (r16)") {
     import spark.implicits._
     // the residual codebooks are genuinely different models (training on
