@@ -211,6 +211,7 @@ object SparkEntry {
     "q_suffix_dedup"      -> ((s, d) => SuffixDedup.suffixDedup(s, d)),
     "q_suffix_mask"       -> ((s, d) => SuffixDedup.suffixMask(s, d)),
     "q_suffix_mask_incremental" -> ((s, d) => SuffixDedup.suffixMaskIncremental(s, d)),
+    "q_suffix_spans_served" -> ((s, d) => SuffixDedup.suffixSpansServed(s, d)),
     "q_span_scrub"        -> ((s, d) => Dedup.spanScrub(s, d)),
     "q_containment"       -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_minhash_est"       -> ((s, d) => Dedup.minhashEstimate(s, d)),
@@ -2218,6 +2219,9 @@ object SparkEntry {
     // descending LCP walk unrolled as materialized CTEs (the BpeCtes
     // discipline); dense_rank replays the distributed dense index exactly
     "q_suffix_dedup" -> operators.SuffixDedup.suffixDedupOracleSql,
+    // the stored-artifact serve is the same frame materialized — SAME
+    // oracle, two routes (the q_ivf_served discipline)
+    "q_suffix_spans_served" -> operators.SuffixDedup.suffixDedupOracleSql,
     // the removal step: per-doc duplicated-token coverage off the same
     // fin frame (max adjacent lcp per start → gaps-and-islands interval
     // union — r16, O(spans) instead of O(covered positions))

@@ -238,6 +238,27 @@ class SuffixDedupSpec extends SparkSpec {
       s"cross-batch runC not masked: $full")
   }
 
+  test("stored-artifact serve equals the scan-time top spans; plan reads only store + documents (r16)") {
+    val full = SuffixDedup.suffixDedup(spark, sf).collect().map(_.toString).toSeq
+    val served = SuffixDedup.suffixSpansServed(spark, sf).collect().map(_.toString).toSeq
+    assert(served == full, "stored-artifact serve diverges from the scan-time readout")
+    // the serve plan touches only the persisted LCP index and documents
+    // (span fingerprints) — no rank-ladder lineage anywhere
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val paths = SuffixDedup.suffixSpansServed(spark, sf)
+      .queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    assert(paths.nonEmpty && paths.forall(p =>
+      p.contains("graft-suffix-lcp-index") || p.contains("documents")),
+      s"serve plan reads beyond store + documents: $paths")
+    assert(paths.exists(_.contains("graft-suffix-lcp-index")), "store not in the serve plan")
+  }
+
   test("top lcp equals the brute-force longest duplicated substring on the real corpus") {
     val spans = SuffixDedup.suffixDedup(spark, sf).collect()
     val top = spans.head.getLong(0)
