@@ -1964,8 +1964,13 @@ object Similarity {
     * refresh is a deliberate reindex, as everywhere in the lifecycle
     * family). */
   def semDedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
-    semDedupFrom(spark.read.parquet(semIncrIndexDir(spark, sfDir))
-      .select("vec_id", "v", "nn", "cluster"))
+    semDedupServeFrom(spark, semIncrIndexDir(spark, sfDir))
+
+  /** The keep-set serve off ANY stored segment dir — shared by the
+    * registered parity-batch query and the StreamingSpec foreachBatch
+    * ingest twin. */
+  private[graft] def semDedupServeFrom(spark: SparkSession, dir: String): DataFrame =
+    semDedupFrom(spark.read.parquet(dir).select("vec_id", "v", "nn", "cluster"))
 
   /** Projected dimensionality for [[randProjPairs]] — 64 → 16, the 4×
     * compression a JL sketch buys before exact re-ranking. */

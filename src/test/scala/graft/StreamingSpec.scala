@@ -462,6 +462,39 @@ class StreamingSpec extends SparkSpec {
     assert(served == inPlan, "stream-ingested index ranking diverges from the in-plan ANN")
   }
 
+  test("streaming SemDeDup index ingest: foreachBatch appends assigned segments, keep set stays exact (r16)") {
+    // the streaming face of q_semdedup_incremental: embedding
+    // micro-batches arrive on a file stream, each appending its own
+    // map-side-assigned (vec_id, v, nn, cluster) segment under the FIXED
+    // trained quantizer; after the stream drains, the cluster-local keep
+    // rule over the accumulated store must equal the scan-time SemDeDup
+    // verdict row-for-row. Per-row facts + a fixed model ⇒ the fold is
+    // order-insensitive across any micro-batch slicing.
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val idxDir = Files.createTempDirectory("graft-semstream-idx").toString
+    val srcDir = writeSlices((0 until 3).map(i => emb.filter(col("vec_id") % 3 === i)))
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Similarity.appendSemFrame(spark, sf, batch, idxDir, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val segments = spark.read.parquet(idxDir)
+    assert(segments.select("batch").distinct().count() == 3,
+      "expected one index segment per micro-batch")
+    assert(segments.count() == emb.count())
+    val served = Similarity.semDedupServeFrom(spark, idxDir)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val inPlan = Similarity.semDedup(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(served == inPlan, "stream-ingested keep set diverges from the scan-time SemDeDup")
+  }
+
   test("streaming MV maintenance: foreachBatch appends cube partials, fold equals full rebuild") {
     // the streaming face of q_mv_incremental: fact micro-batches arrive
     // on a file stream and each appends its own cube-partial segment
