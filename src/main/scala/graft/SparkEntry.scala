@@ -283,6 +283,7 @@ object SparkEntry {
     "q_pq_topk"           -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ivfpq_topk"        -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q_ivfpq_residual"    -> ((s, d) => Similarity.ivfPqResidualTopK(s, d)),
+    "q_ivfpq_incremental" -> ((s, d) => Similarity.ivfPqIncremental(s, d)),
     "q_pq_recall"         -> ((s, d) => Similarity.pqRecall(s, d)),
     "q_pqres_recall"      -> ((s, d) => Similarity.pqResRecall(s, d)),
     "q_semdedup"          -> ((s, d) => Similarity.semDedup(s, d)),
@@ -3075,28 +3076,11 @@ object SparkEntry {
     // IVFADC = KmeansCtes (coarse lists) ∘ pqCtes (codes + LUTs): probe
     // the nprobe nearest final centroids per panel query, candidates from
     // the cluster assignment, ADC-rank from the PQ replay's enc/lut
-    "q_ivfpq_topk" ->
-      s"""WITH $KmeansCtes,
-         |${operators.Similarity.pqCtes("pq")},
-         |probe AS (SELECT vec_id AS q_id, cid FROM (
-         |    SELECT q.vec_id, c.cid,
-         |      list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cid) AS rn
-         |    FROM q CROSS JOIN c${operators.Similarity.KmeansRounds} c
-         |    WHERE q.vec_id % 25 = 0)
-         |  WHERE rn <= ${operators.Similarity.IvfPqNProbe}),
-         |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
-         |cand AS (SELECT p.q_id, a.vec_id FROM probe p
-         |         JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
-         |scpq AS (SELECT c.q_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
-         |        FROM cand c JOIN pqenc e ON e.vec_id = c.vec_id
-         |          JOIN pqlut l ON l.q_id = c.q_id AND l.sub = e.sub AND l.code = e.code
-         |        GROUP BY 1, 2)
-         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, adist FROM (
-         |  SELECT q_id, vec_id, adist,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
-         |  FROM scpq)
-         |WHERE rn <= ${operators.Similarity.PqTopK} ORDER BY q_id, rn""".stripMargin,
+    "q_ivfpq_topk" -> IvfPqOracle,
+    // the appendable compressed-index serve equals the in-plan IVFADC
+    // bit-for-bit (per-row cluster+codes facts under fixed models) —
+    // SAME oracle, two routes (the q_ivf_incremental discipline)
+    "q_ivfpq_incremental" -> IvfPqOracle,
     // residual IVFADC (FAISS by_residual=true): KmeansCtes ∘ residual ∘
     // PQ-core retraining on residuals ∘ per-(query, probed cluster) LUTs
     // ∘ ADC — all integer, full replay
@@ -4618,6 +4602,32 @@ object SparkEntry {
   private val NearDupOracle: String =
     s"""WITH $NearDupPairsCte
        |SELECT doc_a, doc_b, jac FROM np ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared oracle for the raw-code IVFADC ranking — the in-plan form
+    * and the stored/appended-index serve (`q_ivfpq_topk` /
+    * `q_ivfpq_incremental`) are bit-identical by construction. */
+  private lazy val IvfPqOracle: String =
+    s"""WITH $KmeansCtes,
+         |${operators.Similarity.pqCtes("pq")},
+         |probe AS (SELECT vec_id AS q_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]) for i in range(1,65)]) AS dist,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, cid) AS rn
+         |    FROM q CROSS JOIN c${operators.Similarity.KmeansRounds} c
+         |    WHERE q.vec_id % 25 = 0)
+         |  WHERE rn <= ${operators.Similarity.IvfPqNProbe}),
+         |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probe p
+         |         JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |scpq AS (SELECT c.q_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+         |        FROM cand c JOIN pqenc e ON e.vec_id = c.vec_id
+         |          JOIN pqlut l ON l.q_id = c.q_id AND l.sub = e.sub AND l.code = e.code
+         |        GROUP BY 1, 2)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, adist FROM (
+         |  SELECT q_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+         |  FROM scpq)
+         |WHERE rn <= ${operators.Similarity.PqTopK} ORDER BY q_id, rn""".stripMargin
 
   /** Shared oracle for the SemDeDup keep set — the scan-time form and the
     * stored-index serve (`q_semdedup` / `q_semdedup_incremental`) are

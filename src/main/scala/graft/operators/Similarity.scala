@@ -1244,10 +1244,21 @@ object Similarity {
       .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
       .withColumn("codes", pqCodesExpr(cbLit, col("qv")))
       .select("vec_id", "cluster", "codes")
-    // nprobe nearest clusters per panel query: sort (dist, cid) structs —
-    // lexicographic struct order IS the engine's (dist, lowest-cid) rule
+    ivfPqAdcServe(spark, sfDir, corpus, cbLit, centLit, k, nprobe)
+  }
+
+  /** The IVFADC serving tail over ANY (vec_id, cluster, codes) corpus
+    * frame: per-panel-query raw-vector LUTs + nprobe probe list
+    * (lexicographic struct order IS the engine's (dist, lowest-cid)
+    * rule), broadcast into the hash equi-join on cluster id, ADC re-rank.
+    * Shared by [[ivfPqTopK]] and the stored/incremental serves. */
+  private def ivfPqAdcServe(spark: SparkSession, sfDir: String, corpus: DataFrame,
+                            cbLit: Column, centLit: Column,
+                            k: Int, nprobe: Int): DataFrame = {
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
     val probes = qv.filter(col("vec_id") % 25 === 0)
-      .withColumn("cdists", cdists)
+      .withColumn("cdists", transform(sequence(lit(0), lit(KmeansK - 1)),
+        c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int")))))
       .withColumn("probes", slice(array_sort(transform(
         sequence(lit(0), lit(KmeansK - 1)),
         c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
@@ -1263,6 +1274,62 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("adist"))
       .orderBy("q_id", "rn")
+  }
+
+  private val ivfPqIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Append one embedding batch's IVFADC index segment: (vec_id, cluster,
+    * codes, batch) — cluster under the trained coarse quantizer, 8 byte
+    * codes under the trained codebooks, both map-side per-row facts of
+    * the batch (the appendIvfFrame discipline; at billion scale these
+    * 9-ish bytes/vector ARE the index FAISS ships). */
+  private[graft] def appendIvfPqFrame(spark: SparkSession, sfDir: String,
+                                      embeddings: DataFrame, dir: String,
+                                      batch: Long): Unit = {
+    val cbLit = typedlit(pqCodebooks(spark, sfDir).map(_.toSeq))
+    val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
+    embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
+          .as("qv"))
+      .withColumn("cdists", transform(sequence(lit(0), lit(KmeansK - 1)),
+        c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int")))))
+      .withColumn("cluster",
+        array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .withColumn("codes", pqCodesExpr(cbLit, col("qv")))
+      .select(col("vec_id"), col("cluster"), col("codes"), lit(batch).as("batch"))
+      .write.mode("append").parquet(dir)
+  }
+
+  private[graft] def ivfPqIncrIndexDir(spark: SparkSession, sfDir: String): String = {
+    SessionMemos.arm(spark, ivfPqIncrMemo)
+    ivfPqIncrMemo.computeIfAbsent((spark, sfDir), _ => {
+      val dir = SessionMemos.tempDir(spark, "graft-ivfpq-index")
+      val emb = Tables.embeddings(spark, sfDir)
+      appendIvfPqFrame(spark, sfDir, emb.filter(col("vec_id") % 2 === 0), dir, 0L)
+      appendIvfPqFrame(spark, sfDir, emb.filter(col("vec_id") % 2 === 1), dir, 1L)
+      dir
+    })
+  }
+
+  /** `q_ivfpq_incremental` (r16): the appendable lifecycle for the
+    * compressed index — batches land (cluster, codes) segments under the
+    * FIXED coarse quantizer + codebooks (per-row facts ⇒ append ==
+    * rebuild exactly, zero serve-time encode of the standing corpus);
+    * the ADC serve runs off the stored codes and equals [[ivfPqTopK]]
+    * bit-for-bit, sharing its oracle (the q_ivf_incremental discipline).
+    * At billion scale this is precisely how FAISS-style IVFPQ indexes
+    * absorb streaming upserts: encode on arrival, land in the coarse
+    * list, immediately servable — recompression is a deliberate
+    * retrain-reindex, never implicit. */
+  def ivfPqIncremental(spark: SparkSession, sfDir: String, k: Int = PqTopK,
+                       nprobe: Int = IvfPqNProbe): DataFrame = {
+    val cbLit = typedlit(pqCodebooks(spark, sfDir).map(_.toSeq))
+    val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
+    ivfPqAdcServe(spark, sfDir,
+      spark.read.parquet(ivfPqIncrIndexDir(spark, sfDir))
+        .select("vec_id", "cluster", "codes"),
+      cbLit, centLit, k, nprobe)
   }
 
   /** Session memo for the RESIDUAL PQ codebooks — same bounded driver

@@ -282,7 +282,7 @@ object SuffixDedup {
     * in an island starts at or before the running covered frontier, so
     * the union is contiguous). O(spans) rows end-to-end; the only window
     * is per-document. Output schema is the [[suffixMask]] contract. */
-  private def islandMask(docs: DataFrame, spans: DataFrame): DataFrame = {
+  private[graft] def islandMask(docs: DataFrame, spans: DataFrame): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val covered = spans
       .withColumn("pmax", max(col("pend")).over(

@@ -214,6 +214,9 @@ class PlanHygieneSpec extends SparkSpec {
     // nprobe/LUT-bounded, never the growing corpus side
     "q_ivfpq_residual", "q_pqres_recall",
     "q_ivfpq_probe_curve", "q_jl_probe_curve",
+    // the stored-index IVFADC serve broadcasts the identical panel-derived
+    // probe+LUT list as its in-plan twin q_ivfpq_topk
+    "q_ivfpq_incremental",
     // the JL recall audit broadcasts the same corpus/25 query panel as
     // the rest of the cosine family (projected + raw vectors per query)
     "q_rand_proj_topk")

@@ -427,6 +427,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).sum >= 1)
   }
 
+  test("ivfpq appended codes index serves the identical ADC ranking; codes come from the store (r16)") {
+    import spark.implicits._
+    val inPlan = Similarity.ivfPqTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val incr = Similarity.ivfPqIncremental(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(incr == inPlan, "stored-codes serve diverges from the in-plan IVFADC")
+    // both parity segments landed, and the corpus side of the serve plan
+    // reads ONLY the index (the panel/LUT side legitimately reads
+    // embeddings — queries are not indexed)
+    val dir = Similarity.ivfPqIncrIndexDir(spark, sf)
+    val segs = spark.read.parquet(dir)
+    assert(segs.select("batch").distinct().count() == 2)
+    assert(segs.count() == Tables.embeddings(spark, sf).count())
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val paths = Similarity.ivfPqIncremental(spark, sf)
+      .queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    assert(paths.exists(_.contains("graft-ivfpq-index")), "store not in the serve plan")
+    assert(paths.forall(p => p.contains("graft-ivfpq-index") || p.contains("embeddings")),
+      s"serve plan reads beyond store + query panel: $paths")
+  }
+
   test("semdedup stored segments serve the identical keep set, store-only plan (r16)") {
     import spark.implicits._
     val full = Similarity.semDedup(spark, sf)

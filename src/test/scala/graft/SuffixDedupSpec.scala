@@ -238,6 +238,60 @@ class SuffixDedupSpec extends SparkSpec {
       s"cross-batch runC not masked: $full")
   }
 
+  test("property: island-fold coverage equals brute-force position counting on random interval sets (r16)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random inclusive spans [pos, pos+len] per doc — overlapping,
+    // nested, duplicated and adjacent cases all arise; the fold must
+    // count exactly the union's positions in every one
+    val span = Gen.zip(Gen.choose(1L, 60L), Gen.choose(0L, 15L))
+      .map { case (p, l) => (p, p + l) }
+    val spanList = Gen.nonEmptyListOf(span).map(_.take(12))
+    val sets = (0 until 12).flatMap(i =>
+      Gen.listOfN(3, spanList).apply(Gen.Parameters.default, Seed(1042L + i)))
+    sets.foreach { perDoc =>
+      val spans = perDoc.zipWithIndex.flatMap { case (ss, d) =>
+        ss.map(s => ((d + 1).toLong, s._1, s._2)) }
+      val docs = perDoc.indices
+        .map(d => ((d + 1).toLong, (1 to 100).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = SuffixDedup.islandMask(docs, spans.toDF("doc_id", "pos", "pend"))
+        .select("doc_id", "n_dup_tokens").as[(Long, Long)].collect().toMap
+      perDoc.zipWithIndex.foreach { case (ss, d) =>
+        val want = ss.flatMap(s => s._1 to s._2).toSet.size.toLong
+        assert(got((d + 1).toLong) == want,
+          s"doc ${d + 1}: island fold ${got((d + 1).toLong)} != brute-force $want over $ss")
+      }
+    }
+  }
+
+  test("property: fixed-window incremental mask equals the suffix-array rebuild on random corpora (r16)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // binary-vocab random docs + one doc spliced from two others
+    // (guaranteed ≥MaskMinLen cross-doc runs) + an all-"a" self-overlap
+    // doc — the three duplication species the reduction must cover
+    val doc = Gen.listOfN(30, Gen.oneOf("a", "b")).map(_.mkString(" "))
+    val bases = (0 until 4).flatMap(i =>
+      Gen.listOfN(3, doc).apply(Gen.Parameters.default, Seed(2042L + i)))
+    bases.foreach { base =>
+      val planted = (base(0).split(" ").slice(0, 15) ++
+        base(1).split(" ").slice(5, 20)).mkString(" ")
+      val texts = base :+ planted :+ Seq.fill(20)("a").mkString(" ")
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("doc_id", "text")
+      val full = SuffixDedup.suffixMaskFrom(docs).collect().map(_.toString).toSeq
+      val incr = SuffixDedup.windowMaskFrom(docs, SuffixDedup.windowsOf(docs))
+        .collect().map(_.toString).toSeq
+      assert(incr == full, s"window route diverged on corpus:\n${texts.mkString("\n")}")
+      // the sample is non-vacuous: the planted doc must show coverage
+      assert(full.exists(r => r.startsWith("[4,") && !r.contains(",0,0]")),
+        "planted splice doc shows no duplication — fixture broken")
+    }
+  }
+
   test("stored-artifact serve equals the scan-time top spans; plan reads only store + documents (r16)") {
     val full = SuffixDedup.suffixDedup(spark, sf).collect().map(_.toString).toSeq
     val served = SuffixDedup.suffixSpansServed(spark, sf).collect().map(_.toString).toSeq
