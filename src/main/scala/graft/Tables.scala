@@ -13,9 +13,39 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Session-scoped parquet schema memo (r16 optimization, guide §6).
+    *
+    * `spark.read.parquet(path)` infers the schema by re-reading the file
+    * footer on EVERY DataFrame construction — measured ~60 ms per call on
+    * this host vs ~5 ms with an explicit schema (Scratch probe, r16). The
+    * bench constructs each of 316 queries three times, most touching 1-4
+    * table scans, so footer re-inference alone is tens of seconds of pure
+    * metadata overhead. At production scale the same fix is what a real
+    * catalog/table format provides: schema comes from the metastore or
+    * manifest, never from re-reading footers per query.
+    *
+    * Correctness: the memoized schema IS the inferred schema of the same
+    * immutable file (testdata is never rewritten within a session — the
+    * standing SessionMemos assumption, stated in SessionMemos.scala), so
+    * `read.schema(memo).parquet(path)` is plan-identical to inference.
+    * Keyed on (session, path) and evicted with the session like every
+    * other memo. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.types.StructType]()
+
+  /** Parquet scan with session-memoized schema — for immutable files only
+    * (the ten testdata tables and write-once artifact stores). Do NOT use
+    * for paths whose schema can evolve within a session. */
+  def cachedScan(spark: SparkSession, path: String): DataFrame = {
+    graft.operators.SessionMemos.arm(spark, schemaMemo)
+    val sch = schemaMemo.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   /** Generic parquet scan for one of the ten testdata tables. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cachedScan(spark, s"$sfDir/$name.parquet")
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = t(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = t(spark, sfDir, "nation")

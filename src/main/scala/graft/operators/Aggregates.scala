@@ -380,7 +380,7 @@ object Aggregates {
                                   dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val two60 = KmvTwo60
-    val merged = spark.read.parquet(dir)
+    val merged = Tables.cachedScan(spark, dir)
       .select(col("event_type"), col("h")).distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("h")))
@@ -411,7 +411,7 @@ object Aggregates {
   def kmvCubeSketch(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val two60 = KmvTwo60
-    spark.read.parquet(kmvCubeDir(spark, sfDir))
+    Tables.cachedScan(spark, kmvCubeDir(spark, sfDir))
       .select(col("event_type"), col("h")).distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("h")))
@@ -443,7 +443,7 @@ object Aggregates {
     // re-reads the (tiny) synopsis store, keeping the parquet relation
     // visible in the analyzed plan for the store-only assertion — a
     // checkpoint would truncate it into an opaque RDD leaf
-    val topk = spark.read.parquet(kmvCubeDir(spark, sfDir))
+    val topk = Tables.cachedScan(spark, kmvCubeDir(spark, sfDir))
       .select(col("event_type"), col("h")).distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("h")))
@@ -636,9 +636,9 @@ object Aggregates {
     * ≤ |sources|·depth·width tiny rows; the corpus pass happened once at
     * build. */
   def cmsCubeServed(spark: SparkSession, sfDir: String): DataFrame = {
-    val merged = spark.read.parquet(cmsCubeDir(spark, sfDir))
+    val merged = Tables.cachedScan(spark, cmsCubeDir(spark, sfDir))
       .groupBy("r", "cell").agg(sum("c").as("c"))
-    val nSources = spark.read.parquet(cmsCubeDir(spark, sfDir))
+    val nSources = Tables.cachedScan(spark, cmsCubeDir(spark, sfDir))
       .agg(countDistinct(col("source")).as("n_sources"))
     val tokens = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -968,7 +968,7 @@ object Aggregates {
     * serve-code forks instead of builds). `day` casts to long because the
     * incremental artifact reads it back as a PARTITION column. */
   private def serveQuantileCube(spark: SparkSession, dir: String): DataFrame = {
-    val merged = spark.read.parquet(dir)
+    val merged = Tables.cachedScan(spark, dir)
       .select(col("event_type").as("k"), col("cents").as("v"), col("c"),
         col("day").cast("long").as("day"))
       .groupBy(col("k"), col("v"))
@@ -1058,7 +1058,7 @@ object Aggregates {
     * grain portably.
     */
   def hllCubeServed(spark: SparkSession, sfDir: String): DataFrame = {
-    val served = spark.read.parquet(hllCubeDir(spark, sfDir))
+    val served = Tables.cachedScan(spark, hllCubeDir(spark, sfDir))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
@@ -1164,7 +1164,7 @@ object Aggregates {
   private def serveDdCube(spark: SparkSession, sfDir: String, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // merge: cell re-sum per (type, bucket) — the mergeable-summary step
-    val merged = spark.read.parquet(dir)
+    val merged = Tables.cachedScan(spark, dir)
       .select(col("event_type"), col("bucket"), col("c"),
         col("day").cast("long").as("day"))
       .groupBy(col("event_type"), col("bucket"))
@@ -1180,7 +1180,7 @@ object Aggregates {
       .agg(max(col("n")).as("n"),
         estAt(col("cum") * 2 >= col("n")).as("p50_est"),
         estAt(col("cum") * 100 >= col("n") * 95).as("p95_est"))
-    val nDays = spark.read.parquet(dir)
+    val nDays = Tables.cachedScan(spark, dir)
       .groupBy("event_type").agg(countDistinct(col("day")).as("n_days"))
     // audit arm: exact nearest-rank quantiles from the raw table (for the
     // oracle and the verdicts; not part of the serving cost)
@@ -1279,7 +1279,7 @@ object Aggregates {
     * the single-build form's oracle (additivity ⇒ identical fold). */
   def ddCubeSignedIncremental(spark: SparkSession, sfDir: String): DataFrame =
     serveDdCubeSigned(
-      spark.read.parquet(ddSignedIncrDir(spark, sfDir))
+      Tables.cachedScan(spark, ddSignedIncrDir(spark, sfDir))
         .select(col("cohort"), col("store"), col("bucket"), col("c"),
           col("day").cast("long").as("day")),
       signedFlows(spark, sfDir))
@@ -1301,7 +1301,7 @@ object Aggregates {
     * midpoint), asserted by the spec's zero fixture.
     */
   def ddCubeSigned(spark: SparkSession, sfDir: String): DataFrame =
-    serveDdCubeSigned(spark.read.parquet(ddSignedCubeDir(spark, sfDir)),
+    serveDdCubeSigned(Tables.cachedScan(spark, ddSignedCubeDir(spark, sfDir)),
       signedFlows(spark, sfDir))
 
   private[graft] def serveDdCubeSigned(cells: DataFrame, flows: DataFrame): DataFrame = {

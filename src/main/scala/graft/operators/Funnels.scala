@@ -725,7 +725,7 @@ object Funnels {
     * frame's schema identical to the scan-time build's.
     */
   def rollingDauIncremental(spark: SparkSession, sfDir: String): DataFrame =
-    dauOf(spark.read.parquet(dayUserStore(spark, sfDir))
+    dauOf(Tables.cachedScan(spark, dayUserStore(spark, sfDir))
       .select(col("day").cast("long").as("day"), col("user_id")))
 
   /** SKETCHED rolling WAU — the mergeable-summary answer to the fact that

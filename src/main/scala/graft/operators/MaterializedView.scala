@@ -142,7 +142,7 @@ object MaterializedView {
     * (proves the stored pre-sums are exact, not just the rewrite). */
   def mvCube(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = cubeDir(spark, sfDir)
-    serveSegments(spark.read.parquet(dir))
+    serveSegments(Tables.cachedScan(spark, dir))
   }
 
   /** (session, sfDir) → incremental-segment cube directory. */
@@ -227,5 +227,5 @@ object MaterializedView {
   /** Serve the full-grain cube from any segment store — package-visible
     * so the streaming twin's test serves from its own accumulated dir. */
   private[graft] def serveFrom(spark: SparkSession, dir: String): DataFrame =
-    serveSegments(spark.read.parquet(dir).drop("batch"))
+    serveSegments(Tables.cachedScan(spark, dir).drop("batch"))
 }

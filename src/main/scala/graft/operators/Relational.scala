@@ -784,7 +784,7 @@ object Relational {
     */
   def scd2Incremental(spark: SparkSession, sfDir: String): DataFrame = {
     val (dir, cutoff) = scd2DimStore(spark, sfDir)
-    val dim = spark.read.parquet(dir)
+    val dim = Tables.cachedScan(spark, dir)
     val delta = Tables.events(spark, sfDir)
       .filter(col("ts_sec") >= cutoff)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("ts_sec"))

@@ -305,7 +305,7 @@ object Similarity {
   private[graft] def ivfServeFrom(spark: SparkSession, sfDir: String, dir: String,
                                   k: Int = 10, nprobe: Int = IvfNProbe): DataFrame = {
     val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
-    val corpus = spark.read.parquet(dir).select("vec_id", "qv", "cluster")
+    val corpus = Tables.cachedScan(spark, dir).select("vec_id", "qv", "cluster")
     val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
     ivfRerank(corpus, ivfProbesFor(centLit, qv, nprobe), k)
   }
@@ -502,7 +502,7 @@ object Similarity {
     * streaming-ingest test, so every serving surface runs ONE plan. */
   private[graft] def annServeFrom(spark: SparkSession, dir: String, k: Int = 10,
                                   probeRadius: Int = ProbeRadius): DataFrame = {
-    val idx = spark.read.parquet(dir)
+    val idx = Tables.cachedScan(spark, dir)
       .select(col("vec_id"), col("v").as("vc"), col("nn").as("nc"),
         col("bucket").cast("long").as("bucket"))
     val q = idx.filter(col("vec_id") % 25 === 0)
@@ -1327,7 +1327,7 @@ object Similarity {
     val cbLit = typedlit(pqCodebooks(spark, sfDir).map(_.toSeq))
     val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
     ivfPqAdcServe(spark, sfDir,
-      spark.read.parquet(ivfPqIncrIndexDir(spark, sfDir))
+      Tables.cachedScan(spark, ivfPqIncrIndexDir(spark, sfDir))
         .select("vec_id", "cluster", "codes"),
       cbLit, centLit, k, nprobe)
   }
@@ -2037,7 +2037,7 @@ object Similarity {
     * registered parity-batch query and the StreamingSpec foreachBatch
     * ingest twin. */
   private[graft] def semDedupServeFrom(spark: SparkSession, dir: String): DataFrame =
-    semDedupFrom(spark.read.parquet(dir).select("vec_id", "v", "nn", "cluster"))
+    semDedupFrom(Tables.cachedScan(spark, dir).select("vec_id", "v", "nn", "cluster"))
 
   /** Projected dimensionality for [[randProjPairs]] — 64 → 16, the 4×
     * compression a JL sketch buys before exact re-ranking. */
@@ -2597,7 +2597,7 @@ object Similarity {
         .write.mode("append").parquet(d)
       d
     })
-    spark.read.parquet(dir)
+    Tables.cachedScan(spark, dir)
       .groupBy("i", "j")
       .agg(sum(col("s")).cast("decimal(38,0)").cast("string").as("cov_sum"))
       .orderBy("i", "j")
@@ -2651,7 +2651,7 @@ object Similarity {
         .write.mode("append").parquet(d)
       d
     })
-    val store = spark.read.parquet(dir)
+    val store = Tables.cachedScan(spark, dir)
     val nRow = store.filter(col("i") === -1).groupBy().agg(sum("s").as("n"))
     val sx = store.filter(col("i") >= 0 && col("j") === -1)
       .groupBy("i").agg(sum("s").as("sx"))

@@ -240,7 +240,7 @@ object SuffixDedup {
     * [[suffixDedupOracleSql]] verbatim. */
   def suffixSpansServed(spark: SparkSession, sfDir: String): DataFrame =
     spanTopK(Tables.documents(spark, sfDir),
-      spark.read.parquet(lcpIndexDir(spark, sfDir)))
+      Tables.cachedScan(spark, lcpIndexDir(spark, sfDir)))
 
   /** THE REMOVAL STEP (`q_suffix_mask`) — what Lee et al.'s ExactSubstr
     * dedup actually does to the corpus: every token covered by some
@@ -365,7 +365,7 @@ object SuffixDedup {
     * (the reduction above), so both share one oracle. */
   def suffixMaskIncremental(spark: SparkSession, sfDir: String): DataFrame =
     windowMaskFrom(Tables.documents(spark, sfDir),
-      spark.read.parquet(winIndexDir(spark, sfDir)))
+      Tables.cachedScan(spark, winIndexDir(spark, sfDir)))
 
   /** The serve body over any postings frame (doc_id, pos, win): windows
     * occurring at ≥ 2 distinct positions qualify; their starts fold into

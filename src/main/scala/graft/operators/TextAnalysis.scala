@@ -940,7 +940,7 @@ object TextAnalysis {
     import spark.implicits._
     val qterms = Bm25Queries.toDF("q_id", "term")
     val panelTerms = Bm25Queries.map(_._2).distinct
-    val probe = spark.read.parquet(bm25IndexDir(spark, sfDir))
+    val probe = Tables.cachedScan(spark, bm25IndexDir(spark, sfDir))
       .filter(col("word").isin(panelTerms: _*))
     probe.join(broadcast(qterms), col("word") === col("term"))
       .groupBy("q_id", "doc_id").agg(sum("w6").as("s6"))
@@ -1022,9 +1022,9 @@ object TextAnalysis {
     val qterms = Bm25Queries.toDF("q_id", "term")
     val panelTerms = Bm25Queries.map(_._2).distinct
     val dir = postingsIndexDir(spark, sfDir)
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = Tables.cachedScan(spark, s"$dir/postings")
       .filter(col("word").isin(panelTerms: _*))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = Tables.cachedScan(spark, s"$dir/stats")
       .agg(sum("n").as("n"), sum("t").as("t"))
     val idf = post.groupBy("word").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
