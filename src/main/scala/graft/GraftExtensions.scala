@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     fn(e, "graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    fn(e, "graft_sqdist_long", exprs => SqDistLong(exprs(0), exprs(1)))
+    fn(e, "graft_dot_long", exprs => DotLong(exprs(0), exprs(1)))
+    fn(e, "graft_tri_products", exprs => UpperTriProducts(exprs.head))
     fn(e, "graft_shingle_hashes", exprs => ShingleHashes(exprs.head))
     fn(e, "graft_minhash_bands", exprs => MinHashBands(exprs.head))
     fn(e, "graft_simhash60", exprs => SimHash60(exprs.head))

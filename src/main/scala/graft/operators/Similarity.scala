@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{dotLong, sqDistLong, triProducts}
 
 /** Similarity search over the embeddings table (SURVEY.md §2.B9):
   * exact brute-force cosine top-k as the correctness baseline, and two
@@ -953,8 +954,7 @@ object Similarity {
   /** The 16-dim projection of the micro-unit corpus under the hash-derived
     * ±1 JL matrix — the coarse space [[jlIvfTopK]] buckets in. */
   private def jlProjCol: Column = array((0 until RpDim).map(r =>
-    aggregate(zip_with(col("qv"), typedlit(rpSigns(r).toSeq), (x, y) => x * y),
-      lit(0L), (s, x) => s + x)): _*)
+    dotLong(col("qv"), typedlit(rpSigns(r).toSeq))): _*)
 
   /** Session memo for the PROJECTED-SPACE coarse centroids (k×16 longs —
     * bounded driver state; deterministic trainer, so memoizing changes
@@ -1088,7 +1088,7 @@ object Similarity {
 
   /** Squared L2 between a subvector column and one literal codebook row. */
   private def pqSqDist(v8: Column, cent: Column): Column =
-    aggregate(zip_with(v8, cent, (x, y) => (x - y) * (x - y)), lit(0L), (s, x) => s + x)
+    sqDistLong(v8, cent)
 
   /** The 16 candidate distances of one subvector against its subspace's
     * codebook (sub may be a column; the codebook is the plan literal). */
@@ -1773,10 +1773,7 @@ object Similarity {
   /** Assignment under a literal centroid matrix: per-row k codegen'd
     * integer distances, argmin with lowest-cid tie-break. */
   private def withAssignment(qv: DataFrame, cents: IndexedSeq[Array[Long]]): DataFrame = {
-    val dists = cents.map { cv =>
-      aggregate(zip_with(col("qv"), typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0L), (s, x) => s + x)
-    }
+    val dists = cents.map(cv => sqDistLong(col("qv"), typedlit(cv.toSeq)))
     qv.withColumn("dists", array(dists: _*))
       .withColumn("dist", array_min(col("dists")))
       .withColumn("cluster", (array_position(col("dists"), col("dist")) - 1).cast("long"))
@@ -1881,10 +1878,7 @@ object Similarity {
     var pass = 0
     var grew = true
     while (cand.size < KmeansOversample && grew && pass < KmeansParRoundsMax) {
-      val dists = cand.map { cv =>
-        aggregate(zip_with(col("qv"), typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
-          lit(0L), (s, x) => s + x)
-      }
+      val dists = cand.map(cv => sqDistLong(col("qv"), typedlit(cv.toSeq)))
       // farthest point per nearest-candidate region, in one aggregate:
       // max_by over (d2 desc, vec_id asc) via (d2, -vec_id) struct ordering.
       // When regions outnumber the remaining candidate slots, keep the
@@ -1913,10 +1907,7 @@ object Similarity {
       s"k-means|| oversample produced only ${cand.size} < $KmeansK distinct candidates " +
         "— corpus has fewer distinct vectors than k")
     // weight candidates by nearest-assignment count over the corpus
-    val dists = cand.map { cv =>
-      aggregate(zip_with(col("qv"), typedlit(cv.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0L), (s, x) => s + x)
-    }
+    val dists = cand.map(cv => sqDistLong(col("qv"), typedlit(cv.toSeq)))
     val weights: Map[Int, Long] = qv
       .withColumn("dists", array(dists: _*))
       .withColumn("ci", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
@@ -2084,9 +2075,7 @@ object Similarity {
     */
   def randProjPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
-    def proj(r: Int) =
-      aggregate(zip_with(col("qv"), typedlit(rpSigns(r).toSeq), (x, y) => x * y),
-        lit(0L), (s, x) => s + x)
+    def proj(r: Int) = dotLong(col("qv"), typedlit(rpSigns(r).toSeq))
     val withP = qv.select(col("vec_id"), col("qv"),
       array((0 until RpDim).map(proj): _*).as("p"))
     def fp(c: org.apache.spark.sql.Column) =
@@ -2097,12 +2086,8 @@ object Similarity {
       col("vec_id").as("vec_b"), col("qv").as("qb"), col("p").as("pb"))
     a.join(b, "vec_a")
       .filter(col("vec_a") % 2 === 0)
-      .withColumn("d64", aggregate(
-        zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (s, x) => s + x))
-      .withColumn("d16", aggregate(
-        zip_with(col("pa"), col("pb"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (s, x) => s + x))
+      .withColumn("d64", sqDistLong(col("qa"), col("qb")))
+      .withColumn("d16", sqDistLong(col("pa"), col("pb")))
       .select(col("vec_a"), col("vec_b"),
         fp(col("pa")).as("proj_fp_a"), fp(col("pb")).as("proj_fp_b"),
         col("d64"), col("d16"),
@@ -2132,14 +2117,11 @@ object Similarity {
   def randProjTopk(spark: SparkSession, sfDir: String, k: Int = RpTopK): DataFrame = {
     val qv = quantizedVectors(Tables.embeddings(spark, sfDir))
     def proj = array((0 until RpDim).map(r =>
-      aggregate(zip_with(col("qv"), typedlit(rpSigns(r).toSeq), (x, y) => x * y),
-        lit(0L), (s, x) => s + x)): _*)
+      dotLong(col("qv"), typedlit(rpSigns(r).toSeq))): _*)
     val withP = qv.select(col("vec_id"), col("qv"), proj.as("p"))
     val q = withP.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("qq"), col("p").as("pq"))
-    def sq(a: String, b: String) =
-      aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
-        lit(0L), (s, x) => s + x)
+    def sq(a: String, b: String) = sqDistLong(col(a), col(b))
     val ranked = withP.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("d64", sq("qq", "qv"))
       .withColumn("d16", sq("pq", "p"))
@@ -2304,7 +2286,7 @@ object Similarity {
     // DECIMAL(38,0)) once n passes ~10⁴ rows
     val ex = pcaWithD(deltas, v).agg(
       sum(col("d").cast("decimal(38,0)") * col("d")).as("sd2"),
-      sum(aggregate(transform(col("dv"), x => x * x), lit(0L), (s, x) => s + x)
+      sum(dotLong(col("dv"), col("dv"))
         .cast("decimal(38,0)")).as("trace"))
       .select(expr(
         s"cast((sd2 div trace) as decimal(38,0)) * 1000000 div cast($vtv as decimal(38,0))")
@@ -2405,9 +2387,7 @@ object Similarity {
   /** Per-row exact projection d = dv·v against the LITERAL eigenvector —
     * codegen'd long arithmetic (|d| ≤ 64·2e6·1e6 ≈ 1.3e14). */
   private def pcaWithD(deltas: DataFrame, v: Array[Long]): DataFrame =
-    deltas.withColumn("d",
-      aggregate(zip_with(col("dv"), typedlit(v.toSeq), (x, y) => x * y),
-        lit(0L), (s, x) => s + x))
+    deltas.withColumn("d", dotLong(col("dv"), typedlit(v.toSeq)))
 
   /** ONE power round's distributed body: the 64-cell w = Σ_i d_i·dv_i
     * exact DECIMAL aggregate (package-private so PlanHygieneSpec asserts
@@ -2512,15 +2492,13 @@ object Similarity {
     val v2 = trainedPc2(spark, sfDir)
     val vtv1: BigInt = v1.map(x => BigInt(x) * BigInt(x)).sum
     val vtv2: BigInt = v2.map(x => BigInt(x) * BigInt(x)).sum
-    def dot(v: Array[Long]) =
-      aggregate(zip_with(col("dv"), typedlit(v.toSeq), (x, y) => x * y),
-        lit(0L), (s, x) => s + x)
+    def dot(v: Array[Long]) = dotLong(col("dv"), typedlit(v.toSeq))
     val withD = deltas.withColumn("d1", dot(v1)).withColumn("d2", dot(v2))
     // same n-independent truncation order as pcaPower: (sd div trace) first
     val ex = withD.agg(
         sum(col("d1").cast("decimal(38,0)") * col("d1")).as("sd1"),
         sum(col("d2").cast("decimal(38,0)") * col("d2")).as("sd2"),
-        sum(aggregate(transform(col("dv"), x => x * x), lit(0L), (s, x) => s + x)
+        sum(dotLong(col("dv"), col("dv"))
           .cast("decimal(38,0)")).as("trace"))
       .select(
         expr(s"cast((sd1 div trace) as decimal(38,0)) * 1000000 div cast($vtv1 as decimal(38,0))")
@@ -2557,17 +2535,23 @@ object Similarity {
       .orderBy("i", "j")
 
   /** The 2080-cell exact scatter aggregate shared by [[pcaCov]] (string
-    * render) and [[pcaTopk]] (driver collect): (i ≤ j, Σ dv_i·dv_j). */
-  private def pcaCovAgg(deltas: DataFrame): DataFrame =
+    * render) and [[pcaTopk]] (driver collect): (i ≤ j, Σ dv_i·dv_j).
+    * r16: the cell expansion is the codegen [[graft.functions.UpperTriProducts]]
+    * kernel (one tight long[] loop per row) instead of the interpreted
+    * nested-HOF struct build, and the aggregate groups on the kernel's
+    * position (same 2080 groups) with (i, j) recovered from literal index
+    * vectors after the exchange — identical products, identical sums,
+    * ~7× less per-row work (the HOF form allocated 2080 interpreted
+    * structs per row and was the entire cost of q_pca_cov). */
+  private def pcaCovAgg(deltas: DataFrame): DataFrame = {
+    val (iIdx, jIdx) = graft.functions.VectorFunctions.triIdx(PcaDim)
     deltas
-      .select(explode(expr(
-        "flatten(transform(dv, (x, i) -> " +
-          "transform(slice(dv, i + 1, 64 - i), (y, k) -> " +
-          "struct(i AS i, i + k AS j, x * y AS p))))")).as("c"))
-      .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"),
-        col("c.p").as("p"))
-      .groupBy("i", "j")
+      .select(posexplode(triProducts(col("dv"))).as(Seq("pos", "p")))
+      .groupBy("pos")
       .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+      .select(element_at(typedlit(iIdx), col("pos") + 1).as("i"),
+        element_at(typedlit(jIdx), col("pos") + 1).as("j"), col("s"))
+  }
 
   private val covIncrMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
@@ -2611,18 +2595,21 @@ object Similarity {
     * map-side expansion per row (the [[pcaCovAgg]] flatten plus 65 extra
     * cells), partial-combined before a (d²/2 + d + 1)·partitions-cell
     * exchange — additive over any row partition by construction. */
-  private def rawMomentCells(qv: DataFrame): DataFrame =
-    qv.select(explode(concat(
-        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p"))),
-        expr("transform(qv, (x, i) -> struct(i AS i, -1 AS j, x AS p))"),
-        expr("flatten(transform(qv, (x, i) -> " +
-          "transform(slice(qv, i + 1, 64 - i), (y, k) -> " +
-          "struct(i AS i, i + k AS j, x * y AS p))))")
-      )).as("c"))
-      .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"),
-        col("c.p").as("p"))
-      .groupBy("i", "j")
+  private def rawMomentCells(qv: DataFrame): DataFrame = {
+    // cell layout: pos 0 = count, pos 1..d = Σx_i, pos d+1.. = upper-tri
+    // products in [[graft.functions.UpperTriProducts]]'s row-major order —
+    // same (i, j, p) triples as the r15 nested-HOF struct expansion, built
+    // by one codegen long[] loop per row (r16)
+    val (iTri, jTri) = graft.functions.VectorFunctions.triIdx(PcaDim)
+    val iIdx: IndexedSeq[Long] = (-1L +: (0 until PcaDim).map(_.toLong)) ++ iTri
+    val jIdx: IndexedSeq[Long] = (-1L +: IndexedSeq.fill(PcaDim)(-1L)) ++ jTri
+    qv.select(posexplode(concat(array(lit(1L)), col("qv"),
+        triProducts(col("qv")))).as(Seq("pos", "p")))
+      .groupBy("pos")
       .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+      .select(element_at(typedlit(iIdx), col("pos") + 1).as("i"),
+        element_at(typedlit(jIdx), col("pos") + 1).as("j"), col("s"))
+  }
 
   /** MEAN-REFRESHING COVARIANCE STORE (r15 — VERDICT r14 ask #4): the
     * raw-moment recentering identity closes [[pcaCovIncremental]]'s one
@@ -2775,15 +2762,13 @@ object Similarity {
     val vit = trainedPc1(spark, sfDir)
     def vtv(v: Array[Long]) = v.map(x => BigInt(x) * BigInt(x)).foldLeft(BigInt(0))(_ + _)
     val (vv1, vv2, vvit) = (vtv(vq1), vtv(vq2), vtv(vit))
-    def dot(v: Array[Long]) =
-      aggregate(zip_with(col("dv"), typedlit(v.toSeq), (x, y) => x * y),
-        lit(0L), (s, x) => s + x)
+    def dot(v: Array[Long]) = dotLong(col("dv"), typedlit(v.toSeq))
     // ONE exact aggregate: n, trace, 3 Rayleigh numerators, 2×64 S·v cells
     val withD = deltas.withColumn("d1", dot(vq1)).withColumn("d2", dot(vq2))
       .withColumn("dit", dot(vit))
     val aggCols =
       Seq(count(lit(1)).as("n"),
-        sum(aggregate(transform(col("dv"), x => x * x), lit(0L), (s, x) => s + x)
+        sum(dotLong(col("dv"), col("dv"))
           .cast("decimal(38,0)")).as("trace"),
         sum(col("d1").cast("decimal(38,0)") * col("d1")).as("sd1"),
         sum(col("d2").cast("decimal(38,0)") * col("d2")).as("sd2"),

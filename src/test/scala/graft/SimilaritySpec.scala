@@ -151,6 +151,51 @@ class SimilaritySpec extends SparkSpec {
     assert(cmp.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("codegen long-vector kernels match their HOF formulations bit-for-bit (r16)") {
+    // SqDistLong / DotLong / UpperTriProducts replaced the interpreted
+    // aggregate(zip_with(...)) forms on the ANN/PCA hot paths — same long
+    // arithmetic in the same ascending-index order, so equality is exact,
+    // not approximate. Probe over the real micro-unit corpus.
+    import graft.functions.VectorFunctions.{dotLong, sqDistLong, triProducts}
+    val qv = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round((cast(x as double) + 1.0d) * 1000000, 0) as bigint))")
+          .as("qv"))
+    val shifted = expr("transform(qv, x -> x + 7L)")
+    val cmp = qv.select(
+      sqDistLong(col("qv"), shifted).as("sq_a"),
+      expr("aggregate(zip_with(qv, transform(qv, x -> x + 7L), (x, y) -> (x - y) * (x - y)), 0L, (s, x) -> s + x)")
+        .as("sq_b"),
+      dotLong(col("qv"), col("qv")).as("dt_a"),
+      expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (s, x) -> s + x)")
+        .as("dt_b"),
+      triProducts(col("qv")).as("tri_a"),
+      expr("flatten(transform(qv, (x, i) -> transform(slice(qv, i + 1, size(qv) - i), (y, k) -> x * y)))")
+        .as("tri_b"))
+    assert(cmp.filter(col("sq_a") =!= col("sq_b") || col("dt_a") =!= col("dt_b")
+      || col("tri_a") =!= col("tri_b")).count() == 0)
+    // triIdx recovers the same (i, j) pairs the HOF struct expansion carried
+    val (iIdx, jIdx) = graft.functions.VectorFunctions.triIdx(4)
+    assert(iIdx == IndexedSeq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 3L))
+    assert(jIdx == IndexedSeq(0L, 1L, 2L, 3L, 1L, 2L, 3L, 2L, 3L, 3L))
+  }
+
+  test("long-vector kernels run under CODEGEN_ONLY and are SQL-callable (r16)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql(
+        """SELECT graft_sqdist_long(array(1L, 2L), array(4L, 6L)) AS sq,
+          |  graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dt,
+          |  graft_tri_products(array(2L, 3L, 5L)) AS tri""".stripMargin).head
+      assert(r.getLong(0) == 25L && r.getLong(1) == 32L)
+      assert(r.getSeq[Long](2) == Seq(4L, 6L, 10L, 9L, 15L, 25L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("int8 quantization: error bounded by scale/2, codes exact vs driver recompute") {
     import spark.implicits._
     val rows = Similarity.quantizeInt8(spark, sf)
