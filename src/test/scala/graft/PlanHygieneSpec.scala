@@ -54,6 +54,16 @@ class PlanHygieneSpec extends SparkSpec {
       // candidates by cluster id — hash equi-joins, no nested loop, so
       // they need no entry here
       "q_ivf_audit", "q_jl_ivf_recall", "q_ivf_probe_curve",
+      // the composed probe curves and the residual-vs-raw recall eval
+      // embed the SAME exact integer-L2 companion (broadcast query panel)
+      // as q_ivf_probe_curve / q_pq_recall — r16: they previously escaped
+      // this sweep only by cache-visibility accident (the shared
+      // l2TopKCached persist hides the companion subtree when another
+      // suite has warmed it first, so the sweep was suite-order-dependent;
+      // reproduced at the r15 baseline with `testOnly SimilaritySpec
+      // PlanHygieneSpec`). The serving arms inside all three remain hash
+      // equi-joins on the cluster id.
+      "q_jl_probe_curve", "q_ivfpq_probe_curve", "q_pqres_recall",
       // hybrid retrieval's lexical arm shares the cosine family's kernel
       // shape (per-query 0/1 vocab masks broadcast against per-doc weight
       // vectors, one codegen'd dot per pair — the broadcast side is the

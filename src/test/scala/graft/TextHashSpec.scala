@@ -36,6 +36,35 @@ class TextHashSpec extends SparkSpec {
     assert(cmp.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("WinnowHashes matches the interpreted HOF formulation bit-for-bit (r16)") {
+    // the exact round-15 relational form of q_winnow, including the
+    // short-doc CASE and the ≥3-token exclusion
+    val w = graft.functions.TextHash.WinnowW
+    val hof = docs
+      .filter(size(col("w")) >= 3)
+      .withColumn("hp", expr(
+        "transform(sequence(0, size(w)-3), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2])),1,15),16,10) as bigint))"))
+      .withColumn("b", expr(
+        s"array_sort(array_distinct(CASE WHEN size(hp) >= $w THEN " +
+          s"transform(sequence(0, size(hp)-$w), j -> array_min(slice(hp, j+1, $w))) " +
+          s"ELSE array(array_min(hp)) END))"))
+      .select(col("doc_id"), col("b"))
+    val kernel = docs.select(col("doc_id"), winnowHashes(col("text")).as("a"))
+    val cmp = kernel.join(hof, "doc_id")
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+    // docs under 3 tokens: kernel returns empty (explode-excluded, the
+    // relational filter's semantics)
+    import spark.implicits._
+    val shorts = Seq("one", "one two", "").toDF("text")
+      .select(winnowHashes(col("text")).as("a"))
+    assert(shorts.filter(size(col("a")) =!= 0).count() == 0)
+    // ≥3 tokens but fewer than w 3-grams: global minimum kept
+    val tiny = Seq("a b c", "a b c d").toDF("text")
+      .select(size(winnowHashes(col("text"))).as("n")).collect().map(_.getInt(0))
+    assert(tiny.forall(_ == 1))
+  }
+
   test("SimHash60 matches the interpreted sign-sum formulation") {
     val hs = docs.select(col("doc_id"), shingleHashes(col("text")).as("hs"))
     val cmp = hs.select(
