@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "graft_tri_products", exprs => UpperTriProducts(exprs.head))
     fn(e, "graft_shingle_hashes", exprs => ShingleHashes(exprs.head))
     fn(e, "graft_winnow_hashes", exprs => WinnowHashes(exprs.head))
+    fn(e, "graft_md5_top60", exprs => Md5Top60(exprs.head))
     fn(e, "graft_minhash_bands", exprs => MinHashBands(exprs.head))
     fn(e, "graft_simhash60", exprs => SimHash60(exprs.head))
     fn(e, "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)))

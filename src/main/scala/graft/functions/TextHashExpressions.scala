@@ -195,6 +195,13 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** [[md5Top60]] over a string's UTF-8 bytes — the codegen entry point
+    * for [[Md5Top60]] (r16): value-identical to the relational
+    * `cast(conv(substring(md5(s),1,15),16,10) as bigint)` but without the
+    * 32-char hex render, the substring, and the base-conversion Decimal
+    * parse that form allocates per value. */
+  def md5Top60Str(s: UTF8String): Long = md5Top60(s.getBytes)
+
   /** Winnowing window width — [[graft.operators.TextAnalysis.WinnowW]]
     * reads this value so the kernel, the relational formulation's docs and
     * the oracle generator can never drift. */
@@ -372,6 +379,23 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** `md5_top60(s)` → bigint: the house engine-portable 60-bit hash
+  * (top 60 bits of MD5) as one codegen call — see [[TextHash.md5Top60Str]].
+  */
+case class Md5Top60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_top60"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.md5Top60Str(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.md5Top60Str($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `winnow_hashes(text)` → sorted distinct array<bigint> of winnowing
   * fingerprints ([[TextHash.winnowHashes]]), one compiled pass per doc.
   */
@@ -394,6 +418,8 @@ object TextHashFunctions {
     ColumnShim.column(ShingleHashes(ColumnShim.expression(text)))
   def winnowHashes(text: Column): Column =
     ColumnShim.column(WinnowHashes(ColumnShim.expression(text)))
+  def md5Top60(s: Column): Column =
+    ColumnShim.column(Md5Top60(ColumnShim.expression(s)))
   def minHashBands(hs: Column): Column =
     ColumnShim.column(MinHashBands(ColumnShim.expression(hs)))
   def minHashSig(hs: Column): Column =
@@ -409,6 +435,7 @@ object TextHashFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     ColumnShim.registerFunction(spark, "graft_shingle_hashes", e => ShingleHashes(e.head))
     ColumnShim.registerFunction(spark, "graft_winnow_hashes", e => WinnowHashes(e.head))
+    ColumnShim.registerFunction(spark, "graft_md5_top60", e => Md5Top60(e.head))
     ColumnShim.registerFunction(spark, "graft_minhash_bands", e => MinHashBands(e.head))
     ColumnShim.registerFunction(spark, "graft_simhash60", e => SimHash60(e.head))
     ColumnShim.registerFunction(spark, "graft_jaccard_sorted", e => JaccardSorted(e(0), e(1)))

@@ -294,8 +294,8 @@ object Aggregates {
   private def kmvHashesFrame(events: DataFrame): DataFrame =
     events.select(col("event_type"),
       expr("ts div 86400000000000").as("day"),
-      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long").as("h"))
+      graft.functions.TextHashFunctions.md5Top60(col("user_id").cast("string"))
+        .as("h"))
 
   private def kmvHashes(spark: SparkSession, sfDir: String) =
     kmvHashesFrame(Tables.events(spark, sfDir))
@@ -564,8 +564,7 @@ object Aggregates {
     * construction as the sampling hash (engine-portable; DuckDB computes
     * the identical value), seeded by the row index. */
   private def cmsCell(row: Int, w: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(s"$row:"), w)), 1, 15), 16, 10)
-      .cast("long") % CmsWidth
+    graft.functions.TextHashFunctions.md5Top60(concat(lit(s"$row:"), w)) % CmsWidth
 
   /** Count-Min sketch heavy-hitter counts over the corpus token stream —
     * the sublinear-memory frequency sketch (Cormode & Muthukrishnan 2005)

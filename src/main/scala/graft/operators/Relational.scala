@@ -90,8 +90,20 @@ object Relational {
   def joinFactFactSalted(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
       .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    // r16: project the replicated side to the two columns the join needs
+    // BEFORE the ×S explode (guide §2.3 — the explode multiplies whatever
+    // width flows into it), and pin the SHUFFLED hash join with a hint:
+    // at bench scale Catalyst's size estimate put the exploded side under
+    // the broadcast threshold and planned a 1.2M-row BroadcastHashJoin —
+    // slow here (the broadcast build was the whole 1.8 s cost) and
+    // contrary to what salting demonstrates (spreading a hot key across
+    // REDUCERS; a broadcast join has no reduce side at all). At 100 TB
+    // both sides exceed any broadcast threshold, so the hint changes
+    // nothing there — it pins the demo's intended shape at every scale.
     val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      .hint("shuffle_hash")
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
       .groupBy("o_orderpriority")
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),

@@ -34,7 +34,7 @@ object Sampling {
     * any future width change must move both sides in lockstep.
     */
   private def hashBucket(key: Column): Column =
-    conv(substring(md5(key), 1, 15), 16, 10).cast("long") % 1000000000L
+    graft.functions.TextHashFunctions.md5Top60(key) % 1000000000L
 
   /** Stratified (per-language) deterministic sample of the documents table:
     * keep a doc iff hash(doc_id) < rate(lang). The rate map is a data-mixing

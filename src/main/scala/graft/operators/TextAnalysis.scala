@@ -269,6 +269,39 @@ object TextAnalysis {
     * datasheet number); a held-out eval would reuse q_train_val_test's
     * hash-split unchanged.
     */
+  /** The V×|langs| Laplace log-likelihood grid shared by [[naiveBayes]]
+    * and [[nbHoldout]] — r16: the vocabulary size V and the class list
+    * used to be DRIVER scalars (one collect per bench rep = one extra
+    * full tokens+aggregate pass at DataFrame-construction time); both now
+    * ride the plan as ONE groupless broadcast aggregate (V + the
+    * collect_set class list, exploded over the vocab — a scalar-side
+    * cross, the one BNLJ shape PlanHygieneSpec admits), so constructing
+    * the query schedules no job and each rep runs one corpus pass. The
+    * r13 enforced vocabulary bound survives as an in-plan loud guard:
+    * past 10^7 grid rows the projection raises rather than silently
+    * broadcasting hundreds of MB (swap the broadcast(grid) hints for a
+    * shuffled hash join on `word` beyond it). Values are unchanged: the
+    * same Laplace (cwc+1)/(tokc+V) at the same 8-place rounding.
+    */
+  private def nbGrid(cw: DataFrame, ct: DataFrame, tag: String): DataFrame =
+    cw.select("word").distinct()
+      .crossJoin(broadcast(cw.agg(
+        countDistinct(col("word")).as("v"),
+        sort_array(collect_set(col("c"))).as("langs"))))
+      .select(col("word"), col("v"), size(col("langs")).cast("long").as("nl"),
+        explode(col("langs")).as("c"))
+      .join(broadcast(ct), "c")
+      .join(cw, Seq("word", "c"), "left")
+      .select(col("word"), col("c"),
+        when(col("v") * col("nl") > 10000000L,
+          raise_error(format_string(
+            s"$tag: likelihood grid %dx%d exceeds the 1e7-row broadcast " +
+              "bound; use a shuffled hash join on word beyond this vocabulary",
+            col("v"), col("nl"))).cast("decimal(18,8)"))
+          .otherwise(round(log((coalesce(col("cwc"), lit(0L)) + lit(1.0)) /
+            (col("tokc") + col("v").cast("double"))), 8)
+            .cast("decimal(18,8)")).as("lik"))
+
   def naiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
     // fence: the per-(doc, word) counts feed training AND scoring
     val dw = Dedup.fence(
@@ -277,28 +310,7 @@ object TextAnalysis {
       "doc_id")
     val cw = dw.groupBy(col("lang").as("c"), col("word")).agg(sum("cnt").as("cwc"))
     val ct = cw.groupBy("c").agg(sum("cwc").as("tokc"))
-    // bounded driver scalars (ONE job): vocabulary size + the class list
-    val meta = cw.agg(countDistinct(col("word")).as("v"),
-      sort_array(collect_set(col("c"))).as("langs")).collect()(0)
-    val vSize = meta.getLong(0)
-    val langs = meta.getSeq[String](1)
-    // ENFORCED vocabulary bound (ADVICE r13): the V×|langs| likelihood
-    // grid broadcasts, so an unbounded real-corpus vocabulary (URLs,
-    // hashes, OCR junk) would blow past executor/driver broadcast limits
-    // silently — fail loud at 10^7 grid rows (≈ hundreds of MB); beyond
-    // it, swap the two `broadcast(grid)` hints for a shuffled hash join
-    // on `word` (same semantics, corpus-sized shuffle instead)
-    require(vSize * langs.size <= 10000000L,
-      s"naiveBayes: likelihood grid ${vSize}x${langs.size} exceeds the 1e7-row " +
-        "broadcast bound; use a shuffled hash join on word beyond this vocabulary")
-    val grid = cw.select("word").distinct()
-      .withColumn("c", explode(typedlit(langs)))
-      .join(broadcast(ct), "c")
-      .join(cw, Seq("word", "c"), "left")
-      .select(col("word"), col("c"),
-        round(log((coalesce(col("cwc"), lit(0L)) + lit(1.0)) /
-          (col("tokc") + lit(vSize.toDouble))), 8)
-          .cast("decimal(18,8)").as("lik"))
+    val grid = nbGrid(cw, ct, "naiveBayes")
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("nd"))
     val priors = Tables.documents(spark, sfDir)
       .groupBy(col("lang").as("c")).agg(count(lit(1)).as("nc"))
@@ -357,21 +369,7 @@ object TextAnalysis {
     val cw = dw.filter(col("split") === "train")
       .groupBy(col("lang").as("c"), col("word")).agg(sum("cnt").as("cwc"))
     val ct = cw.groupBy("c").agg(sum("cwc").as("tokc"))
-    val meta = cw.agg(countDistinct(col("word")).as("v"),
-      sort_array(collect_set(col("c"))).as("langs")).collect()(0)
-    val vSize = meta.getLong(0)
-    val langs = meta.getSeq[String](1)
-    require(vSize * langs.size <= 10000000L,
-      s"nbHoldout: likelihood grid ${vSize}x${langs.size} exceeds the 1e7-row " +
-        "broadcast bound; use a shuffled hash join on word beyond this vocabulary")
-    val grid = cw.select("word").distinct()
-      .withColumn("c", explode(typedlit(langs)))
-      .join(broadcast(ct), "c")
-      .join(cw, Seq("word", "c"), "left")
-      .select(col("word"), col("c"),
-        round(log((coalesce(col("cwc"), lit(0L)) + lit(1.0)) /
-          (col("tokc") + lit(vSize.toDouble))), 8)
-          .cast("decimal(18,8)").as("lik"))
+    val grid = nbGrid(cw, ct, "nbHoldout")
     val trainDocs = Tables.documents(spark, sfDir)
       .withColumn("split", Sampling.splitCol)
       .filter(col("split") === "train")

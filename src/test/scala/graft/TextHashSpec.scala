@@ -65,6 +65,24 @@ class TextHashSpec extends SparkSpec {
     assert(tiny.forall(_ == 1))
   }
 
+  test("Md5Top60 matches the conv/substring/md5 formulation bit-for-bit (r16)") {
+    val cmp = docs.select(
+      graft.functions.TextHashFunctions.md5Top60(col("text")).as("a"),
+      expr("cast(conv(substring(md5(text),1,15),16,10) as bigint)").as("b"))
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+    // SQL-callable via GraftExtensions, survives CODEGEN_ONLY
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql("SELECT graft_md5_top60('a b c') AS h, " +
+        "cast(conv(substring(md5('a b c'),1,15),16,10) as bigint) AS e").head
+      assert(r.getLong(0) == r.getLong(1))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("SimHash60 matches the interpreted sign-sum formulation") {
     val hs = docs.select(col("doc_id"), shingleHashes(col("text")).as("hs"))
     val cmp = hs.select(
